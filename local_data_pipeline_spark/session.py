@@ -1,0 +1,110 @@
+"""SparkSession bootstrap + table loaders.
+
+Replaces the reference's connection/catalog bootstrap
+(`/root/reference/src/dagster_pipeline/defs/open_meteo.py:40-45,62` —
+``duckdb.connect`` + ``CREATE SCHEMA IF NOT EXISTS``) and the dbt
+cross-database attach (`/root/reference/dbt/profiles.yml:5-11`): one local
+SparkSession with UTC session time zone, AQE enabled, and logical databases
+``raw`` / ``stg`` / ``int`` / ``pres`` in a single catalog.
+
+100 TB notes: everything here is configuration, not code — on a real cluster
+the same builder runs with ``master`` pointed at YARN/K8s, a remote metastore,
+and ``spark.sql.shuffle.partitions`` sized to ~2-3× total cores.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+#: All driver-generated synthetic tables (TESTDATA.md).
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+DATABASES = ("raw", "stg", "intm", "pres")
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def get_spark(
+    app_name: str = "local_data_pipeline_spark",
+    cpus: str | None = None,
+    shuffle_partitions: int | None = None,
+    warehouse_dir: str | None = None,
+) -> SparkSession:
+    """Create (or reuse) the engine SparkSession.
+
+    UTC session TZ pins the reference's naive-UTC timestamp convention
+    (open_meteo.py:56); AQE handles runtime coalescing / skew joins at scale.
+    """
+    cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "*")
+    if shuffle_partitions is None:
+        env_cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(env_cpus) if env_cpus and env_cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # events.parquet stores TIMESTAMP(NANOS); Spark reads it as int64 only
+        # with this flag (converted back to timestamp in load_table).
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    if warehouse_dir:
+        builder = builder.config("spark.sql.warehouse.dir", warehouse_dir)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+def ensure_databases(spark: SparkSession) -> None:
+    """``CREATE DATABASE IF NOT EXISTS`` for each layer (≙ open_meteo.py:62)."""
+    for db in DATABASES:
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one synthetic table, normalizing types for engine use.
+
+    ``events.ts`` arrives as TIMESTAMP(NANOS) parquet which Spark cannot map
+    natively; with ``nanosAsLong`` it reads as int64 nanoseconds and is
+    converted here to ``timestamp_ntz`` at microsecond precision (matching
+    DuckDB's ns→µs truncation, so oracle comparisons line up).
+    """
+    if name == "events":
+        # Runtime-settable, so this also works under a driver-owned session
+        # that did not set it at build time.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        df = df.withColumn(
+            "ts",
+            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+        )
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every synthetic table as a temp view for Spark SQL use."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)

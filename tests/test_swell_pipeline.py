@@ -1,0 +1,115 @@
+"""Golden end-to-end test of the reference-parity swell pipeline:
+raw JSON payload rows -> hourly explosion -> daily max, verified against
+DuckDB running the reference SQL semantics verbatim (SURVEY.md §5)."""
+
+import duckdb
+import pytest
+
+from local_data_pipeline_spark.models.swell import (
+    build_registry,
+    synthesize_raw_payloads,
+    synthesize_raw_swell,
+    stg_swell_hourly,
+    int_daily_max_swell,
+)
+
+# The reference staging/intermediate SQL re-expressed for DuckDB over the
+# same fixture rows (reference: stg_open_meteo__swell_data.sql,
+# int_open_meteo__max_swell_per_day.sql).
+DUCK_STG = """
+with raw as (select location, json(data) as j from raw_swell),
+arrays as (
+  select location,
+         json_extract(j, '$.hourly.time') as times_json,
+         json_extract(j, '$.hourly.wave_height') as wave_height_json,
+         json_extract(j, '$.hourly.wave_direction') as wave_direction_json,
+         json_extract(j, '$.hourly.wind_wave_direction') as wind_wave_direction_json,
+         json_extract(j, '$.hourly.swell_wave_height') as swell_wave_height_json,
+         json_extract(j, '$.hourly.swell_wave_direction') as swell_wave_direction_json,
+         json_extract(j, '$.hourly.swell_wave_period') as swell_wave_period_json,
+         cast(json_array_length(json_extract(j, '$.hourly.time')) as bigint) as n
+  from raw
+),
+indexed as (
+  select *, unnest(range(0, n)) as i from arrays
+),
+exploded as (
+  select a.location,
+         json_extract_string(a.times_json, printf('$[%d]', i)) as time_str,
+         cast(json_extract(a.wave_height_json, printf('$[%d]', i)) as double) as wave_height,
+         cast(json_extract(a.wave_direction_json, printf('$[%d]', i)) as double) as wave_direction,
+         cast(json_extract(a.wind_wave_direction_json, printf('$[%d]', i)) as double) as wind_wave_direction,
+         cast(json_extract(a.swell_wave_height_json, printf('$[%d]', i)) as double) as swell_wave_height,
+         cast(json_extract(a.swell_wave_direction_json, printf('$[%d]', i)) as double) as swell_wave_direction,
+         cast(json_extract(a.swell_wave_period_json, printf('$[%d]', i)) as double) as swell_wave_period
+  from indexed a
+)
+select strptime(time_str, '%Y-%m-%dT%H:%M') as timestamp, location,
+       wave_height, wave_direction, wind_wave_direction,
+       swell_wave_height, swell_wave_direction, swell_wave_period,
+       cast(strptime(time_str, '%Y-%m-%dT%H:%M') as date) as dt
+from exploded
+"""
+
+DUCK_INT = f"""
+with stg as ({DUCK_STG}),
+ranked as (
+  select *, row_number() over (
+    partition by dt, location
+    order by swell_wave_height desc, timestamp desc) as rn
+  from stg
+)
+select timestamp, location, wave_height, wave_direction, wind_wave_direction,
+       swell_wave_height, swell_wave_direction, swell_wave_period, dt
+from ranked where rn = 1
+"""
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    rows = synthesize_raw_payloads()
+    con.execute("create table raw_swell(timestamp timestamp, location text, data text)")
+    con.executemany("insert into raw_swell values (?, ?, ?)", rows)
+    return con
+
+
+def _normalize(rows):
+    return sorted(
+        (tuple(r) for r in rows),
+        key=lambda r: tuple((v is None, v) for v in r),
+    )
+
+
+def test_stg_matches_reference_semantics(spark, duck):
+    raw = synthesize_raw_swell(spark)
+    got = _normalize([tuple(r) for r in stg_swell_hourly(raw).collect()])
+    want = _normalize(duck.sql(DUCK_STG).fetchall())
+    assert len(got) == len(want) and got == want
+
+
+def test_int_daily_max_matches_reference_semantics(spark, duck):
+    raw = synthesize_raw_swell(spark)
+    got = _normalize([tuple(r) for r in int_daily_max_swell(stg_swell_hourly(raw)).collect()])
+    want = _normalize(duck.sql(DUCK_INT).fetchall())
+    assert got == want
+    # exactly one row per (dt, location)
+    keys = [(r[-1], r[1]) for r in got]
+    assert len(keys) == len(set(keys))
+
+
+def test_registry_build_runs_models_and_tests(spark):
+    reg = build_registry(lambda s: synthesize_raw_swell(s))
+    results = reg.build(spark)
+    by_name = {r.model: r for r in results}
+    assert by_name["pres_daily_max_swell"].rows > 0
+    assert by_name["pres_daily_max_swell"].materialization == "table"
+    assert all(r.ok for r in results)
+    # view models registered as temp views, table model queryable
+    assert spark.table("pres_daily_max_swell").count() == by_name["pres_daily_max_swell"].rows
+
+
+def test_null_elements_survive_explosion(spark):
+    raw = synthesize_raw_swell(spark)
+    stg = stg_swell_hourly(raw)
+    assert stg.filter("wave_height is null").count() > 0
