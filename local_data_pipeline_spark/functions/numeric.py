@@ -1,0 +1,46 @@
+"""Deterministic numeric aggregation helpers.
+
+Floating-point SUM/AVG are order-dependent: Spark's partial aggregation adds
+partition subtotals in a partitioning-dependent order, while a single-node
+engine (the DuckDB oracle) adds sequentially — the two can differ in the last
+ulp and break value-hash comparisons. These helpers accumulate in DECIMAL
+(exact, associative, order-insensitive) and cast the final result back to
+DOUBLE, so the same SQL shape on any engine yields bit-identical results at
+any parallelism. This is also the right call at 100 TB: decimal partial
+aggregation is still map-side combinable and shuffle-friendly, and the result
+does not drift as the cluster re-partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Default decimal shape: 25 digits / 6 fractional covers sums of ~1e12
+#: row-values at 1e13 rows without overflow on intermediate (Spark widens
+#: the sum type by +10 digits automatically).
+DEFAULT_PRECISION = 25
+DEFAULT_SCALE = 6
+
+
+def dsum(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Order-insensitive SUM: cast each value to decimal, sum exactly, cast
+    back to double. SQL twin: ``cast(sum(cast(x as decimal(25,6))) as double)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({DEFAULT_PRECISION},{scale})")).cast("double")
+
+
+def davg(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Order-insensitive AVG as exact-sum / count.
+    SQL twin: ``cast(sum(cast(x as decimal(25,6))) as double) / count(x)``."""
+    c = F.col(col) if isinstance(col, str) else col
+    return dsum(c, scale) / F.count(c)
+
+
+def dsum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    """The ANSI-SQL twin of :func:`dsum` for oracle queries."""
+    return f"cast(sum(cast({expr} as decimal({DEFAULT_PRECISION},{scale}))) as double)"
+
+
+def davg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
+    return f"({dsum_sql(expr, scale)} / count({expr}))"

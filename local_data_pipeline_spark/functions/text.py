@@ -1,0 +1,118 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+Language-ID (stopword-hit heuristic), quality scoring (length / punctuation /
+stopword ratios), token counting (whitespace + a BPE-ish regex), document
+fingerprinting, and shingling — all as Catalyst column expressions (built-in
+``pyspark.sql.functions`` + higher-order lambdas), so they run JVM-side at
+scan speed with no UDF serialization. Each has a straightforward ANSI-SQL
+twin for the DuckDB oracle.
+
+At 100 TB these are per-row map operations: no shuffle, fully parallel,
+pushed into the same stage as the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+#: Tiny per-language stopword lists for the n-gram/stopword-hit language
+#: heuristic. Deliberately small and public-knowledge; real pipelines swap
+#: in fastText or CLD3 via a Pandas UDF.
+LANG_STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "is", "in", "that", "it", "for", "with"),
+    "es": ("el", "la", "de", "que", "y", "los", "en", "un", "por", "con"),
+    "fr": ("le", "la", "de", "et", "les", "des", "en", "un", "que", "pour"),
+    "de": ("der", "die", "und", "das", "von", "zu", "mit", "den", "ist", "nicht"),
+}
+
+#: Whitespace tokenizer split pattern (shared with the SQL twin).
+WS_SPLIT = r"\s+"
+
+#: BPE-ish token pattern: runs of letters, runs of digits, or single
+#: non-space punctuation — a crude public approximation of byte-pair
+#: pre-tokenization (GPT-2-style regex families).
+BPE_ISH = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def tokens(text: Column) -> Column:
+    """Whitespace tokens of trimmed, lowercased text (empty → empty array)."""
+    t = F.trim(F.lower(text))
+    return F.when(t == "", F.array().cast("array<string>")).otherwise(
+        F.split(t, WS_SPLIT)
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """Count of BPE-ish regex tokens — a cheap proxy for LLM token counts."""
+    return F.size(F.regexp_extract_all(text, F.lit(BPE_ISH), 0))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Number of tokens that are stopwords of ``lang`` (with multiplicity)."""
+    words = LANG_STOPWORDS[lang]
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(tokens(text), lambda t: F.array_contains(arr, t)))
+
+
+def lang_id(text: Column) -> Column:
+    """Pick the language whose stopword list hits most (ties → lexicographic
+    language code order; zero hits → 'und')."""
+    pairs = [(stopword_hits(text, lg), lg) for lg in sorted(LANG_STOPWORDS)]
+    # Deterministic explicit fold (ties prefer earlier language code):
+    expr = F.lit("und")
+    best_hits = F.lit(0)
+    for h, lg in pairs:
+        is_better = h > best_hits
+        expr = F.when(is_better, F.lit(lg)).otherwise(expr)
+        best_hits = F.when(is_better, h).otherwise(best_hits)
+    return expr
+
+
+def punct_ratio(text: Column) -> Column:
+    """Punctuation chars / total chars (0 for empty text)."""
+    n = F.length(text)
+    p = F.size(F.regexp_extract_all(text, F.lit(r"[.,;:!?'\"()\[\]-]"), 0))
+    return F.when(n == 0, F.lit(0.0)).otherwise(p.cast("double") / n)
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    tc = token_count(text)
+    return F.when(tc == 0, F.lit(0.0)).otherwise(
+        stopword_hits(text, lang).cast("double") / tc
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality heuristic: long enough, not punctuation soup,
+    reasonable stopword density. Weights are fixed and documented so the
+    SQL twin reproduces them exactly."""
+    tc = token_count(text).cast("double")
+    len_score = F.least(tc / F.lit(100.0), F.lit(1.0))
+    punct_score = F.lit(1.0) - F.least(punct_ratio(text) * 5, F.lit(1.0))
+    stop_score = F.least(stopword_ratio(text, "en") * 4, F.lit(1.0))
+    return F.round(0.4 * len_score + 0.3 * punct_score + 0.3 * stop_score, 6)
+
+
+def fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized,
+    lowercased text. Used for exact dedup; identical in any engine."""
+    return F.md5(F.regexp_replace(F.trim(F.lower(text)), WS_SPLIT, " "))
+
+
+def word_shingles(text: Column, k: int = 3) -> Column:
+    """Distinct word k-gram shingles (array<string>); the unit set for
+    n-gram Jaccard and MinHash. Documents shorter than k words yield their
+    whole text as a single shingle so they can still match exactly."""
+    t = tokens(text)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(t, i + j) for j in range(k)]
+        ),
+    )
+    return F.array_distinct(grams)

@@ -1,0 +1,269 @@
+"""Deduplication operators for training-data pipelines, 100 TB-first.
+
+Five dedup families (SURVEY §2.E1-E2), all pure DataFrame/Catalyst — no
+Python UDFs, so every stage is codegen'd and shuffle volumes are explicit:
+
+- **exact**: group by content fingerprint, keep canonical row. One shuffle
+  on a 128-bit hash — perfectly balanced by construction.
+- **MinHash + LSH**: shingle → per-shingle xxhash64 under ``n`` seeds →
+  per-doc min (the MinHash signature) → band the signature → group by
+  (band_id, band_hash) → candidate pairs only within buckets → verify
+  exact Jaccard on candidates. Avoids the O(n²) crossJoin: at 100 TB the
+  only all-pairs work happens inside LSH buckets, whose expected size is
+  controlled by (bands, rows-per-band).
+- **SimHash**: 64-bit signed bit-vote over token hashes; near-dups differ
+  in few bits. Banding the 64 bits into k chunks gives Hamming-ball
+  candidate generation with the same group-by-bucket shape.
+- **n-gram Jaccard**: exact set similarity for candidate verification or
+  small corpora (explode shingles → self-join on shingle → count
+  intersections; set sizes joined in).
+- **embedding cosine**: near-dup by semantic similarity — random-hyperplane
+  LSH buckets then exact cosine within buckets (see similarity.py for the
+  search variant).
+
+Determinism: all hashes are ``xxhash64`` with fixed integer seeds, so
+signatures are stable across runs, partitionings, and cluster sizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.text import fingerprint, word_shingles
+
+
+# ----------------------------------------------------------------- exact
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one canonical row (min id) per normalized-content fingerprint.
+
+    Exact-parity SQL twin: group by md5(normalized text), min(id).
+    At scale: single shuffle on the md5; no skew (hash keys are uniform).
+    """
+    from pyspark.sql import Window
+
+    with_fp = df.withColumn("fp", fingerprint(F.col(text_col)))
+    w = Window.partitionBy("fp").orderBy(F.asc(id_col))
+    return (
+        with_fp.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+# --------------------------------------------------------------- minhash
+def minhash_signature(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    shingle_k: int = 3,
+) -> DataFrame:
+    """(id, signature array<bigint>): per seed i, min over shingles of
+    xxhash64(shingle, i). Pure column expressions — the per-doc shingle
+    array never leaves the row, so this is a map-only stage."""
+    sh = word_shingles(F.col(text_col), shingle_k)
+
+    def seeded_hash(seed: int):
+        # factory closure: a default-arg lambda would add a parameter and
+        # make Spark bind the array index over the seed
+        return lambda s: F.xxhash64(s, F.lit(seed))
+
+    sig = F.array(
+        *[
+            F.array_min(F.transform(sh, seeded_hash(i)))
+            for i in range(n_hashes)
+        ]
+    )
+    return df.select(F.col(id_col), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+) -> DataFrame:
+    """Band each signature into ``n_bands`` chunks; docs sharing any band
+    hash become a candidate pair. Output: (id_a, id_b), id_a < id_b,
+    deduplicated across bands.
+
+    Scale shape: explode to n_bands rows/doc → group by (band, band_hash)
+    → pairs within buckets. Bucket sizes are the knob: more bands → higher
+    recall and bigger buckets. A degenerate bucket (e.g. empty docs) is the
+    skew risk — cap it upstream or raise rows-per-band."""
+    n_hashes_col = F.size(F.col("signature"))
+    rows_per_band = (n_hashes_col / n_bands).cast("int")
+    banded = signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.xxhash64(
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        ).cast("string")
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col(f"a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    pairs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_k: int = 3,
+    threshold: float = 0.0,
+) -> DataFrame:
+    """Exact shingle-set Jaccard for given candidate ``pairs`` (id_a, id_b),
+    or all within-corpus pairs when ``pairs`` is None (small data only).
+
+    Output: (id_a, id_b, jaccard) with jaccard rounded to 6 decimals.
+    """
+    sets_ = df.select(
+        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    )
+    if pairs is None:
+        a = sets_.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
+        b = sets_.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
+        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
+    else:
+        joined = (
+            pairs.join(
+                sets_.select(
+                    F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
+                ),
+                "id_a",
+            ).join(
+                sets_.select(
+                    F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
+                ),
+                "id_b",
+            )
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    jac = F.round(inter.cast("double") / union, 6)
+    return (
+        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def minhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+) -> DataFrame:
+    """Full MinHash-LSH near-dup pipeline: signature → banded candidates →
+    exact-Jaccard verification ≥ threshold."""
+    sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    return jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
+
+
+# --------------------------------------------------------------- simhash
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash over whitespace tokens: bit i of the result is 1 iff
+    the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is > 0.
+
+    Implemented as a single aggregate expression over the token array —
+    map-only, no shuffle."""
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(text_col))
+    h = F.transform(toks, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int) -> Column:
+        votes = F.aggregate(
+            h,
+            F.lit(0),
+            lambda acc, hv: acc
+            + F.when(hv.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    sim = None
+    for i in range(64):
+        term = bit_vote(i) * F.lit(1 << i if i < 63 else -(2**63)).cast("long")
+        sim = term if sim is None else sim + term
+    return df.select(F.col(id_col), sim.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit hash into 16-bit chunks; pairs
+    sharing a chunk are candidates; verify Hamming distance ≤ max_hamming."""
+    bits_per = 64 // n_bands
+    sh = simhash(df, text_col, id_col)
+    mask = (1 << bits_per) - 1
+    banded = sh.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("simhash", b * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

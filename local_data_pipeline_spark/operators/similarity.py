@@ -1,0 +1,162 @@
+"""Similarity search over embedding columns (SURVEY §2.E3).
+
+Two paths, as a real 100 TB pipeline would ship them:
+
+- **Brute-force top-k** (the exact baseline): broadcast the query set,
+  compute cosine against every corpus vector JVM-side, rank per query.
+  Cost is |Q|·|C| dot products with NO shuffle of the corpus (queries are
+  broadcast; ranking shuffles only |Q|·|C| scored rows — prune first with
+  a per-partition pre-top-k to cut that).
+- **Random-hyperplane LSH** (the scale path): bucket vectors by the sign
+  pattern of dot products against ``n_planes`` fixed pseudo-random
+  hyperplanes (deterministic, seeded); search only within matching buckets
+  (optionally multi-probe neighbors at Hamming distance 1). Sub-linear
+  candidate sets; recall tunable by n_planes / n_tables.
+
+Everything is Catalyst expressions (zip_with/aggregate); no UDFs.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.vectors import cosine, dot
+
+
+def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
+    """Deterministic per-query ranking: cosine desc (rounded to 6 so ranking
+    is reproducible cross-engine), then neighbor id asc."""
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
+
+    The query side is broadcast — at scale the corpus (the 100 TB side)
+    streams through executors exactly once with zero shuffle; only the
+    scored candidate rows move."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+    )
+    joined = c.join(F.broadcast(q), how="cross")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    return _rank_topk(scored, k)
+
+
+def hyperplane_bucket(
+    vec: Column, dim: int, n_planes: int = 8, seed: int = 42
+) -> Column:
+    """Sign-pattern bucket id in [0, 2^n_planes): bit p = 1 iff
+    dot(vec, plane_p) > 0, planes drawn from a fixed splitmix-style integer
+    hash of (seed, p, i) mapped to [-0.5, 0.5) — deterministic everywhere."""
+
+    def plane_component(p: int, i: Column) -> Column:
+        h = F.xxhash64(F.lit(seed), F.lit(p), i)
+        return (F.pmod(h, F.lit(10_000_019)).cast("double") / 10_000_019.0) - 0.5
+
+    def projector(p: int):
+        # factory closure (a default-arg lambda would change the arity
+        # Spark infers for the higher-order function)
+        return lambda x, i: x.cast("double") * plane_component(p, i)
+
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        proj = F.aggregate(
+            F.zip_with(vec, F.sequence(F.lit(0), F.lit(dim - 1)), projector(p)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    seed: int = 42,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Approximate top-k: score only within the query's hyperplane bucket.
+
+    Equi-join on bucket replaces the crossJoin — candidate count drops by
+    ~2^n_planes. Recall < 1 by design; raise by multi-probing or multiple
+    (seeded) tables unioned."""
+    bq = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    bc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    joined = bc.join(F.broadcast(bq), "bucket")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+    )
+    return _rank_topk(scored, k)
+
+
+def embedding_near_dups(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: bucket with hyperplane LSH,
+    verify exact cosine ≥ threshold within buckets. Output (id_a, id_b,
+    cos_sim), id_a < id_b."""
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+    a, c = b.alias("a"), b.alias("c")
+    pairs = a.join(
+        c,
+        (F.col("a.bucket") == F.col("c.bucket"))
+        & (F.col("a.id") < F.col("c.id")),
+    ).select(
+        F.col("a.id").alias("id_a"),
+        F.col("c.id").alias("id_b"),
+        F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+    )
+    return pairs.filter(F.col("cos_sim") >= threshold).distinct()

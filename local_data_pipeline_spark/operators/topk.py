@@ -1,0 +1,74 @@
+"""Top-k-per-group operators (the reference's signature computation shape).
+
+``top1_per_group`` generalizes the reference's daily-max-swell argmax
+(`/root/reference/dbt/models/intermediate/int_open_meteo__max_swell_per_day.sql:10-30`):
+``row_number()`` over a multi-key partition with a multi-key order, then
+``rn = 1``. The exact-order tie-break (int sql:14-15) is preserved by
+requiring the caller to pass a total order.
+
+100 TB notes: the window induces ONE hash exchange on the partition keys —
+the minimum possible for exact semantics. For k=1 Spark can also express
+this as ``max_by(struct(*), struct(order))`` which enables partial (map-side)
+aggregation and avoids sorting whole partitions; ``top1_per_group_agg``
+provides that form. For skewed group keys, pre-aggregate with a salt:
+see ``salted_top1``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def top_k_per_group(
+    df: DataFrame,
+    partition_by: list[str | Column],
+    order_by: list[Column],
+    k: int = 1,
+    rank_col: str | None = None,
+) -> DataFrame:
+    """Keep the top-k rows of each group under a TOTAL order (pass enough
+    tie-break keys to make ranking deterministic)."""
+    w = Window.partitionBy(*partition_by).orderBy(*order_by)
+    out = df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if rank_col:
+        return out.withColumnRenamed("__rn", rank_col)
+    return out.drop("__rn")
+
+
+def top1_per_group(
+    df: DataFrame, partition_by: list[str | Column], order_by: list[Column]
+) -> DataFrame:
+    return top_k_per_group(df, partition_by, order_by, k=1)
+
+
+def top1_per_group_agg(
+    df: DataFrame, partition_by: list[str], order_desc: list[str]
+) -> DataFrame:
+    """Aggregate form of top-1: ``max_by(struct(all_cols), struct(order))``.
+
+    Same result as the window form when the order is total, but executes as
+    a hash aggregate with map-side combine — at scale this shuffles one
+    struct per (group, map task) instead of every row, and never sorts.
+    """
+    ordering = F.struct(*[F.col(c) for c in order_desc])
+    packed = F.struct(*[F.col(c) for c in df.columns])
+    agg = df.groupBy(*partition_by).agg(F.max_by(packed, ordering).alias("__row"))
+    return agg.select(*[F.col(f"__row.{c}").alias(c) for c in df.columns])
+
+
+def salted_top1(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: list[Column],
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Skew-resistant top-1: two-phase window with a random-ish salt derived
+    from a hash of the full row ordering keys. Phase 1 takes the per-salt
+    winner (small partitions), phase 2 the winner of winners. Use when one
+    group holds a large fraction of all rows (e.g. a bot user_id)."""
+    salted = df.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(salt_buckets))
+    )
+    phase1 = top_k_per_group(salted, [*partition_by, "__salt"], order_by, k=1)
+    return top_k_per_group(phase1.drop("__salt"), partition_by, order_by, k=1)

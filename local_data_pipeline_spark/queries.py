@@ -1,0 +1,833 @@
+"""Declared query surface: every operator from SURVEY.md §2 as a named
+(spark_fn, oracle_sql) pair.
+
+Each spec's ``fn(spark, sf_dir) -> DataFrame`` is the Spark-first
+implementation; ``oracle`` is the ANSI-SQL twin DuckDB runs on the same
+parquet for the driver's correctness gate (row count + schema +
+order-insensitive value hash). Column aliases match on both sides.
+Specs without ``oracle`` are non-SQL-expressible (approximate / hash-banded
+ops) and get the driver's rows-only check.
+
+Determinism rules used throughout (see functions/numeric.py):
+- double SUM/AVG go through exact decimal accumulation;
+- any LIMIT / row_number ranking uses a TOTAL order (explicit tie-breaks);
+- cross-engine float expressions are rounded to 6 decimals before hashing.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .functions.numeric import davg_sql, dsum, dsum_sql
+from .functions import text as TX
+from .functions.vectors import cosine, l2_norm
+from .operators import dedup as DD
+from .operators import similarity as SIM
+from .operators import topk as TK
+from .operators import windows as WIN
+from .session import load_table
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    oracle: str | None
+    tags: tuple[str, ...] = ()
+    doc: str = ""
+
+
+QUERIES: dict[str, QuerySpec] = {}
+
+
+def q(name: str, oracle: str | None, tags: tuple[str, ...] = ()) -> Callable:
+    def deco(fn: Callable) -> Callable:
+        QUERIES[name] = QuerySpec(
+            name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
+        )
+        return fn
+
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# =====================================================================
+# Reference parity (SURVEY §2.B/§2.C)
+# =====================================================================
+
+@q(
+    "daily_max_event",
+    """
+    WITH ranked AS (
+      SELECT cast(ts AS date) AS dt, event_type, event_id, ts, user_id, value,
+             row_number() OVER (PARTITION BY cast(ts AS date), event_type
+                                ORDER BY value DESC, ts DESC, event_id ASC) AS rn
+      FROM events)
+    SELECT dt, event_type, event_id, ts, user_id, value
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("window", "flagship"),
+)
+def daily_max_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: the reference's top-1-per-group argmax (int sql:10-30)
+    transplanted onto events — per (day, event_type) the full row of the
+    max-value event, ties → latest ts, then lowest event_id."""
+    ev = _t(spark, sf_dir, "events").withColumn("dt", F.col("ts").cast("date"))
+    out = TK.top1_per_group(
+        ev,
+        ["dt", "event_type"],
+        [F.desc("value"), F.desc("ts"), F.asc("event_id")],
+    )
+    return out.select("dt", "event_type", "event_id", "ts", "user_id", "value")
+
+
+@q(
+    "json_props_extract",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           min(cast(json_extract(props, '$.k') AS bigint)) AS min_k,
+           max(cast(json_extract(props, '$.k') AS bigint)) AS max_k,
+           cast(sum(cast(json_extract(props, '$.k') AS bigint)) AS bigint) AS sum_k
+    FROM events GROUP BY event_type
+    """,
+    tags=("json",),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction (≙ stg sql:15-21 / B3-B7): pull $.k out of the
+    props JSON string and aggregate per event_type."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+# =====================================================================
+# TPC-H-ish rubric backfill (SURVEY §2.E): joins, aggregates, windows
+# =====================================================================
+
+@q(
+    "q1_pricing_summary",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)')} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= timestamp '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("agg",),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan + filter + hash aggregate with map-side combine.
+    Filter and 7-column projection push down to the parquet scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            dsum("l_quantity").alias("sum_qty"),
+            dsum("l_extendedprice").alias("sum_base_price"),
+            dsum(disc_price).alias("sum_disc_price"),
+            dsum(charge).alias("sum_charge"),
+            (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+            (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+            (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@q(
+    "q3_shipping_priority",
+    f"""
+    SELECT l.l_orderkey AS o_key,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           o.o_orderdate, o.o_orderpriority
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < timestamp '1998-03-15 00:00:00'
+      AND l.l_shipdate > timestamp '1995-03-15 00:00:00'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_key ASC
+    LIMIT 10
+    """,
+    tags=("join", "agg", "limit"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: 3-way join + aggregate + total-order top-10.
+    customer is the small side (Catalyst broadcasts it under AQE)."""
+    c = _t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp_ntz")
+    )
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(l, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(
+            F.col("l_orderkey").alias("o_key"), "o_orderdate", "o_orderpriority"
+        )
+        .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("o_key", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.desc("revenue"), F.asc("o_key"))
+        .limit(10)
+    )
+
+
+@q(
+    "q5_region_revenue",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue,
+           count(*) AS n_lineitems
+    FROM region r
+    JOIN nation n ON n.n_regionkey = r.r_regionkey
+    JOIN customer c ON c.c_nationkey = n.n_nationkey
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join", "agg"),
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: 5-table star join. region/nation/customer broadcast
+    (dims), one shuffle for the orders⋈lineitem fact join + final agg."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    l = _t(spark, sf_dir, "lineitem")
+    return (
+        l.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(c), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(n), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(r), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+@q(
+    "broadcast_dim_enrich",
+    f"""
+    SELECT r.r_name AS region, n.n_name AS nation,
+           count(*) AS n_customers,
+           {dsum_sql('c.c_acctbal')} AS sum_acctbal
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    tags=("join",),
+)
+def broadcast_dim_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit broadcast-hash-join enrichment: fact customer against two
+    tiny dims — zero shuffle on the build sides."""
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("n_customers"), dsum("c_acctbal").alias("sum_acctbal"))
+    )
+
+
+@q(
+    "semi_join_customers_with_orders",
+    """
+    SELECT c_custkey, c_name, c_mktsegment FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+    """,
+    tags=("join",),
+)
+def semi_join_customers_with_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join ≙ EXISTS: customers having a >400k order."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 400000)
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+@q(
+    "anti_join_customers_without_orders",
+    """
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    tags=("join",),
+)
+def anti_join_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join ≙ NOT EXISTS: customers with no orders at all."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "rollup_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           count(*) AS n, {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    tags=("agg", "grouping"),
+)
+def rollup_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals with grouping() flags disambiguating NULLs."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count("*").alias("n"),
+        dsum("l_quantity").alias("sum_qty"),
+    ).select("l_returnflag", "l_linestatus", "g_flag", "g_status", "n", "sum_qty")
+
+
+@q(
+    "cube_orders",
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           grouping(o_orderstatus) AS g_status, grouping(o_orderpriority) AS g_prio,
+           count(*) AS n, {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("agg", "grouping"),
+)
+def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over two low-cardinality dims (all 4 grouping-set combos)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("bigint").alias("g_status"),
+        F.grouping("o_orderpriority").cast("bigint").alias("g_prio"),
+        F.count("*").alias("n"),
+        dsum("o_totalprice").alias("sum_price"),
+    ).select(
+        "o_orderstatus", "o_orderpriority", "g_status", "g_prio", "n", "sum_price"
+    )
+
+
+@q(
+    "top3_parts_per_brand",
+    """
+    WITH ranked AS (
+      SELECT p_brand, p_partkey, p_name, p_retailprice,
+             row_number() OVER (PARTITION BY p_brand
+                                ORDER BY p_retailprice DESC, p_partkey ASC) AS rnk
+      FROM part)
+    SELECT p_brand, p_partkey, p_name, p_retailprice, rnk
+    FROM ranked WHERE rnk <= 3
+    """,
+    tags=("window",),
+)
+def top3_parts_per_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k-per-group (k=3) under a total order."""
+    p = _t(spark, sf_dir, "part")
+    return TK.top_k_per_group(
+        p,
+        ["p_brand"],
+        [F.desc("p_retailprice"), F.asc("p_partkey")],
+        k=3,
+        rank_col="rnk",
+    ).select("p_brand", "p_partkey", "p_name", "p_retailprice", F.col("rnk").cast("bigint").alias("rnk"))
+
+
+@q(
+    "top10_orders_by_price",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+    tags=("sort", "limit"),
+)
+def top10_orders_by_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sort + limit: Spark executes as TakeOrderedAndProject —
+    per-partition top-N then a single reduce, no full sort at scale."""
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")
+    )
+
+
+@q(
+    "set_ops_customer_segments",
+    """
+    WITH f_cust AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+         o_cust AS (SELECT DISTINCT o_custkey AS k FROM orders WHERE o_orderstatus = 'O')
+    SELECT 'both' AS tag, k AS custkey FROM (SELECT k FROM f_cust INTERSECT SELECT k FROM o_cust)
+    UNION ALL
+    SELECT 'f_only' AS tag, k AS custkey FROM (SELECT k FROM f_cust EXCEPT SELECT k FROM o_cust)
+    UNION ALL
+    SELECT 'o_only' AS tag, k AS custkey FROM (SELECT k FROM o_cust EXCEPT SELECT k FROM f_cust)
+    """,
+    tags=("setop",),
+)
+def set_ops_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT / EXCEPT / UNION ALL over customer key sets."""
+    o = _t(spark, sf_dir, "orders")
+    f_cust = o.filter("o_orderstatus = 'F'").select(F.col("o_custkey").alias("k")).distinct()
+    o_cust = o.filter("o_orderstatus = 'O'").select(F.col("o_custkey").alias("k")).distinct()
+    both = f_cust.intersect(o_cust).select(F.lit("both").alias("tag"), F.col("k").alias("custkey"))
+    f_only = f_cust.exceptAll(o_cust).select(F.lit("f_only").alias("tag"), F.col("k").alias("custkey"))
+    o_only = o_cust.exceptAll(f_cust).select(F.lit("o_only").alias("tag"), F.col("k").alias("custkey"))
+    return both.unionAll(f_only).unionAll(o_only)
+
+
+@q(
+    "distinct_agg_orders",
+    f"""
+    SELECT o_orderpriority,
+           count(DISTINCT o_custkey) AS n_customers,
+           count(*) AS n_orders,
+           {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("agg",),
+)
+def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT(DISTINCT) alongside plain aggregates (two-phase expand+agg)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+        dsum("o_totalprice").alias("sum_price"),
+    )
+
+
+@q(
+    "scalar_functions_part",
+    """
+    SELECT p_partkey,
+           upper(p_brand) AS brand_upper,
+           substring(p_name, 1, 8) AS name_prefix,
+           length(p_name) AS name_len,
+           concat(p_brand, ':', p_type) AS brand_type,
+           abs(p_size - 25) AS size_dev,
+           cast(floor(p_retailprice) AS bigint) AS price_floor,
+           cast(ceil(p_retailprice) AS bigint) AS price_ceil,
+           round(sqrt(p_retailprice), 6) AS price_sqrt,
+           round(ln(p_retailprice + 1), 6) AS price_ln
+    FROM part WHERE p_size >= 10
+    """,
+    tags=("scalar",),
+)
+def scalar_functions_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar string/math function surface, all whole-stage-codegen'd."""
+    p = _t(spark, sf_dir, "part").filter(F.col("p_size") >= 10)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_upper"),
+        F.substring("p_name", 1, 8).alias("name_prefix"),
+        F.length("p_name").cast("bigint").alias("name_len"),
+        F.concat_ws(":", "p_brand", "p_type").alias("brand_type"),
+        F.abs(F.col("p_size") - 25).cast("bigint").alias("size_dev"),
+        F.floor("p_retailprice").cast("bigint").alias("price_floor"),
+        F.ceil("p_retailprice").cast("bigint").alias("price_ceil"),
+        F.round(F.sqrt("p_retailprice"), 6).alias("price_sqrt"),
+        F.round(F.log(F.col("p_retailprice") + 1), 6).alias("price_ln"),
+    )
+
+
+@q(
+    "date_functions_orders",
+    f"""
+    SELECT cast(extract(year FROM o_orderdate) AS bigint) AS order_year,
+           cast(extract(month FROM o_orderdate) AS bigint) AS order_month,
+           count(*) AS n, {dsum_sql('o_totalprice')} AS sum_price
+    FROM orders
+    GROUP BY 1, 2
+    """,
+    tags=("scalar", "agg"),
+)
+def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date part extraction + aggregate (partition-pruning shape at scale)."""
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy(
+        F.year("o_orderdate").cast("bigint").alias("order_year"),
+        F.month("o_orderdate").cast("bigint").alias("order_month"),
+    ).agg(F.count("*").alias("n"), dsum("o_totalprice").alias("sum_price"))
+
+
+@q(
+    "conditional_agg_lineitem",
+    f"""
+    SELECT l_returnflag,
+           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           {dsum_sql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END")} AS hi_disc_price,
+           {dsum_sql("CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0 END")} AS lo_disc_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "scalar"),
+)
+def conditional_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CASE-WHEN conditional aggregation (manual pivot shape)."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.sum(F.when(F.col("l_linestatus") == "O", 1).otherwise(0)).alias("n_open"),
+        F.sum(F.when(F.col("l_linestatus") == "F", 1).otherwise(0)).alias("n_filled"),
+        dsum(
+            F.when(F.col("l_discount") > 0.05, F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("hi_disc_price"),
+        dsum(
+            F.when(F.col("l_discount") <= 0.05, F.col("l_extendedprice")).otherwise(0.0)
+        ).alias("lo_disc_price"),
+    )
+
+
+@q(
+    "running_total_orders",
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           cast(sum(cast(o_totalprice AS decimal(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_spend,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+    tags=("window",),
+)
+def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic windows: running (exact-decimal) sum, lag, sequence number
+    per customer under a total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.sum(F.col("o_totalprice").cast("decimal(25,6)"))
+        .over(wsum)
+        .cast("double")
+        .alias("running_spend"),
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
+    )
+
+
+# =====================================================================
+# Event-stream shapes (SURVEY §2.E6)
+# =====================================================================
+
+@q(
+    "tumbling_hourly_events",
+    f"""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           count(*) AS n_events, {dsum_sql('value')} AS sum_value
+    FROM events GROUP BY 1, 2
+    """,
+    tags=("window", "streaming"),
+)
+def tumbling_hourly_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows via F.window — identical plan
+    lifts to Structured Streaming with a watermark."""
+    ev = _t(spark, sf_dir, "events")
+    out = WIN.tumbling_agg(ev, "ts", "1 hour", keys=["event_type"])
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
+    "sliding_6h_events",
+    f"""
+    WITH offs AS (SELECT unnest(generate_series(0, 5)) AS off),
+    expanded AS (
+      SELECT date_trunc('hour', e.ts) - to_hours(o.off) AS window_start, e.value
+      FROM events e CROSS JOIN offs o)
+    SELECT window_start, count(*) AS n_events, {dsum_sql('value')} AS sum_value
+    FROM expanded GROUP BY window_start
+    """,
+    tags=("window", "streaming"),
+)
+def sliding_6h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (6h length, 1h slide): each event lands in 6
+    windows. The oracle reproduces Spark's epoch-aligned window starts."""
+    ev = _t(spark, sf_dir, "events")
+    out = WIN.sliding_agg(ev, "ts", "6 hours", "1 hour")
+    return out.select(
+        F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@q(
+    "sessionize_events",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged)
+    SELECT user_id, session_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end,
+           {dsum_sql('value')} AS sum_value
+    FROM sessioned GROUP BY user_id, session_id
+    """,
+    tags=("window", "streaming"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity) via lag + running sum,
+    collapsed to per-session stats."""
+    ev = _t(spark, sf_dir, "events")
+    sess = WIN.sessionize(ev, ts="ts", entity="user_id", gap="30 MINUTE")
+    return WIN.session_stats(sess, "user_id")
+
+
+# =====================================================================
+# Text analysis / dedup on documents (SURVEY §2.E1/E2/E4)
+# =====================================================================
+
+@q(
+    "exact_dedup_documents",
+    """
+    WITH fps AS (
+      SELECT doc_id, lang, source, n_chars,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    winners AS (SELECT fp, min(doc_id) AS doc_id FROM fps GROUP BY fp)
+    SELECT f.doc_id, f.lang, f.source, f.n_chars, f.fp
+    FROM fps f JOIN winners w ON f.doc_id = w.doc_id AND f.fp = w.fp
+    """,
+    tags=("dedup",),
+)
+def exact_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: canonical (min doc_id) row per md5 content fingerprint."""
+    d = _t(spark, sf_dir, "documents")
+    out = DD.exact_dedup(d, "text", "doc_id")
+    return out.select("doc_id", "lang", "source", "n_chars", "fp")
+
+
+@q(
+    "text_stats_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, n_chars, text,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents)
+    SELECT doc_id, lang, n_chars,
+           len(t) AS n_tokens,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_ish,
+           len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS n_stopwords,
+           round(CASE WHEN length(text) = 0 THEN 0.0
+                 ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / length(text) END, 6) AS punct_ratio
+    FROM toks
+    """,
+    tags=("text",),
+)
+def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document text statistics: whitespace tokens, BPE-ish tokens,
+    stopword hits, punctuation ratio — all scan-stage column expressions."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        "n_chars",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        TX.bpe_ish_token_count(F.col("text")).cast("bigint").alias("n_bpe_ish"),
+        TX.stopword_hits(F.col("text"), "en").cast("bigint").alias("n_stopwords"),
+        F.round(TX.punct_ratio(F.col("text")), 6).alias("punct_ratio"),
+    )
+
+
+@q(
+    "lang_id_documents",
+    None,  # heuristic fold is clumsy in SQL; checked by unit test instead
+    tags=("text",),
+)
+def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language-ID heuristic + agreement with the labeled lang."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        "lang",
+        TX.lang_id(F.col("text")).alias("lang_guess"),
+    ).withColumn("agrees", (F.col("lang") == F.col("lang_guess")).cast("int"))
+
+
+@q(
+    "ngram_jaccard_within_source",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> t[i] || ' ' || coalesce(t[i+1], '') || CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END
+             )) AS s
+      FROM toks)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           round(len(list_intersect(a.s, b.s)) * 1.0 /
+                 len(list_distinct(list_concat(a.s, b.s))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+                len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.1
+    """,
+    tags=("dedup", "text"),
+)
+def ngram_jaccard_within_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact word-3-gram Jaccard for same-source pairs with jaccard ≥ 0.1.
+    (Blocking key = source bounds the pair count, the classic join-key
+    blocking trick for n² similarity at scale.)"""
+    d = _t(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
+        .join(
+            d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
+            on=[F.col("src_a") == F.col("src_b"), F.col("id_a") < F.col("id_b")],
+        )
+        .select("id_a", "id_b")
+    )
+    return DD.jaccard_pairs(d, pairs, "text", "doc_id", 3, threshold=0.1)
+
+
+# =====================================================================
+# Embedding similarity (SURVEY §2.E3) + vector stats
+# =====================================================================
+
+@q(
+    "cosine_topk_embeddings",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity",),
+)
+def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-5 for the first 20 query vectors (exact
+    baseline; the LSH variant is `lsh_topk_embeddings`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    out = SIM.brute_force_topk(qs, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@q(
+    "embedding_norm_stats",
+    """
+    WITH norms AS (
+      SELECT label, round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS nrm
+      FROM embeddings)
+    SELECT label, count(*) AS n, min(nrm) AS min_norm, max(nrm) AS max_norm
+    FROM norms GROUP BY label
+    """,
+    tags=("similarity", "agg"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding L2-norm stats (JVM-side higher-order fns)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", F.round(l2_norm(F.col("embedding")), 6).alias("nrm")
+    )
+    return norms.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.min("nrm").alias("min_norm"),
+        F.max("nrm").alias("max_norm"),
+    )
+
+
+# =====================================================================
+# Approximate / hash-banded ops — rows-only checks (no SQL oracle)
+# =====================================================================
+
+@q("minhash_near_dups", None, tags=("dedup", "approx"))
+def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(32 hashes)+LSH(8 bands) candidates, verified Jaccard ≥ 0.5.
+    Deterministic (seeded xxhash64) but not SQL-expressible → rows-only."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.minhash_near_dups(d, n_hashes=32, n_bands=8, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q("simhash_near_dups", None, tags=("dedup", "approx"))
+def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash-64 banded near-dup candidates with Hamming ≤ 6."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.simhash_near_dups(d, n_bands=4, max_hamming=6).orderBy("id_a", "id_b")
+
+
+@q("lsh_topk_embeddings", None, tags=("similarity", "approx"))
+def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH approximate top-5 (the 100 TB search path)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return SIM.lsh_topk(qs, emb, k=5, dim=64, n_planes=6)
+
+
+@q("embedding_near_dups", None, tags=("dedup", "similarity", "approx"))
+def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs via hyperplane buckets. Threshold
+    0.35 fits this synthetic corpus (max pairwise cosine ≈ 0.51); real
+    dedup would use ~0.95 on genuinely duplicated data."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return SIM.embedding_near_dups(emb, threshold=0.35, dim=64, n_planes=3).orderBy(
+        "id_a", "id_b"
+    )
