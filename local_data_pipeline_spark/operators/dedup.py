@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..functions.text import fingerprint, word_shingles
+from ..functions.text import fingerprint, shingles_from_tokens, tokens, word_shingles
 
 
 # ----------------------------------------------------------------- exact
@@ -62,22 +62,30 @@ def minhash_signature(
     shingle_k: int = 3,
 ) -> DataFrame:
     """(id, signature array<bigint>): per seed i, min over shingles of
-    xxhash64(shingle, i). Pure column expressions — the per-doc shingle
-    array never leaves the row, so this is a map-only stage."""
-    sh = word_shingles(F.col(text_col), shingle_k)
+    xxhash64(shingle, i).
 
-    def seeded_hash(seed: int):
-        # factory closure: a default-arg lambda would add a parameter and
-        # make Spark bind the array index over the seed
-        return lambda s: F.xxhash64(s, F.lit(seed))
-
-    sig = F.array(
+    Shape: explode distinct shingles → one row per (doc, shingle) → hash
+    each shingle once per seed → groupBy(doc).min per seed → pack array.
+    The min-aggregate combines map-side, so at 100 TB the shuffle carries
+    one 32-long signature per (doc, map task), not the shingles. (The
+    tempting all-in-one expression — 32 ``transform``s over the shingle
+    array in a single projection — re-inlines shingle construction per
+    seed after projection collapse: ~30× slower measured.)"""
+    tokd = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
+    exploded = tokd.select(
+        F.col(id_col),
+        F.explode(shingles_from_tokens(F.col("__t"), shingle_k)).alias("sh"),
+    )
+    mins = exploded.groupBy(id_col).agg(
         *[
-            F.array_min(F.transform(sh, seeded_hash(i)))
+            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
             for i in range(n_hashes)
         ]
     )
-    return df.select(F.col(id_col), sig.alias("signature"))
+    return mins.select(
+        F.col(id_col),
+        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature"),
+    )
 
 
 def lsh_candidate_pairs(
@@ -136,38 +144,72 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.0,
+    block_by: str | None = None,
 ) -> DataFrame:
-    """Exact shingle-set Jaccard for given candidate ``pairs`` (id_a, id_b),
-    or all within-corpus pairs when ``pairs`` is None (small data only).
+    """Exact shingle-set Jaccard: (id_a, id_b, jaccard rounded to 6).
 
-    Output: (id_a, id_b, jaccard) with jaccard rounded to 6 decimals.
-    """
-    sets_ = df.select(
-        F.col(id_col), word_shingles(F.col(text_col), shingle_k).alias("sh")
+    Candidate space: explicit ``pairs`` (id_a, id_b), or all within-corpus
+    pairs sharing a ``block_by`` column value, or all pairs (None/None —
+    only sensible on small corpora).
+
+    Shape (the one that survives 100×): explode distinct shingles to
+    (id, shingle) rows, equi-join on the shingle to count intersections —
+    |union| = n_a + n_b − |inter|. Pairs with ZERO common shingles never
+    appear, so require ``threshold > 0`` (a jaccard-0 pair is meaningless
+    for dedup anyway). Per-pair array intersection — the obvious
+    formulation — re-walks both arrays per candidate and was measured
+    ~linear-in-pairs slower; the join shape is linear in total shingle
+    multiplicity instead."""
+    if threshold <= 0:
+        raise ValueError("threshold must be > 0 (jaccard-0 pairs are not emitted)")
+    tokd = df.select(
+        F.col(id_col),
+        *([F.col(block_by)] if block_by else []),
+        tokens(F.col(text_col)).alias("__t"),
     )
-    if pairs is None:
-        a = sets_.select(F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a"))
-        b = sets_.select(F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b"))
-        joined = a.crossJoin(b).filter(F.col("id_a") < F.col("id_b"))
-    else:
-        joined = (
-            pairs.join(
-                sets_.select(
-                    F.col(id_col).alias("id_a"), F.col("sh").alias("sh_a")
-                ),
-                "id_a",
-            ).join(
-                sets_.select(
-                    F.col(id_col).alias("id_b"), F.col("sh").alias("sh_b")
-                ),
-                "id_b",
-            )
+    ex = tokd.select(
+        F.col(id_col),
+        *([F.col(block_by)] if block_by else []),
+        F.explode(shingles_from_tokens(F.col("__t"), shingle_k)).alias("sh"),
+    )
+    sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
+    ex_a = ex.select(
+        F.col(id_col).alias("id_a"),
+        *([F.col(block_by).alias("blk")] if block_by else []),
+        F.col("sh"),
+    )
+    ex_b = ex.select(
+        F.col(id_col).alias("id_b"),
+        *([F.col(block_by).alias("blk_b")] if block_by else []),
+        F.col("sh"),
+    )
+    if pairs is not None:
+        inter = (
+            pairs.join(ex_a, "id_a")
+            .join(ex_b.drop(*(["blk_b"] if block_by else [])), ["id_b", "sh"])
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
         )
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    union = F.size(F.array_union("sh_a", "sh_b"))
-    jac = F.round(inter.cast("double") / union, 6)
+    else:
+        cond = (F.col("id_a") < F.col("id_b")) & (ex_a["sh"] == ex_b["sh"])
+        if block_by:
+            cond = cond & (F.col("blk") == F.col("blk_b"))
+        inter = (
+            ex_a.join(ex_b, cond)
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+    sz_a = sizes.select(F.col(id_col).alias("id_a"), F.col("n_sh").alias("n_a"))
+    sz_b = sizes.select(F.col(id_col).alias("id_b"), F.col("n_sh").alias("n_b"))
+    jac = F.round(
+        F.col("n_inter").cast("double")
+        / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+        6,
+    )
     return (
-        joined.select("id_a", "id_b", jac.alias("jaccard"))
+        inter.join(sz_a, "id_a")
+        .join(sz_b, "id_b")
+        .select("id_a", "id_b", jac.alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
 
@@ -195,27 +237,33 @@ def simhash(
     """64-bit SimHash over whitespace tokens: bit i of the result is 1 iff
     the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is > 0.
 
-    Implemented as a single aggregate expression over the token array —
-    map-only, no shuffle."""
+    Shape: explode tokens → hash once per token → 64 conditional-sum bit
+    votes in ONE hash aggregate (map-side combinable) → assemble the long.
+    Same explode-instead-of-inline rationale as minhash_signature."""
     from ..functions.text import tokens
 
-    toks = tokens(F.col(text_col))
-    h = F.transform(toks, lambda t: F.xxhash64(t))
+    exploded = df.select(
+        F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
+    ).withColumn("h", F.xxhash64("tok"))
 
-    def bit_vote(i: int) -> Column:
-        votes = F.aggregate(
-            h,
-            F.lit(0),
-            lambda acc, hv: acc
-            + F.when(hv.bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(2**63))) != 0, 1).otherwise(-1),
-        )
-        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+    def bitmask(i: int) -> int:
+        return 1 << i if i < 63 else -(2**63)
 
+    votes = exploded.groupBy(id_col).agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(bitmask(i))) != 0, 1).otherwise(-1)
+            ).alias(f"v{i}")
+            for i in range(64)
+        ]
+    )
     sim = None
     for i in range(64):
-        term = bit_vote(i) * F.lit(1 << i if i < 63 else -(2**63)).cast("long")
-        sim = term if sim is None else sim + term
-    return df.select(F.col(id_col), sim.alias("simhash"))
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(bitmask(i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    return votes.select(F.col(id_col), sim.alias("simhash"))
 
 
 def hamming64(a: Column, b: Column) -> Column:

@@ -23,7 +23,7 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.vectors import cosine, dot
+from ..functions.vectors import cosine, dot, l2_norm
 
 
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
@@ -51,11 +51,17 @@ def brute_force_topk(
     The query side is broadcast — at scale the corpus (the 100 TB side)
     streams through executors exactly once with zero shuffle; only the
     scored candidate rows move."""
+    # norms are hoisted to per-ROW columns before the join; computing
+    # l2_norm inside the pair expression would redo it once per pair
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     joined = c.join(F.broadcast(q), how="cross")
     if exclude_self:
@@ -63,7 +69,10 @@ def brute_force_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
 
@@ -114,11 +123,13 @@ def lsh_topk(
     bq = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     bc = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     joined = bc.join(F.broadcast(bq), "bucket")
@@ -127,7 +138,10 @@ def lsh_topk(
     scored = joined.select(
         "query_id",
         "neighbor_id",
-        F.round(cosine(F.col("q_vec"), F.col("c_vec")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
 
@@ -147,6 +161,7 @@ def embedding_near_dups(
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
         hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("c")
@@ -157,6 +172,8 @@ def embedding_near_dups(
     ).select(
         F.col("a.id").alias("id_a"),
         F.col("c.id").alias("id_b"),
-        F.round(cosine(F.col("a.v"), F.col("c.v")), 6).alias("cos_sim"),
+        F.round(
+            dot(F.col("a.v"), F.col("c.v")) / (F.col("a.nrm") * F.col("c.nrm")), 6
+        ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold).distinct()

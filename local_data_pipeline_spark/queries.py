@@ -727,15 +727,9 @@ def ngram_jaccard_within_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     (Blocking key = source bounds the pair count, the classic join-key
     blocking trick for n² similarity at scale.)"""
     d = _t(spark, sf_dir, "documents")
-    pairs = (
-        d.select(F.col("doc_id").alias("id_a"), F.col("source").alias("src_a"))
-        .join(
-            d.select(F.col("doc_id").alias("id_b"), F.col("source").alias("src_b")),
-            on=[F.col("src_a") == F.col("src_b"), F.col("id_a") < F.col("id_b")],
-        )
-        .select("id_a", "id_b")
+    return DD.jaccard_pairs(
+        d, None, "text", "doc_id", 3, threshold=0.1, block_by="source"
     )
-    return DD.jaccard_pairs(d, pairs, "text", "doc_id", 3, threshold=0.1)
 
 
 # =====================================================================
