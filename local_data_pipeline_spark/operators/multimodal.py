@@ -1,0 +1,142 @@
+"""Multimodal column handling: image/audio/video as opaque binary + metadata.
+
+The Spark-side plumbing is real and tested — schema, partition-friendly
+layout, Arrow-batched ``mapInPandas`` UDF signatures, deterministic batch
+shapes. The actual media decoding is STUBBED (this container ships no
+image/audio libraries): ``decode_image_features`` computes deterministic
+fake features from the bytes, and raises ``NotImplementedError`` when
+``require_real_decoder=True`` documents where Pillow/ffmpeg would plug in.
+
+Design (SURVEY §2.E5):
+- media rows: (media_id, modality, content binary, meta struct) — content
+  stays an opaque BinaryType column; Spark never interprets it, so scans
+  prune it unless a stage actually needs bytes.
+- feature extraction: ``mapInPandas`` over Arrow record batches — bytes
+  arrive zero-copy per batch; output is a fixed-width float array column.
+- at 100 TB: store media in Parquet with a small row-group size (bytes
+  dominate), partition by modality/date, and keep features in a SEPARATE
+  narrow table keyed by media_id so downstream training reads never touch
+  the blobs.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("content", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                    T.StructField("sample_rate", T.IntegerType(), True),
+                    T.StructField("duration_ms", T.IntegerType(), True),
+                    T.StructField("mime", T.StringType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+FEATURE_DIM = 16
+
+FEATURES_SCHEMA = (
+    "media_id long, modality string, n_bytes long, "
+    f"features array<float>"
+)
+
+
+def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
+    """Deterministic stand-in for a real encoder: md5-seeded floats in
+    [0, 1). Stable across runs/machines so tests can assert exact values."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.md5(content + counter.to_bytes(4, "big")).digest()
+        for i in range(0, len(h), 4):
+            if len(out) >= dim:
+                break
+            v = int.from_bytes(h[i : i + 4], "big") / 2**32
+            out.append(float(v))
+        counter += 1
+    return out
+
+
+def decode_image_features(
+    media: DataFrame, require_real_decoder: bool = False
+) -> DataFrame:
+    """(media_id, modality, n_bytes, features array<float>) via an
+    Arrow-batched mapInPandas pass over the binary column.
+
+    With ``require_real_decoder`` this raises NotImplementedError at plan
+    build — the marked seam where a real image decoder (Pillow →
+    pixel stats / CNN embedding) replaces ``_fake_features``."""
+    if require_real_decoder:
+        raise NotImplementedError(
+            "real media decoding needs Pillow/ffmpeg; not available in this "
+            "environment — _fake_features is the deterministic stand-in"
+        )
+    import pandas as pd
+
+    def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            feats = [
+                _fake_features(bytes(c)) if c is not None else None
+                for c in pdf["content"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "n_bytes": [
+                        len(bytes(c)) if c is not None else 0 for c in pdf["content"]
+                    ],
+                    "features": feats,
+                }
+            )
+
+    return media.select("media_id", "modality", "content").mapInPandas(
+        extract, FEATURES_SCHEMA
+    )
+
+
+def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
+    """Video frame-sampling PLAN: one output row per sampled frame offset,
+    derived from metadata only (no decoding): the Spark-side shape of a
+    frame extractor. Offsets are exact multiples of ``every_ms`` within
+    duration."""
+    n = (F.col("meta.duration_ms") / every_ms).cast("int")
+    return (
+        media.filter(F.col("modality") == "video")
+        .select(
+            "media_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.greatest(n - 1, F.lit(0))),
+                    lambda i: i * every_ms,
+                )
+            ).alias("frame_offset_ms"),
+        )
+    )
+
+
+def media_stats(media: DataFrame) -> DataFrame:
+    """Per-modality size/meta stats — pure column expressions, blob column
+    read but never interpreted."""
+    return media.groupBy("modality").agg(
+        F.count("*").alias("n"),
+        F.sum(F.length("content")).alias("total_bytes"),
+        F.max("meta.width").alias("max_width"),
+        F.max("meta.duration_ms").alias("max_duration_ms"),
+    )

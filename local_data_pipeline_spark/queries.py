@@ -626,6 +626,53 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return WIN.session_stats(sess, "user_id")
 
 
+@q(
+    "asof_purchase_last_click",
+    """
+    WITH tagged AS (
+      SELECT user_id AS k, ts, 1 AS side, event_id, value,
+             NULL::timestamp AS click_ts, NULL::bigint AS click_event_id
+      FROM events WHERE event_type = 'purchase'
+      UNION ALL
+      SELECT user_id AS k, ts, 0 AS side, NULL, NULL, ts, event_id
+      FROM events WHERE event_type = 'click'),
+    carried AS (
+      SELECT k, ts, side, event_id, value,
+             last_value(click_ts IGNORE NULLS) OVER w AS click_ts,
+             last_value(click_event_id IGNORE NULLS) OVER w AS click_event_id
+      FROM tagged
+      WINDOW w AS (PARTITION BY k ORDER BY ts ASC, side ASC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+    SELECT k AS user_id, event_id, ts, value, click_ts, click_event_id
+    FROM carried WHERE side = 1
+    """,
+    tags=("join", "asof"),
+)
+def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (an operator Spark lacks natively): for each purchase,
+    the user's latest click at-or-before it — union-tag + sort + carry-
+    forward, ONE shuffle on user_id, linear (operators/joins.py)."""
+    from .operators.joins import asof_join
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    return asof_join(
+        purchases,
+        clicks,
+        on="user_id",
+        left_ts="ts",
+        right_ts="click_ts",
+        right_cols=["click_ts", "click_event_id"],
+    )
+
+
 # =====================================================================
 # Text analysis / dedup on documents (SURVEY §2.E1/E2/E4)
 # =====================================================================

@@ -1,0 +1,95 @@
+"""Incremental (streaming) variants of the pipeline hops.
+
+The reference recomputes every layer from the full raw table on each cron
+tick (SURVEY §4 — no ``is_incremental()`` anywhere). The idiomatic Spark
+upgrade is Structured Streaming with ``Trigger.AvailableNow``: each run
+processes exactly the raw files that arrived since the last checkpoint,
+then exits — same cron-shaped operational model, incremental cost.
+
+Also provides watermarked tumbling-window aggregation over an event
+stream — the streaming twin of ``operators.windows.tumbling_agg`` (same
+``F.window`` operator, so the batch plans lift unchanged).
+
+100 TB notes: AvailableNow + checkpoint turns the daily full-rebuild
+O(history) into O(new data). The stg transform is stateless (per-row
+explode), so no state store is involved; the windowed agg keeps state
+bounded by the watermark horizon.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..models.swell import stg_swell_hourly
+from ..sources.rest import RAW_SCHEMA
+
+
+def incremental_stg_swell(
+    spark: SparkSession,
+    raw_path: str,
+    out_path: str,
+    checkpoint: str,
+) -> None:
+    """raw parquet dir → staged hourly rows, AvailableNow + checkpoint.
+
+    Runs the SAME ``stg_swell_hourly`` transform as the batch model (one
+    code path for both), appending only newly arrived files' rows."""
+    raw = spark.readStream.schema(RAW_SCHEMA).parquet(raw_path)
+    staged = stg_swell_hourly(raw)
+    (
+        staged.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    ts: str = "ts",
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+    keys: tuple[str, ...] = ("event_type",),
+) -> DataFrame:
+    """Watermarked tumbling-window counts for a STREAMING events frame.
+
+    Late rows beyond ``watermark`` are dropped and window state is evicted
+    past the horizon — the standard late-data contract."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.window(F.col(ts), duration).alias("w"), *keys)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            *keys,
+            "n_events",
+        )
+    )
+
+
+def run_windowed_event_stream(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    duration: str = "1 hour",
+    watermark: str = "2 hours",
+) -> None:
+    """File-stream → watermarked windowed counts → parquet, AvailableNow."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    out = windowed_event_counts(stream, duration=duration, watermark=watermark)
+    (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

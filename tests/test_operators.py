@@ -1,0 +1,148 @@
+"""Operator-level unit tests: top-k variants, as-of/range joins,
+multimodal plumbing, sessionization edges."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.operators.joins import asof_join, range_join_buckets
+from local_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_image_features,
+    frame_sample_plan,
+    media_stats,
+    _fake_features,
+)
+from local_data_pipeline_spark.operators.topk import (
+    salted_top1,
+    top1_per_group,
+    top1_per_group_agg,
+)
+from local_data_pipeline_spark.operators.windows import sessionize
+
+
+def _events(spark):
+    rows = [
+        # key, ts, v
+        ("a", "2026-01-01 10:00:00", 1.0),
+        ("a", "2026-01-01 11:00:00", 5.0),
+        ("a", "2026-01-01 12:00:00", 5.0),  # tie on v -> later ts wins
+        ("b", "2026-01-01 10:30:00", 2.0),
+    ]
+    return spark.createDataFrame(rows, "k string, ts string, v double").select(
+        "k", F.col("ts").cast("timestamp").alias("ts"), "v"
+    )
+
+
+def test_top1_variants_agree(spark):
+    df = _events(spark)
+    order = [F.desc("v"), F.desc("ts")]
+    a = {(r.k, str(r.ts)) for r in top1_per_group(df, ["k"], order).collect()}
+    b = {
+        (r.k, str(r.ts))
+        for r in top1_per_group_agg(df, ["k"], ["v", "ts"]).collect()
+    }
+    c = {(r.k, str(r.ts)) for r in salted_top1(df, ["k"], order).collect()}
+    expected = {("a", "2026-01-01 12:00:00"), ("b", "2026-01-01 10:30:00")}
+    assert a == b == c == expected
+
+
+def test_asof_join_at_or_before_and_strict(spark):
+    left = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00"), (1, "2026-01-01 12:00:00")],
+        "k long, ts string",
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(1, "2026-01-01 09:00:00", "r1"), (1, "2026-01-01 10:00:00", "r2"),
+         (1, "2026-01-01 13:00:00", "r3")],
+        "k long, rts string, tag string",
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "tag")
+
+    at_or_before = asof_join(left, right, "k", "ts", "rts", ["rts", "tag"])
+    got = {str(r.ts): r.tag for r in at_or_before.collect()}
+    assert got == {"2026-01-01 10:00:00": "r2", "2026-01-01 12:00:00": "r2"}
+
+    strict = asof_join(left, right, "k", "ts", "rts", ["rts", "tag"], strict=True)
+    got_s = {str(r.ts): r.tag for r in strict.collect()}
+    assert got_s == {"2026-01-01 10:00:00": "r1", "2026-01-01 12:00:00": "r2"}
+
+
+def test_asof_join_no_prior_right_row_is_null(spark):
+    left = spark.createDataFrame([(7, "2026-01-01 08:00:00")], "k long, ts string")
+    left = left.select("k", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [(7, "2026-01-01 09:00:00", "late")], "k long, rts string, tag string"
+    ).select("k", F.col("rts").cast("timestamp").alias("rts"), "tag")
+    out = asof_join(left, right, "k", "ts", "rts", ["tag"]).collect()
+    assert len(out) == 1 and out[0].tag is None
+
+
+def test_range_join_buckets(spark):
+    points = spark.createDataFrame(
+        [(1, "2026-01-01 10:30:00"), (1, "2026-01-01 15:00:00")], "k long, ts string"
+    ).select("k", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [(1, "2026-01-01 10:00:00", "2026-01-01 11:00:00", "i1"),
+         (1, "2026-01-01 14:00:00", "2026-01-01 14:30:00", "i2")],
+        "k long, s string, e string, tag string",
+    ).select(
+        "k",
+        F.col("s").cast("timestamp").alias("s"),
+        F.col("e").cast("timestamp").alias("e"),
+        "tag",
+    )
+    out = range_join_buckets(points, intervals, "k", "ts", "s", "e")
+    got = [(str(r.ts), r.tag) for r in out.collect()]
+    assert got == [("2026-01-01 10:30:00", "i1")]
+
+
+def test_sessionize_gap_boundary(spark):
+    ev = spark.createDataFrame(
+        [
+            (1, 10, "2026-01-01 10:00:00", 0.0),
+            (2, 10, "2026-01-01 10:30:00", 0.0),  # exactly at gap: same session
+            (3, 10, "2026-01-01 11:00:01", 0.0),  # 30m01s -> new session
+        ],
+        "event_id long, user_id long, ts string, value double",
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value")
+    out = sessionize(ev, gap="30 minutes")
+    sessions = {r.event_id: r.session_id for r in out.collect()}
+    assert sessions == {1: 1, 2: 1, 3: 2}
+
+
+@pytest.fixture()
+def media(spark):
+    rows = [
+        (1, "image", bytearray(b"\x89PNGfake1"), (64, 48, None, None, "image/png")),
+        (2, "image", bytearray(b"\x89PNGfake2"), (32, 32, None, None, "image/png")),
+        (3, "video", bytearray(b"RIFFfake"), (640, 480, None, 3500, "video/mp4")),
+        (4, "audio", bytearray(b"ID3fake"), (None, None, 16000, 2000, "audio/mp3")),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_multimodal_feature_extraction_deterministic(spark, media):
+    out = decode_image_features(media)
+    rows = {r.media_id: r for r in out.collect()}
+    assert rows[1].n_bytes == 9
+    assert len(rows[1].features) == 16
+    assert all(0.0 <= v < 1.0 for v in rows[1].features)
+    # deterministic: same bytes -> exactly the same features, and they
+    # match the driver-side reference implementation
+    expected = _fake_features(b"\x89PNGfake1")
+    assert [pytest.approx(v, abs=1e-6) for v in expected] == list(rows[1].features)
+    assert rows[1].features != rows[2].features
+
+
+def test_multimodal_requires_real_decoder_seam(spark, media):
+    with pytest.raises(NotImplementedError):
+        decode_image_features(media, require_real_decoder=True)
+
+
+def test_frame_sample_plan_and_stats(spark, media):
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r.frame_offset_ms for r in frames] == [0, 1000, 2000]
+    stats = {r.modality: r for r in media_stats(media).collect()}
+    assert stats["image"].n == 2
+    assert stats["video"].max_duration_ms == 3500

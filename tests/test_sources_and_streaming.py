@@ -1,0 +1,133 @@
+"""Ingestion adapter (A1-A8) and incremental streaming hop tests —
+no network: canned payload injected through the HttpGet seam."""
+
+import json
+
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.models.swell import stg_swell_hourly
+from local_data_pipeline_spark.sources import rest
+from local_data_pipeline_spark.streaming.incremental import (
+    incremental_stg_swell,
+    run_windowed_event_stream,
+)
+
+
+def canned_payload(lat=33.0, lon=-117.0, hours=4, start_day=10):
+    times = [f"2026-08-{start_day:02d}T{h:02d}:00" for h in range(hours)]
+    mk = lambda base: [round(base + h * 0.1, 2) for h in range(hours)]
+    return {
+        "latitude": lat,
+        "longitude": lon,
+        "timezone": "America/Los_Angeles",
+        "hourly": {
+            "time": times,
+            "wave_height": mk(1.0),
+            "wave_direction": mk(270.0),
+            "wind_wave_direction": mk(280.0),
+            "swell_wave_height": mk(0.9),
+            "swell_wave_direction": mk(265.0),
+            "swell_wave_period": mk(14.0),
+        },
+    }
+
+
+def fake_http_get(url, params):
+    assert url == rest.WAVE_API_URL
+    assert params["timezone"] == "auto"
+    assert params["hourly"] == ",".join(rest.HOURLY_PARAMS)
+    return canned_payload(params["latitude"], params["longitude"])
+
+
+def test_fetch_wave_data_uses_injected_getter():
+    payload = rest.fetch_wave_data(33.15, -117.35, http_get=fake_http_get)
+    assert payload["latitude"] == 33.15
+    assert len(payload["hourly"]["time"]) == 4
+
+
+def test_ingest_appends_one_row_per_location(spark, tmp_path):
+    raw = str(tmp_path / "raw")
+    batch = rest.ingest_locations(
+        spark,
+        locations={"a": (1.0, 2.0), "b": (3.0, 4.0)},
+        http_get=fake_http_get,
+        raw_path=raw,
+    )
+    assert batch.count() == 2
+    stored = spark.read.parquet(raw)
+    assert stored.count() == 2
+    assert set(stored.columns) == {"timestamp", "location", "data"}
+    # payload round-trips as valid JSON and explodes in staging
+    staged = stg_swell_hourly(stored)
+    assert staged.count() == 8  # 2 locations x 4 hourly points
+    # second ingest appends (never overwrites) — ≙ append-only raw table
+    rest.ingest_locations(
+        spark, locations={"a": (1.0, 2.0)}, http_get=fake_http_get, raw_path=raw
+    )
+    assert spark.read.parquet(raw).count() == 3
+
+
+def test_executor_side_fetch_partition(spark):
+    # self-contained getter: executors can't import this test module, so the
+    # closure must not reference module-level names (cloudpickle by value)
+    def standalone_get(url, params):
+        return {
+            "latitude": params["latitude"],
+            "longitude": params["longitude"],
+            "timezone": "UTC",
+            "hourly": {"time": ["2026-08-10T00:00"], "wave_height": [1.0]},
+        }
+
+    locs = spark.createDataFrame(
+        [("a", 1.0, 2.0), ("b", 3.0, 4.0)], "location string, lat double, lon double"
+    )
+    out = rest.fetch_partition(locs, http_get=standalone_get).collect()
+    assert len(out) == 2
+    assert json.loads(out[0]["data"])["hourly"]["time"]
+
+
+def test_incremental_stg_processes_only_new_files(spark, tmp_path):
+    raw, out, ckpt = (str(tmp_path / d) for d in ("raw", "out", "ckpt"))
+    rest.ingest_locations(
+        spark, locations={"a": (1.0, 2.0)}, http_get=fake_http_get, raw_path=raw
+    )
+    incremental_stg_swell(spark, raw, out, ckpt)
+    assert spark.read.parquet(out).count() == 4
+    # new batch arrives; rerun processes ONLY the new file
+    rest.ingest_locations(
+        spark, locations={"b": (3.0, 4.0)}, http_get=fake_http_get, raw_path=raw
+    )
+    incremental_stg_swell(spark, raw, out, ckpt)
+    final = spark.read.parquet(out)
+    assert final.count() == 8
+    assert final.filter("location = 'b'").count() == 4
+    # rerun with nothing new: no duplicates (checkpoint semantics)
+    incremental_stg_swell(spark, raw, out, ckpt)
+    assert spark.read.parquet(out).count() == 8
+
+
+def test_windowed_event_stream_with_watermark(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "wout", "wckpt"))
+    events = spark.createDataFrame(
+        [
+            (1, "2026-08-10 00:05:00", "click"),
+            (2, "2026-08-10 00:55:00", "click"),
+            (3, "2026-08-10 01:10:00", "view"),
+            # sentinel far ahead: advances the watermark (2h behind max ts)
+            # past the earlier windows so append mode finalizes them
+            (4, "2026-08-10 06:00:00", "view"),
+        ],
+        "event_id long, ts string, event_type string",
+    ).select("event_id", F.col("ts").cast("timestamp"), "event_type")
+    events.write.parquet(src)
+    run_windowed_event_stream(
+        spark, src, out, ckpt, schema=events.schema, duration="1 hour"
+    )
+    got = {
+        (str(r.window_start), r.event_type): r.n_events
+        for r in spark.read.parquet(out).collect()
+    }
+    assert got[("2026-08-10 00:00:00", "click")] == 2
+    assert got[("2026-08-10 01:00:00", "view")] == 1
+    # the sentinel's own window is NOT finalized yet (watermark contract)
+    assert ("2026-08-10 06:00:00", "view") not in got
