@@ -627,6 +627,241 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "pivot_linestatus_by_flag",
+    f"""
+    SELECT l_returnflag,
+           {dsum_sql("CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END")} AS qty_O,
+           {dsum_sql("CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END")} AS qty_F
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "pivot"),
+)
+def pivot_linestatus_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: linestatus values become columns (explicit value list so the
+    plan is single-pass; unlisted values would need a distinct scan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .agg(dsum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.coalesce(F.col("O"), F.lit(0.0)).alias("qty_O"),
+        F.coalesce(F.col("F"), F.lit(0.0)).alias("qty_F"),
+    )
+
+
+@q(
+    "percentiles_lineitem",
+    """
+    SELECT l_returnflag,
+           round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+           round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+           round(quantile_cont(l_extendedprice, 0.99), 6) AS p99_price
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("agg", "percentile"),
+)
+def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (sort-based agg). At 100 TB prefer
+    approx_percentile — t-digest sketch, map-side combinable — unless the
+    exact order statistic is contractual."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
+        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+    )
+
+
+@q(
+    "stats_from_sums_events",
+    """
+    WITH s AS (
+      SELECT event_type,
+             count(*) AS n,
+             cast(sum(cast(value AS decimal(25,6))) AS double) AS sx,
+             cast(sum(cast(value * value AS decimal(30,8))) AS double) AS sxx
+      FROM events GROUP BY event_type)
+    SELECT event_type, n,
+           round(sx / n, 6) AS mean_value,
+           round((sxx - sx * sx / n) / (n - 1), 6) AS var_value,
+           round(sqrt((sxx - sx * sx / n) / (n - 1)), 6) AS std_value
+    FROM s
+    """,
+    tags=("agg", "stats"),
+)
+def stats_from_sums_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance/stddev assembled from exact decimal Σx and Σx² — the only
+    formulation that is bit-identical at ANY parallelism (built-in stddev
+    is a streaming fold whose result depends on partition order)."""
+    ev = _t(spark, sf_dir, "events")
+    s = ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        dsum("value").alias("sx"),
+        dsum(F.col("value") * F.col("value"), scale=8).alias("sxx"),
+    )
+    var_ = (F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")) / (F.col("n") - 1)
+    return s.select(
+        "event_type",
+        "n",
+        F.round(F.col("sx") / F.col("n"), 6).alias("mean_value"),
+        F.round(var_, 6).alias("var_value"),
+        F.round(F.sqrt(var_), 6).alias("std_value"),
+    )
+
+
+@q(
+    "string_agg_nations_per_region",
+    """
+    SELECT r.r_name AS region,
+           string_agg(n.n_name, ',' ORDER BY n.n_name) AS nations,
+           count(*) AS n_nations
+    FROM region r JOIN nation n ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+    tags=("agg", "string"),
+)
+def string_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation: collect_list → sort_array → join (the
+    deterministic form; bare collect_list order is partition-dependent)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.array_join(F.sort_array(F.collect_list("n_name")), ",").alias(
+                "nations"
+            ),
+            F.count("*").alias("n_nations"),
+        )
+    )
+
+
+@q(
+    "regexp_extract_part_brand",
+    """
+    SELECT p_partkey,
+           cast(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS bigint) AS brand_num,
+           regexp_replace(p_name, '\\s+', '_', 'g') AS name_snake,
+           CASE WHEN regexp_matches(p_type, '^(STANDARD|SMALL)') THEN 1 ELSE 0 END AS is_basic
+    FROM part
+    """,
+    tags=("scalar", "regex"),
+)
+def regexp_extract_part_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex extract / replace / match surface."""
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.regexp_extract("p_brand", r"Brand#(\d+)", 1).cast("bigint").alias(
+            "brand_num"
+        ),
+        F.regexp_replace("p_name", r"\s+", "_").alias("name_snake"),
+        F.when(F.col("p_type").rlike(r"^(STANDARD|SMALL)"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_basic"),
+    )
+
+
+@q(
+    "scalar_subquery_high_value_orders",
+    """
+    SELECT o_orderkey, o_totalprice,
+           round(o_totalprice / (SELECT max(o_totalprice) FROM orders), 6) AS frac_of_max
+    FROM orders
+    WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM orders)
+    """,
+    tags=("subquery",),
+)
+def scalar_subquery_high_value_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar subquery (computed once, broadcast into filter + projection)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_ssq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_totalprice,
+               round(o_totalprice / (SELECT max(o_totalprice) FROM __orders_ssq), 6) AS frac_of_max
+        FROM __orders_ssq
+        WHERE o_totalprice > 0.9 * (SELECT max(o_totalprice) FROM __orders_ssq)
+        """
+    )
+
+
+@q(
+    "window_rank_family_orders",
+    """
+    WITH base AS (
+      SELECT o_orderpriority, o_orderkey, o_totalprice,
+             rank() OVER w AS rnk,
+             dense_rank() OVER w AS drnk,
+             ntile(4) OVER w AS quartile,
+             round(percent_rank() OVER w, 6) AS pct_rank,
+             first_value(o_orderkey) OVER w AS top_order
+      FROM orders
+      WINDOW w AS (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey ASC))
+    SELECT * FROM base WHERE rnk <= 100
+    """,
+    tags=("window",),
+)
+def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rank / dense_rank / ntile / percent_rank / first_value under one
+    total-ordered window."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            "o_orderkey",
+            "o_totalprice",
+            F.rank().over(w).cast("bigint").alias("rnk"),
+            F.dense_rank().over(w).cast("bigint").alias("drnk"),
+            F.ntile(4).over(w).cast("bigint").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.first("o_orderkey").over(w).alias("top_order"),
+        )
+        .filter(F.col("rnk") <= 100)
+    )
+
+
+@q(
+    "quality_score_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, lang,
+             len(t) * 1.0 AS tc,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / length(text) END AS pr,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) * 1.0 / len(t) END AS sr
+      FROM toks)
+    SELECT doc_id, lang,
+           round(0.4 * least(tc / 100.0, 1.0)
+               + 0.3 * (1.0 - least(pr * 5, 1.0))
+               + 0.3 * least(sr * 4, 1.0), 6) AS quality
+    FROM feats
+    """,
+    tags=("text",),
+)
+def quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composite quality heuristic (length / punctuation / stopword terms,
+    fixed weights — the SQL twin reproduces the formula exactly)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", "lang", TX.quality_score(F.col("text")).alias("quality"))
+
+
+@q(
     "asof_purchase_last_click",
     """
     WITH tagged AS (
