@@ -1,0 +1,153 @@
+"""Semantic tests for dedup/similarity/text operators with planted
+duplicates and hand-computed expected values (rows-only driver checks
+verify determinism; these verify the operators actually FIND things)."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.functions.text import (
+    LANG_STOPWORDS,
+    fingerprint,
+    lang_id,
+    quality_score,
+    token_count,
+)
+from local_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dups,
+    simhash_near_dups,
+)
+from local_data_pipeline_spark.operators.similarity import brute_force_topk, lsh_topk
+
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm windowsill and the birds sing in the garden outside "
+    "the old wooden house near the river bank under the summer sun"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    near_dup = BASE.replace("summer sun", "winter moon")  # ~94% token overlap
+    rows = [
+        (1, BASE, "src0"),
+        (2, "  THE  quick brown fox jumps over the lazy dog while the cat watches "
+            "from the warm windowsill and the birds sing in the garden outside "
+            "the old wooden house near the river bank under the summer sun ", "src0"),
+        (3, near_dup, "src0"),
+        (4, "completely different text about database engines and query "
+            "optimization with columnar storage vectorized execution and "
+            "adaptive partitioning strategies for distributed analytical systems", "src0"),
+        (5, "el gato y el perro estan en la casa de la abuela y los ninos "
+            "juegan en el jardin con un balon que es de color rojo", "src1"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string, source string")
+
+
+def test_exact_dedup_collapses_normalized_duplicates(spark, docs):
+    out = exact_dedup(docs)
+    ids = {r.doc_id for r in out.collect()}
+    # doc 2 is doc 1 up to case/whitespace -> collapsed to min id 1
+    assert 1 in ids and 2 not in ids
+    assert ids == {1, 3, 4, 5}
+
+
+def test_minhash_finds_planted_near_dup(spark, docs):
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in minhash_near_dups(docs, threshold=0.3).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0  # identical after norm
+    assert (1, 3) in pairs and 0.5 < pairs[(1, 3)] < 1.0
+    assert not any(4 in p or 5 in p for p in pairs)
+
+
+def test_simhash_near_dup_hamming(spark, docs):
+    got = {(r.id_a, r.id_b): r.hamming for r in simhash_near_dups(docs).collect()}
+    assert got.get((1, 2)) == 0  # identical token multiset
+    assert (1, 4) not in got and (1, 5) not in got
+
+
+def test_jaccard_exact_value(spark):
+    # two docs with hand-countable shingle sets
+    rows = [(1, "a b c d", "s"), (2, "a b c e", "s")]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    out = jaccard_pairs(df, None, shingle_k=2, threshold=0.01, block_by="source")
+    (row,) = out.collect()
+    # 2-gram shingles: {a b, b c, c d} vs {a b, b c, c e}: |I|=2 |U|=4
+    assert row.jaccard == 0.5
+
+
+def test_brute_force_topk_hand_computed(spark):
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.7, 0.7]),
+    ]
+    df = spark.createDataFrame(vecs, "vec_id long, embedding array<float>")
+    out = brute_force_topk(df.filter("vec_id = 0"), df, k=3)
+    got = [(r.neighbor_id, r.cos_sim, r.rank) for r in out.collect()]
+    cos1 = round(0.9 / math.hypot(0.9, 0.1), 6)
+    cos3 = round(0.7 / (math.hypot(0.7, 0.7)), 6)
+    assert got == [(1, cos1, 1), (3, cos3, 2), (2, 0.0, 3)]
+
+
+def test_lsh_topk_recall_against_brute_force(spark, sf_dir):
+    from local_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(qs, emb, k=3).collect()
+    }
+    approx = {
+        (r.query_id, r.neighbor_id)
+        for r in lsh_topk(qs, emb, k=3, dim=64, n_planes=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2  # approximate by design; deterministic given seed
+
+
+def test_lang_id_on_clear_texts(spark):
+    rows = [
+        (1, "the cat and the dog went to the park and it was good for them"),
+        (2, "el perro y el gato en la casa de los ninos con un libro"),
+        (3, "le chat et le chien dans la maison des enfants pour un livre"),
+        (4, "der hund und die katze in dem haus mit den kindern ist nicht da"),
+        (5, "xyzzy plugh qwerty"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r.id: r.lg for r in df.select("id", lang_id(F.col("text")).alias("lg")).collect()}
+    assert got == {1: "en", 2: "es", 3: "fr", 4: "de", 5: "und"}
+
+
+def test_text_function_edge_cases(spark):
+    rows = [(1, ""), (2, "   "), (3, "one"), (4, "héllo wörld ünïcode")]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {
+        r.id: (r.tc, r.q)
+        for r in df.select(
+            "id",
+            token_count(F.col("text")).alias("tc"),
+            quality_score(F.col("text")).alias("q"),
+        ).collect()
+    }
+    assert out[1][0] == 0 and out[2][0] == 0  # empty / whitespace-only
+    assert out[3][0] == 1
+    assert out[4][0] == 3  # unicode survives tokenization
+    assert all(0.0 <= q <= 1.0 for _, q in out.values())
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "hello world!")],
+        "id long, text string",
+    )
+    fps = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
+    assert fps[1] == fps[2] != fps[3]
