@@ -77,6 +77,68 @@ def brute_force_topk(
     return _rank_topk(scored, k)
 
 
+def brute_force_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k via Arrow-batched numpy matmul — the fast path
+    for larger dimensions / corpora.
+
+    Catalyst higher-order functions are interpreted (CodegenFallback), so
+    the pure-DataFrame ``brute_force_topk`` pays per-element overhead on
+    every pair. Here the query matrix is collected once (queries are the
+    SMALL side by contract), broadcast to executors, and each corpus
+    partition computes all its scores in one BLAS matmul via
+    ``mapInPandas``; per-partition top-k shrinks the ranking shuffle to
+    |partitions|·|Q|·k rows. Results match ``brute_force_topk`` to the
+    same 6-decimal rounding."""
+    import numpy as np
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = [r[0] for r in q_rows]
+    q_mat = np.array([r[1] for r in q_rows], dtype=np.float64)
+    q_norm = np.linalg.norm(q_mat, axis=1)
+    sc = queries.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, q_mat, q_norm))
+
+    def score(batches):
+        import pandas as pd
+
+        ids, qm, qn = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            c_norm = np.linalg.norm(c_mat, axis=1)
+            sims = (c_mat @ qm.T) / np.outer(c_norm, qn)  # |C| x |Q|
+            n_c = len(pdf)
+            out = {
+                "query_id": np.repeat(ids, n_c),
+                "neighbor_id": np.tile(pdf[id_col].values, len(ids)),
+                "cos_sim": np.round(sims.T.ravel(), 6),
+            }
+            res = pd.DataFrame(out)
+            # per-partition prune: keep k+1 per query (self may be dropped later)
+            res = (
+                res.sort_values(["query_id", "cos_sim", "neighbor_id"],
+                                ascending=[True, False, True])
+                .groupby("query_id", sort=False)
+                .head(k + 1)
+            )
+            yield res
+
+    scored = corpus.select(id_col, vec_col).mapInPandas(
+        score, "query_id long, neighbor_id long, cos_sim double"
+    )
+    if exclude_self:
+        scored = scored.filter(F.col("query_id") != F.col("neighbor_id"))
+    return _rank_topk(scored, k)
+
+
 def hyperplane_bucket(
     vec: Column, dim: int, n_planes: int = 8, seed: int = 42
 ) -> Column:
@@ -144,6 +206,54 @@ def lsh_topk(
         ).alias("cos_sim"),
     )
     return _rank_topk(scored, k)
+
+
+def embedding_near_dups_arrow(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 6,
+    seed: int = 42,
+) -> DataFrame:
+    """Arrow fast path for embedding near-dup: hyperplane buckets, then one
+    numpy gram matrix per bucket via ``applyInPandas`` (upper triangle ≥
+    threshold). Same results as ``embedding_near_dups`` at 6-decimal
+    rounding. Skew note: a degenerate bucket lands on one task — split hot
+    buckets with a secondary salt when bucket-size monitoring trips."""
+    import numpy as np
+
+    b = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+    )
+
+    def per_bucket(pdf):
+        import pandas as pd
+
+        if len(pdf) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos_sim": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos_sim": "float64"}
+            )
+        ids = pdf["id"].values
+        m = np.array(list(pdf["v"]), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1)
+        sims = (m @ m.T) / np.outer(n, n)
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = np.round(sims[iu, ju], 6) >= threshold
+        ia, ib = ids[iu[keep]], ids[ju[keep]]
+        lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
+        return pd.DataFrame(
+            {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[iu, ju][keep], 6)}
+        )
+
+    return (
+        b.groupBy("bucket")
+        .applyInPandas(per_bucket, "id_a long, id_b long, cos_sim double")
+        .distinct()
+    )
 
 
 def embedding_near_dups(

@@ -1046,6 +1046,34 @@ def cosine_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "cosine_topk_arrow",
+    """
+    WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[], c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+    """,
+    tags=("similarity", "arrow"),
+)
+def cosine_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow/numpy fast path for the same exact top-k (mapInPandas +
+    BLAS matmul per corpus partition, per-partition prune) — identical
+    results, the implementation to reach for at high dimension/scale."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    out = SIM.brute_force_topk_arrow(qs, emb, k=5)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim", F.col("rank").cast("bigint").alias("rank")
+    )
+
+
+@q(
     "embedding_norm_stats",
     """
     WITH norms AS (
@@ -1100,10 +1128,11 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q("embedding_near_dups", None, tags=("dedup", "similarity", "approx"))
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs via hyperplane buckets. Threshold
-    0.35 fits this synthetic corpus (max pairwise cosine ≈ 0.51); real
-    dedup would use ~0.95 on genuinely duplicated data."""
+    """Embedding-cosine near-dup pairs via hyperplane buckets + per-bucket
+    numpy gram matrix (Arrow path). Threshold 0.35 fits this synthetic
+    corpus (max pairwise cosine ≈ 0.51); real dedup would use ~0.95 on
+    genuinely duplicated data."""
     emb = _t(spark, sf_dir, "embeddings")
-    return SIM.embedding_near_dups(emb, threshold=0.35, dim=64, n_planes=3).orderBy(
-        "id_a", "id_b"
-    )
+    return SIM.embedding_near_dups_arrow(
+        emb, threshold=0.35, dim=64, n_planes=3
+    ).orderBy("id_a", "id_b")

@@ -1,0 +1,55 @@
+"""applyInPandasWithState cross-run state + bucketed shuffle-free joins."""
+
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.operators.bucketing import colocated_join, write_bucketed
+from local_data_pipeline_spark.plans.inspect import shuffle_exchange_count
+from local_data_pipeline_spark.session import load_table
+from local_data_pipeline_spark.streaming.stateful import run_running_user_totals
+
+EVENTS_DDL = "event_id long, user_id long, ts timestamp, value double"
+
+
+def _write_events(spark, path, rows):
+    spark.createDataFrame(rows, "event_id long, user_id long, ts string, value double").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+    ).write.mode("append").parquet(path)
+
+
+def test_stateful_totals_persist_across_runs(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    _write_events(
+        spark,
+        src,
+        [(1, 10, "2026-01-01 10:00:00", 1.5), (2, 10, "2026-01-01 10:05:00", 2.5),
+         (3, 20, "2026-01-01 10:10:00", 4.0)],
+    )
+    run_running_user_totals(spark, src, out, ckpt, schema)
+    first = {r.user_id: (r.n_events, r.sum_value) for r in spark.read.parquet(out).collect()}
+    assert first == {10: (2, 4.0), 20: (1, 4.0)}
+
+    # new events arrive; a second AvailableNow run CONTINUES the state
+    _write_events(spark, src, [(4, 10, "2026-01-01 11:00:00", 6.0)])
+    run_running_user_totals(spark, src, out, ckpt, schema)
+    rows = spark.read.parquet(out).collect()
+    latest_u10 = max((r for r in rows if r.user_id == 10), key=lambda r: r.n_events)
+    assert (latest_u10.n_events, latest_u10.sum_value) == (3, 10.0)
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_orderkey", "l_orderkey")
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=8)
+    write_bucketed(o, "b_orders", ["l_orderkey"], n_buckets=8)
+    joined = colocated_join(spark, "b_lineitem", "b_orders", ["l_orderkey"])
+    assert shuffle_exchange_count(joined) == 0
+    # and it still computes the right thing
+    plain = li.join(
+        load_table(spark, sf_dir, "orders"),
+        li.l_orderkey == F.col("o_orderkey"),
+    )
+    assert joined.count() == plain.count() > 0
+    # aggregation on the bucket key is also exchange-free
+    agg = spark.table("b_lineitem").groupBy("l_orderkey").count()
+    assert shuffle_exchange_count(agg) == 0
