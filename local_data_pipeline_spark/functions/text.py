@@ -111,11 +111,56 @@ def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     inlined subtree once per element access (measured ~10× slower)."""
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(t) - (k - 1), F.lit(1))),
+        # try_element_at: docs shorter than k tokens yield one partial
+        # shingle (nulls skipped by concat_ws) instead of an ANSI
+        # out-of-bounds error
         lambda i: F.concat_ws(
-            " ", *[F.element_at(t, i + j) for j in range(k)]
+            " ", *[F.try_element_at(t, i + j) for j in range(k)]
         ),
     )
     return F.array_distinct(grams)
+
+
+#: Rabin-Karp rolling-hash parameters (fixed, public constants).
+#: modulus * base must fit in int64 (ANSI overflow checks): with the
+#: Mersenne prime 2^31-1 and base 257, h*B + c < 2^40.
+_RK_BASE = 257
+_RK_MASK = (1 << 31) - 1
+
+
+def char_codes(t: Column) -> Column:
+    """Codepoint array of a string column (stage 1 of rolling hashing;
+    bind the result to a column before passing on — HOF inlining note)."""
+    return F.transform(F.split(t, ""), lambda c: F.ascii(c).cast("long"))
+
+
+def rolling_hashes(codes: Column, k: int = 5) -> Column:
+    """Rolling (Rabin-Karp-style) polynomial hash per character k-gram.
+    ``codes`` must be a BOUND codepoint-array column (see char_codes).
+    Returns array<bigint>, one hash per k-gram window."""
+    n = F.size(codes)
+    idx = F.sequence(F.lit(1), F.greatest(n - (k - 1), F.lit(1)))
+
+    def window_hash(i: Column) -> Column:
+        h = F.lit(0).cast("long")
+        for j in range(k):
+            c = F.coalesce(F.try_element_at(codes, i + j), F.lit(0))
+            h = F.pmod(h * _RK_BASE + c, F.lit(_RK_MASK))
+        return h
+
+    return F.transform(idx, window_hash)
+
+
+def winnow_from_hashes(hashes: Column, w: int = 4) -> Column:
+    """Winnowing fingerprint (Schleimer/Wilkerson/Aiken's MOSS scheme,
+    public): the distinct sorted set of per-window minima of the rolling
+    hashes. Any shared substring of length ≥ k+w-1 contributes a shared
+    fingerprint — the standard local fingerprinting for near-dup/overlap
+    detection. ``hashes`` must be a BOUND column (see rolling_hashes)."""
+    n = F.size(hashes)
+    starts = F.sequence(F.lit(1), F.greatest(n - (w - 1), F.lit(1)))
+    mins = F.transform(starts, lambda i: F.array_min(F.slice(hashes, i, w)))
+    return F.array_sort(F.array_distinct(mins))
 
 
 def word_shingles(text: Column, k: int = 3) -> Column:

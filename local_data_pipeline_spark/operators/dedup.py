@@ -230,6 +230,117 @@ def minhash_near_dups(
     return jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
 
 
+# ------------------------------------------------------------- winnowing
+def winnowing_fingerprints(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """(id, fingerprint bigint) rows: winnowed rolling-hash fingerprints of
+    the whitespace-normalized text (functions/text.py winnow_from_hashes).
+    Staged through bound columns (chars → rolling hashes → winnow) so each
+    step evaluates once per row."""
+    from ..functions.text import char_codes, rolling_hashes, winnow_from_hashes
+
+    norm = df.select(
+        F.col(id_col),
+        F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias("__norm"),
+    )
+    coded = norm.select(F.col(id_col), char_codes(F.col("__norm")).alias("__codes"))
+    hashed = coded.select(
+        F.col(id_col), rolling_hashes(F.col("__codes"), k).alias("__rh")
+    )
+    return hashed.select(
+        F.col(id_col),
+        F.explode(winnow_from_hashes(F.col("__rh"), w)).alias("fingerprint"),
+    )
+
+
+def winnowing_fingerprints_arrow(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+) -> DataFrame:
+    """Arrow fast path for winnowing: per-document vectorized rolling hash
+    + sliding-window minima in numpy via mapInPandas. Produces EXACTLY the
+    same (id, fingerprint) rows as ``winnowing_fingerprints`` (same
+    constants, same modular arithmetic) — verified by test."""
+    import numpy as np
+
+    from ..functions.text import _RK_BASE, _RK_MASK
+
+    def fp(batches):
+        import pandas as pd
+        import re
+
+        for pdf in batches:
+            ids_out, fps_out = [], []
+            for doc_id, text in zip(pdf[id_col], pdf[text_col]):
+                s = re.sub(r"\s+", " ", (text or "").strip().lower())
+                codes = np.frombuffer(s.encode("utf-32-le"), dtype=np.uint32).astype(
+                    np.int64
+                )
+                n = len(codes)
+                if n == 0:
+                    # parity with the Catalyst path: split('','') yields one
+                    # empty element whose codepoint hashes as 0
+                    codes = np.zeros(1, dtype=np.int64)
+                    n = 1
+                n_win = max(n - (k - 1), 1)
+                h = np.zeros(n_win, dtype=np.int64)
+                for j in range(k):
+                    c = codes[j : j + n_win]
+                    if len(c) < n_win:  # short doc: missing chars hash as 0
+                        c = np.pad(c, (0, n_win - len(c)))
+                    h = (h * _RK_BASE + c) % _RK_MASK
+                if len(h) >= w:
+                    mins = np.lib.stride_tricks.sliding_window_view(h, w).min(axis=1)
+                else:
+                    mins = np.array([h.min()])
+                uniq = np.unique(mins)
+                ids_out.extend([doc_id] * len(uniq))
+                fps_out.extend(uniq.tolist())
+            yield pd.DataFrame({id_col: ids_out, "fingerprint": fps_out})
+
+    return df.select(id_col, text_col).mapInPandas(
+        fp, f"{id_col} long, fingerprint long"
+    )
+
+
+def winnowing_overlap_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    min_shared: int = 3,
+    use_arrow: bool = True,
+) -> DataFrame:
+    """Near-dup/overlap candidates by shared winnowing fingerprints:
+    (id_a, id_b, n_shared) with ≥ min_shared common fingerprints — the
+    MOSS overlap-detection shape, explode + equi-join + count (linear in
+    total fingerprint multiplicity, no per-pair array work).
+
+    k must span more than one typical token, or common short substrings
+    make fingerprint multiplicity (and the self-join) blow up — k=16/w=8
+    measured 500× fewer pairs than k=5/w=4 on the synthetic corpus."""
+    make = winnowing_fingerprints_arrow if use_arrow else winnowing_fingerprints
+    fps = make(df, text_col, id_col, k, w)
+    a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
+    b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
+    return (
+        a.join(b, ["fingerprint"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+
+
 # --------------------------------------------------------------- simhash
 def simhash(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"

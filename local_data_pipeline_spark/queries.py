@@ -668,10 +668,13 @@ def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     approx_percentile — t-digest sketch, map-side combinable — unless the
     exact order statistic is contractual."""
     li = _t(spark, sf_dir, "lineitem")
+    # one percentile() per sort column: the two price quantiles share one
+    # sorted aggregation via the array form
+    price_pcts = F.percentile("l_extendedprice", F.lit([0.9, 0.99]))
     return li.groupBy("l_returnflag").agg(
         F.round(F.percentile("l_quantity", F.lit(0.5)), 6).alias("p50_qty"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 6).alias("p90_price"),
-        F.round(F.percentile("l_extendedprice", F.lit(0.99)), 6).alias("p99_price"),
+        F.round(price_pcts[0], 6).alias("p90_price"),
+        F.round(price_pcts[1], 6).alias("p99_price"),
     )
 
 
@@ -1107,6 +1110,17 @@ def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic (seeded xxhash64) but not SQL-expressible → rows-only."""
     d = _t(spark, sf_dir, "documents")
     return DD.minhash_near_dups(d, n_hashes=32, n_bands=8, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+@q("winnowing_overlap_pairs", None, tags=("dedup", "fingerprint"))
+def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash (Rabin-Karp) winnowing fingerprints → shared-
+    fingerprint overlap pairs (MOSS shape). Deterministic constants;
+    rows-only check (Arrow and Catalyst paths verified identical)."""
+    d = _t(spark, sf_dir, "documents")
+    return DD.winnowing_overlap_pairs(d, k=16, w=8, min_shared=3).orderBy(
         "id_a", "id_b"
     )
 

@@ -151,3 +151,29 @@ def test_fingerprint_normalization(spark):
     )
     fps = {r.id: r.fp for r in df.select("id", fingerprint(F.col("text")).alias("fp")).collect()}
     assert fps[1] == fps[2] != fps[3]
+
+
+def test_winnowing_overlap_and_path_equivalence(spark, docs):
+    from local_data_pipeline_spark.operators.dedup import (
+        winnowing_fingerprints,
+        winnowing_fingerprints_arrow,
+        winnowing_overlap_pairs,
+    )
+
+    a = sorted(
+        (r.doc_id, r.fingerprint)
+        for r in winnowing_fingerprints(docs, k=16, w=8).collect()
+    )
+    b = sorted(
+        (r.doc_id, r.fingerprint)
+        for r in winnowing_fingerprints_arrow(docs, k=16, w=8).collect()
+    )
+    assert a == b  # Catalyst and Arrow paths bit-identical
+
+    pairs = {
+        (r.id_a, r.id_b): r.n_shared
+        for r in winnowing_overlap_pairs(docs, min_shared=2).collect()
+    }
+    assert (1, 2) in pairs  # normalized-identical docs share everything
+    assert (1, 3) in pairs  # near-dup shares most fingerprints
+    assert not any(4 in p for p in pairs)  # unrelated doc doesn't pair
