@@ -1,0 +1,67 @@
+"""Property-based checks (hypothesis) for operator equivalences.
+
+Few examples + no deadline: each example spins Spark jobs. The properties
+matter more than the volume — window-top1 ≡ max_by-top1 ≡ salted-top1 on
+arbitrary data, and sessionization invariants.
+"""
+
+import datetime
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.operators.topk import (
+    salted_top1,
+    top1_per_group,
+    top1_per_group_agg,
+)
+from local_data_pipeline_spark.operators.windows import sessionize
+
+ROWS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),      # key
+        st.integers(min_value=0, max_value=50),     # order value
+        st.integers(min_value=0, max_value=10_000), # unique-ish id
+    ),
+    min_size=1,
+    max_size=25,
+)
+
+
+@settings(max_examples=12, deadline=None)
+@given(ROWS)
+def test_top1_window_agg_salted_equivalence(spark, rows):
+    # make ids unique so the total order (v desc, id desc) is total
+    rows = [(k, v, i) for i, (k, v, _) in enumerate(rows)]
+    df = spark.createDataFrame(rows, "k int, v int, id int")
+    order = [F.desc("v"), F.desc("id")]
+    w = {(r.k, r.v, r.id) for r in top1_per_group(df, ["k"], order).collect()}
+    a = {(r.k, r.v, r.id) for r in top1_per_group_agg(df, ["k"], ["v", "id"]).collect()}
+    s = {(r.k, r.v, r.id) for r in salted_top1(df, ["k"], order, salt_buckets=4).collect()}
+    assert w == a == s
+    assert len(w) == len({k for k, _, _ in rows})
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=7200), min_size=1, max_size=20)
+)
+def test_sessionize_invariants(spark, offsets_s):
+    base = datetime.datetime(2026, 1, 1)
+    rows = [
+        (i, 1, base + datetime.timedelta(seconds=s), 0.0)
+        for i, s in enumerate(sorted(set(offsets_s)))
+    ]
+    df = spark.createDataFrame(rows, "event_id long, user_id long, ts timestamp, value double")
+    out = sorted(
+        ((r.ts, r.session_id) for r in sessionize(df, gap="30 minutes").collect())
+    )
+    # session ids start at 1, are non-decreasing in time, and bump exactly
+    # when the gap to the previous event exceeds 30 minutes
+    expected, sid, prev = [], 0, None
+    for ts, _ in out:
+        if prev is None or (ts - prev).total_seconds() > 1800:
+            sid += 1
+        expected.append(sid)
+        prev = ts
+    assert [s for _, s in out] == expected
