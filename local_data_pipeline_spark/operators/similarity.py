@@ -208,6 +208,97 @@ def lsh_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic coarse quantizer
+    (centroids = the ``n_centroids`` corpus vectors with smallest
+    xxhash64(id) — a seeded pseudo-random sample, stable across runs),
+    corpus vectors assigned to their nearest centroid, queries probing
+    their ``n_probe`` nearest cells; exact cosine within probed cells.
+
+    Scale shape: centroids broadcast; assignment is one numpy matmul per
+    partition (mapInPandas); the search join is equi on cell id, so the
+    corpus shuffles once by cell (or is bucketed by cell at write time and
+    never re-shuffles). Recall rises with n_probe — the classic IVF knob."""
+    import numpy as np
+
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    c_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bcent = sc.broadcast(c_mat)
+
+    def assign(n_cells: int):
+        def run(batches):
+            import pandas as pd
+
+            cm = bcent.value
+            for pdf in batches:
+                if pdf.empty:
+                    continue
+                m = np.array(list(pdf[vec_col]), dtype=np.float64)
+                m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+                sims = m_n @ cm.T  # |rows| x |centroids|
+                # n_cells nearest centroids per row (ties → lower cell id)
+                order = np.argsort(-sims, axis=1, kind="stable")[:, :n_cells]
+                n = len(pdf)
+                yield pd.DataFrame(
+                    {
+                        id_col: np.repeat(pdf[id_col].values, n_cells),
+                        vec_col: [
+                            v for v in pdf[vec_col] for _ in range(n_cells)
+                        ],
+                        "cell": order.ravel(),
+                    }
+                )
+
+        return run
+
+    corpus_cells = corpus.select(id_col, vec_col).mapInPandas(
+        assign(1), f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    query_cells = queries.select(id_col, vec_col).mapInPandas(
+        assign(n_probe), f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    cq = query_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+        "cell",
+    )
+    cc = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+        "cell",
+    )
+    joined = cc.join(F.broadcast(cq), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
+    ).distinct()  # a (query, neighbor) pair can meet in multiple probed cells
+    return _rank_topk(scored, k)
+
+
 def embedding_near_dups_arrow(
     df: DataFrame,
     threshold: float = 0.95,

@@ -1140,6 +1140,15 @@ def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SIM.lsh_topk(qs, emb, k=5, dim=64, n_planes=6)
 
 
+@q("ivf_topk_embeddings", None, tags=("similarity", "approx"))
+def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-5 (deterministic seeded coarse quantizer,
+    2-probe). Probing all cells reproduces the exact result (tested)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    return SIM.ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=2)
+
+
 @q("embedding_near_dups", None, tags=("dedup", "similarity", "approx"))
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane buckets + per-bucket

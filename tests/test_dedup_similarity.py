@@ -177,3 +177,30 @@ def test_winnowing_overlap_and_path_equivalence(spark, docs):
     assert (1, 2) in pairs  # normalized-identical docs share everything
     assert (1, 3) in pairs  # near-dup shares most fingerprints
     assert not any(4 in p for p in pairs)  # unrelated doc doesn't pair
+
+
+def test_ivf_topk_recall_and_determinism(spark, sf_dir):
+    from local_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from local_data_pipeline_spark.session import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.query_id, r.neighbor_id) for r in brute_force_topk(qs, emb, k=3).collect()
+    }
+    got1 = ivf_topk(qs, emb, k=3, n_centroids=16, n_probe=4).collect()
+    approx = {(r.query_id, r.neighbor_id) for r in got1}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.2
+    # determinism: identical output across runs (seeded quantizer)
+    got2 = ivf_topk(qs, emb, k=3, n_centroids=16, n_probe=4).collect()
+    assert sorted(map(tuple, got1)) == sorted(map(tuple, got2))
+    # more probes -> recall can only grow
+    approx_full = {
+        (r.query_id, r.neighbor_id)
+        for r in ivf_topk(qs, emb, k=3, n_centroids=16, n_probe=16).collect()
+    }
+    assert approx_full == exact  # probing every cell == exact search

@@ -3,6 +3,7 @@ raw JSON payload rows -> hourly explosion -> daily max, verified against
 DuckDB running the reference SQL semantics verbatim (SURVEY.md §5)."""
 
 import duckdb
+from pyspark.sql import functions as F
 import pytest
 
 from local_data_pipeline_spark.models.swell import (
@@ -113,3 +114,20 @@ def test_null_elements_survive_explosion(spark):
     raw = synthesize_raw_swell(spark)
     stg = stg_swell_hourly(raw)
     assert stg.filter("wave_height is null").count() > 0
+
+
+def test_analytics_registry_pipeline(spark):
+    from conftest import SF_DIR
+    from local_data_pipeline_spark.models.analytics import build_analytics_registry
+
+    reg = build_analytics_registry(SF_DIR)
+    results = reg.build(spark)
+    by = {r.model: r for r in results}
+    assert all(r.ok for r in results)
+    assert by["pres_user_daily"].rows > 0
+    pres = spark.table("pres_user_daily")
+    assert pres.filter("n_sessions > n_events").count() == 0
+    # partitioned table: dt filter prunes
+    from local_data_pipeline_spark.plans.inspect import physical_plan
+    one_day = pres.filter(F.col("dt") == pres.agg(F.min("dt")).collect()[0][0])
+    assert "PartitionFilters" in physical_plan(one_day)
