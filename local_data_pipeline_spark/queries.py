@@ -1017,6 +1017,53 @@ def ngram_jaccard_within_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "curated_documents_exact",
+    """
+    WITH toks AS (
+      SELECT doc_id, text, lang, source, n_chars,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t,
+             md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+      FROM documents),
+    feats AS (
+      SELECT doc_id, text, lang, source, n_chars, fp,
+             len(t) AS n_tokens,
+             round(0.4 * least(len(t) / 100.0, 1.0)
+                 + 0.3 * (1.0 - least((CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / length(text) END) * 5, 1.0))
+                 + 0.3 * least((CASE WHEN len(t) = 0 THEN 0.0
+                       ELSE len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) * 1.0 / len(t) END) * 4, 1.0), 6) AS quality
+      FROM toks),
+    winners AS (
+      SELECT *, row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM feats)
+    SELECT doc_id, lang, source, n_chars, cast(n_tokens AS bigint) AS n_tokens, quality
+    FROM winners
+    WHERE rn = 1 AND n_tokens >= 30 AND quality >= 0.5
+      AND lang IN ('en','es','fr','de','zh')
+    """,
+    tags=("curation", "dedup", "text"),
+)
+def curated_documents_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL-expressible core of the curation pipeline
+    (models/curation.py): exact dedup + token/quality/lang gates. The full
+    pipeline additionally removes MinHash near-dups (rows-only check via
+    the registry build test)."""
+    from .models.curation import build_curation_registry
+
+    reg = build_curation_registry(sf_dir)
+    cands = reg.compute(spark, "int_doc_candidates")
+    return cands.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "quality",
+    )
+
+
 # =====================================================================
 # Embedding similarity (SURVEY §2.E3) + vector stats
 # =====================================================================

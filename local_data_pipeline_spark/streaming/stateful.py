@@ -35,6 +35,82 @@ def _update_totals(key: tuple, pdfs: Iterator[Any], state) -> Iterator[Any]:
     )
 
 
+def _sessionizer(gap_seconds: int):
+    """Build the per-key state function: carries (session_start, last_ts,
+    n_events, sum_value) across batches; emits a CLOSED session row
+    whenever the event-time gap exceeds ``gap_seconds`` — including gaps
+    that span micro-batches (the part batch-window sessionize can't do
+    incrementally). The open tail session stays in state (an
+    EventTimeTimeout would flush it on watermark expiry)."""
+
+    def update(key: tuple, pdfs: Iterator[Any], state) -> Iterator[Any]:
+        import pandas as pd
+
+        (user_id,) = key
+        if state.exists:
+            start_us, last_us, n_events, sum_value = state.get
+        else:
+            start_us = last_us = None
+            n_events, sum_value = 0, 0.0
+        closed = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values("ts")
+            for ts, value in zip(pdf["ts"], pdf["value"]):
+                ts_us = int(ts.value // 1000)  # pandas ns -> µs
+                if last_us is not None and ts_us - last_us > gap_seconds * 1_000_000:
+                    closed.append((user_id, start_us, last_us, n_events, round(sum_value, 6)))
+                    start_us, n_events, sum_value = ts_us, 0, 0.0
+                if start_us is None:
+                    start_us = ts_us
+                last_us = ts_us
+                n_events += 1
+                sum_value += float(value)
+        state.update((start_us, last_us, n_events, round(sum_value, 6)))
+        yield pd.DataFrame(
+            closed,
+            columns=["user_id", "session_start_us", "session_end_us", "n_events", "sum_value"],
+        )
+
+    return update
+
+
+def run_streaming_sessionizer(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    gap_seconds: int = 1800,
+) -> None:
+    """File stream → gap-closed sessions via applyInPandasWithState →
+    parquet, AvailableNow. Sessions spanning batch boundaries are stitched
+    by the state store; only CLOSED sessions are emitted."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _sessionizer(gap_seconds),
+        outputStructType=(
+            "user_id long, session_start_us long, session_end_us long, "
+            "n_events long, sum_value double"
+        ),
+        stateStructType=(
+            "session_start_us long, last_us long, n_events long, sum_value double"
+        ),
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_running_user_totals(
     spark: SparkSession,
     events_path: str,

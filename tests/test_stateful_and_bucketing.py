@@ -53,3 +53,34 @@ def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     # aggregation on the bucket key is also exchange-free
     agg = spark.table("b_lineitem").groupBy("l_orderkey").count()
     assert shuffle_exchange_count(agg) == 0
+
+
+def test_streaming_sessionizer_stitches_across_batches(spark, tmp_path):
+    from local_data_pipeline_spark.streaming.stateful import run_streaming_sessionizer
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("ssrc", "sout", "sckpt"))
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    # batch 1: one session 10:00-10:05, then a gap, open session at 11:00
+    _write_events(
+        spark,
+        src,
+        [(1, 10, "2026-01-01 10:00:00", 1.0), (2, 10, "2026-01-01 10:05:00", 2.0),
+         (3, 10, "2026-01-01 11:00:00", 3.0)],
+    )
+    run_streaming_sessionizer(spark, src, out, ckpt, schema, gap_seconds=1800)
+    got1 = spark.read.parquet(out).collect()
+    assert len(got1) == 1  # only the CLOSED session is emitted
+    assert (got1[0].n_events, got1[0].sum_value) == (2, 3.0)
+
+    # batch 2: 11:05 continues the OPEN session from batch 1 (stitched via
+    # state), then 13:00 closes it
+    _write_events(
+        spark, src,
+        [(4, 10, "2026-01-01 11:05:00", 4.0), (5, 10, "2026-01-01 13:00:00", 9.0)],
+    )
+    run_streaming_sessionizer(spark, src, out, ckpt, schema, gap_seconds=1800)
+    rows = sorted(spark.read.parquet(out).collect(), key=lambda r: r.session_start_us)
+    assert len(rows) == 2
+    stitched = rows[1]
+    assert stitched.n_events == 2  # 11:00 (batch 1) + 11:05 (batch 2)
+    assert stitched.sum_value == 7.0

@@ -131,3 +131,19 @@ def test_analytics_registry_pipeline(spark):
     from local_data_pipeline_spark.plans.inspect import physical_plan
     one_day = pres.filter(F.col("dt") == pres.agg(F.min("dt")).collect()[0][0])
     assert "PartitionFilters" in physical_plan(one_day)
+
+
+def test_curation_pipeline_end_to_end(spark):
+    from conftest import SF_DIR
+    from local_data_pipeline_spark.models.curation import build_curation_registry
+
+    reg = build_curation_registry(SF_DIR)
+    results = reg.build(spark)
+    assert all(r.ok for r in results)
+    curated = spark.table("pres_curated_docs")
+    raw_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    n = curated.count()
+    assert 0 < n <= raw_n
+    # every gate actually held
+    assert curated.filter("n_tokens < 30 or quality < 0.5").count() == 0
+    assert curated.filter("lang not in ('en','es','fr','de','zh')").count() == 0
