@@ -93,9 +93,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and dict(df.dtypes).get("ts") == "bigint":
+        # int64 nanos → timestamp_ntz via epoch + day-time interval:
+        # TZ-INDEPENDENT (timestamp_micros(..).cast("timestamp_ntz") would
+        # render through the session time zone and shift under non-UTC
+        # sessions, breaking oracle value comparison)
         df = df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            F.lit("1970-01-01 00:00:00").cast("timestamp_ntz")
+            + F.expr(
+                "make_dt_interval(0, 0, 0, cast(ts div 1000 as decimal(20,0)) / 1000000)"
+            ),
         )
     return df
 
