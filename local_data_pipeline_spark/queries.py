@@ -627,6 +627,102 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "outer_join_customer_order_counts",
+    f"""
+    WITH per_cust AS (
+      SELECT o_custkey, count(*) AS n_orders, {dsum_sql('o_totalprice')} AS spend
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey, c.c_name,
+           coalesce(p.n_orders, 0) AS n_orders,
+           coalesce(p.spend, 0.0) AS spend
+    FROM customer c FULL OUTER JOIN per_cust p ON c.c_custkey = p.o_custkey
+    """,
+    tags=("join", "outer"),
+)
+def outer_join_customer_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join: customers with zero orders appear with 0s, orphan
+    order keys (none in this data) would appear with null names."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count("*").alias("n_orders"), dsum("o_totalprice").alias("spend")
+    )
+    return (
+        c.join(per_cust, c.c_custkey == per_cust.o_custkey, "full_outer")
+        .select(
+            "c_custkey",
+            "c_name",
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("spend", F.lit(0.0)).alias("spend"),
+        )
+    )
+
+
+@q(
+    "lead_diff_user_events",
+    """
+    SELECT user_id, event_id, ts, value,
+           lead(value) OVER w AS next_value,
+           round(lead(value) OVER w - value, 6) AS value_diff,
+           cast(date_diff('microseconds', ts, lead(ts) OVER w) AS bigint) AS gap_us
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("window", "timeseries"),
+)
+def lead_diff_user_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series deltas: per-user next-event value diff and event-time
+    gap in microseconds (lead under a total order)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lead("value").over(w).alias("next_value"),
+        F.lead("ts").over(w).alias("__next_ts"),
+    )
+    return stepped.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        "next_value",
+        F.round(F.col("next_value") - F.col("value"), 6).alias("value_diff"),
+        # timestampdiff works on NTZ directly — no session-TZ round trip
+        F.expr("timestampdiff(MICROSECOND, ts, __next_ts)").alias("gap_us"),
+    )
+
+
+@q(
+    "posexplode_first_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (SELECT doc_id, t, unnest(range(0, least(len(t), 3))) AS pos FROM toks)
+    SELECT doc_id, cast(pos AS bigint) AS pos, t[pos + 1] AS token
+    FROM idx
+    """,
+    tags=("explode",),
+)
+def posexplode_first_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional explode (LATERAL VIEW posexplode): first 3 tokens of
+    each document with their positions — the B8 lateral-unnest shape on
+    the documents table."""
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", TX.tokens(F.col("text")).alias("__t"))
+    return (
+        tokd.select("doc_id", F.posexplode("__t").alias("pos", "token"))
+        .filter(F.col("pos") < 3)
+        .select("doc_id", F.col("pos").cast("bigint").alias("pos"), "token")
+    )
+
+
+@q(
     "pivot_linestatus_by_flag",
     f"""
     SELECT l_returnflag,
