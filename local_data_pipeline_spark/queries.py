@@ -344,6 +344,35 @@ def cube_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "grouping_sets_lineitem",
+    f"""
+    SELECT l_returnflag, l_linestatus,
+           grouping(l_returnflag) AS g_flag, grouping(l_linestatus) AS g_status,
+           count(*) AS n, {dsum_sql('l_extendedprice')} AS sum_price
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    tags=("agg", "grouping"),
+)
+def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (a strict subset of cube; one Expand +
+    single aggregate pass in the plan)."""
+    li = _t(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__li_gs")
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               cast(grouping(l_returnflag) AS bigint) AS g_flag,
+               cast(grouping(l_linestatus) AS bigint) AS g_status,
+               count(*) AS n,
+               cast(sum(cast(l_extendedprice AS decimal(25,6))) AS double) AS sum_price
+        FROM __li_gs
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@q(
     "top3_parts_per_brand",
     """
     WITH ranked AS (
