@@ -1095,11 +1095,39 @@ def text_stats_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "lang_id_documents",
-    None,  # heuristic fold is clumsy in SQL; checked by unit test instead
+    """
+    WITH toks AS (
+      SELECT doc_id, lang,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    hits AS (
+      SELECT doc_id, lang,
+             len(list_filter(t, x -> x IN ('der','die','und','das','von','zu','mit','den','ist','nicht'))) AS h_de,
+             len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) AS h_en,
+             len(list_filter(t, x -> x IN ('el','la','de','que','y','los','en','un','por','con'))) AS h_es,
+             len(list_filter(t, x -> x IN ('le','la','de','et','les','des','en','un','que','pour'))) AS h_fr
+      FROM toks)
+    SELECT doc_id, lang,
+           CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END AS lang_guess,
+           cast(CASE WHEN lang = (CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr THEN 'de'
+                WHEN h_en >= h_es AND h_en >= h_fr THEN 'en'
+                WHEN h_es >= h_fr THEN 'es'
+                ELSE 'fr' END) THEN 1 ELSE 0 END AS int) AS agrees
+    FROM hits
+    """,
     tags=("text",),
 )
 def lang_id_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stopword-hit language-ID heuristic + agreement with the labeled lang."""
+    """Stopword-hit language-ID heuristic + agreement with the labeled
+    lang. The fold picks the language with most hits, ties → earliest
+    language code, zero hits → 'und' — the oracle's CASE chain replicates
+    that order exactly."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
