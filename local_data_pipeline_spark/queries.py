@@ -580,6 +580,96 @@ def running_total_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # =====================================================================
 
 @q(
+    "unpivot_lineitem_measures",
+    f"""
+    WITH agg AS (
+      SELECT l_returnflag,
+             {dsum_sql('l_quantity')} AS qty,
+             {dsum_sql('l_extendedprice')} AS price,
+             {dsum_sql('l_discount')} AS disc
+      FROM lineitem GROUP BY l_returnflag)
+    SELECT l_returnflag, 'qty' AS measure, qty AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'price' AS measure, price AS total FROM agg
+    UNION ALL
+    SELECT l_returnflag, 'disc' AS measure, disc AS total FROM agg
+    """,
+    tags=("unpivot",),
+)
+def unpivot_lineitem_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT / melt: wide per-flag totals to long (measure, total) rows
+    via the native DataFrame.unpivot (single Expand node, one pass —
+    the oracle's UNION ALL is the portable equivalent)."""
+    li = _t(spark, sf_dir, "lineitem")
+    wide = li.groupBy("l_returnflag").agg(
+        dsum("l_quantity").alias("qty"),
+        dsum("l_extendedprice").alias("price"),
+        dsum("l_discount").alias("disc"),
+    )
+    return wide.unpivot(
+        ids=["l_returnflag"],
+        values=["qty", "price", "disc"],
+        variableColumnName="measure",
+        valueColumnName="total",
+    )
+
+
+@q(
+    "trailing_30d_spend",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           cast(sum(cast(o_totalprice AS decimal(25,6)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                      RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                AS double) AS spend_30d,
+           count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+                          RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+                AS n_orders_30d
+    FROM orders
+    """,
+    tags=("window", "timeseries"),
+)
+def trailing_30d_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time RANGE frame: per customer, trailing-30-day spend and
+    order count at each order (interval range window — peers are defined
+    by time distance, not row position)."""
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("__orders_range")
+    return spark.sql(
+        """
+        SELECT o_custkey, o_orderkey, o_orderdate,
+               cast(sum(cast(o_totalprice AS decimal(25,6)))
+                    OVER w AS double) AS spend_30d,
+               count(*) OVER w AS n_orders_30d
+        FROM __orders_range
+        WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAYS PRECEDING AND CURRENT ROW)
+        """
+    )
+
+
+@q(
+    "value_histogram_events",
+    f"""
+    SELECT event_type,
+           cast(floor(value / 50.0) AS bigint) AS bucket,
+           count(*) AS n,
+           {dsum_sql('value')} AS sum_value
+    FROM events
+    GROUP BY event_type, cast(floor(value / 50.0) AS bigint)
+    """,
+    tags=("agg", "histogram"),
+)
+def value_histogram_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width value histogram per event type (bucketed aggregation)."""
+    ev = _t(spark, sf_dir, "events")
+    bucket = F.floor(F.col("value") / 50.0).cast("bigint").alias("bucket")
+    return ev.groupBy("event_type", bucket).agg(
+        F.count("*").alias("n"), dsum("value").alias("sum_value")
+    )
+
+
+@q(
     "tumbling_hourly_events",
     f"""
     SELECT date_trunc('hour', ts) AS window_start, event_type,
