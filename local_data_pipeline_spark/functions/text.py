@@ -121,6 +121,47 @@ def shingles_from_tokens(t: Column, k: int = 3) -> Column:
     return F.array_distinct(grams)
 
 
+#: PII patterns (public, deliberately simple — production pipelines use
+#: dedicated detectors; these demonstrate the scrub-at-scan-speed shape).
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_PHONE = r"\+?\d{1,2}[ .-]?\(?\d{3}\)?[ .-]?\d{3}[ .-]?\d{4}"
+PII_SSN = r"\b\d{3}-\d{2}-\d{4}\b"
+PII_IPV4 = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+
+
+def scrub_pii(text: Column) -> Column:
+    """Replace emails / phone numbers / SSNs / IPv4s with typed placeholder
+    tokens. Pure regexp_replace chain — runs inside the scan stage."""
+    out = F.regexp_replace(text, PII_EMAIL, "<EMAIL>")
+    out = F.regexp_replace(out, PII_SSN, "<SSN>")
+    out = F.regexp_replace(out, PII_IPV4, "<IP>")
+    out = F.regexp_replace(out, PII_PHONE, "<PHONE>")
+    return out
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-kind PII match counts (for filtering/reporting)."""
+    return {
+        "n_emails": F.size(F.regexp_extract_all(text, F.lit(PII_EMAIL), 0)),
+        "n_phones": F.size(F.regexp_extract_all(text, F.lit(PII_PHONE), 0)),
+        "n_ssns": F.size(F.regexp_extract_all(text, F.lit(PII_SSN), 0)),
+        "n_ips": F.size(F.regexp_extract_all(text, F.lit(PII_IPV4), 0)),
+    }
+
+
+def strip_html(text: Column) -> Column:
+    """Drop tags, unescape the common entities, collapse whitespace —
+    the cheap scan-stage HTML-to-text pass (real pipelines follow with a
+    DOM-aware extractor only where this heuristic fails)."""
+    out = F.regexp_replace(text, r"<script[^>]*>.*?</script>", " ")
+    out = F.regexp_replace(out, r"<style[^>]*>.*?</style>", " ")
+    out = F.regexp_replace(out, r"<[^>]+>", " ")
+    for ent, ch in [("&amp;", "&"), ("&lt;", "<"), ("&gt;", ">"),
+                    ("&quot;", '"'), ("&#39;", "'"), ("&nbsp;", " ")]:
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return F.trim(F.regexp_replace(out, r"\s+", " "))
+
+
 #: Rabin-Karp rolling-hash parameters (fixed, public constants).
 #: modulus * base must fit in int64 (ANSI overflow checks): with the
 #: Mersenne prime 2^31-1 and base 257, h*B + c < 2^40.

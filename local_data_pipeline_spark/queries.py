@@ -1049,6 +1049,34 @@ def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "pii_scrub_documents",
+    """
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(text,
+                   '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                 '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g'),
+               '\\b(?:\\d{1,3}\\.){3}\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+?\\d{1,2}[ .-]?\\(?\\d{3}\\)?[ .-]?\\d{3}[ .-]?\\d{4}', '<PHONE>', 'g') AS scrubbed,
+           cast(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS bigint) AS n_emails
+    FROM documents
+    """,
+    tags=("text", "pii"),
+)
+def pii_scrub_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing at scan speed: emails/SSNs/IPs/phones → typed
+    placeholders (regexp_replace chain, same order both engines)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TX.scrub_pii(F.col("text")).alias("scrubbed"),
+        TX.pii_counts(F.col("text"))["n_emails"].cast("bigint").alias("n_emails"),
+    )
+
+
+@q(
     "quality_score_documents",
     """
     WITH toks AS (

@@ -81,11 +81,17 @@ class Model:
     name: str
     fn: Callable[["Registry", SparkSession], DataFrame]
     deps: tuple[str, ...] = ()
-    materialization: str = "view"  # "view" | "table" | "ephemeral"
+    materialization: str = "view"  # "view" | "table" | "incremental" | "ephemeral"
     group: str = "default"
     description: str = ""
     tests: tuple[DataTest, ...] = ()
     partition_by: tuple[str, ...] = ()
+    #: for materialization="incremental": monotonically increasing column;
+    #: each build appends only rows with values beyond the stored maximum
+    #: (the dbt is_incremental() watermark pattern). The reference rebuilds
+    #: everything per run (SURVEY §4 incrementality: none) — this is the
+    #: O(new data) upgrade path.
+    incremental_col: str | None = None
 
 
 @dataclass
@@ -122,12 +128,17 @@ class Registry:
         description: str = "",
         tests: tuple[DataTest, ...] | list[DataTest] = (),
         partition_by: tuple[str, ...] | list[str] = (),
+        incremental_col: str | None = None,
     ) -> Callable:
         """Decorator registering ``fn(registry, spark) -> DataFrame``."""
 
         def deco(fn: Callable) -> Callable:
             if name in self._models:
                 raise ValueError(f"duplicate model {name!r}")
+            if materialization == "incremental" and not incremental_col:
+                raise ValueError(
+                    f"model {name!r}: incremental materialization needs incremental_col"
+                )
             self._models[name] = Model(
                 name=name,
                 fn=fn,
@@ -137,6 +148,7 @@ class Registry:
                 description=description or (fn.__doc__ or "").strip(),
                 tests=tuple(tests),
                 partition_by=tuple(partition_by),
+                incremental_col=incremental_col,
             )
             return fn
 
@@ -218,6 +230,26 @@ class Registry:
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)
                 writer.saveAsTable(target)
+                persisted = spark.table(target)
+                rows = persisted.count()
+                self._cache[name] = persisted
+                persisted.createOrReplaceTempView(name)
+            elif m.materialization == "incremental":
+                target = f"{database}.{name}" if database else name
+                wcol = m.incremental_col
+                if spark.catalog.tableExists(target):
+                    prev_max = spark.table(target).agg(F.max(wcol)).collect()[0][0]
+                    if prev_max is not None:
+                        df = df.filter(F.col(wcol) > F.lit(prev_max))
+                    writer = df.write.mode("append")
+                    if m.partition_by:
+                        writer = writer.partitionBy(*m.partition_by)
+                    writer.saveAsTable(target)
+                else:
+                    writer = df.write.mode("overwrite")
+                    if m.partition_by:
+                        writer = writer.partitionBy(*m.partition_by)
+                    writer.saveAsTable(target)
                 persisted = spark.table(target)
                 rows = persisted.count()
                 self._cache[name] = persisted

@@ -72,6 +72,38 @@ def windowed_event_counts(
     )
 
 
+def streaming_dedup(
+    events: DataFrame, key: str = "event_id", ts: str = "ts", watermark: str = "1 hour"
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup: ``dropDuplicatesWithinWatermark``
+    keeps state only for the watermark horizon — the scale-safe form of
+    stream dedup (unbounded ``dropDuplicates`` state grows forever)."""
+    return events.withWatermark(ts, watermark).dropDuplicatesWithinWatermark([key])
+
+
+def clicks_to_purchases_join(
+    clicks: DataFrame, purchases: DataFrame, horizon: str = "1 hour"
+) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to same-user
+    clicks in the preceding ``horizon``. Watermarks on BOTH sides bound
+    the join state; the time-range predicate lets Spark evict old rows."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", horizon)
+    p = purchases.select(
+        "user_id", F.col("ts").alias("purchase_ts"), F.col("event_id").alias("purchase_id"), "value"
+    ).withWatermark("purchase_ts", horizon)
+    return p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (F.col("click_ts") >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon}")),
+        "inner",
+    ).select("user_id", "purchase_id", "purchase_ts", "value", "click_id", "click_ts")
+
+
 def run_windowed_event_stream(
     spark: SparkSession,
     events_path: str,

@@ -204,3 +204,26 @@ def test_ivf_topk_recall_and_determinism(spark, sf_dir):
         for r in ivf_topk(qs, emb, k=3, n_centroids=16, n_probe=16).collect()
     }
     assert approx_full == exact  # probing every cell == exact search
+
+
+def test_pii_scrub_and_html_strip(spark):
+    from local_data_pipeline_spark.functions.text import pii_counts, scrub_pii, strip_html
+
+    rows = [
+        (1, "contact john.doe@example.com or +1 (555) 123-4567 ok"),
+        (2, "ssn 123-45-6789 from 192.168.1.100 today"),
+        (3, "<html><script>evil()</script><p>Hello &amp; welcome</p></html>"),
+        (4, "clean text with no pii at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    scrubbed = {r.id: r.s for r in df.select("id", scrub_pii(F.col("text")).alias("s")).collect()}
+    assert "<EMAIL>" in scrubbed[1] and "<PHONE>" in scrubbed[1]
+    assert "john.doe" not in scrubbed[1] and "555" not in scrubbed[1]
+    assert "<SSN>" in scrubbed[2] and "<IP>" in scrubbed[2]
+    assert scrubbed[4] == rows[3][1]  # untouched
+    counts = df.select("id", *[v.alias(k) for k, v in pii_counts(F.col("text")).items()]).collect()
+    by = {r.id: r for r in counts}
+    assert by[1].n_emails == 1 and by[1].n_phones == 1
+    assert by[2].n_ssns == 1 and by[2].n_ips == 1
+    stripped = {r.id: r.s for r in df.select("id", strip_html(F.col("text")).alias("s")).collect()}
+    assert stripped[3] == "Hello & welcome"

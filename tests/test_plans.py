@@ -58,3 +58,19 @@ def test_flagship_window_has_partial_top_k_and_one_shuffle(spark):
 def test_semi_anti_joins_broadcast(spark):
     assert broadcast_join_count(_df(spark, "semi_join_customers_with_orders")) >= 1
     assert broadcast_join_count(_df(spark, "anti_join_customers_without_orders")) >= 1
+
+
+def test_join_hints_change_physical_strategy(spark):
+    """Join strategy hints: the engine exposes Catalyst's full join-
+    strategy surface (broadcast/merge/shuffle_hash)."""
+    from local_data_pipeline_spark.plans.inspect import count_op
+    from local_data_pipeline_spark.session import load_table
+
+    li = load_table(spark, SF, "lineitem")
+    o = load_table(spark, SF, "orders")
+    merge = li.join(o.hint("merge"), li.l_orderkey == o.o_orderkey)
+    assert count_op(merge, "SortMergeJoin") >= 1
+    shash = li.join(o.hint("shuffle_hash"), li.l_orderkey == o.o_orderkey)
+    assert count_op(shash, "ShuffledHashJoin") >= 1
+    bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
+    assert count_op(bcast, "BroadcastHashJoin") >= 1

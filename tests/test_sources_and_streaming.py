@@ -131,3 +131,58 @@ def test_windowed_event_stream_with_watermark(spark, tmp_path):
     assert got[("2026-08-10 01:00:00", "view")] == 1
     # the sentinel's own window is NOT finalized yet (watermark contract)
     assert ("2026-08-10 06:00:00", "view") not in got
+
+
+def _stream_to_parquet(df, out, ckpt):
+    (df.writeStream.format("parquet").option("path", out)
+       .option("checkpointLocation", ckpt).outputMode("append")
+       .trigger(availableNow=True).start().awaitTermination())
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    from local_data_pipeline_spark.streaming.incremental import streaming_dedup
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("dsrc", "dout", "dckpt"))
+    rows = [
+        (1, "2026-08-10 00:00:00", "click"),
+        (1, "2026-08-10 00:01:00", "click"),   # duplicate event_id
+        (2, "2026-08-10 00:02:00", "view"),
+        (2, "2026-08-10 00:03:00", "view"),    # duplicate event_id
+        (3, "2026-08-10 00:04:00", "click"),
+    ]
+    df = spark.createDataFrame(rows, "event_id long, ts string, event_type string").select(
+        "event_id", F.col("ts").cast("timestamp").alias("ts"), "event_type"
+    )
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    _stream_to_parquet(streaming_dedup(stream), out, ckpt)
+    got = spark.read.parquet(out)
+    assert got.count() == 3
+    assert {r.event_id for r in got.collect()} == {1, 2, 3}
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    from local_data_pipeline_spark.streaming.incremental import clicks_to_purchases_join
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("jsrc", "jout", "jckpt"))
+    rows = [
+        (1, 10, "2026-08-10 00:10:00", "click", 0.0),
+        (2, 10, "2026-08-10 00:50:00", "click", 0.0),
+        (3, 10, "2026-08-10 01:00:00", "purchase", 99.0),
+        (4, 20, "2026-08-10 00:55:00", "click", 0.0),
+        (5, 20, "2026-08-10 03:00:00", "purchase", 42.0),  # click outside 1h horizon
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string, event_type string, value double"
+    ).select("event_id", "user_id", F.col("ts").cast("timestamp").alias("ts"), "event_type", "value")
+    df.write.parquet(src)
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    joined = clicks_to_purchases_join(
+        stream.filter("event_type = 'click'"),
+        stream.filter("event_type = 'purchase'"),
+    )
+    _stream_to_parquet(joined, out, ckpt)
+    got = [(r.purchase_id, r.click_id) for r in spark.read.parquet(out).collect()]
+    # purchase 3 joins clicks 1 (50 min before) and 2 (10 min before);
+    # purchase 5's only click is 2h05m earlier -> outside horizon
+    assert sorted(got) == [(3, 1), (3, 2)]

@@ -147,3 +147,47 @@ def test_curation_pipeline_end_to_end(spark):
     # every gate actually held
     assert curated.filter("n_tokens < 30 or quality < 0.5").count() == 0
     assert curated.filter("lang not in ('en','es','fr','de','zh')").count() == 0
+
+
+def test_incremental_materialization(spark):
+    import itertools
+
+    from local_data_pipeline_spark.registry import Registry
+
+    counter = itertools.count()
+    batches = [
+        [(1, "2026-01-01 10:00:00", 1.0), (2, "2026-01-01 11:00:00", 2.0)],
+        # batch 2 re-contains old rows (full source) + genuinely new ones
+        [(1, "2026-01-01 10:00:00", 1.0), (2, "2026-01-01 11:00:00", 2.0),
+         (3, "2026-01-02 09:00:00", 3.0)],
+    ]
+
+    def make_reg(batch):
+        reg = Registry()
+        reg.source("src_inc", lambda _r, s: s.createDataFrame(
+            batch, "id long, ts string, v double"
+        ).select("id", F.col("ts").cast("timestamp").alias("ts"), "v"))
+
+        @reg.model("inc_events", deps=("src_inc",), materialization="incremental",
+                   incremental_col="ts")
+        def _m(r, _s):
+            return r.ref("src_inc")
+        return reg
+
+    spark.sql("DROP TABLE IF EXISTS inc_events")
+    make_reg(batches[0]).build(spark)
+    assert spark.table("inc_events").count() == 2
+    # second build sees the FULL source again but appends only ts > max(ts)
+    make_reg(batches[1]).build(spark)
+    rows = spark.table("inc_events").collect()
+    assert len(rows) == 3  # no duplicates of rows 1-2
+    assert {r.id for r in rows} == {1, 2, 3}
+
+
+def test_incremental_requires_watermark_column(spark):
+    from local_data_pipeline_spark.registry import Registry
+
+    reg = Registry()
+    with pytest.raises(ValueError, match="incremental_col"):
+        @reg.model("bad_inc", materialization="incremental")
+        def _m(r, s): ...
