@@ -21,4 +21,23 @@ __all__ = [
     "not_null",
     "unique",
     "accepted_values",
+    "run_all",
 ]
+
+
+def run_all(spark, sf_dir: str = "/root/testdata/sf0.001"):
+    """Build every registered pipeline in topo order (≙ the reference's
+    nightly all-assets job, schedules.py:10-14): swell parity, event
+    analytics, quality checks, and document curation. Returns
+    {pipeline: [BuildResult]}."""
+    from .models.analytics import build_analytics_registry
+    from .models.curation import build_curation_registry
+    from .models.quality import build_quality_registry
+    from .models.swell import build_registry, synthesize_raw_swell
+
+    return {
+        "swell": build_registry(lambda s: synthesize_raw_swell(s)).build(spark),
+        "analytics": build_analytics_registry(sf_dir).build(spark),
+        "quality": build_quality_registry(sf_dir).build(spark),
+        "curation": build_curation_registry(sf_dir).build(spark),
+    }

@@ -1010,6 +1010,42 @@ def scalar_subquery_high_value_orders(spark: SparkSession, sf_dir: str) -> DataF
 
 
 @q(
+    "correlated_agg_subquery",
+    """
+    WITH cust_avg AS (
+      SELECT o_custkey, avg(o_totalprice) AS avg_spend, count(*) AS n_orders
+      FROM orders GROUP BY o_custkey)
+    SELECT c.c_custkey, c.c_name, round(a.avg_spend, 6) AS avg_spend, a.n_orders
+    FROM customer c JOIN cust_avg a ON a.o_custkey = c.c_custkey
+    WHERE a.avg_spend > (SELECT avg(o_totalprice) FROM orders)
+    """,
+    tags=("subquery", "join"),
+)
+def correlated_agg_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers whose average order exceeds the global average — the
+    decorrelated aggregate-subquery shape (per-group agg joined against a
+    scalar subquery). avg here divides equal-count sums of identical
+    doubles, so plain avg is cross-engine safe after round(6)."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    cust_avg = o.groupBy("o_custkey").agg(
+        (dsum("o_totalprice") / F.count("*")).alias("avg_spend"),
+        F.count("*").alias("n_orders"),
+    )
+    global_avg = o.agg((dsum("o_totalprice") / F.count("*")).alias("g")).collect()[0].g
+    return (
+        c.join(cust_avg, c.c_custkey == cust_avg.o_custkey)
+        .filter(F.col("avg_spend") > global_avg)
+        .select(
+            "c_custkey",
+            "c_name",
+            F.round("avg_spend", 6).alias("avg_spend"),
+            "n_orders",
+        )
+    )
+
+
+@q(
     "window_rank_family_orders",
     """
     WITH base AS (

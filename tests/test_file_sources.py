@@ -86,3 +86,24 @@ def test_training_shards_deterministic_and_sorted(spark, tmp_path):
     one_file = glob.glob(f"{p}/shard=0/*.parquet")[0]
     ids = [r.doc_id for r in spark.read.parquet(one_file).select("doc_id").collect()]
     assert ids == sorted(ids)
+
+
+def test_compaction_reduces_files_preserves_rows(spark, tmp_path):
+    from local_data_pipeline_spark.sources.maintenance import compact_parquet
+
+    p = str(tmp_path / "smallfiles")
+    ev = load_table(spark, SF_DIR, "events")
+    ev.repartition(64).write.parquet(p)  # simulate small-file buildup
+    n_rows = spark.read.parquet(p).count()
+    before, after = compact_parquet(spark, p, target_mb=128)
+    assert before == 64 and after < 8
+    assert spark.read.parquet(p).count() == n_rows
+
+
+def test_analyze_table_records_stats(spark):
+    from local_data_pipeline_spark.sources.maintenance import analyze_table
+
+    load_table(spark, SF_DIR, "nation").write.mode("overwrite").saveAsTable("t_nation")
+    analyze_table(spark, "t_nation", columns=["n_nationkey"])
+    desc = {r.col_name: r.data_type for r in spark.sql("DESCRIBE EXTENDED t_nation").collect()}
+    assert "Statistics" in desc  # row count / size recorded for CBO

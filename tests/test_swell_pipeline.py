@@ -191,3 +191,15 @@ def test_incremental_requires_watermark_column(spark):
     with pytest.raises(ValueError, match="incremental_col"):
         @reg.model("bad_inc", materialization="incremental")
         def _m(r, s): ...
+
+
+def test_run_all_builds_every_pipeline(spark):
+    import local_data_pipeline_spark as eng
+
+    results = eng.run_all(spark)
+    assert set(results) == {"swell", "analytics", "quality", "curation"}
+    for pipeline, rs in results.items():
+        assert all(r.ok for r in rs), pipeline
+    assert spark.table("pres_daily_max_swell").count() > 0
+    assert spark.table("pres_user_daily").count() > 0
+    assert spark.table("pres_curated_docs").count() >= 0
