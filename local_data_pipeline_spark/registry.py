@@ -230,6 +230,9 @@ class Registry:
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)
                 writer.saveAsTable(target)
+                # a partitioned overwrite leaves stale file listings in the
+                # session's relation cache when the table was read earlier
+                spark.catalog.refreshTable(target)
                 persisted = spark.table(target)
                 rows = persisted.count()
                 self._cache[name] = persisted
@@ -250,6 +253,7 @@ class Registry:
                     if m.partition_by:
                         writer = writer.partitionBy(*m.partition_by)
                     writer.saveAsTable(target)
+                spark.catalog.refreshTable(target)
                 persisted = spark.table(target)
                 rows = persisted.count()
                 self._cache[name] = persisted
