@@ -230,6 +230,34 @@ def minhash_near_dups(
     return jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
 
 
+# ------------------------------------------------------------ hash split
+def hash_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    buckets: tuple[tuple[str, int], ...] = (("train", 80), ("valid", 10), ("test", 10)),
+) -> DataFrame:
+    """Deterministic dataset split: bucket = md5(id) mod 100 mapped to
+    named splits by cumulative percentage. A pure function of the id —
+    stable across runs, partitionings, engines and cluster sizes (unlike
+    ``DataFrame.sample``, whose output depends on partition layout).
+    Appends ``split`` and ``split_bucket`` columns."""
+    if sum(p for _, p in buckets) != 100:
+        raise ValueError("bucket percentages must sum to 100")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(100),
+    )
+    expr = None
+    cum = 0
+    for name, pct in buckets:
+        cum += pct
+        cond = bucket < cum
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    return df.withColumn("split_bucket", bucket).withColumn("split", expr)
+
+
 # ------------------------------------------------------------- winnowing
 def winnowing_fingerprints(
     df: DataFrame,

@@ -1085,6 +1085,32 @@ def window_rank_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hash_split_documents",
+    """
+    WITH b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 100 AS split_bucket
+      FROM documents)
+    SELECT doc_id, lang, split_bucket,
+           CASE WHEN split_bucket < 80 THEN 'train'
+                WHEN split_bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    tags=("split", "text"),
+)
+def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test split: md5(id)-derived
+    bucket, stable across engines/partitionings (operators/dedup.py
+    hash_split) — the reproducible-holdout op a training pipeline needs."""
+    d = _t(spark, sf_dir, "documents")
+    out = DD.hash_split(d)
+    return out.select(
+        "doc_id", "lang", F.col("split_bucket").cast("bigint").alias("split_bucket"), "split"
+    )
+
+
+@q(
     "pii_scrub_documents",
     """
     SELECT doc_id,

@@ -227,3 +227,21 @@ def test_pii_scrub_and_html_strip(spark):
     assert by[2].n_ssns == 1 and by[2].n_ips == 1
     stripped = {r.id: r.s for r in df.select("id", strip_html(F.col("text")).alias("s")).collect()}
     assert stripped[3] == "Hello & welcome"
+
+
+def test_hash_split_stable_and_proportional(spark, sf_dir):
+    from local_data_pipeline_spark.operators.dedup import hash_split
+    from local_data_pipeline_spark.session import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    s1 = {(r.doc_id, r.split) for r in hash_split(d).select("doc_id", "split").collect()}
+    # stable under repartitioning (sample() would NOT be)
+    s2 = {(r.doc_id, r.split) for r in hash_split(d.repartition(7)).select("doc_id", "split").collect()}
+    assert s1 == s2
+    n = len(s1)
+    train = sum(1 for _, s in s1 if s == "train")
+    assert 0.6 * n < train < 0.95 * n  # ~80% within generous tolerance
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        hash_split(d, buckets=(("a", 50), ("b", 20)))
