@@ -101,6 +101,9 @@ def lsh_candidate_pairs(
     → pairs within buckets. Bucket sizes are the knob: more bands → higher
     recall and bigger buckets. A degenerate bucket (e.g. empty docs) is the
     skew risk — cap it upstream or raise rows-per-band."""
+    # both sides of the self-join would recompute the signature subtree;
+    # checkpoint it once (at 100 TB: persist to a signatures table instead)
+    signatures = signatures.localCheckpoint(eager=False)
     n_hashes_col = F.size(F.col("signature"))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
     banded = signatures.select(
@@ -419,7 +422,9 @@ def simhash_near_dups(
     """SimHash near-dup: band the 64-bit hash into 16-bit chunks; pairs
     sharing a chunk are candidates; verify Hamming distance ≤ max_hamming."""
     bits_per = 64 // n_bands
-    sh = simhash(df, text_col, id_col)
+    # checkpoint: the banded self-join would otherwise compute the 64-bit
+    # vote aggregation once per side
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     mask = (1 << bits_per) - 1
     banded = sh.select(
         id_col,

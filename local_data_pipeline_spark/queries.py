@@ -1484,6 +1484,30 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate / hash-banded ops — rows-only checks (no SQL oracle)
 # =====================================================================
 
+@q("multimodal_features_demo", None, tags=("multimodal", "arrow"))
+def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing on the declared surface (E5): documents' text
+    bytes stand in for media blobs (no media table in the fixtures); the
+    REAL parts — BinaryType column, Arrow-batched mapInPandas feature
+    extraction, deterministic output — are exactly what a media pipeline
+    runs, with the decoder stubbed (operators/multimodal.py)."""
+    from .operators.multimodal import decode_image_features
+
+    d = _t(spark, sf_dir, "documents")
+    media = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("text").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    out = decode_image_features(media)
+    return out.select(
+        "media_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1), 6).alias("f0"),
+        F.round(F.element_at("features", 2), 6).alias("f1"),
+    )
+
+
 @q("minhash_near_dups", None, tags=("dedup", "approx"))
 def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes)+LSH(8 bands) candidates, verified Jaccard ≥ 0.5.
