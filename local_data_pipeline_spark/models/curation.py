@@ -69,12 +69,17 @@ def build_curation_registry(sf_dir: str) -> Registry:
 
     @reg.model("int_near_dup_drops", deps=("int_doc_candidates",), group="curation")
     def _drops(r: Registry, _s: SparkSession) -> DataFrame:
+        from ..operators.dedup import dedup_clusters
+
         cands = r.ref("int_doc_candidates")
         pairs = minhash_near_dups(
             cands, text_col="text", id_col="doc_id", threshold=NEAR_DUP_JACCARD
         )
-        # drop the higher id of each near-dup pair (keep-first policy)
-        return pairs.select(F.col("id_b").alias("doc_id")).distinct()
+        # transitive closure: A~B, B~C collapses {A,B,C} to one canonical
+        # doc even without a direct A~C pair (pairwise keep-first would
+        # under-delete on chains)
+        clusters = dedup_clusters(pairs)
+        return clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
 
     @reg.model(
         "pres_curated_docs",

@@ -233,6 +233,67 @@ def minhash_near_dups(
     return jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
 
 
+# --------------------------------------------------- duplicate clustering
+def dedup_clusters(
+    pairs: DataFrame,
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (doc_id, cluster_id)
+    where cluster_id = min doc id reachable through any chain of pairs.
+    Pairwise dedup alone under-deletes: A~B and B~C must collapse {A,B,C}
+    to ONE canonical doc even when A~C wasn't emitted.
+
+    Algorithm: iterative min-label propagation (the standard large-scale
+    CC shape — alternating join + min-aggregate until fixpoint, checked
+    driver-side per round). Each iteration is one join + one aggregate;
+    rounds needed = graph diameter in the worst case, ~log for typical
+    near-dup clusters. Input: (id_a, id_b) columns; ids of docs with no
+    pair simply don't appear (they are their own cluster).
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .union(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = (
+        edges.groupBy("src")
+        .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
+        .select(F.col("src").alias("id"), F.least("label", "src").alias("label"))
+    )
+    for _ in range(max_iterations):
+        # propagate: my new label = min(my label, labels of my neighbors)
+        neighbor_labels = (
+            edges.join(labels, edges.dst == labels.id)
+            .select(F.col("src").alias("id"), F.col("label"))
+        )
+        new_labels = (
+            labels.unionByName(neighbor_labels)
+            .groupBy("id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()  # eager: cut the iterative lineage
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+def cluster_canonical_docs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one canonical row (the min-id cluster representative) per
+    near-dup cluster; singleton docs pass through untouched."""
+    clusters = dedup_clusters(pairs)
+    losers = clusters.filter(F.col("doc_id") != F.col("cluster_id")).select("doc_id")
+    return df.join(losers, df[id_col] == losers.doc_id, "left_anti")
+
+
 # ------------------------------------------------------------ hash split
 def hash_split(
     df: DataFrame,

@@ -1111,6 +1111,43 @@ def hash_split_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "vocabulary_top_tokens",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    flat AS (SELECT unnest(t) AS token FROM toks),
+    counted AS (
+      SELECT token, count(*) AS n FROM flat GROUP BY token)
+    SELECT token, n,
+           row_number() OVER (ORDER BY n DESC, token ASC) AS rnk
+    FROM counted
+    ORDER BY rnk LIMIT 50
+    """,
+    tags=("text", "vocab"),
+)
+def vocabulary_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 whitespace tokens by frequency (the
+    explode + count + total-order-limit shape of tokenizer-training
+    corpus statistics; at 100 TB this is THE canonical word-count with a
+    map-side combine and a tiny final top-k)."""
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select(TX.tokens(F.col("text")).alias("__t"))
+    counted = (
+        tokd.select(F.explode("__t").alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 50)
+        .orderBy("rnk")
+    )
+
+
+@q(
     "pii_scrub_documents",
     """
     SELECT doc_id,

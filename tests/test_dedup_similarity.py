@@ -245,3 +245,34 @@ def test_hash_split_stable_and_proportional(spark, sf_dir):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         hash_split(d, buckets=(("a", 50), ("b", 20)))
+
+
+def test_dedup_clusters_transitive_closure(spark):
+    from local_data_pipeline_spark.operators.dedup import (
+        cluster_canonical_docs,
+        dedup_clusters,
+    )
+
+    # chain 1-2-3-4 (no direct 1~4 edge), separate pair 7-8, singleton 9
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 8)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 7, 8, 9)], "doc_id long, text string"
+    )
+    kept = {r.doc_id for r in cluster_canonical_docs(docs, pairs).collect()}
+    assert kept == {1, 7, 9}  # one canonical per cluster + untouched singleton
+
+
+def test_dedup_clusters_long_chain_converges(spark):
+    from local_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    # a 30-node path graph: worst-case diameter for label propagation
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 30)], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=40).collect()}
+    assert set(got.values()) == {1} and len(got) == 30
