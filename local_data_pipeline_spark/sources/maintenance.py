@@ -62,6 +62,41 @@ def compact_parquet(
     return before, count_files(path)
 
 
+def upsert_partitioned(
+    spark: SparkSession,
+    updates,
+    path: str,
+    key: str,
+    partition_col: str,
+) -> None:
+    """MERGE-INTO semantics on plain Parquet: upsert ``updates`` into a
+    partitioned dataset by key, rewriting ONLY the partitions the updates
+    touch (dynamic partition overwrite).
+
+    Shape at 100 TB: read just the affected partitions (partition-pruned
+    scan), anti-join out the updated keys, union the new rows, overwrite
+    those partitions in place. Cost is proportional to touched partitions,
+    not the table. (A lakehouse format — Delta/Iceberg — does this with
+    ACID guarantees; this is the dependency-free equivalent for
+    append-mostly pipelines.)"""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+    existing = spark.read.parquet(path).filter(
+        F.col(partition_col).isin(touched)
+    )
+    keys = updates.select(key).distinct()
+    kept = existing.join(keys, key, "left_anti")
+    merged = kept.unionByName(updates)
+    (
+        merged.repartition(partition_col)
+        .write.mode("overwrite")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
 def analyze_table(
     spark: SparkSession, table: str, columns: list[str] | None = None
 ) -> None:

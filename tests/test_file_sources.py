@@ -107,3 +107,40 @@ def test_analyze_table_records_stats(spark):
     analyze_table(spark, "t_nation", columns=["n_nationkey"])
     desc = {r.col_name: r.data_type for r in spark.sql("DESCRIBE EXTENDED t_nation").collect()}
     assert "Statistics" in desc  # row count / size recorded for CBO
+
+
+def test_upsert_partitioned_rewrites_only_touched_partitions(spark, tmp_path):
+    import glob
+
+    from local_data_pipeline_spark.sources.maintenance import upsert_partitioned
+
+    p = str(tmp_path / "upsert")
+    base = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p1"), (3, "c", "p2"), (4, "d", "p3")],
+        "id long, v string, part string",
+    )
+    base.write.partitionBy("part").parquet(p)
+    files_p3_before = set(glob.glob(f"{p}/part=p3/*.parquet"))
+
+    updates = spark.createDataFrame(
+        [(2, "B2", "p1"), (5, "e", "p2")], "id long, v string, part string"
+    )
+    upsert_partitioned(spark, updates, p, key="id", partition_col="part")
+
+    got = {(r.id, r.v) for r in spark.read.parquet(p).collect()}
+    assert got == {(1, "a"), (2, "B2"), (3, "c"), (4, "d"), (5, "e")}
+    # untouched partition p3 was not rewritten
+    assert set(glob.glob(f"{p}/part=p3/*.parquet")) == files_p3_before
+
+
+def test_schema_evolution_merge_schema(spark, tmp_path):
+    p = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, "x")], "id long, a string").write.mode("append").parquet(p)
+    # v2 of the producer adds a column
+    spark.createDataFrame([(2, "y", 9.5)], "id long, a string, score double").write.mode(
+        "append"
+    ).parquet(p)
+    merged = spark.read.option("mergeSchema", True).parquet(p)
+    assert set(merged.columns) == {"id", "a", "score"}
+    rows = {r.id: r.score for r in merged.collect()}
+    assert rows[1] is None and rows[2] == 9.5
