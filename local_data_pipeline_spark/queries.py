@@ -1521,6 +1521,23 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Approximate / hash-banded ops — rows-only checks (no SQL oracle)
 # =====================================================================
 
+@q("approx_sketch_stats", None, tags=("agg", "sketch", "approx"))
+def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based aggregates — the 100 TB substitutes for exact
+    distinct/percentile: HyperLogLog++ approx_count_distinct and t-digest
+    approx_percentile, both map-side mergeable (no giant exact-distinct
+    shuffle). Algorithms differ across engines → rows-only determinism
+    check; unit/oracle twins pin the exact versions they approximate."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.round(
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 6
+        ).alias("approx_p50_price"),
+    )
+
+
 @q("multimodal_features_demo", None, tags=("multimodal", "arrow"))
 def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on the declared surface (E5): documents' text

@@ -81,20 +81,24 @@ def upsert_partitioned(
     append-mostly pipelines.)"""
     from pyspark.sql import functions as F
 
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
-    existing = spark.read.parquet(path).filter(
-        F.col(partition_col).isin(touched)
-    )
-    keys = updates.select(key).distinct()
-    kept = existing.join(keys, key, "left_anti")
-    merged = kept.unionByName(updates)
-    (
-        merged.repartition(partition_col)
-        .write.mode("overwrite")
-        .partitionBy(partition_col)
-        .parquet(path)
-    )
+    try:
+        touched = [r[0] for r in updates.select(partition_col).distinct().collect()]
+        existing = spark.read.parquet(path).filter(
+            F.col(partition_col).isin(touched)
+        )
+        keys = updates.select(key).distinct()
+        kept = existing.join(keys, key, "left_anti")
+        merged = kept.unionByName(updates)
+        (
+            merged.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
 
 
 def analyze_table(
