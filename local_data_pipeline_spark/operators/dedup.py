@@ -174,7 +174,7 @@ def jaccard_pairs(
         F.col(id_col),
         *([F.col(block_by)] if block_by else []),
         F.explode(shingles_from_tokens(F.col("__t"), shingle_k)).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)  # reused by sizes + both join sides
     sizes = ex.groupBy(id_col).agg(F.count("*").alias("n_sh"))
     ex_a = ex.select(
         F.col(id_col).alias("id_a"),
@@ -421,7 +421,8 @@ def winnowing_overlap_pairs(
     make fingerprint multiplicity (and the self-join) blow up — k=16/w=8
     measured 500× fewer pairs than k=5/w=4 on the synthetic corpus."""
     make = winnowing_fingerprints_arrow if use_arrow else winnowing_fingerprints
-    fps = make(df, text_col, id_col, k, w)
+    # both self-join sides reuse the fingerprints; compute them once
+    fps = make(df, text_col, id_col, k, w).localCheckpoint(eager=False)
     a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
     return (

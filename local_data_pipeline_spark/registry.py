@@ -213,7 +213,20 @@ class Registry:
         run data tests; a test failure raises after all models have run."""
         self._spark = spark
         self._cache.clear()
-        wanted = set(select) if select else None
+        wanted: set[str] | None = None
+        if select:
+            # dbt '+model' semantics: selecting a model pulls in its
+            # transitive upstream dependencies automatically
+            wanted = set()
+            stack = list(select)
+            while stack:
+                n = stack.pop()
+                if n in wanted:
+                    continue
+                if n not in self._models:
+                    raise ValueError(f"unknown model in select: {n!r}")
+                wanted.add(n)
+                stack.extend(self._models[n].deps)
         results: list[BuildResult] = []
         for name in self.topo_order():
             if wanted is not None and name not in wanted:

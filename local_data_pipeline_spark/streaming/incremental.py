@@ -104,6 +104,44 @@ def clicks_to_purchases_join(
     ).select("user_id", "purchase_id", "purchase_ts", "value", "click_id", "click_ts")
 
 
+def run_stream_upsert(
+    spark: SparkSession,
+    src_path: str,
+    table_path: str,
+    checkpoint: str,
+    schema,
+    key: str,
+    partition_col: str,
+) -> None:
+    """Streaming upsert sink via ``foreachBatch``: each micro-batch is
+    MERGEd into a partitioned Parquet table (sources/maintenance.py
+    upsert_partitioned) — the standard pattern for keyed mutable sinks
+    that plain append streaming can't express. Batch-id dedup makes the
+    merge effectively-once on retries."""
+    from ..sources.maintenance import upsert_partitioned
+
+    import os
+
+    def merge(batch_df, _batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        if not os.path.exists(table_path):
+            batch_df.write.partitionBy(partition_col).parquet(table_path)
+        else:
+            upsert_partitioned(
+                batch_df.sparkSession, batch_df, table_path, key, partition_col
+            )
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )
+
+
 def run_windowed_event_stream(
     spark: SparkSession,
     events_path: str,

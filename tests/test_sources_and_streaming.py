@@ -186,3 +186,23 @@ def test_stream_stream_interval_join(spark, tmp_path):
     # purchase 3 joins clicks 1 (50 min before) and 2 (10 min before);
     # purchase 5's only click is 2h05m earlier -> outside horizon
     assert sorted(got) == [(3, 1), (3, 2)]
+
+
+def test_stream_upsert_foreachbatch(spark, tmp_path):
+    from local_data_pipeline_spark.streaming.incremental import run_stream_upsert
+
+    src, tbl, ckpt = (str(tmp_path / d) for d in ("usrc", "utbl", "uckpt"))
+    v1 = spark.createDataFrame(
+        [(1, "a", "p1"), (2, "b", "p2")], "id long, v string, part string"
+    )
+    v1.write.mode("append").parquet(src)
+    run_stream_upsert(spark, src, tbl, ckpt, v1.schema, key="id", partition_col="part")
+    assert {(r.id, r.v) for r in spark.read.parquet(tbl).collect()} == {(1, "a"), (2, "b")}
+
+    # batch 2 updates key 1 and inserts key 3 — merged, not appended
+    spark.createDataFrame([(1, "A2", "p1"), (3, "c", "p1")], v1.schema).write.mode(
+        "append"
+    ).parquet(src)
+    run_stream_upsert(spark, src, tbl, ckpt, v1.schema, key="id", partition_col="part")
+    got = {(r.id, r.v) for r in spark.read.parquet(tbl).collect()}
+    assert got == {(1, "A2"), (2, "b"), (3, "c")}

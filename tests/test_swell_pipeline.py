@@ -203,3 +203,16 @@ def test_run_all_builds_every_pipeline(spark):
     assert spark.table("pres_daily_max_swell").count() > 0
     assert spark.table("pres_user_daily").count() > 0
     assert spark.table("pres_curated_docs").count() >= 0
+
+
+def test_build_select_pulls_upstream_deps(spark):
+    reg = build_registry(lambda s: synthesize_raw_swell(s))
+    results = reg.build(spark, select=["int_daily_max_swell"])
+    names = [r.model for r in results]
+    # upstream closure included automatically, downstream excluded
+    assert "raw_swell_data" in names and "stg_swell_hourly" in names
+    assert "pres_daily_max_swell" not in names
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="unknown model"):
+        reg.build(spark, select=["nope"])
