@@ -66,6 +66,33 @@ def asof_join(
     )
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: the (large, skewed) ``left`` gets a
+    deterministic per-row salt; the (smaller) ``right`` is replicated
+    across all salts; the join key becomes (key, salt), so a hot key's
+    rows spread over ``n_salts`` partitions instead of one straggler task.
+
+    This is the manual form of what AQE skew-join does adaptively —
+    needed when skew is known a priori (bot user_ids, null-ish defaults)
+    or when AQE's thresholds won't trigger. Cost: right side × n_salts.
+    """
+    salted_l = left.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts)),
+    )
+    replicated_r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<long>"))
+    )
+    out = salted_l.join(replicated_r, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def range_join_buckets(
     left: DataFrame,
     right: DataFrame,

@@ -243,6 +243,14 @@ class Registry:
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)
                 writer.saveAsTable(target)
+                if m.description:
+                    # persist model docs on the table (≙ dbt +persist_docs,
+                    # dbt_project.yml:11-13)
+                    comment = m.description.replace("'", "''")[:256]
+                    spark.sql(
+                        f"ALTER TABLE {target} SET TBLPROPERTIES "
+                        f"('comment' = '{comment}', 'group' = '{m.group}')"
+                    )
                 # a partitioned overwrite leaves stale file listings in the
                 # session's relation cache when the table was read earlier
                 spark.catalog.refreshTable(target)

@@ -146,3 +146,46 @@ def test_frame_sample_plan_and_stats(spark, media):
     stats = {r.modality: r for r in media_stats(media).collect()}
     assert stats["image"].n == 2
     assert stats["video"].max_duration_ms == 3500
+
+
+def test_salted_join_matches_plain_join_on_skewed_data(spark):
+    from local_data_pipeline_spark.operators.joins import salted_join
+
+    # 10k rows, 95% on one hot key — the classic straggler shape
+    left = spark.range(10000).select(
+        F.when(F.col("id") % 20 != 0, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("left_id"),
+    )
+    right = spark.createDataFrame([(i, f"dim{i}") for i in range(50)], "k long, name string")
+    plain = left.join(right, "k")
+    salted = salted_join(left, right, "k", n_salts=8)
+    assert salted.count() == plain.count()
+    a = {(r.k, r.left_id, r.name) for r in plain.collect()}
+    b = {(r.k, r.left_id, r.name) for r in salted.collect()}
+    assert a == b
+
+
+def test_table_docs_persisted(spark):
+    from local_data_pipeline_spark.registry import Registry
+
+    reg = Registry()
+
+    @reg.model("documented_tbl", materialization="table",
+               description="the curated output table")
+    def _m(r, s):
+        return s.range(3)
+
+    reg.build(spark)
+    # qualified name: the registry also registers a temp view under the
+    # bare name, which SHOW TBLPROPERTIES would hit instead of the table
+    comment = [
+        r.data_type
+        for r in spark.sql("DESCRIBE EXTENDED default.documented_tbl").collect()
+        if r.col_name == "Comment"
+    ]
+    assert comment == ["the curated output table"]
+    props = {
+        r.key: r.value
+        for r in spark.sql("SHOW TBLPROPERTIES default.documented_tbl").collect()
+    }
+    assert props.get("group") == "default"

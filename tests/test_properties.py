@@ -65,3 +65,27 @@ def test_sessionize_invariants(spark, offsets_s):
         expected.append(sid)
         prev = ts
     assert [s for _, s in out] == expected
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=-1e9, max_value=1e9, allow_nan=False).map(
+            lambda x: round(x, 4)
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_dsum_is_exact_and_order_insensitive(spark, values):
+    """dsum == exact decimal arithmetic regardless of partitioning —
+    the core determinism helper behind every oracle-matched aggregate."""
+    from decimal import Decimal
+
+    from local_data_pipeline_spark.functions.numeric import dsum
+
+    df = spark.createDataFrame([(v,) for v in values], "x double")
+    got1 = df.agg(dsum("x").alias("s")).collect()[0].s
+    got2 = df.repartition(5).agg(dsum("x").alias("s")).collect()[0].s
+    exact = float(sum(Decimal(str(round(v, 6))) for v in values))
+    assert got1 == got2 == exact
