@@ -716,6 +716,58 @@ def sliding_6h_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @q(
+    "hypertable_rollup_events",
+    f"""
+    WITH base AS (
+      SELECT event_type, value,
+             date_trunc('hour', ts) AS h,
+             date_trunc('day', ts) AS d,
+             date_trunc('week', ts) AS w
+      FROM events)
+    SELECT 'hour' AS granularity, h AS bucket_start, event_type,
+           count(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM base GROUP BY h, event_type
+    UNION ALL
+    SELECT 'day' AS granularity, d AS bucket_start, event_type,
+           count(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM base GROUP BY d, event_type
+    UNION ALL
+    SELECT 'week' AS granularity, w AS bucket_start, event_type,
+           count(*) AS n, {dsum_sql('value')} AS sum_value
+    FROM base GROUP BY w, event_type
+    """,
+    tags=("window", "rollup", "timeseries"),
+)
+def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour/day/week time
+    buckets in ONE pass via GROUPING SETS over pre-truncated columns
+    (a single Expand + hash aggregate — not three scans; the oracle's
+    UNION ALL is the portable equivalent). At scale, materialize
+    per-granularity with the finest level feeding coarser ones."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "value",
+        F.date_trunc("hour", "ts").cast("timestamp_ntz").alias("h"),
+        F.date_trunc("day", "ts").cast("timestamp_ntz").alias("d"),
+        F.date_trunc("week", "ts").cast("timestamp_ntz").alias("w"),
+    )
+    base.createOrReplaceTempView("__ht_base")
+    return spark.sql(
+        """
+        SELECT CASE WHEN grouping(h) = 0 THEN 'hour'
+                    WHEN grouping(d) = 0 THEN 'day'
+                    ELSE 'week' END AS granularity,
+               coalesce(h, d, w) AS bucket_start, event_type,
+               count(*) AS n,
+               cast(sum(cast(value AS decimal(25,6))) AS double) AS sum_value
+        FROM __ht_base
+        GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (w, event_type))
+        """
+    )
+
+
+@q(
     "sessionize_events",
     f"""
     WITH flagged AS (
