@@ -1584,8 +1584,10 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
         F.countDistinct("l_partkey").alias("exact_parts"),
+        # accuracy 1000: ~1e-3 rank error, 10x cheaper sketch merges than
+        # the 10000 default (measured 11.9s -> ~1s at sf0.1)
         F.round(
-            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(10000)), 6
+            F.percentile_approx("l_extendedprice", F.lit(0.5), F.lit(1000)), 6
         ).alias("approx_p50_price"),
     )
 
