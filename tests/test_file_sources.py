@@ -144,3 +144,24 @@ def test_schema_evolution_merge_schema(spark, tmp_path):
     assert set(merged.columns) == {"id", "a", "score"}
     rows = {r.id: r.score for r in merged.collect()}
     assert rows[1] is None and rows[2] == 9.5
+
+
+def test_curation_to_training_shards_end_to_end(spark, tmp_path):
+    """The full LLM-data story: curate -> deterministic split -> shards."""
+    import glob
+
+    from local_data_pipeline_spark.models.curation import build_curation_registry
+    from local_data_pipeline_spark.operators.dedup import hash_split
+    from local_data_pipeline_spark.sources.shards import write_training_shards
+
+    reg = build_curation_registry(SF_DIR)
+    reg.build(spark)
+    curated = spark.table("pres_curated_docs")
+    split = hash_split(curated)
+    p = str(tmp_path / "train_shards")
+    write_training_shards(
+        split.filter("split = 'train'"), p, id_col="doc_id", n_shards=2
+    )
+    back = spark.read.parquet(p)
+    assert back.count() == split.filter("split = 'train'").count() > 0
+    assert len(glob.glob(f"{p}/shard=*")) == 2

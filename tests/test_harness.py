@@ -1,0 +1,43 @@
+"""The correctness harness must itself be trustworthy: compare() catches
+every mismatch class it claims to check (a harness that can't fail would
+make 58 green queries meaningless)."""
+
+import datetime
+import sys
+import os
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+from tools.check_oracle import compare
+
+
+def test_compare_passes_identical():
+    ok, msg = compare([(1, "a"), (2, "b")], ["id", "v"], [(2, "b"), (1, "a")], ["id", "v"])
+    assert ok  # order-insensitive
+
+
+def test_compare_catches_row_count():
+    ok, msg = compare([(1,)], ["id"], [(1,), (2,)], ["id"])
+    assert not ok and "row count" in msg
+
+
+def test_compare_catches_column_names():
+    ok, msg = compare([(1,)], ["id"], [(1,)], ["key"])
+    assert not ok and "columns" in msg
+
+
+def test_compare_catches_value_change():
+    ok, msg = compare([(1, 2.5)], ["id", "v"], [(1, 2.5000001)], ["id", "v"])
+    assert not ok and "mismatch" in msg
+
+
+def test_compare_column_order_insensitive():
+    ok, _ = compare([("a", 1)], ["v", "id"], [(1, "a")], ["id", "v"])
+    assert ok
+
+
+def test_compare_handles_nulls_and_timestamps():
+    ts = datetime.datetime(2026, 1, 1, 12, 0)
+    ok, _ = compare([(None, ts)], ["a", "t"], [(None, ts)], ["a", "t"])
+    assert ok
+    ok, _ = compare([(None, ts)], ["a", "t"], [(1, ts)], ["a", "t"])
+    assert not ok
