@@ -2150,3 +2150,76 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
         F.count("*").alias("n_items"),
     )
+
+
+@q(
+    "range_join_purchases_in_sessions",
+    f"""
+    WITH clicks AS (
+      SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+    flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM clicks
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged),
+    intervals AS (
+      SELECT user_id, session_id,
+             min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end
+      FROM sessioned GROUP BY user_id, session_id),
+    purch AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase')
+    SELECT i.user_id, i.session_id, i.session_start, i.session_end,
+           count(*) AS n_purchases,
+           {dsum_sql('p.value')} AS purchase_value
+    FROM intervals i
+    JOIN purch p ON p.user_id = i.user_id
+                AND p.ts >= i.session_start AND p.ts < i.session_end
+    GROUP BY i.user_id, i.session_id, i.session_start, i.session_end
+    """,
+    tags=("join", "range", "window"),
+)
+def range_join_purchases_in_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (operators/joins.py range_join_buckets): purchases
+    landing inside gap-based click sessions per user. The interval side is
+    exploded into coarse 1-hour buckets so the join is (user, bucket)-equi
+    with an exact residual predicate — hash-partitionable, no
+    broadcast-nested-loop, bucket-local work at any scale. Click sessions
+    are disjoint per user (next session starts > gap after the previous
+    end), so each purchase matches at most one interval."""
+    from .operators.joins import range_join_buckets
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click")
+    sess = WIN.sessionize(clicks, ts="ts", entity="user_id", gap="30 minutes")
+    intervals = sess.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        (F.max("ts") + F.expr("INTERVAL 30 MINUTE")).alias("session_end"),
+    )
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), "ts", "value"
+    )
+    joined = range_join_buckets(
+        purch,
+        intervals.withColumnRenamed("user_id", "p_user"),
+        on="p_user",
+        left_ts="ts",
+        right_start="session_start",
+        right_end="session_end",
+        bucket="1 hour",
+    )
+    return (
+        joined.groupBy("p_user", "session_id", "session_start", "session_end")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            dsum("value").alias("purchase_value"),
+        )
+        .withColumnRenamed("p_user", "user_id")
+    )
