@@ -2223,3 +2223,195 @@ def range_join_purchases_in_sessions(spark: SparkSession, sf_dir: str) -> DataFr
         )
         .withColumnRenamed("p_user", "user_id")
     )
+
+
+# =====================================================================
+# Corpus-analytics additions: TF-IDF, stratified sampling, funnel,
+# cohort retention
+# =====================================================================
+
+@q(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM flat GROUP BY doc_id, token),
+    df AS (SELECT token, count(DISTINCT doc_id) AS df FROM flat GROUP BY token),
+    n AS (SELECT count(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf,
+             round(tf.tf * ln(cast(n.n_docs AS double) / df.df), 6) AS tfidf
+      FROM tf JOIN df ON df.token = tf.token CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, token ASC) AS rn
+      FROM scored)
+    SELECT doc_id, token, tf, tfidf FROM ranked WHERE rn <= 3
+    """,
+    tags=("text", "tfidf"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 characteristic terms per document. Explode + two hash
+    aggregates (term frequency per doc, document frequency per term) + a
+    broadcast of the tiny df side back onto tf — both aggregates are
+    map-side combinable and the shuffles key on (doc, token)/(token), so
+    the shape scales linearly with corpus size. Ranking happens on the
+    round(6) score with a token tie-break so the top-3 is a total order
+    on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    flat = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = flat.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df = flat.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "token").select(
+        "doc_id",
+        "token",
+        "tf",
+        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
+            "tfidf"
+        ),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("doc_id", "token", "tf", "tfidf")
+    )
+
+
+@q(
+    "stratified_sample_documents",
+    """
+    WITH b AS (
+      SELECT doc_id, lang, source,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 100 AS bucket
+      FROM documents)
+    SELECT doc_id, lang, source, bucket
+    FROM b
+    WHERE bucket < (CASE lang WHEN 'en' THEN 50 WHEN 'zh' THEN 30 ELSE 10 END)
+    """,
+    tags=("sampling", "curation"),
+)
+def stratified_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling for corpus curation: per-language
+    keep rates (en 50%, zh 30%, rest 10%) applied via md5-hash buckets —
+    a pure function of doc_id, so the sample is stable across runs,
+    partitionings, engines and cluster sizes (unlike DataFrame.sample /
+    sampleBy, whose RNG draws depend on partition layout). The predicate
+    evaluates scan-side with zero shuffles at any scale."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+            "bigint"
+        ),
+        F.lit(100),
+    )
+    rate = (
+        F.when(F.col("lang") == "en", 50).when(F.col("lang") == "zh", 30).otherwise(10)
+    )
+    return (
+        d.withColumn("bucket", bucket)
+        .filter(F.col("bucket") < rate)
+        .select("doc_id", "lang", "source", "bucket")
+    )
+
+
+@q(
+    "funnel_conversion_events",
+    """
+    WITH s AS (
+      SELECT user_id, min(ts) AS st FROM events
+      WHERE event_type = 'signup' GROUP BY user_id),
+    c AS (
+      SELECT e.user_id, min(e.ts) AS ct
+      FROM events e JOIN s ON s.user_id = e.user_id AND e.ts > s.st
+      WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (
+      SELECT e.user_id, min(e.ts) AS pt
+      FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.ct
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT (SELECT count(*) FROM s) AS n_signup,
+           (SELECT count(*) FROM c) AS n_click_after_signup,
+           (SELECT count(*) FROM p) AS n_purchase_after_click
+    """,
+    tags=("funnel", "timeseries"),
+)
+def funnel_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who signed up, then clicked after
+    signing up, then purchased after that first click. Each stage is a
+    per-user min-aggregate joined to the next stage's candidate events —
+    three key-partitioned aggregates, no window over full history, and
+    every join keys on user_id so a 1000-executor run co-partitions all
+    stages on the same key."""
+    ev = _t(spark, sf_dir, "events")
+    s = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("st"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(s, "user_id")
+        .filter(F.col("ts") > F.col("st"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    return (
+        s.agg(F.count("*").alias("n_signup"))
+        .crossJoin(c.agg(F.count("*").alias("n_click_after_signup")))
+        .crossJoin(p.agg(F.count("*").alias("n_purchase_after_click")))
+    )
+
+
+@q(
+    "cohort_retention_events",
+    """
+    WITH first_seen AS (
+      SELECT user_id, cast(date_trunc('week', min(ts)) AS date) AS cohort_week
+      FROM events GROUP BY user_id),
+    activity AS (
+      SELECT DISTINCT user_id, cast(date_trunc('week', ts) AS date) AS wk FROM events)
+    SELECT f.cohort_week,
+           cast(date_diff('day', f.cohort_week, a.wk) / 7 AS bigint) AS week_offset,
+           count(DISTINCT a.user_id) AS n_users
+    FROM first_seen f
+    JOIN activity a ON a.user_id = f.user_id
+    GROUP BY f.cohort_week, week_offset
+    """,
+    tags=("cohort", "timeseries"),
+)
+def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-seen ISO week,
+    counted as active per week offset. Two aggregates keyed on user_id
+    (first-seen + distinct user-week activity) joined on user_id, then a
+    small (cohort, offset) rollup — the user-keyed stages co-partition,
+    and the final matrix is tiny at any scale."""
+    ev = _t(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("wk")
+    ).distinct()
+    return (
+        first_seen.join(activity, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("wk"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("n_users"))
+    )
