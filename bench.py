@@ -38,12 +38,30 @@ def main() -> None:
     aqe = os.environ.get("SPARK_GRAFT_AQE", "true")
     from pyspark.sql import SparkSession
 
+    # Shuffle partitions: sized for the local bench data (sf0.1, ~10 MB
+    # shuffles) where 8 beats 32 (measured with locality.wait=0: heavy
+    # suite 17.0s vs 25.8s — task dispatch overhead dominates tiny
+    # partitions). At cluster scale this knob must target ~64-128 MB per
+    # partition (or rely on AQE initialPartitionNum + coalescing); it is
+    # env-overridable for that reason. locality.wait=0 removes the 3s
+    # delay-scheduling wait, which only trades data locality — meaningless
+    # in local mode and on shuffle reads.
+    # Whole-stage codegen stays ON (scale-correct default): an isolated
+    # 15-query cold A/B suggested compile cost dominates at sf0.1, but
+    # over the full 75-query suite the effect washes out (68.2s vs 68.5s
+    # — the JVM JIT and codegen fragment cache warm up across queries),
+    # so there is no local win to justify diverging from the setting a
+    # cluster run needs.
+    shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
+    codegen = os.environ.get("SPARK_GRAFT_CODEGEN", "true")
     builder_aqe_off = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
         )
         .appName("bench")
-        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.shuffle.partitions", shuffle)
+        .config("spark.locality.wait", "0")
+        .config("spark.sql.codegen.wholeStage", codegen)
         .config("spark.sql.adaptive.enabled", aqe)
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
