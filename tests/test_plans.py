@@ -74,3 +74,64 @@ def test_join_hints_change_physical_strategy(spark):
     assert count_op(shash, "ShuffledHashJoin") >= 1
     bcast = li.join(o.hint("broadcast"), li.l_orderkey == o.o_orderkey)
     assert count_op(bcast, "BroadcastHashJoin") >= 1
+
+
+def test_q6_predicates_reach_scan_no_join(spark):
+    """Q6: all four predicates push to the parquet scan; the plan is
+    scan -> partial agg -> single exchange -> final agg, nothing else."""
+    df = _df(spark, "q6_forecast_revenue")
+    assert has_pushed_filter(df, "l_shipdate")
+    assert has_pushed_filter(df, "l_discount")
+    assert has_pushed_filter(df, "l_quantity")
+    (schema,) = read_schemas(df)
+    assert "l_orderkey" not in schema  # only the 4 filter + 2 agg columns
+    assert broadcast_join_count(df) == 0
+    assert shuffle_exchange_count(df) <= 1
+
+
+def test_q8_seven_table_join_broadcasts_all_dims(spark):
+    """Q8: every dimension (part, supplier, customer, nation x2, region)
+    broadcasts; the only shuffles belong to the fact-fact join + agg."""
+    df = _df(spark, "q8_market_share")
+    assert broadcast_join_count(df) >= 5
+    assert has_pushed_filter(df, "p_type")
+    assert has_pushed_filter(df, "r_name")
+
+
+def test_q10_top20_avoids_global_sort(spark):
+    df = _df(spark, "q10_returned_items")
+    assert uses_take_ordered(df)
+    assert has_pushed_filter(df, "l_returnflag")
+    assert has_pushed_filter(df, "o_orderdate")
+
+
+def test_q19_or_predicate_derives_pushable_filters(spark):
+    """Q19: Catalyst extracts scan-level filters from the OR-of-ANDs
+    (brand IN-list on part; quantity range on lineitem) instead of
+    evaluating the whole disjunction only post-join."""
+    df = _df(spark, "q19_disjunctive_predicate_revenue")
+    assert has_pushed_filter(df, "p_brand")
+    assert has_pushed_filter(df, "l_quantity")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must compile to a hash-partitionable
+    equi-join on (key, bucket) — never BroadcastNestedLoopJoin."""
+    from local_data_pipeline_spark.plans.inspect import count_op
+
+    df = _df(spark, "range_join_purchases_in_sessions")
+    assert count_op(df, "BroadcastNestedLoopJoin") == 0
+    assert (
+        count_op(df, "SortMergeJoin")
+        + count_op(df, "ShuffledHashJoin")
+        + count_op(df, "BroadcastHashJoin")
+        >= 1
+    )
+
+
+def test_stratified_sample_is_scan_side(spark):
+    """Hash sampling must stay a scan-side predicate: no shuffle, no join."""
+    df = _df(spark, "stratified_sample_documents")
+    assert shuffle_exchange_count(df) == 0
+    assert broadcast_join_count(df) == 0
