@@ -2415,3 +2415,121 @@ def cohort_retention_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.countDistinct("user_id").alias("n_users"))
     )
+
+
+@q(
+    "bigram_counts_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    pairs AS (
+      SELECT t[i + 1] AS w1, t[i + 2] AS w2 FROM idx),
+    counted AS (
+      SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2)
+    SELECT w1, w2, n,
+           row_number() OVER (ORDER BY n DESC, w1 ASC, w2 ASC) AS rnk
+    FROM counted
+    ORDER BY rnk LIMIT 50
+    """,
+    tags=("text", "ngram"),
+)
+def bigram_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus bigram language-model counts: top-50 adjacent token pairs.
+    posexplode + self-alignment via (doc, pos)->(doc, pos+1) would need a
+    join; instead each token is paired with its successor scan-side
+    (zip tokens with tokens[1:]), so the only shuffle is the count
+    aggregate — map-side combinable, linear at corpus scale. (DuckDB twin
+    indexes the array directly; 1-based.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(TX.tokens(F.col("text")).alias("t")).filter(F.size("t") >= 2)
+    pairs = toks.select(
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p")
+    ).select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    counted = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+    return (
+        counted.withColumn("rnk", F.row_number().over(w))
+        .orderBy("rnk")
+        .limit(50)
+    )
+
+
+@q(
+    "zscore_anomalies_events",
+    f"""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS date) AS dt,
+             {dsum_sql('value')} AS day_value
+      FROM events GROUP BY event_type, cast(ts AS date)),
+    stats AS (
+      SELECT event_type, dt, day_value,
+             cast(sum(cast(day_value AS decimal(25,6))) OVER w AS double) AS s1,
+             cast(sum(cast(day_value * day_value AS decimal(25,6))) OVER w AS double) AS s2,
+             count(*) OVER w AS n
+      FROM daily
+      WINDOW w AS (PARTITION BY event_type ORDER BY dt
+                   ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)),
+    scored AS (
+      SELECT event_type, dt, round(day_value, 6) AS day_value,
+             round((day_value - s1 / n)
+                   / sqrt((s2 - s1 * s1 / n) / n + 1e-9), 6) AS zscore
+      FROM stats WHERE n = 7)
+    SELECT event_type, dt, day_value, zscore
+    FROM scored WHERE abs(zscore) > 1.5
+    """,
+    tags=("timeseries", "anomaly", "window"),
+)
+def zscore_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly detection: per event type, flag days whose
+    total value deviates >1.5 sigma from the trailing-7-day mean. Moments
+    come from exact-decimal rolling sums (sigma^2 = s2/n - (s1/n)^2) so the
+    window math is order-insensitive and engine-identical; one shuffle for
+    the daily rollup, one keyed window pass over the (tiny) daily series."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dt")
+    ).agg(dsum("value").alias("day_value"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    dec = "decimal(25,6)"
+    s1 = F.sum(F.col("day_value").cast(dec)).over(w).cast("double")
+    s2 = (
+        F.sum((F.col("day_value") * F.col("day_value")).cast(dec))
+        .over(w)
+        .cast("double")
+    )
+    n = F.count("*").over(w)
+    scored = (
+        daily.withColumn("s1", s1)
+        .withColumn("s2", s2)
+        .withColumn("n", n)
+        .filter(F.col("n") == 7)
+        .select(
+            "event_type",
+            "dt",
+            F.round("day_value", 6).alias("day_value"),
+            F.round(
+                (F.col("day_value") - F.col("s1") / F.col("n"))
+                / F.sqrt(
+                    (F.col("s2") - F.col("s1") * F.col("s1") / F.col("n")) / F.col("n")
+                    + 1e-9
+                ),
+                6,
+            ).alias("zscore"),
+        )
+    )
+    return scored.filter(F.abs(F.col("zscore")) > 1.5)
