@@ -13,6 +13,7 @@ reader (see tests/test_file_sources.py for the PartitionFilters proof).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
@@ -60,3 +61,39 @@ def write_csv(df: DataFrame, path: str, header: bool = True, mode: str = "overwr
 
 def write_jsonl(df: DataFrame, path: str, mode: str = "overwrite") -> None:
     df.write.mode(mode).json(path)
+
+
+def write_clustered(
+    df: DataFrame,
+    path: str,
+    cluster_by: list[str],
+    n_files: int = 8,
+    rows_per_rowgroup: int = 131072,
+    mode: str = "overwrite",
+) -> None:
+    """Range-clustered parquet sink for scan-side data skipping on
+    ``cluster_by`` (the columns range predicates filter on: event time,
+    id ranges).
+
+    ``repartitionByRange`` gives every output file a disjoint key range
+    and ``sortWithinPartitions`` makes each ROW GROUP's min/max footer
+    stats tight and non-overlapping — so a reader (Spark, DuckDB, any
+    parquet engine) skips whole files via min/max and whole row groups
+    within files, without any index structure. ``parquet.block.size`` is
+    sized via ``rows_per_rowgroup`` so large files still contain multiple
+    independently-skippable (and independently-parallelizable) row groups
+    — the property the flat testdata files lack (see PERF.md).
+
+    At cluster scale this is the cheap half of Z-ordering: perfect
+    skipping on the leading cluster key, no space-filling-curve cost.
+    Multi-dimensional skipping needs either a true Z-order (interleave
+    bits) or separate tables per access path.
+    """
+    cols = [F.col(c) for c in cluster_by]
+    clustered = df.repartitionByRange(n_files, *cols).sortWithinPartitions(*cols)
+    # parquet.block.size is in bytes; approximate from an Arrow-ish 64B/row
+    # floor so the knob is row-count shaped. Writers that know their row
+    # width should pass rows_per_rowgroup accordingly.
+    clustered.write.mode(mode).option(
+        "parquet.block.size", max(1 << 20, rows_per_rowgroup * 64)
+    ).parquet(path)

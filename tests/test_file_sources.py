@@ -165,3 +165,46 @@ def test_curation_to_training_shards_end_to_end(spark, tmp_path):
     back = spark.read.parquet(p)
     assert back.count() == split.filter("split = 'train'").count() > 0
     assert len(glob.glob(f"{p}/shard=*")) == 2
+
+
+def test_clustered_write_produces_skippable_layout(spark, tmp_path):
+    """write_clustered: disjoint per-file key ranges, sorted row groups
+    with tight min/max stats, and unchanged query results."""
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.session import load_table
+    from local_data_pipeline_spark.sources.files import write_clustered
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    p = str(tmp_path / "clustered")
+    write_clustered(events, p, cluster_by=["ts"], n_files=4, rows_per_rowgroup=4096)
+
+    import glob
+
+    files = sorted(glob.glob(p + "/*.parquet"))
+    assert len(files) >= 2
+    ranges = []
+    for fp in files:
+        f = pq.ParquetFile(fp)
+        ts_idx = f.schema_arrow.get_field_index("ts")
+        rg_ranges = []
+        for i in range(f.num_row_groups):
+            st = f.metadata.row_group(i).column(ts_idx).statistics
+            rg_ranges.append((st.min, st.max))
+        # row groups inside a file are sorted and non-overlapping
+        for (a_min, a_max), (b_min, b_max) in zip(rg_ranges, rg_ranges[1:]):
+            assert a_max <= b_min
+        ranges.append((rg_ranges[0][0], rg_ranges[-1][1]))
+    # files cover disjoint ranges (range partitioning)
+    ranges.sort()
+    for (a_min, a_max), (b_min, b_max) in zip(ranges, ranges[1:]):
+        assert a_max <= b_min
+    # correctness: a time-range scan over the clustered copy matches source
+    lo, top = events.agg(F.min("ts"), F.max("ts")).collect()[0]
+    hi = lo + (top - lo) / 4
+    want = events.filter(F.col("ts") <= F.lit(hi)).count()
+    got = spark.read.parquet(p).filter(F.col("ts") <= F.lit(hi)).count()
+    assert want == got and got > 0
