@@ -2533,3 +2533,139 @@ def zscore_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scored.filter(F.abs(F.col("zscore")) > 1.5)
+
+
+@q(
+    "q2_min_cost_supplier",
+    """
+    WITH costs AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey),
+    best AS (
+      SELECT l_partkey, min(unit_cost) AS min_cost
+      FROM costs GROUP BY l_partkey)
+    SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
+           c.unit_cost
+    FROM part p
+    JOIN costs c ON c.l_partkey = p.p_partkey
+    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+    JOIN supplier s ON s.s_suppkey = c.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = 10 AND p.p_type = 'LARGE'
+    """,
+    tags=("join", "subquery", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (partsupp's supplycost replaced by the observed avg
+    unit price in lineitem): per qualifying part, the supplier(s) with the
+    minimum cost — the correlated-min subquery decorrelated into a
+    per-part min + equality join. The rounded cost is the join key on
+    both engines, so float equality is engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    costs = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
+            "unit_cost"
+        )
+    )
+    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
+    p = _t(spark, sf_dir, "part").filter(
+        (F.col("p_size") == 10) & (F.col("p_type") == "LARGE")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        costs.join(best, "l_partkey")
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .select(
+            "p_partkey", "p_name", "s_name", F.col("n_name").alias("nation"), "unit_cost"
+        )
+    )
+
+
+@q(
+    "q11_important_part_stock",
+    f"""
+    WITH vals AS (
+      SELECT l_partkey,
+             {dsum_sql('l_extendedprice * l_quantity')} AS part_value
+      FROM lineitem l
+      JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      WHERE n.n_name = 'NATION_5'
+      GROUP BY l_partkey)
+    SELECT l_partkey AS partkey, part_value
+    FROM vals
+    WHERE part_value > (SELECT {dsum_sql('part_value')} * 0.002 FROM vals)
+    """,
+    tags=("agg", "subquery", "tpch"),
+)
+def q11_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (partsupp replaced by lineitem volume): parts whose
+    value from one nation's suppliers exceeds 1% of that nation's total —
+    a grouped aggregate filtered against a scalar aggregate of itself
+    (0.2% threshold sized to the synthetic part-count so rows survive).
+    The exact-decimal sums make the threshold engine-identical."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    vals = (
+        li.join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy("l_partkey")
+        .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
+    )
+    threshold = (
+        vals.agg(dsum("part_value").alias("t")).collect()[0].t * 0.002
+    )
+    return vals.filter(F.col("part_value") > threshold).select(
+        F.col("l_partkey").alias("partkey"), "part_value"
+    )
+
+
+@q(
+    "q22_idle_rich_customers",
+    f"""
+    WITH rich AS (
+      SELECT c_custkey, c_nationkey, c_acctbal
+      FROM customer
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0))
+    SELECT n.n_name AS nation, count(*) AS numcust,
+           {dsum_sql('r.c_acctbal')} AS totacctbal
+    FROM rich r
+    JOIN nation n ON n.n_nationkey = r.c_nationkey
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = r.c_custkey
+                        AND o.o_orderdate >= timestamp '2000-01-01 00:00:00')
+    GROUP BY n.n_name
+    """,
+    tags=("join", "anti", "subquery", "tpch"),
+)
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape (phone country code replaced by nation): customers
+    with above-average positive balances and no orders since 2000 — scalar avg
+    subquery + LEFT ANTI join + grouped rollup. avg divides a sum of
+    identical doubles by the same count on both engines; the filtered set
+    is identical, so no decimal detour is needed for the threshold."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    avg_bal = (
+        c.filter(F.col("c_acctbal") > 0)
+        .agg((dsum("c_acctbal") / F.count("*")).alias("a"))
+        .collect()[0]
+        .a
+    )
+    rich = c.filter(F.col("c_acctbal") > avg_bal)
+    recent = o.filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
+    )
+    idle = rich.join(recent, rich.c_custkey == recent.o_custkey, "left_anti")
+    return (
+        idle.join(F.broadcast(n), F.col("n_nationkey") == F.col("c_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
+    )
