@@ -107,3 +107,70 @@ class Scheduler:
             results[job.name] = job.run(spark)
             self.last_run[job.name] = now
         return results
+
+
+@dataclass
+class BackfillResult:
+    """Per-chunk run metadata for a partitioned backfill."""
+
+    partitions: tuple[str, ...]
+    rows: int
+    seconds: float
+
+
+def backfill(
+    spark: SparkSession,
+    compute_partition: Callable[[SparkSession, str], "object"],
+    path: str,
+    partition_col: str,
+    partitions: list[str],
+    key: str,
+    chunk_size: int = 7,
+) -> list[BackfillResult]:
+    """Dagster-style partitioned backfill: (re)materialize a list of
+    partition values (typically dates) of a partitioned parquet dataset,
+    in bounded chunks.
+
+    ``compute_partition(spark, value) -> DataFrame`` produces one
+    partition's rows (it must include ``partition_col`` = value). Each
+    chunk is unioned and merged via dynamic partition overwrite
+    (``maintenance.upsert_partitioned``), so a backfill run:
+
+    - is **idempotent** — re-running a partition overwrites exactly that
+      partition, never duplicating rows;
+    - touches **only the listed partitions** — untouched partition files
+      stay byte-identical (tested);
+    - bounds driver/cluster memory by ``chunk_size`` regardless of how
+      many partitions are being rebuilt — a year-long backfill is 52
+      chunks of 7, not one 365-partition job.
+
+    ≙ the operational gap in the reference (full rebuild per run, no
+    partition-scoped rerun; its raw table docstring "Partitioned by:
+    location" is aspirational — open_meteo.py:101-102).
+    """
+    import time as _time
+
+    from .sources.maintenance import upsert_partitioned
+
+    out: list[BackfillResult] = []
+    for i in range(0, len(partitions), chunk_size):
+        chunk = partitions[i : i + chunk_size]
+        t0 = _time.time()
+        dfs = [compute_partition(spark, v) for v in chunk]
+        updates = dfs[0]
+        for d in dfs[1:]:
+            updates = updates.unionByName(d)
+        n = updates.count()
+        if not os.path.exists(path):
+            # first chunk bootstraps the dataset; later chunks merge
+            updates.write.mode("overwrite").partitionBy(partition_col).parquet(path)
+        else:
+            upsert_partitioned(
+                spark, updates, path, key=key, partition_col=partition_col
+            )
+        out.append(
+            BackfillResult(
+                partitions=tuple(chunk), rows=n, seconds=_time.time() - t0
+            )
+        )
+    return out

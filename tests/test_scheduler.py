@@ -36,3 +36,50 @@ def test_scheduler_runs_due_jobs(spark):
     # immediately after, nothing is due until the next midnight
     assert sched.due(datetime(2026, 8, 13, 0, 6)) == []
     assert sched.due(datetime(2026, 8, 14, 0, 1)) != []
+
+
+def test_backfill_partitions_idempotent_and_scoped(spark, tmp_path):
+    """backfill(): chunked, idempotent, touches only listed partitions."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.scheduler import backfill
+    from local_data_pipeline_spark.session import load_table
+
+    SF = "/root/testdata/sf0.001"
+    ev = load_table(spark, SF, "events").withColumn(
+        "dt", F.col("ts").cast("date").cast("string")
+    )
+    days = sorted(r[0] for r in ev.select("dt").distinct().collect())[:4]
+    path = str(tmp_path / "daily")
+
+    def compute(spark_, day):
+        return (
+            ev.filter(F.col("dt") == day)
+            .groupBy("dt", "event_type")
+            .agg(F.count("*").alias("n"), F.sum("value").alias("v"))
+            .withColumn("key", F.concat_ws("|", "dt", "event_type"))
+        )
+
+    res = backfill(
+        spark, compute, path, "dt", days, key="key", chunk_size=2
+    )
+    assert len(res) == 2 and all(r.rows > 0 for r in res)
+    first = spark.read.parquet(path)
+    total0 = first.count()
+    # (read-back dt is date-typed: Spark infers partition-dir value types)
+    assert sorted(str(r[0]) for r in first.select("dt").distinct().collect()) == days
+
+    # snapshot untouched partition files, then re-backfill ONE day
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(path + "/dt=*/*.parquet")
+        if f"dt={days[0]}" not in f
+    }
+    backfill(spark, compute, path, "dt", [days[0]], key="key")
+    after = spark.read.parquet(path)
+    assert after.count() == total0  # idempotent: no duplicate rows
+    for f, mtime in untouched.items():
+        assert os.path.getmtime(f) == mtime  # other partitions untouched
