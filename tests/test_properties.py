@@ -89,3 +89,58 @@ def test_dsum_is_exact_and_order_insensitive(spark, values):
     got2 = df.repartition(5).agg(dsum("x").alias("s")).collect()[0].s
     exact = float(sum(Decimal(str(round(v, 6))) for v in values))
     assert got1 == got2 == exact
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(  # point events: (key, ts_offset_seconds)
+        st.tuples(st.integers(0, 2), st.integers(0, 30_000)),
+        min_size=1,
+        max_size=20,
+    ),
+    st.lists(  # intervals: (key, start_offset, duration_seconds)
+        st.tuples(st.integers(0, 2), st.integers(0, 30_000), st.integers(1, 10_000)),
+        min_size=1,
+        max_size=10,
+    ),
+)
+def test_range_join_buckets_equals_naive_nonequi_join(spark, points, intervals):
+    """range_join_buckets (bucketed equi-join + residual) must return
+    exactly the rows of the naive non-equi join, for arbitrary point and
+    interval layouts (spanning 0..n buckets, touching bucket edges)."""
+    from local_data_pipeline_spark.operators.joins import range_join_buckets
+
+    base = datetime.datetime(2024, 1, 1)
+    lrows = [
+        (k, base + datetime.timedelta(seconds=s), i)
+        for i, (k, s) in enumerate(points)
+    ]
+    rrows = [
+        (
+            k,
+            base + datetime.timedelta(seconds=s),
+            base + datetime.timedelta(seconds=s + d),
+            j,
+        )
+        for j, (k, s, d) in enumerate(intervals)
+    ]
+    left = spark.createDataFrame(lrows, "k int, ts timestamp, pid int")
+    right = spark.createDataFrame(
+        rrows, "k int, start timestamp, end timestamp, iid int"
+    )
+    got = sorted(
+        (r.pid, r.iid)
+        for r in range_join_buckets(
+            left, right, on="k", left_ts="ts", right_start="start", right_end="end"
+        ).collect()
+    )
+    want = sorted(
+        (r.pid, r.iid)
+        for r in left.join(
+            right,
+            (left.k == right.k)
+            & (left.ts >= right.start)
+            & (left.ts < right.end),
+        ).collect()
+    )
+    assert got == want
