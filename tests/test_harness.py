@@ -41,3 +41,46 @@ def test_compare_handles_nulls_and_timestamps():
     assert ok
     ok, _ = compare([(None, ts)], ["a", "t"], [(1, ts)], ["a", "t"])
     assert not ok
+
+
+def test_time_queries_survive_non_utc_driver_session(spark):
+    """Driver simulation: the harness runs our queries in ITS OWN session,
+    which need not use UTC. Every time-touching query must produce
+    oracle-identical results with the session timezone set to a
+    DST-observing zone (timestamps here are ntz end-to-end, so results
+    must not shift)."""
+    import duckdb
+
+    from local_data_pipeline_spark.queries import QUERIES
+    from local_data_pipeline_spark.session import TABLES
+
+    from conftest import SF_DIR
+
+    time_queries = [
+        "daily_max_event",
+        "date_functions_orders",
+        "sessionize_events",
+        "cohort_retention_events",
+        "range_join_purchases_in_sessions",
+        "zscore_anomalies_events",
+        "trailing_30d_spend",
+    ]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for name in time_queries:
+            spec = QUERIES[name]
+            df = spec.fn(spark, SF_DIR)
+            rows = [tuple(r) for r in df.collect()]
+            res = con.sql(spec.oracle)
+            ok, msg = compare(
+                rows, df.columns, res.fetchall(), [d[0] for d in res.description]
+            )
+            assert ok, f"{name} under America/New_York: {msg}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
