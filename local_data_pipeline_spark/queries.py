@@ -2669,3 +2669,36 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.count("*").alias("numcust"), dsum("c_acctbal").alias("totacctbal"))
     )
+
+
+@q(
+    "inverted_index_tokens",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    flat AS (SELECT DISTINCT doc_id, unnest(t) AS token FROM toks),
+    postings AS (
+      SELECT token, count(*) AS df, list(doc_id ORDER BY doc_id) AS docs
+      FROM flat GROUP BY token)
+    SELECT token, df, docs FROM postings
+    """,
+    tags=("text", "index"),
+)
+def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index construction: per token, the sorted posting list of
+    documents containing it. explode + distinct + collect_list is one
+    shuffle on token; posting lists are sorted so the array value is
+    deterministic at any parallelism. (This corpus has a tiny closed
+    vocabulary, so full lists are safe; at 100 TB postings become a
+    bucketed sink keyed on token, optionally df-banded, not one array.)"""
+    d = _t(spark, sf_dir, "documents")
+    flat = d.select(
+        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).distinct()
+    return flat.groupBy("token").agg(
+        F.count("*").alias("df"),
+        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+    )
