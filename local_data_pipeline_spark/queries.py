@@ -2540,7 +2540,8 @@ def zscore_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH costs AS (
       SELECT l_partkey, l_suppkey,
-             round(avg(l_extendedprice / l_quantity), 6) AS unit_cost
+             round(cast(sum(cast(l_extendedprice / l_quantity AS decimal(25,6))) AS double)
+                   / count(*), 6) AS unit_cost
       FROM lineitem GROUP BY l_partkey, l_suppkey),
     best AS (
       SELECT l_partkey, min(unit_cost) AS min_cost
@@ -2564,9 +2565,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     both engines, so float equality is engine-identical."""
     li = _t(spark, sf_dir, "lineitem")
     costs = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6).alias(
-            "unit_cost"
-        )
+        F.round(
+            dsum(F.col("l_extendedprice") / F.col("l_quantity")) / F.count("*"), 6
+        ).alias("unit_cost")
     )
     best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
     p = _t(spark, sf_dir, "part").filter(
