@@ -2703,3 +2703,101 @@ def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("df"),
         F.sort_array(F.collect_list("doc_id")).alias("docs"),
     )
+
+
+@q(
+    "chunk_documents_sliding",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+    chunks AS (
+      SELECT doc_id, n, t,
+             unnest(range(0, cast(ceil(greatest(n - 10, 1) / 40.0) AS bigint))) AS chunk_id
+      FROM sized)
+    SELECT doc_id, chunk_id,
+           least(cast(chunk_id * 40 AS bigint) + 50, n) - chunk_id * 40 AS n_tokens,
+           array_to_string(t[chunk_id * 40 + 1 : least(cast(chunk_id * 40 AS bigint) + 50, n)], ' ') AS chunk_text
+    FROM chunks
+    """,
+    tags=("text", "chunking", "curation"),
+)
+def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-pipeline chunking: split each document into sliding token
+    windows (size 50, stride 40, 10-token overlap). The chunk index range
+    is generated per row and exploded scan-side — no shuffle at all; at
+    100 TB this is a pure map stage that parallelizes with the scan.
+    Slice arithmetic is 1-based inclusive on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    sized = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") > 0)
+    )
+    n_chunks = F.ceil(F.greatest(F.col("n") - 10, F.lit(1)) / 40.0).cast("bigint")
+    chunks = sized.select(
+        "doc_id",
+        "n",
+        "t",
+        F.explode(F.sequence(F.lit(0).cast("bigint"), n_chunks - 1)).alias("chunk_id"),
+    )
+    start = F.col("chunk_id") * 40  # 0-based
+    end = F.least(start + 50, F.col("n"))  # exclusive
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (end - start).alias("n_tokens"),
+        F.array_join(F.slice(F.col("t"), start + 1, end - start), " ").alias(
+            "chunk_text"
+        ),
+    )
+
+
+@q(
+    "pack_training_sequences",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tokens
+      FROM documents),
+    offsets AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               - n_tokens AS start_offset
+      FROM toks)
+    SELECT doc_id, n_tokens, start_offset,
+           cast(floor(start_offset / 2048.0) AS bigint) AS seq_id,
+           cast(start_offset % 2048 AS bigint) AS seq_pos
+    FROM offsets
+    """,
+    tags=("text", "packing", "curation"),
+)
+def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-sequence packing (concat-and-chunk): lay documents end to
+    end in doc_id order and assign each to its 2048-token sequence by
+    cumulative offset — the deterministic packing used for LLM pretraining
+    batches (vs greedy bin-packing, which is order-dependent and doesn't
+    parallelize). One global running sum: at 100 TB this becomes a
+    per-shard cumsum + shard-offset broadcast add, same math, no
+    sequential bottleneck. Token counts are exact longs so the running
+    sum is engine-identical."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    offsets = toks.withColumn(
+        "start_offset", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return offsets.select(
+        "doc_id",
+        "n_tokens",
+        "start_offset",
+        F.floor(F.col("start_offset") / 2048).cast("bigint").alias("seq_id"),
+        (F.col("start_offset") % 2048).cast("bigint").alias("seq_pos"),
+    )
