@@ -189,3 +189,29 @@ def test_table_docs_persisted(spark):
         for r in spark.sql("SHOW TBLPROPERTIES default.documented_tbl").collect()
     }
     assert props.get("group") == "default"
+
+
+def test_distributed_cumsum_equals_global_window(spark):
+    """The scale-path prefix sum (range shards + offset broadcast) must
+    equal the single-task global-window cumsum exactly."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.operators.packing import distributed_cumsum
+    from local_data_pipeline_spark.session import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", F.length("text").cast("bigint").alias("v")
+    )
+    got = {
+        r.doc_id: r.cs
+        for r in distributed_cumsum(
+            d, "doc_id", "v", out_col="cs", n_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    want = {
+        r.doc_id: r.cs
+        for r in d.withColumn("cs", F.sum("v").over(w) - F.col("v")).collect()
+    }
+    assert got == want
