@@ -2801,3 +2801,79 @@ def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_offset") / 2048).cast("bigint").alias("seq_id"),
         (F.col("start_offset") % 2048).cast("bigint").alias("seq_pos"),
     )
+
+
+@q(
+    "repetition_signals_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    sized AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3),
+    grams AS (
+      SELECT doc_id, n,
+             t[i + 1] || ' ' || t[i + 2] || ' ' || t[i + 3] AS g
+      FROM sized, unnest(range(0, n - 2)) AS u(i)),
+    per_gram AS (
+      SELECT doc_id, n, g, count(*) AS c
+      FROM grams GROUP BY doc_id, n, g),
+    sig AS (
+      SELECT doc_id,
+             cast(sum(c) AS bigint) AS n_trigrams,
+             round(1.0 - count(*) / cast(sum(c) AS double), 6) AS dup_trigram_frac,
+             round(max(c) / cast(sum(c) AS double), 6) AS top_trigram_frac
+      FROM per_gram GROUP BY doc_id)
+    SELECT doc_id, n_trigrams, dup_trigram_frac, top_trigram_frac,
+           (dup_trigram_frac > 0.3 OR top_trigram_frac > 0.1) AS flagged
+    FROM sig
+    """,
+    tags=("text", "quality", "curation"),
+)
+def repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: per document, the fraction of
+    trigram occurrences that are duplicates and the share of the single
+    most frequent trigram — the standard web-corpus quality gates for
+    boilerplate/spam. Trigrams form scan-side (token array zipped with
+    its two shifts, no positional join); one (doc, gram) aggregate and
+    one per-doc rollup, both map-side combinable. The DuckDB twin builds
+    the same trigrams via a lateral index range (1-based)."""
+    d = _t(spark, sf_dir, "documents")
+    sized = (
+        d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+        .withColumn("n", F.size("t"))
+        .filter(F.col("n") >= 3)
+    )
+    grams = sized.select(
+        "doc_id",
+        "n",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.col("n") - 2).alias("a"),
+                F.slice("t", 2, F.col("n") - 2).alias("b"),
+                F.slice("t", 3, F.col("n") - 2).alias("c"),
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id",
+        "n",
+        F.concat_ws(" ", F.col("z.a"), F.col("z.b"), F.col("z.c")).alias("g"),
+    )
+    per_gram = grams.groupBy("doc_id", "n", "g").agg(F.count("*").alias("c"))
+    sig = per_gram.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_trigrams"),
+        F.round(1.0 - F.count("*") / F.sum("c").cast("double"), 6).alias(
+            "dup_trigram_frac"
+        ),
+        F.round(F.max("c") / F.sum("c").cast("double"), 6).alias("top_trigram_frac"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_trigrams",
+        "dup_trigram_frac",
+        "top_trigram_frac",
+        (
+            (F.col("dup_trigram_frac") > 0.3) | (F.col("top_trigram_frac") > 0.1)
+        ).alias("flagged"),
+    )
