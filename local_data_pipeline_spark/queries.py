@@ -2619,9 +2619,8 @@ def q11_important_part_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_partkey")
         .agg(dsum(F.col("l_extendedprice") * F.col("l_quantity")).alias("part_value"))
     )
-    threshold = (
-        vals.agg(dsum("part_value").alias("t")).collect()[0].t * 0.002
-    )
+    total = vals.agg(dsum("part_value").alias("t")).collect()[0].t
+    threshold = (total or 0.0) * 0.002  # empty group at tiny SF -> no rows
     return vals.filter(F.col("part_value") > threshold).select(
         F.col("l_partkey").alias("partkey"), "part_value"
     )
@@ -2659,7 +2658,7 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg((dsum("c_acctbal") / F.count("*")).alias("a"))
         .collect()[0]
         .a
-    )
+    ) or 0.0
     rich = c.filter(F.col("c_acctbal") > avg_bal)
     recent = o.filter(
         F.col("o_orderdate") >= F.lit("2000-01-01 00:00:00").cast("timestamp_ntz")
