@@ -2876,3 +2876,117 @@ def repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("dup_trigram_frac") > 0.3) | (F.col("top_trigram_frac") > 0.1)
         ).alias("flagged"),
     )
+
+
+@q(
+    "curation_funnel_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, text,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    quality AS (
+      SELECT doc_id, lang, text, t,
+             round(0.4 * least(len(t) / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                       ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / length(text) END * 5, 1.0))
+                 + 0.3 * least(CASE WHEN len(t) = 0 THEN 0.0
+                       ELSE len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) * 1.0 / len(t) END * 4, 1.0), 6) AS q
+      FROM toks),
+    rep AS (
+      SELECT doc_id, round(1.0 - count(*) / cast(sum(c) AS double), 6) AS dupfrac
+      FROM (
+        SELECT doc_id, g, count(*) AS c
+        FROM (
+          SELECT s.doc_id, s.t[i + 1] || ' ' || s.t[i + 2] || ' ' || s.t[i + 3] AS g
+          FROM (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) >= 3) s,
+               unnest(range(0, s.n - 2)) AS u(i))
+        GROUP BY doc_id, g)
+      GROUP BY doc_id),
+    staged AS (
+      SELECT q.doc_id,
+             (q.lang IN ('en', 'zh')) AS pass_lang,
+             (q.lang IN ('en', 'zh') AND q.q >= 0.5) AS pass_quality,
+             (q.lang IN ('en', 'zh') AND q.q >= 0.5
+              AND coalesce(r.dupfrac, 0.0) <= 0.05) AS pass_rep,
+             (q.lang IN ('en', 'zh') AND q.q >= 0.5
+              AND coalesce(r.dupfrac, 0.0) <= 0.05
+              AND row_number() OVER (PARTITION BY md5(q.text)
+                                     ORDER BY q.doc_id) = 1) AS pass_dedup
+      FROM quality q LEFT JOIN rep r ON r.doc_id = q.doc_id)
+    SELECT count(*) AS n_total,
+           sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS n_lang,
+           sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS n_quality,
+           sum(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS n_repetition,
+           sum(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS n_dedup
+    FROM staged
+    """,
+    tags=("curation", "text", "funnel"),
+)
+def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation attrition report: how many documents survive each stage of
+    the cleaning recipe (language gate -> quality threshold -> repetition
+    filter -> exact dedup keep-first). One pass computes all per-doc
+    signals (token features scan-side, trigram dup fraction via one
+    aggregate, dedup rank via one content-hash window) and a final
+    conditional-count rollup — the per-stage counts a corpus curation run
+    reports at any scale. Note the dedup window ranks within ALL docs by
+    content hash (matching the SQL), so attrition attribution is
+    deterministic."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", "lang", "text", TX.tokens(F.col("text")).alias("t"))
+    q_ = toks.withColumn("q", TX.quality_score(F.col("text")))
+    sized = toks.filter(F.size("t") >= 3).select(
+        "doc_id", "t", F.size("t").alias("n")
+    )
+    grams = sized.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.col("n") - 2).alias("a"),
+                F.slice("t", 2, F.col("n") - 2).alias("b"),
+                F.slice("t", 3, F.col("n") - 2).alias("c"),
+            )
+        ).alias("z"),
+    ).select(
+        "doc_id", F.concat_ws(" ", F.col("z.a"), F.col("z.b"), F.col("z.c")).alias("g")
+    )
+    rep = (
+        grams.groupBy("doc_id", "g")
+        .agg(F.count("*").alias("c"))
+        .groupBy("doc_id")
+        .agg(
+            F.round(1.0 - F.count("*") / F.sum("c").cast("double"), 6).alias("dupfrac")
+        )
+    )
+    w_dup = Window.partitionBy(F.md5("text")).orderBy("doc_id")
+    staged = (
+        q_.join(rep, "doc_id", "left")
+        .withColumn("dupfrac", F.coalesce("dupfrac", F.lit(0.0)))
+        .withColumn("dedup_rn", F.row_number().over(w_dup))
+        .select(
+            F.col("lang").isin("en", "zh").alias("pass_lang"),
+            (F.col("lang").isin("en", "zh") & (F.col("q") >= 0.5)).alias(
+                "pass_quality"
+            ),
+            (
+                F.col("lang").isin("en", "zh")
+                & (F.col("q") >= 0.5)
+                & (F.col("dupfrac") <= 0.05)
+            ).alias("pass_rep"),
+            (
+                F.col("lang").isin("en", "zh")
+                & (F.col("q") >= 0.5)
+                & (F.col("dupfrac") <= 0.05)
+                & (F.col("dedup_rn") == 1)
+            ).alias("pass_dedup"),
+        )
+    )
+    return staged.agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.when(F.col("pass_lang"), 1).otherwise(0)).alias("n_lang"),
+        F.sum(F.when(F.col("pass_quality"), 1).otherwise(0)).alias("n_quality"),
+        F.sum(F.when(F.col("pass_rep"), 1).otherwise(0)).alias("n_repetition"),
+        F.sum(F.when(F.col("pass_dedup"), 1).otherwise(0)).alias("n_dedup"),
+    )
