@@ -2538,22 +2538,25 @@ def zscore_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "q2_min_cost_supplier",
     """
-    WITH costs AS (
+    WITH sel AS (
+      SELECT p_partkey, p_name FROM part
+      WHERE p_size = 10 AND p_type = 'LARGE'),
+    costs AS (
       SELECT l_partkey, l_suppkey,
              round(cast(sum(cast(l_extendedprice / l_quantity AS decimal(25,6))) AS double)
                    / count(*), 6) AS unit_cost
-      FROM lineitem GROUP BY l_partkey, l_suppkey),
-    best AS (
-      SELECT l_partkey, min(unit_cost) AS min_cost
-      FROM costs GROUP BY l_partkey)
+      FROM lineitem JOIN sel ON sel.p_partkey = lineitem.l_partkey
+      GROUP BY l_partkey, l_suppkey),
+    ranked AS (
+      SELECT l_partkey, l_suppkey, unit_cost,
+             min(unit_cost) OVER (PARTITION BY l_partkey) AS min_cost
+      FROM costs)
     SELECT p.p_partkey, p.p_name, s.s_name, n.n_name AS nation,
            c.unit_cost
-    FROM part p
-    JOIN costs c ON c.l_partkey = p.p_partkey
-    JOIN best b ON b.l_partkey = c.l_partkey AND c.unit_cost = b.min_cost
+    FROM sel p
+    JOIN ranked c ON c.l_partkey = p.p_partkey AND c.unit_cost = c.min_cost
     JOIN supplier s ON s.s_suppkey = c.l_suppkey
     JOIN nation n ON n.n_nationkey = s.s_nationkey
-    WHERE p.p_size = 10 AND p.p_type = 'LARGE'
     """,
     tags=("join", "subquery", "tpch"),
 )
@@ -2561,24 +2564,32 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q2 shape (partsupp's supplycost replaced by the observed avg
     unit price in lineitem): per qualifying part, the supplier(s) with the
     minimum cost — the correlated-min subquery decorrelated into a
-    per-part min + equality join. The rounded cost is the join key on
-    both engines, so float equality is engine-identical."""
+    per-part window min over the aggregate (ONE pass over lineitem; a
+    min+self-join would aggregate the fact table twice). The rounded
+    cost equality is engine-identical (exact decimal before round)."""
     li = _t(spark, sf_dir, "lineitem")
-    costs = li.groupBy("l_partkey", "l_suppkey").agg(
-        F.round(
-            dsum(F.col("l_extendedprice") / F.col("l_quantity")) / F.count("*"), 6
-        ).alias("unit_cost")
-    )
-    best = costs.groupBy("l_partkey").agg(F.min("unit_cost").alias("min_cost"))
     p = _t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 10) & (F.col("p_type") == "LARGE")
     )
+    # magic-set rewrite: only the selected parts' costs matter, so the
+    # dimension filter joins BELOW the aggregate — the fact-side agg then
+    # touches ~2% of lineitem instead of all of it.
+    costs = (
+        li.join(F.broadcast(p.select("p_partkey", "p_name")), 
+                F.col("p_partkey") == F.col("l_partkey"))
+        .groupBy("l_partkey", "l_suppkey", "p_partkey", "p_name")
+        .agg(
+            F.round(
+                dsum(F.col("l_extendedprice") / F.col("l_quantity")) / F.count("*"), 6
+            ).alias("unit_cost")
+        )
+    )
+    w_min = Window.partitionBy("l_partkey")
+    ranked = costs.withColumn("min_cost", F.min("unit_cost").over(w_min))
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     return (
-        costs.join(best, "l_partkey")
-        .filter(F.col("unit_cost") == F.col("min_cost"))
-        .join(F.broadcast(p), F.col("p_partkey") == F.col("l_partkey"))
+        ranked.filter(F.col("unit_cost") == F.col("min_cost"))
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .select(
