@@ -1,6 +1,6 @@
 """The correctness harness must itself be trustworthy: compare() catches
 every mismatch class it claims to check (a harness that can't fail would
-make 58 green queries meaningless)."""
+make a wall of green queries meaningless)."""
 
 import datetime
 import sys

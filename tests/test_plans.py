@@ -135,3 +135,12 @@ def test_stratified_sample_is_scan_side(spark):
     df = _df(spark, "stratified_sample_documents")
     assert shuffle_exchange_count(df) == 0
     assert broadcast_join_count(df) == 0
+
+
+def test_q2_magic_set_scans_lineitem_once(spark):
+    """q2's decorrelated min must not aggregate the fact table twice:
+    exactly one lineitem scan (the filtered-part join sits below the
+    aggregate, the per-part min is a window over it)."""
+    df = _df(spark, "q2_min_cost_supplier")
+    schemas = read_schemas(df)
+    assert sum("l_extendedprice" in s for s in schemas) == 1
