@@ -111,6 +111,69 @@ def decode_image_features(
     )
 
 
+RESIZED_SCHEMA = (
+    "media_id long, modality string, content binary, width int, height int"
+)
+
+
+def resize_images(
+    media: DataFrame,
+    width: int,
+    height: int,
+    require_real_decoder: bool = False,
+) -> DataFrame:
+    """Image resize as an Arrow-batched ``mapInPandas`` pass: image rows in,
+    (media_id, modality, content, width, height) out with content replaced
+    by the resized blob and metadata updated to the target dimensions.
+
+    The pixel kernel is STUBBED (no Pillow in this container): the fake
+    "resized" blob is a deterministic ``width*height*3``-byte RGB-sized
+    payload derived from (original bytes, target dims), so tests can pin
+    exact output sizes and bytes. ``require_real_decoder=True`` raises at
+    plan build — the seam where Pillow's ``Image.resize`` plugs in.
+
+    At 100 TB this is the canonical blob-transform shape: narrow input
+    projection (id + bytes only), per-batch Arrow transfer, output written
+    to a new media table — never mutate blobs in place.
+    """
+    if require_real_decoder:
+        raise NotImplementedError(
+            "real image resizing needs Pillow; not available in this "
+            "environment — the deterministic byte stub stands in"
+        )
+    import pandas as pd
+
+    n_out = width * height * 3
+
+    def _fake_resize(content: bytes) -> bytes:
+        seed = hashlib.md5(
+            content + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+        ).digest()
+        reps = -(-n_out // len(seed))  # ceil division
+        return (seed * reps)[:n_out]
+
+    def resize(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "modality": pdf["modality"],
+                    "content": [
+                        _fake_resize(bytes(c)) if c is not None else None
+                        for c in pdf["content"]
+                    ],
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    return (
+        media.filter(F.col("modality") == "image")
+        .select("media_id", "modality", "content")
+        .mapInPandas(resize, RESIZED_SCHEMA)
+    )
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling PLAN: one output row per sampled frame offset,
     derived from metadata only (no decoding): the Spark-side shape of a

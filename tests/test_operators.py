@@ -148,6 +148,24 @@ def test_frame_sample_plan_and_stats(spark, media):
     assert stats["video"].max_duration_ms == 3500
 
 
+def test_resize_images_stub_shape_and_determinism(spark, media):
+    from local_data_pipeline_spark.operators.multimodal import resize_images
+
+    out = {r.media_id: r for r in resize_images(media, 4, 3).collect()}
+    # only image rows are resized; video/audio rows don't enter the op
+    assert set(out) == {1, 2}
+    for r in out.values():
+        assert (r.width, r.height) == (4, 3)
+        assert len(r.content) == 4 * 3 * 3  # RGB-sized target payload
+    # deterministic in (bytes, target dims): re-run byte-identical,
+    # different sources differ
+    again = {r.media_id: r for r in resize_images(media, 4, 3).collect()}
+    assert bytes(out[1].content) == bytes(again[1].content)
+    assert bytes(out[1].content) != bytes(out[2].content)
+    with pytest.raises(NotImplementedError):
+        resize_images(media, 4, 3, require_real_decoder=True)
+
+
 def test_salted_join_matches_plain_join_on_skewed_data(spark):
     from local_data_pipeline_spark.operators.joins import salted_join
 
