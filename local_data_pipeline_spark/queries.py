@@ -3001,3 +3001,77 @@ def curation_funnel_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pass_rep"), 1).otherwise(0)).alias("n_repetition"),
         F.sum(F.when(F.col("pass_dedup"), 1).otherwise(0)).alias("n_dedup"),
     )
+
+
+@q(
+    "decontaminate_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               generate_series(1, len(t) - 4),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                    || ' ' || t[i+4]
+             ))) AS g
+      FROM toks WHERE len(t) >= 5),
+    ev AS (SELECT DISTINCT g FROM sh WHERE doc_id % 10 = 0),
+    hits AS (
+      SELECT s.doc_id, count(*) AS n_hits
+      FROM sh s JOIN ev e USING (g)
+      WHERE s.doc_id % 10 <> 0
+      GROUP BY s.doc_id)
+    SELECT doc_id, cast(n_hits AS bigint) AS n_hits FROM hits
+    """,
+    tags=("curation", "decontamination", "text"),
+)
+def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share any
+    exact word-5-gram with a held-out eval slice (doc_id % 10 == 0 stands
+    in for the benchmark suite), reporting per-doc how many of its
+    distinct 5-grams hit the eval shingle set. The standard pre-training
+    hygiene step alongside dedup (same shape as Dolma/RedPajama decontam).
+
+    Scale shape: distinct shingles are exploded on both sides and
+    equi-joined on the gram string; the eval set is a bounded small table
+    (benchmarks, not corpus), so it is broadcast explicitly — the 100 TB
+    corpus side is never shuffled, making this a map-side filter plus a
+    per-doc partial count."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 5
+    )
+    m = F.size("t") - F.lit(4)
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, m).alias("a"),
+                    F.slice("t", 2, m).alias("b"),
+                    F.slice("t", 3, m).alias("c"),
+                    F.slice("t", 4, m).alias("d"),
+                    F.slice("t", 5, m).alias("e"),
+                )
+            ).alias("z"),
+        )
+        .select(
+            "doc_id",
+            F.concat_ws(
+                " ", F.col("z.a"), F.col("z.b"), F.col("z.c"), F.col("z.d"),
+                F.col("z.e"),
+            ).alias("g"),
+        )
+        .dropDuplicates(["doc_id", "g"])
+    )
+    ev = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
+    return (
+        grams.filter(F.col("doc_id") % 10 != 0)
+        .join(F.broadcast(ev), "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_hits"))
+    )

@@ -144,3 +144,11 @@ def test_q2_magic_set_scans_lineitem_once(spark):
     df = _df(spark, "q2_min_cost_supplier")
     schemas = read_schemas(df)
     assert sum("l_extendedprice" in s for s in schemas) == 1
+
+
+def test_decontaminate_eval_side_is_broadcast(spark):
+    """Decontamination joins the 100 TB corpus against the bounded eval
+    shingle set: the eval side must broadcast so the corpus is never
+    shuffled for the containment join."""
+    df = _df(spark, "decontaminate_documents")
+    assert broadcast_join_count(df) >= 1
