@@ -3036,11 +3036,13 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 5-grams hit the eval shingle set. The standard pre-training
     hygiene step alongside dedup (same shape as Dolma/RedPajama decontam).
 
-    Scale shape: distinct shingles are exploded on both sides and
-    equi-joined on the gram string; the eval set is a bounded small table
-    (benchmarks, not corpus), so it is broadcast explicitly — the 100 TB
-    corpus side is never shuffled, making this a map-side filter plus a
-    per-doc partial count."""
+    Scale shape: shingles are exploded on both sides and equi-joined on
+    the gram string; the eval set is a bounded small table (benchmarks,
+    not corpus), so it is broadcast explicitly and the join runs as a
+    map-side filter. Per-doc gram dedup happens AFTER the join
+    (countDistinct over the few surviving rows) rather than before it, so
+    the 100 TB corpus gram stream is never shuffled — the only corpus
+    exchange is the final per-doc count over contaminated docs only."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
         F.size("t") >= 5
@@ -3066,12 +3068,11 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("z.e"),
             ).alias("g"),
         )
-        .dropDuplicates(["doc_id", "g"])
     )
     ev = grams.filter(F.col("doc_id") % 10 == 0).select("g").distinct()
     return (
         grams.filter(F.col("doc_id") % 10 != 0)
         .join(F.broadcast(ev), "g")
         .groupBy("doc_id")
-        .agg(F.count("*").alias("n_hits"))
+        .agg(F.countDistinct("g").alias("n_hits"))
     )

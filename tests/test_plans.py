@@ -148,7 +148,9 @@ def test_q2_magic_set_scans_lineitem_once(spark):
 
 def test_decontaminate_eval_side_is_broadcast(spark):
     """Decontamination joins the 100 TB corpus against the bounded eval
-    shingle set: the eval side must broadcast so the corpus is never
-    shuffled for the containment join."""
+    shingle set: the eval side must broadcast so the corpus gram stream
+    is never shuffled before the join — the only exchanges are the eval
+    distinct and the post-join survivor counts (3 total)."""
     df = _df(spark, "decontaminate_documents")
-    assert broadcast_join_count(df) >= 1
+    assert broadcast_join_count(df) == 1
+    assert shuffle_exchange_count(df) == 3
