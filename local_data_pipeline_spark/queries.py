@@ -3076,3 +3076,104 @@ def decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_hits"))
     )
+
+
+@q(
+    "q4_order_priority_checking",
+    """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1995-01-01'
+      AND o.o_orderdate < TIMESTAMP '1995-04-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    """,
+    tags=("tpch", "semi-join", "agg"),
+)
+def q4_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape (dbt-style layered semantics aside, this is the
+    classic EXISTS decorrelation): orders in a quarter having at least one
+    line shipped >30 days after the order date, counted per priority.
+    The synthetic lineitem has no commit/receipt dates, so "late" is
+    ship-lag against o_orderdate. Catalyst turns EXISTS into a left-semi
+    hash join on l_orderkey with the lag predicate as join condition; the
+    date filter prunes orders scan-side before the join."""
+    o = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1995-04-01 00:00:00").cast("timestamp_ntz"))
+    )
+    l = _t(spark, sf_dir, "lineitem")
+    kept = o.join(
+        l,
+        (o["o_orderkey"] == l["l_orderkey"])
+        & (l["l_shipdate"] > o["o_orderdate"] + F.expr("INTERVAL 30 DAYS")),
+        "left_semi",
+    )
+    return kept.groupBy("o_orderpriority").agg(F.count("*").alias("order_count"))
+
+
+@q(
+    "q21_suppliers_kept_waiting",
+    """
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             (l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY) AS is_late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F')
+    SELECT s.s_name, count(*) AS numwait
+    FROM late l1 JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE l1.is_late
+      AND EXISTS (SELECT 1 FROM late l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey AND l3.is_late)
+    GROUP BY s.s_name
+    """,
+    tags=("tpch", "semi-join", "anti-join"),
+)
+def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: per supplier, the number of late lines on finished
+    multi-supplier orders where THEY were the only late supplier — the
+    canonical EXISTS + NOT-EXISTS pair over one derived table ("late" =
+    shipped >60 days after order date; no commit/receipt dates in the
+    synthetic schema). Spark shape: one lineitem⋈orders pass builds the
+    late table, then a left-semi join (some other supplier on the order)
+    and a left-anti join (no other LATE supplier) — both hash joins on
+    l_orderkey with the supplier-inequality as residual condition."""
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    late = l.join(
+        o.select("o_orderkey", "o_orderdate"), l["l_orderkey"] == F.col("o_orderkey")
+    ).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        ).alias("is_late"),
+    )
+    l1 = late.filter("is_late")
+    other = late.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    other_late = l1.select(
+        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
+    )
+    cand = l1.join(
+        other,
+        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+        "left_semi",
+    ).join(
+        other_late,
+        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
+        "left_anti",
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return (
+        cand.join(s, cand["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+    )
