@@ -3140,10 +3140,13 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
     multi-supplier orders where THEY were the only late supplier — the
     canonical EXISTS + NOT-EXISTS pair over one derived table ("late" =
     shipped >60 days after order date; no commit/receipt dates in the
-    synthetic schema). Spark shape: one lineitem⋈orders pass builds the
-    late table, then a left-semi join (some other supplier on the order)
-    and a left-anti join (no other LATE supplier) — both hash joins on
-    l_orderkey with the supplier-inequality as residual condition."""
+    synthetic schema). Spark shape: instead of replaying the EXISTS /
+    NOT-EXISTS as two self-joins (3 passes over lineitem⋈orders), ONE
+    pass computes per-order distinct-supplier sets with window
+    collect_set — "some other supplier" ⇔ ≥2 distinct suppliers on the
+    order, "no other late supplier" ⇔ exactly 1 distinct LATE supplier
+    (this row's own). One shuffle on l_orderkey replaces both
+    decorrelated joins; supplier is broadcast."""
     l = _t(spark, sf_dir, "lineitem")
     o = _t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = l.join(
@@ -3155,21 +3158,18 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
         ).alias("is_late"),
     )
-    l1 = late.filter("is_late")
-    other = late.select(
-        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
-    )
-    other_late = l1.select(
-        F.col("l_orderkey").alias("o_k"), F.col("l_suppkey").alias("o_s")
-    )
-    cand = l1.join(
-        other,
-        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
-        "left_semi",
-    ).join(
-        other_late,
-        (F.col("l_orderkey") == F.col("o_k")) & (F.col("l_suppkey") != F.col("o_s")),
-        "left_anti",
+    w = Window.partitionBy("l_orderkey")
+    cand = (
+        late.withColumn("n_supp", F.size(F.collect_set("l_suppkey").over(w)))
+        .withColumn(
+            "n_late_supp",
+            F.size(
+                F.collect_set(
+                    F.when(F.col("is_late"), F.col("l_suppkey"))
+                ).over(w)
+            ),
+        )
+        .filter(F.col("is_late") & (F.col("n_supp") >= 2) & (F.col("n_late_supp") == 1))
     )
     s = _t(spark, sf_dir, "supplier")
     return (

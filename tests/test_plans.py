@@ -154,3 +154,12 @@ def test_decontaminate_eval_side_is_broadcast(spark):
     df = _df(spark, "decontaminate_documents")
     assert broadcast_join_count(df) == 1
     assert shuffle_exchange_count(df) == 3
+
+
+def test_q21_single_pass_over_lineitem(spark):
+    """Q21's EXISTS + NOT-EXISTS pair must collapse into one fact pass
+    (window distinct-supplier counts), not three lineitem scans: one
+    lineitem read, no sort-merge self-joins."""
+    df = _df(spark, "q21_suppliers_kept_waiting")
+    schemas = read_schemas(df)
+    assert sum("l_shipdate" in s for s in schemas) == 1
