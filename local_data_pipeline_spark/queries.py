@@ -3177,3 +3177,51 @@ def q21_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
     )
+
+
+@q(
+    "q20_potential_part_promotion",
+    """
+    SELECT s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+      SELECT l_suppkey FROM lineitem
+      WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type LIKE 'ECONOMY%')
+        AND l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_suppkey
+      HAVING sum(l_quantity) > 400)
+    """,
+    tags=("tpch", "semi-join", "subquery"),
+)
+def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who moved a large volume of a filtered
+    part class in a year — nested IN subqueries (part filter inside a
+    per-supplier volume aggregate inside a supplier membership test). No
+    partsupp table in the synthetic schema, so shipped volume from
+    lineitem replaces available stock. Spark shape, inside-out: broadcast
+    left-semi join prunes lineitem to ECONOMY parts scan-side, one
+    aggregate per supplier applies the HAVING threshold, and the
+    resulting tiny key set broadcast-semi-joins supplier — the fact table
+    is scanned once and never shuffled except for the per-supplier agg
+    (sums are integral, so the threshold is exact at any merge order)."""
+    p = (
+        _t(spark, sf_dir, "part")
+        .filter(F.col("p_type").like("ECONOMY%"))
+        .select("p_partkey")
+    )
+    l = _t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    heavy = (
+        l.join(F.broadcast(p), l["l_partkey"] == p["p_partkey"], "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .filter(F.col("qty") > 400)
+        .select("l_suppkey")
+    )
+    s = _t(spark, sf_dir, "supplier")
+    return s.join(
+        F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi"
+    ).select("s_name", "s_acctbal")
