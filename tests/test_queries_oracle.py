@@ -40,3 +40,32 @@ def test_query_matches_oracle(spark, duck, name):
     res = duck.sql(spec.oracle)
     ok, msg = compare(rows, df.columns, res.fetchall(), [d[0] for d in res.description])
     assert ok, f"{name}: {msg}"
+
+
+def test_approx_sketches_track_their_exact_twins(spark):
+    """The sketch query dropped its exact columns (at scale you never pay
+    the exact-distinct shuffle) — so pin the approximations against the
+    exact answers here: HLL++ within its ~5% default rsd, t-digest median
+    within 1% relative error."""
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    got = {
+        r["l_returnflag"]: r
+        for r in QUERIES["approx_sketch_stats"].fn(spark, SF_DIR).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("parts"),
+            F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for flag, e in exact.items():
+        assert abs(got[flag]["approx_parts"] - e["parts"]) <= 0.10 * e["parts"]
+        assert abs(got[flag]["approx_p50_price"] - e["p50"]) <= 0.01 * e["p50"]
