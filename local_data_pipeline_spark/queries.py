@@ -2281,25 +2281,32 @@ def range_join_purchases_in_sessions(spark: SparkSession, sf_dir: str) -> DataFr
     tags=("text", "tfidf"),
 )
 def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TF-IDF: top-3 characteristic terms per document. Explode + two hash
-    aggregates (term frequency per doc, document frequency per term) + a
-    broadcast of the tiny df side back onto tf — both aggregates are
-    map-side combinable and the shuffles key on (doc, token)/(token), so
-    the shape scales linearly with corpus size. Ranking happens on the
-    round(6) score with a token tie-break so the top-3 is a total order
-    on both engines."""
+    """TF-IDF: top-3 characteristic terms per document. ONE explode pass:
+    term frequency per (doc, token), then document frequency derived from
+    tf itself (tf already has one row per doc-token pair, so a plain
+    count per token equals countDistinct docs — no second tokenize pass,
+    no distinct expand) and broadcast back onto tf. The corpus count
+    rides along as a broadcast 1-row cross join instead of a separate
+    blocking .count() job. Both aggregates are map-side combinable and
+    the shuffles key on (doc, token)/(token), so the shape scales
+    linearly with corpus size. Ranking happens on the round(6) score with
+    a token tie-break so the top-3 is a total order on both engines."""
     d = _t(spark, sf_dir, "documents")
-    n_docs = d.count()
+    cnt = d.agg(F.count("*").cast("double").alias("n_docs"))
     flat = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     tf = flat.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
-    df = flat.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
-    scored = tf.join(F.broadcast(df), "token").select(
-        "doc_id",
-        "token",
-        "tf",
-        F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6).alias(
-            "tfidf"
-        ),
+    df = tf.groupBy("token").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(df), "token")
+        .crossJoin(F.broadcast(cnt))
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            F.round(F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6).alias(
+                "tfidf"
+            ),
+        )
     )
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("token"))
     return (
