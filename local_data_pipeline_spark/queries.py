@@ -3257,3 +3257,73 @@ def q20_potential_part_promotion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.join(
         F.broadcast(heavy), s["s_suppkey"] == heavy["l_suppkey"], "left_semi"
     ).select("s_name", "s_acctbal")
+
+
+@q(
+    "knn_label_consistency",
+    """
+    WITH scored AS (
+      SELECT a.vec_id AS query_id, a.label AS own_label,
+             b.vec_id AS neighbor_id, b.label AS nb_label,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          b.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+    top5 AS (
+      SELECT * FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                     ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+        FROM scored) WHERE rank <= 5),
+    votes AS (
+      SELECT query_id, own_label, nb_label, count(*) AS c
+      FROM top5 GROUP BY query_id, own_label, nb_label),
+    winner AS (
+      SELECT query_id, own_label, nb_label AS knn_label,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY c DESC, nb_label ASC) AS rn
+      FROM votes)
+    SELECT cast(own_label AS bigint) AS label, count(*) AS n,
+           cast(sum(CASE WHEN knn_label = own_label THEN 1 ELSE 0 END)
+                AS bigint) AS n_consistent
+    FROM winner WHERE rn = 1
+    GROUP BY own_label
+    """,
+    tags=("similarity", "curation", "ml"),
+)
+def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit via k-NN consistency: every vector's 5 nearest
+    neighbors (exact cosine) vote on its label — per label, how many
+    vectors agree with their neighborhood's majority (vote ties → lowest
+    label, ranks broken on round-6 cosine + neighbor id, so the audit is
+    deterministic on both engines). The standard embedding-space check
+    for mislabeled / outlier training examples.
+
+    Scale shape: candidate generation uses the Arrow/BLAS matmul path
+    (broadcast queries, per-partition prune — the HOF pair expression is
+    ~30× slower at 25M pairs); at 100 TB you swap in the IVF/LSH variant
+    for candidate generation and keep the voting tail unchanged — votes
+    and winners shuffle one row per (vector, label) pair at most."""
+    emb = _t(spark, sf_dir, "embeddings")
+    nn = SIM.brute_force_topk_arrow(emb, emb, k=5)
+    lab = emb.select("vec_id", "label")
+    own = F.broadcast(
+        lab.select(F.col("vec_id").alias("query_id"), F.col("label").alias("own_label"))
+    )
+    nb = F.broadcast(
+        lab.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("label").alias("nb_label")
+        )
+    )
+    votes = (
+        nn.join(own, "query_id")
+        .join(nb, "neighbor_id")
+        .groupBy("query_id", "own_label", "nb_label")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("c"), F.asc("nb_label"))
+    winner = votes.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return winner.groupBy(F.col("own_label").cast("bigint").alias("label")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("nb_label") == F.col("own_label"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_consistent"),
+    )
