@@ -262,25 +262,29 @@ def dedup_clusters(
         .select(F.col("src").alias("id"), F.least("label", "src").alias("label"))
     )
     for _ in range(max_iterations):
-        # propagate: my new label = min(my label, labels of my neighbors)
+        # propagate: my new label = min(my label, labels of my neighbors).
+        # The old label rides through the same aggregate (each id has
+        # exactly one self row), so convergence needs no extra join/job —
+        # the changed-probe reads the already-checkpointed result.
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("label"))
+            .withColumn("is_self", F.lit(0))
         )
-        new_labels = (
-            labels.unionByName(neighbor_labels)
+        merged = (
+            labels.withColumn("is_self", F.lit(1))
+            .unionByName(neighbor_labels)
             .groupBy("id")
-            .agg(F.min("label").alias("label"))
+            .agg(
+                F.min("label").alias("label"),
+                F.max(F.when(F.col("is_self") == 1, F.col("label"))).alias(
+                    "old_label"
+                ),
+            )
             .localCheckpoint()  # eager: cut the iterative lineage
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = merged.filter(F.col("label") < F.col("old_label")).limit(1).count()
+        labels = merged.select("id", "label")
         if changed == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))

@@ -3327,3 +3327,54 @@ def knn_label_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_consistent"),
     )
+
+
+@q(
+    "near_dup_clusters_documents",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    sh AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> t[i] || ' ' || coalesce(t[i+1], '')
+                    || CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END
+             )) AS s
+      FROM toks),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.source = b.source AND a.doc_id < b.doc_id
+      WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+                  len(list_distinct(list_concat(a.s, b.s))), 6) >= 0.02),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst)
+    SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id
+    """,
+    tags=("dedup", "graph", "iterative"),
+)
+def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTER consolidation: connected components over the
+    word-3-gram Jaccard pair graph (within-source blocking, loose 0.02
+    threshold) — A~B and B~C must collapse {A,B,C} to one cluster even
+    though A~C was never emitted, which pairwise dedup alone misses.
+    cluster_id = min doc_id reachable through any chain.
+
+    Spark shape: iterative min-label propagation (join + min-aggregate
+    per round, localCheckpoint to cut lineage — operators/dedup.py
+    dedup_clusters), the standard large-scale CC algorithm; rounds ~
+    graph diameter. The DuckDB twin is a recursive CTE over the same
+    pairs, so even this iterative operator is fully oracle-matched."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = DD.jaccard_pairs(
+        d, None, "text", "doc_id", 3, threshold=0.02, block_by="source"
+    ).select("id_a", "id_b")
+    return DD.dedup_clusters(pairs)
