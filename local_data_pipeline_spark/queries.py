@@ -3378,3 +3378,75 @@ def near_dup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         d, None, "text", "doc_id", 3, threshold=0.02, block_by="source"
     ).select("id_a", "id_b")
     return DD.dedup_clusters(pairs)
+
+
+@q(
+    "lm_score_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    big AS (
+      SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2 FROM idx),
+    cb AS (SELECT w1, w2, count(*) AS cb FROM big GROUP BY w1, w2),
+    cu AS (SELECT w1, count(*) AS cu FROM big GROUP BY w1),
+    prob AS (
+      SELECT cb.w1, cb.w2, round(ln(cb.cb * 1.0 / cu.cu), 6) AS lp
+      FROM cb JOIN cu ON cb.w1 = cu.w1)
+    SELECT b.doc_id, count(*) AS n_bigrams,
+           round({davg_sql('lp')}, 6) AS avg_logprob
+    FROM big b JOIN prob p ON b.w1 = p.w1 AND b.w2 = p.w2
+    GROUP BY b.doc_id
+    """,
+    tags=("text", "lm", "curation"),
+)
+def lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring: each document's mean bigram
+    log-probability under the corpus's own bigram model (P(w2|w1) =
+    c(w1,w2)/c(w1·)) — repetitive/templated text scores high, word-soup
+    scores low, the classic perplexity-bucket filter signal. Every doc
+    bigram appears in the corpus counts (the doc is in the corpus), so no
+    smoothing is needed and the score is total.
+
+    Scale/determinism shape: both count tables are map-side-combinable
+    aggregates far smaller than the bigram stream; probabilities attach
+    to the COUNTS table first (cheap (w1,w2)-join between two aggregates)
+    so the full bigram stream shuffles once, for its single scoring join.
+    Per-bigram log-probs are rounded to 6 decimals on both engines, then
+    averaged via exact decimal sums (functions/numeric.py) — the result
+    is bit-identical at any parallelism."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    big = toks.select(
+        "doc_id",
+        F.explode(
+            F.arrays_zip(
+                F.slice("t", 1, F.size("t") - 1).alias("w1"),
+                F.slice("t", 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("p"),
+    ).select("doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    cb = big.groupBy("w1", "w2").agg(F.count("*").alias("cb"))
+    cu = big.groupBy("w1").agg(F.count("*").alias("cu"))
+    prob = (
+        cb.join(cu, "w1")
+        .withColumn(
+            "lp", F.round(F.log(F.col("cb").cast("double") / F.col("cu")), 6)
+        )
+        .select("w1", "w2", "lp")
+    )
+    return (
+        big.join(prob, ["w1", "w2"])
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_bigrams"),
+            F.round(dsum("lp") / F.count("*"), 6).alias("avg_logprob"),
+        )
+    )
