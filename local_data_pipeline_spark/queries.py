@@ -3450,3 +3450,63 @@ def lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsum("lp") / F.count("*"), 6).alias("avg_logprob"),
         )
     )
+
+
+@q(
+    "source_mixing_weights",
+    """
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS n_tok
+      FROM documents),
+    per_source AS (
+      SELECT source, count(*) AS n_docs,
+             cast(sum(n_tok) AS bigint) AS n_tokens
+      FROM toks GROUP BY source),
+    powered AS (
+      SELECT *, round(pow(n_tokens, 0.7), 6) AS pw FROM per_source),
+    tot AS (
+      SELECT *, cast(sum(cast(pw AS decimal(25,6))) OVER () AS double) AS t
+      FROM powered)
+    SELECT source, n_docs, n_tokens,
+           round(pw / t, 6) AS weight,
+           cast(floor(round(pw / t, 6) * 10000) AS bigint) AS docs_at_10k
+    FROM tot
+    """,
+    tags=("sampling", "curation"),
+)
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (the mT5/XLM-R alpha=0.7
+    multinomial recipe): per source, token counts and the sampling weight
+    n_tokens^0.7 / sum(n_tokens^0.7), plus the allocation of a 10k-doc
+    budget. Upsamples small/tail sources relative to proportional
+    sampling — the standard mixing step when assembling a training blend
+    from heterogeneous sources.
+
+    Determinism: the powered values are rounded to 6 decimals before the
+    decimal-exact window total (sum order can't perturb the result), and
+    the budget allocation floors the rounded weight — identical on both
+    engines. Scale shape: one map-side-combinable aggregate to per-source
+    rows (a handful at any corpus size), then scalar arithmetic — the
+    corpus is scanned once, nothing else moves."""
+    d = _t(spark, sf_dir, "documents")
+    per_source = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.size(TX.tokens(F.col("text")))).alias("n_tokens"),
+    )
+    powered = per_source.withColumn(
+        "pw", F.round(F.pow("n_tokens", F.lit(0.7)), 6)
+    )
+    w = Window.partitionBy()
+    tot = powered.withColumn(
+        "t", F.sum(F.col("pw").cast("decimal(25,6)")).over(w).cast("double")
+    )
+    weight = F.round(F.col("pw") / F.col("t"), 6)
+    return tot.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        weight.alias("weight"),
+        F.floor(weight * 10000).cast("bigint").alias("docs_at_10k"),
+    )
