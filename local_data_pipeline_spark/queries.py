@@ -3510,3 +3510,51 @@ def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight.alias("weight"),
         F.floor(weight * 10000).cast("bigint").alias("docs_at_10k"),
     )
+
+
+@q(
+    "densify_hourly_event_grid",
+    """
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS h, event_type, count(*) AS n
+      FROM events GROUP BY 1, 2)
+    SELECT g.h, g.event_type, coalesce(a.n, 0) AS n
+    FROM grid g LEFT JOIN actual a ON a.h = g.h AND a.event_type = g.event_type
+    """,
+    tags=("timeseries", "densify", "cross-join"),
+)
+def densify_hourly_event_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense (hour × event_type) grid with zero-filled counts — the
+    densification step every time-series report/model needs so gaps
+    read as 0 instead of missing rows (215 of 3600 cells are empty at
+    sf0.01). The hour spine is generated INSIDE the plan (sequence over
+    the min/max bounds row — no driver collect), cross-joined with the
+    distinct types, then left-joined against the hourly aggregate.
+
+    Scale: both grid sides are bounded (hours × types, and the aggregate
+    collapses the fact table map-side before the join), so the cross and
+    left joins are broadcast-sized at any corpus scale — the only
+    full-data pass is the one count aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(F.count("*").alias("n"))
+    return grid.join(actual, ["h", "event_type"], "left").select(
+        "h", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
