@@ -163,3 +163,24 @@ def test_q21_single_pass_over_lineitem(spark):
     df = _df(spark, "q21_suppliers_kept_waiting")
     schemas = read_schemas(df)
     assert sum("l_shipdate" in s for s in schemas) == 1
+
+
+def test_q4_exists_becomes_broadcast_semi_join(spark):
+    """Q4's correlated EXISTS must decorrelate to one broadcast semi join
+    with the lag predicate as join condition; the quarter filter reaches
+    the orders scan."""
+    df = _df(spark, "q4_order_priority_checking")
+    assert broadcast_join_count(df) == 1
+    assert has_pushed_filter(df, "o_orderdate")
+    assert shuffle_exchange_count(df) <= 1  # only the final agg
+
+
+def test_q20_nested_ins_are_broadcast_semi_joins_one_fact_pass(spark):
+    """Q20's nested INs must collapse to two broadcast semi joins around a
+    single lineitem pass (part filter prunes scan-side, supplier joins
+    the tiny surviving key set)."""
+    df = _df(spark, "q20_potential_part_promotion")
+    assert broadcast_join_count(df) == 2
+    assert has_pushed_filter(df, "l_shipdate")
+    schemas = read_schemas(df)
+    assert sum("l_quantity" in s for s in schemas) == 1
