@@ -144,3 +144,41 @@ def test_range_join_buckets_equals_naive_nonequi_join(spark, points, intervals):
         ).collect()
     )
     assert got == want
+
+
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(
+            lambda p: p[0] != p[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@settings(max_examples=10, deadline=None)
+def test_dedup_clusters_equal_union_find(spark, edges):
+    """Min-label propagation must compute exactly the connected components
+    a driver-side union-find computes, on arbitrary small graphs —
+    including chains longer than one propagation round."""
+    from local_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = {n for e in edges for n in e}
+    expected = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(
+        [(a, b) for a, b in edges], "id_a long, id_b long"
+    )
+    got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == expected
