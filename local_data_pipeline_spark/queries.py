@@ -58,6 +58,13 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(spark, sf_dir, name)
 
 
+def _extract(field: str):
+    """Single-arg HOF lambda extracting a struct field (a ``lambda x, f=f``
+    default-arg closure would have arity 2, making Spark bind the second
+    parameter to the array INDEX lambda variable)."""
+    return lambda x: x[field]
+
+
 # =====================================================================
 # Reference parity (SURVEY §2.B/§2.C)
 # =====================================================================
@@ -86,6 +93,99 @@ def daily_max_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("value"), F.desc("ts"), F.asc("event_id")],
     )
     return out.select("dt", "event_type", "event_id", "ts", "user_id", "value")
+
+
+@q(
+    "swell_daily_max",
+    """
+    WITH hourly AS (
+      SELECT event_type AS location,
+             date_trunc('hour', ts) AS "timestamp",
+             max(value) AS wave_height,
+             min(value) AS wave_direction,
+             cast(count(*) AS DOUBLE) AS wind_wave_direction,
+             max(value) AS swell_wave_height,
+             min(value) AS swell_wave_direction,
+             cast(count(DISTINCT user_id) AS DOUBLE) AS swell_wave_period
+      FROM events
+      GROUP BY 1, 2),
+    ranked AS (
+      SELECT *, cast("timestamp" AS DATE) AS dt,
+             row_number() OVER (PARTITION BY cast("timestamp" AS DATE), location
+                                ORDER BY swell_wave_height DESC, "timestamp" DESC) AS rn
+      FROM hourly)
+    SELECT "timestamp", location, wave_height, wave_direction, wind_wave_direction,
+           swell_wave_height, swell_wave_direction, swell_wave_period, dt
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("reference", "json", "window", "flagship"),
+)
+def swell_daily_max(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's three-layer pipeline (stg → int → pres), end-to-end
+    and oracle-checked: reference-shaped raw JSON payload rows are built
+    in-plan from ``events`` (one payload per location-day, parallel hourly
+    arrays — the Open-Meteo response shape, open_meteo.py:23-32), then run
+    through the REAL pipeline functions ``stg_swell_hourly`` (from_json +
+    arrays_zip + explode + strptime-format parse ≙ stg sql:25-48),
+    ``int_daily_max_swell`` (2-key-tie-break argmax window ≙ int
+    sql:10-30) and ``pres_daily_max_swell`` (projection ≙ pres
+    sql:10-19). The DuckDB oracle computes the semantically equal result
+    directly — so the check verifies the whole JSON round-trip, not a
+    mirrored implementation. Every payload value is an order-insensitive
+    aggregate (max/min/count, no float arithmetic) so both engines see
+    bit-identical doubles; JSON serialization is shortest-round-trip.
+
+    100 TB: two hash aggregations (hour, then location-day — the second is
+    a near-free partial agg on the first's keys) + the window's exchange on
+    (dt, location); payload arrays are bounded at 24 elements so the
+    collect_list never skews."""
+    from .models import swell as SW
+
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        F.col("event_type").alias("location"),
+        F.date_trunc("hour", F.col("ts")).alias("hts"),
+    ).agg(
+        F.max("value").alias("wave_height"),
+        F.min("value").alias("wave_direction"),
+        F.count("*").cast("double").alias("wind_wave_direction"),
+        F.max("value").alias("swell_wave_height"),
+        F.min("value").alias("swell_wave_direction"),
+        F.countDistinct("user_id").cast("double").alias("swell_wave_period"),
+    )
+    day_groups = hourly.groupBy(
+        "location", F.date_trunc("day", F.col("hts")).alias("ingest_day")
+    ).agg(
+        F.sort_array(
+            F.collect_list(
+                F.struct(
+                    F.col("hts"), *[F.col(f) for f in SW.HOURLY_FIELDS]
+                )
+            )
+        ).alias("h")
+    )
+    payload = F.to_json(
+        F.struct(
+            F.lit(0.0).alias("latitude"),
+            F.lit(0.0).alias("longitude"),
+            F.lit("UTC").alias("timezone"),
+            F.struct(
+                F.transform(
+                    "h", lambda x: F.date_format(x["hts"], SW.TIME_FORMAT)
+                ).alias("time"),
+                *[
+                    F.transform("h", _extract(f)).alias(f)
+                    for f in SW.HOURLY_FIELDS
+                ],
+            ).alias("hourly"),
+        )
+    )
+    raw = day_groups.select(
+        F.col("ingest_day").alias("timestamp"),
+        "location",
+        payload.alias("data"),
+    )
+    return SW.pres_daily_max_swell(SW.int_daily_max_swell(SW.stg_swell_hourly(raw)))
 
 
 @q(
