@@ -11,13 +11,15 @@ sum broadcast back). Identical results (tested), linear scaling.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
 def distributed_cumsum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | Sequence[str],
     value_col: str,
     out_col: str = "cumsum",
     n_partitions: int = 32,
@@ -35,12 +37,13 @@ def distributed_cumsum(
     result does not depend on where the sampled range boundaries fall —
     only on shards being contiguous in key order.
     """
-    ranged = df.repartitionByRange(n_partitions, F.col(order_col)).withColumn(
-        "__shard", F.spark_partition_id()
-    )
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    ranged = df.repartitionByRange(
+        n_partitions, *[F.col(c) for c in order_cols]
+    ).withColumn("__shard", F.spark_partition_id())
     w_in = (
         Window.partitionBy("__shard")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # Materialize once: the totals collect and the final join are two
@@ -64,3 +67,48 @@ def distributed_cumsum(
         .withColumn(out_col, F.col("__local") + F.col("__offset") - F.col(value_col))
         .drop("__shard", "__local", "__offset")
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str = "rank",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """``row_number() OVER (ORDER BY order_cols)`` without the single-task
+    global window: an exclusive distributed prefix sum of ones, plus one.
+    ``order_cols`` must form a total order (add a unique tie-break key)."""
+    ones = df.withColumn("__one", F.lit(1).cast("bigint"))
+    ranked = distributed_cumsum(ones, order_cols, "__one", "__rk", n_partitions)
+    return ranked.withColumn(out_col, (F.col("__rk") + 1)).drop("__one", "__rk")
+
+
+def distributed_ntile(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    n_buckets: int,
+    out_col: str = "bucket",
+    n_partitions: int = 32,
+) -> DataFrame:
+    """Exact ``ntile(n)`` over a global total order, computed scalably.
+
+    SQL ntile semantics: with n rows and k buckets, the first ``n % k``
+    buckets hold ``n // k + 1`` rows, the rest ``n // k`` — reproduced
+    from the distributed rank with the closed-form bucket formula, so no
+    stage ever sees more than one range-partitioned shard. The plain
+    ``F.ntile`` over an un-partitioned window — what a direct translation
+    would use — funnels the entire table through ONE task."""
+    ranked = distributed_rank(df, order_cols, "__r", n_partitions)
+    n = ranked.count()
+    q, rem = divmod(n, n_buckets)
+    big = q + 1
+    r = F.col("__r")
+    if q == 0:  # fewer rows than buckets: row r -> bucket r
+        bucket = r
+    else:
+        # integer ceil-division (a DIV b) keeps the formula exact at any n,
+        # where double division would round near the 2^53 boundary
+        bucket = F.when(
+            r <= rem * big, F.expr(f"1 + (__r - 1) DIV {big}")
+        ).otherwise(F.expr(f"{rem + 1} + (__r - 1 - {rem * big}) DIV {q}"))
+    return ranked.withColumn(out_col, bucket.cast("bigint")).drop("__r")

@@ -22,7 +22,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.numeric import davg_sql, dsum, dsum_sql
+from .functions.numeric import davg, davg_sql, dsum, dsum_sql
 from .functions import text as TX
 from .functions.vectors import cosine, l2_norm
 from .operators import dedup as DD
@@ -3657,4 +3657,168 @@ def densify_hourly_event_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count("*").alias("n"))
     return grid.join(actual, ["h", "event_type"], "left").select(
         "h", "event_type", F.coalesce("n", F.lit(0)).alias("n")
+    )
+
+
+@q(
+    "segment_dedup_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(0, cast(ceil(len(t) / 20.0) AS bigint))) AS i
+      FROM toks WHERE len(t) > 0),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[(i*20+1):(i*20+20)], ' ') AS seg
+      FROM idx),
+    ranked AS (
+      SELECT doc_id, seg_idx,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs)
+    SELECT doc_id, count(*) AS n_segments,
+           cast(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           cast(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS bigint) AS n_dropped
+    FROM ranked GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "curation"),
+)
+def segment_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document (span-level) exact dedup: each document is cut into
+    consecutive 20-token segments and duplicate segments are removed
+    CORPUS-WIDE, first occurrence wins (ties under the total order
+    (doc_id, seg_idx)) — the boilerplate/template-removal pass that
+    document-level dedup misses entirely, since two distinct documents
+    can share most of their spans. Reports per-doc segment attrition.
+
+    Scale shape: one explode pass (no shuffle), one hash exchange on the
+    segment text for the first-occurrence window, one partial-agg
+    collapse back to doc_id. At 100 TB hash the segment to a 128-bit
+    fingerprint before the exchange so shuffle rows are fixed-width
+    (operators/dedup.py exact_dedup does exactly that for whole docs)."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    n_segs = F.ceil(F.size("t") / F.lit(20.0)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(
+                    F.slice(F.col("t"), i * 20 + 1, 20), " "
+                ),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    ranked = segs.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("doc_id").agg(
+        F.count("*").alias("n_segments"),
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_kept"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
+    )
+
+
+@q(
+    "ntile_customer_value_deciles",
+    f"""
+    WITH d AS (
+      SELECT c_acctbal,
+             ntile(10) OVER (ORDER BY c_acctbal, c_custkey) AS decile
+      FROM customer)
+    SELECT decile, count(*) AS n,
+           min(c_acctbal) AS min_bal, max(c_acctbal) AS max_bal,
+           {davg_sql('c_acctbal')} AS avg_bal
+    FROM d GROUP BY decile
+    """,
+    tags=("window", "ntile", "scale"),
+)
+def ntile_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact global NTILE(10) account-balance deciles — computed with the
+    distributed-rank operator (range partition + per-shard window + K
+    shard offsets broadcast back, operators/packing.py) instead of
+    ``F.ntile`` over an un-partitioned window, which would drag the whole
+    table through a single task. Bucket boundaries reproduce SQL ntile
+    semantics exactly (first n%k buckets get the extra row), verified
+    against DuckDB's native ntile.
+
+    The total order includes c_custkey as tie-break so both the rank and
+    every downstream aggregate are engine-independent."""
+    from .operators import packing as PK
+
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    deciled = PK.distributed_ntile(
+        c, ["c_acctbal", "c_custkey"], 10, out_col="decile"
+    )
+    return deciled.groupBy("decile").agg(
+        F.count("*").alias("n"),
+        F.min("c_acctbal").alias("min_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        davg("c_acctbal").alias("avg_bal"),
+    )
+
+
+@q(
+    "vocab_coverage_curve",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    tok AS (SELECT unnest(t) AS token FROM toks),
+    counts AS (SELECT token, count(*) AS cnt FROM tok GROUP BY token),
+    total AS (SELECT sum(cnt) AS tot FROM counts),
+    ranked AS (
+      SELECT token, cnt,
+             row_number() OVER (ORDER BY cnt DESC, token ASC) AS rank,
+             sum(cnt) OVER (ORDER BY cnt DESC, token ASC
+                            ROWS UNBOUNDED PRECEDING) AS cum
+      FROM counts)
+    SELECT rank, token, cnt, round(cum * 1.0 / tot, 6) AS cum_share
+    FROM ranked, total WHERE rank <= 100
+    """,
+    tags=("text", "vocab", "window"),
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf/coverage curve: for the top-100 corpus tokens in frequency
+    order, the cumulative share of all token occurrences they cover —
+    the standard check for how head-heavy a corpus is (and how big a
+    vocabulary a tokenizer needs for X% coverage).
+
+    Scale shape: the running sum only ever runs over the top-100 rows
+    (selected first via TakeOrderedAndProject), because the cumulative
+    sum at rank r depends only on rows ranked above r — so the global
+    ordered window that would be a one-task bottleneck over the full
+    vocabulary never materializes. The corpus total rides in as a 1-row
+    broadcast cross join. Counts are exact longs; the single float
+    division is rounded to 6 decimals on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+    )
+    total = counts.agg(F.sum("cnt").alias("tot"))
+    top = counts.orderBy(F.desc("cnt"), F.asc("token")).limit(100)
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    wsum = w.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        top.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .withColumn("cum", F.sum("cnt").over(wsum))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "rank",
+            "token",
+            "cnt",
+            F.round(F.col("cum") * 1.0 / F.col("tot"), 6).alias("cum_share"),
+        )
     )

@@ -233,3 +233,68 @@ def test_distributed_cumsum_equals_global_window(spark):
         for r in d.withColumn("cs", F.sum("v").over(w) - F.col("v")).collect()
     }
     assert got == want
+
+
+def test_distributed_ntile_matches_native_ntile(spark):
+    """The scalable ntile (distributed rank + closed-form buckets) must
+    reproduce SQL ntile semantics exactly, including the uneven-bucket
+    edge (n % k != 0) and n < k."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.operators.packing import distributed_ntile
+    from local_data_pipeline_spark.session import load_table
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    for k in (7, 10):  # 150 % 7 != 0 exercises the uneven split
+        got = {
+            r.c_custkey: r.b
+            for r in distributed_ntile(
+                c, ["c_acctbal", "c_custkey"], k, out_col="b", n_partitions=5
+            ).collect()
+        }
+        w = Window.orderBy("c_acctbal", "c_custkey")
+        want = {
+            r.c_custkey: r.b
+            for r in c.withColumn("b", F.ntile(k).over(w).cast("bigint")).collect()
+        }
+        assert got == want
+
+    tiny = c.limit(3)
+    got = sorted(
+        r.b
+        for r in distributed_ntile(
+            tiny, ["c_acctbal", "c_custkey"], 10, out_col="b"
+        ).collect()
+    )
+    assert got == [1, 2, 3]  # n < k: one row per leading bucket
+
+
+def test_segment_dedup_flags_planted_boilerplate(spark):
+    """Two docs sharing an exact 20-token span: the later doc's copy is
+    dropped, the first occurrence and all unique spans are kept."""
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.queries import QUERIES
+    import os
+    import tempfile
+
+    span = " ".join(f"tok{i}" for i in range(20))
+    uniq_a = " ".join(f"aaa{i}" for i in range(20))
+    uniq_b = " ".join(f"bbb{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} {uniq_a}", "en", "s", 0),
+            (2, f"{span} {uniq_b}", "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: (r.n_segments, r.n_kept, r.n_dropped)
+            for r in QUERIES["segment_dedup_documents"].fn(spark, td).collect()
+        }
+    assert out == {1: (2, 2, 0), 2: (2, 1, 1)}
