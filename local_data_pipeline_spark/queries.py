@@ -3822,3 +3822,52 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("cum") * 1.0 / F.col("tot"), 6).alias("cum_share"),
         )
     )
+
+
+@q(
+    "kmeans_embedding_clusters",
+    None,  # iterative + Arrow-UDF assignment: rows-only driver check;
+    # determinism/quality pinned in tests/test_clustering.py
+    tags=("clustering", "ml", "iterative"),
+)
+def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic Lloyd's k-means over the embeddings table (k=8, 4
+    iterations, min-id init): per-cluster size and mean squared distance
+    to centroid. The coarse partitioner for IVF search and the blocking
+    stage for semantic dedup (operators/clustering.py — decimal-exact
+    centroid recompute, Arrow-batched assignment; each iteration is one
+    broadcast assignment pass + one (cluster, dim) hash aggregate whose
+    result is k*dim rows regardless of input size)."""
+    from .operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = CL.kmeans_fit(emb, k=8, n_iters=4)
+    return CL.kmeans_cluster_stats(emb, centroids)
+
+
+@q(
+    "semantic_dedup_embeddings",
+    None,  # clustering + gram-matrix UDF: rows-only driver check;
+    # planted-duplicate recovery pinned in tests/test_clustering.py
+    tags=("dedup", "clustering", "ml"),
+)
+def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., arXiv:2303.09540): k-means clusters as
+    blocks, one numpy gram matrix per cluster, cosine >= 0.995 pairs
+    collapsed transitively (connected components), min-id survivor kept.
+    Reports per-label before/after counts — the semantic-duplication
+    audit exact and MinHash dedup both miss."""
+    from .operators import clustering as CL
+
+    emb = _t(spark, sf_dir, "embeddings")
+    kept = CL.semantic_dedup(emb, k=8, n_iters=4, threshold=0.995)
+    before = emb.groupBy("label").agg(F.count("*").alias("n_total"))
+    after = kept.groupBy("label").agg(F.count("*").alias("n_kept"))
+    return (
+        before.join(after, "label", "left")
+        .select(
+            F.col("label").cast("bigint").alias("label"),
+            "n_total",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        )
+    )
