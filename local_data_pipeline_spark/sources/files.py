@@ -39,6 +39,22 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC reader — same pushdown/pruning contract as Parquet (predicate
+    pushdown + column pruning reach the scan; see test_file_sources.py).
+    ORC interops with Hive/Trino warehouses where it is the table format."""
+    return spark.read.orc(path)
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    write_table(df, path, partition_by=partition_by, mode=mode, fmt="orc")
+
+
 def write_table(
     df: DataFrame,
     path: str,

@@ -8,7 +8,9 @@ from local_data_pipeline_spark.session import load_table
 from local_data_pipeline_spark.sources.files import (
     read_csv,
     read_jsonl,
+    read_orc,
     write_jsonl,
+    write_orc,
     write_table,
 )
 
@@ -32,6 +34,31 @@ def test_jsonl_tolerant_reader(spark, tmp_path):
     back = read_jsonl(spark, p, "event_id long, event_type string, missing_col double")
     assert back.count() == 100
     assert back.filter("missing_col is not null").count() == 0
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    p = str(tmp_path / "orc")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_orc(orders, p)
+    back = read_orc(spark, p)
+    assert back.count() == orders.count()
+    assert dict(back.dtypes) == dict(orders.dtypes)
+    # predicate pushdown + column pruning reach the ORC scan
+    q = back.filter(F.col("o_orderstatus") == "F").select("o_orderkey")
+    plan = physical_plan(q)
+    assert "PushedFilters" in plan and "o_orderstatus" in plan.split("PushedFilters", 1)[1].split("]", 1)[0]
+    sel = plan.split("ReadSchema", 1)[1].split("\n")[0]
+    assert "o_orderkey" in sel and "o_totalprice" not in sel
+
+
+def test_orc_partitioned_write_prunes(spark, tmp_path):
+    p = str(tmp_path / "orc_by_status")
+    orders = load_table(spark, SF_DIR, "orders")
+    write_orc(orders, p, partition_by=["o_orderstatus"])
+    back = read_orc(spark, p).filter(F.col("o_orderstatus") == "F")
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1].split("\n")[0]
+    assert back.count() == orders.filter("o_orderstatus = 'F'").count()
 
 
 def test_partitioned_write_prunes_at_scan(spark, tmp_path):
