@@ -3871,3 +3871,163 @@ def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
         )
     )
+
+
+@q(
+    "percent_rank_orders",
+    """
+    SELECT o_orderkey, o_orderpriority,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume,
+           cast(ntile(4) OVER w AS bigint) AS quartile
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("window", "rank"),
+)
+def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-rank window family (percent_rank, cume_dist, ntile) per
+    order priority — the remaining ranking functions not yet exercised by
+    the rank/dense_rank/row_number query. Partitioned windows, so every
+    partition is an independent task (no global-window bottleneck); the
+    total order (totalprice, orderkey) pins ties cross-engine."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.ntile(4).over(w).cast("bigint").alias("quartile"),
+    )
+
+
+@q(
+    "interpolate_hourly_gaps",
+    f"""
+    WITH bounds AS (
+      SELECT date_trunc('hour', min(ts)) AS h0,
+             date_trunc('hour', max(ts)) AS h1 FROM events),
+    hours AS (
+      SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS h FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    grid AS (SELECT h, event_type FROM hours CROSS JOIN types),
+    actual AS (
+      SELECT date_trunc('hour', ts) AS h, event_type,
+             {davg_sql('value')} AS v
+      FROM events GROUP BY 1, 2),
+    g AS (
+      SELECT grid.h, grid.event_type, actual.v
+      FROM grid LEFT JOIN actual
+        ON actual.h = grid.h AND actual.event_type = grid.event_type),
+    f AS (
+      SELECT h, event_type, v,
+        last_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        first_value(v IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        last_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        first_value(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+          (PARTITION BY event_type ORDER BY h
+           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+      FROM g)
+    SELECT h, event_type,
+           round(CASE
+             WHEN v IS NOT NULL THEN v
+             WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+               pv + (nv - pv)
+                  * (date_diff('second', ph, h) * 1.0 / date_diff('second', ph, nh))
+             ELSE coalesce(pv, nv) END, 6) AS v_filled,
+           CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
+    FROM f
+    """,
+    tags=("timeseries", "densify", "window"),
+)
+def interpolate_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap filling: the dense (hour × event_type) grid with
+    empty cells LINEARLY INTERPOLATED between the nearest non-empty hours
+    (flat extrapolation at the edges) — the standard sensor/metric
+    densification a downstream model expects. Uses IGNORE NULLS window
+    frames (last non-null before / first non-null after) on both engines;
+    anchors are exact decimal hourly means, the interpolation fraction is
+    a ratio of integer second-gaps, and the result rounds to 6 decimals —
+    bit-stable cross-engine.
+
+    Scale: windows are partitioned by event_type over the bounded hour
+    spine (grid rows ≈ hours × types, independent of event count), so no
+    full-data ordered window exists; the only full pass is the hourly
+    aggregate."""
+    ev = _t(spark, sf_dir, "events")
+    bounds = ev.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    hours = bounds.select(
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(types)
+    actual = ev.groupBy(
+        F.date_trunc("hour", "ts").alias("h"), "event_type"
+    ).agg(davg("value").alias("v"))
+    g = grid.join(actual, ["h", "event_type"], "left")
+    w = Window.partitionBy("event_type").orderBy("h")
+    back = w.rowsBetween(Window.unboundedPreceding, 0)
+    fwd = w.rowsBetween(0, Window.unboundedFollowing)
+    vh = F.when(F.col("v").isNotNull(), F.col("h"))
+    f = g.select(
+        "h",
+        "event_type",
+        "v",
+        F.last("v", ignorenulls=True).over(back).alias("pv"),
+        F.first("v", ignorenulls=True).over(fwd).alias("nv"),
+        F.last(vh, ignorenulls=True).over(back).alias("ph"),
+        F.first(vh, ignorenulls=True).over(fwd).alias("nh"),
+    )
+    frac = F.expr("timestampdiff(SECOND, ph, h)") * 1.0 / F.expr(
+        "timestampdiff(SECOND, ph, nh)"
+    )
+    interp = (
+        F.when(F.col("v").isNotNull(), F.col("v"))
+        .when(
+            F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+            F.col("pv") + (F.col("nv") - F.col("pv")) * frac,
+        )
+        .otherwise(F.coalesce("pv", "nv"))
+    )
+    return f.select(
+        "h",
+        "event_type",
+        F.round(interp, 6).alias("v_filled"),
+        F.when(F.col("v").isNull(), 1).otherwise(0).alias("filled"),
+    )
+
+
+@q(
+    "approx_percentiles_events",
+    None,  # sketch-based by design: rows-only driver check; error bound
+    # vs the exact percentiles pinned in tests/test_queries_oracle.py
+    tags=("sketch", "approx", "percentile"),
+)
+def approx_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable percentile sketches per event_type (p50/p90/p99 via
+    percentile_approx, accuracy 10000) — the scale path for quantiles:
+    the sketch merges map-side across any partitioning, where exact
+    percentiles need a full sort per group. Error bound against the
+    exact values is pinned in tests."""
+    ev = _t(spark, sf_dir, "events")
+    pcts = F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("ps")
+    return (
+        ev.groupBy("event_type")
+        .agg(pcts)
+        .select(
+            "event_type",
+            F.round(F.col("ps")[0], 6).alias("p50_approx"),
+            F.round(F.col("ps")[1], 6).alias("p90_approx"),
+            F.round(F.col("ps")[2], 6).alias("p99_approx"),
+        )
+    )

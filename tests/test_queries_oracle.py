@@ -69,3 +69,30 @@ def test_approx_sketches_track_their_exact_twins(spark):
     for flag, e in exact.items():
         assert abs(got[flag]["approx_parts"] - e["parts"]) <= 0.10 * e["parts"]
         assert abs(got[flag]["approx_p50_price"] - e["p50"]) <= 0.01 * e["p50"]
+
+
+def test_approx_percentiles_bounded_rank_error(spark):
+    """The quantile sketch's guarantee is on RANK error (the returned
+    value's true quantile position), not value error — pin that the
+    fraction of values at or below each approximation is within 1% of
+    the target quantile."""
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.session import load_table
+
+    ev = load_table(spark, SF_DIR, "events")
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["approx_percentiles_events"].fn(spark, SF_DIR).collect()
+    }
+    counts = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(got) == set(counts)
+    for t, r in got.items():
+        for target, col in ((0.5, "p50_approx"), (0.9, "p90_approx"), (0.99, "p99_approx")):
+            below = ev.filter(
+                (F.col("event_type") == t) & (F.col("value") <= r[col])
+            ).count()
+            assert abs(below / counts[t] - target) <= 0.01, (t, col)
