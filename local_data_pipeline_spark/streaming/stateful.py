@@ -140,3 +140,81 @@ def run_running_user_totals(
         .start()
         .awaitTermination()
     )
+
+
+def run_running_user_totals_tws(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+) -> None:
+    """The same per-user running totals on the modern Spark 4.x
+    ``transformWithStateInPandas`` API (StatefulProcessor + typed
+    ValueState) — the successor to ``applyInPandasWithState`` with
+    composable state variables, timers, and schema evolution. Results
+    are identical to ``run_running_user_totals`` (pinned in tests).
+
+    Requires the RocksDB state store provider (how production deploys
+    run it anyway: state spills to disk instead of executor heap) and
+    the ``protobuf`` package (the API's state-server wire protocol —
+    ships with real Spark deployments; absent in minimal containers, so
+    the test gates on it)."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:  # pragma: no cover - environment-dependent
+        raise ImportError(
+            "transformWithStateInPandas needs the protobuf package "
+            "(its state-server protocol); use run_running_user_totals "
+            "(applyInPandasWithState) where protobuf is unavailable"
+        ) from e
+    import pandas as pd
+    from pyspark.sql.streaming import StatefulProcessor, StatefulProcessorHandle
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n_events long, sum_value double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            prev = self._totals.get()
+            n_events, sum_value = prev if prev is not None else (0, 0.0)
+            for pdf in rows:
+                n_events += len(pdf)
+                sum_value += float(pdf["value"].sum())
+            self._totals.update((n_events, round(sum_value, 6)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n_events],
+                    "sum_value": [round(sum_value, 6)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(schema).parquet(events_path)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id long, n_events long, sum_value double",
+            outputMode="append",
+            timeMode="none",
+        )
+        (
+            out.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")

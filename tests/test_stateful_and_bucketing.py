@@ -84,3 +84,34 @@ def test_streaming_sessionizer_stitches_across_batches(spark, tmp_path):
     stitched = rows[1]
     assert stitched.n_events == 2  # 11:00 (batch 1) + 11:05 (batch 2)
     assert stitched.sum_value == 7.0
+
+
+def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path):
+    """The Spark 4.x transformWithStateInPandas port of the running-totals
+    operator must produce the same totals and equally persist state
+    across AvailableNow runs (RocksDB provider). Skips where protobuf
+    (the API's state-server protocol dependency) is not installed."""
+    import pytest
+
+    pytest.importorskip("google.protobuf.descriptor")
+    from local_data_pipeline_spark.streaming.stateful import (
+        run_running_user_totals_tws,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    _write_events(
+        spark,
+        src,
+        [(1, 10, "2026-01-01 10:00:00", 1.5), (2, 10, "2026-01-01 10:05:00", 2.5),
+         (3, 20, "2026-01-01 10:10:00", 4.0)],
+    )
+    run_running_user_totals_tws(spark, src, out, ckpt, schema)
+    first = {r.user_id: (r.n_events, r.sum_value) for r in spark.read.parquet(out).collect()}
+    assert first == {10: (2, 4.0), 20: (1, 4.0)}
+
+    _write_events(spark, src, [(4, 10, "2026-01-01 11:00:00", 6.0)])
+    run_running_user_totals_tws(spark, src, out, ckpt, schema)
+    rows = spark.read.parquet(out).collect()
+    latest_u10 = max((r for r in rows if r.user_id == 10), key=lambda r: r.n_events)
+    assert (latest_u10.n_events, latest_u10.sum_value) == (3, 10.0)
