@@ -37,6 +37,22 @@ def distributed_cumsum(
     result does not depend on where the sampled range boundaries fall —
     only on shards being contiguous in key order.
     """
+    out, _grand_total = _distributed_cumsum_with_total(
+        df, order_col, value_col, out_col, n_partitions
+    )
+    return out
+
+
+def _distributed_cumsum_with_total(
+    df: DataFrame,
+    order_col: str | Sequence[str],
+    value_col: str,
+    out_col: str,
+    n_partitions: int,
+) -> tuple[DataFrame, int]:
+    """distributed_cumsum body; also returns the grand total (already on
+    the driver from the shard-totals collect — callers that need n, like
+    distributed_ntile, get it without an extra count job)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     ranged = df.repartitionByRange(
         n_partitions, *[F.col(c) for c in order_cols]
@@ -62,11 +78,12 @@ def distributed_cumsum(
         offsets.append((r["__shard"], acc))
         acc += r["__total"]
     off_df = df.sparkSession.createDataFrame(offsets, "__shard int, __offset bigint")
-    return (
+    out = (
         local.join(F.broadcast(off_df), "__shard")
         .withColumn(out_col, F.col("__local") + F.col("__offset") - F.col(value_col))
         .drop("__shard", "__local", "__offset")
     )
+    return out, acc
 
 
 def distributed_rank(
@@ -78,9 +95,24 @@ def distributed_rank(
     """``row_number() OVER (ORDER BY order_cols)`` without the single-task
     global window: an exclusive distributed prefix sum of ones, plus one.
     ``order_cols`` must form a total order (add a unique tie-break key)."""
+    ranked, _n = _distributed_rank_with_count(df, order_cols, out_col, n_partitions)
+    return ranked
+
+
+def _distributed_rank_with_count(
+    df: DataFrame,
+    order_cols: Sequence[str],
+    out_col: str,
+    n_partitions: int,
+) -> tuple[DataFrame, int]:
     ones = df.withColumn("__one", F.lit(1).cast("bigint"))
-    ranked = distributed_cumsum(ones, order_cols, "__one", "__rk", n_partitions)
-    return ranked.withColumn(out_col, (F.col("__rk") + 1)).drop("__one", "__rk")
+    ranked, n = _distributed_cumsum_with_total(
+        ones, order_cols, "__one", "__rk", n_partitions
+    )
+    return (
+        ranked.withColumn(out_col, (F.col("__rk") + 1)).drop("__one", "__rk"),
+        n,
+    )
 
 
 def distributed_ntile(
@@ -98,8 +130,7 @@ def distributed_ntile(
     stage ever sees more than one range-partitioned shard. The plain
     ``F.ntile`` over an un-partitioned window — what a direct translation
     would use — funnels the entire table through ONE task."""
-    ranked = distributed_rank(df, order_cols, "__r", n_partitions)
-    n = ranked.count()
+    ranked, n = _distributed_rank_with_count(df, order_cols, "__r", n_partitions)
     q, rem = divmod(n, n_buckets)
     big = q + 1
     r = F.col("__r")

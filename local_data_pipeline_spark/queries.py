@@ -4031,3 +4031,102 @@ def approx_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("ps")[2], 6).alias("p99_approx"),
         )
     )
+
+
+@q(
+    "map_roundtrip_user_counts",
+    f"""
+    WITH per AS (
+      SELECT user_id, event_type, count(*) AS n
+      FROM events GROUP BY user_id, event_type),
+    tot AS (
+      SELECT user_id, cast(sum(n) AS bigint) AS total FROM per GROUP BY user_id)
+    SELECT p.user_id, p.event_type, p.n,
+           round(p.n * 1.0 / t.total, 6) AS share
+    FROM per p JOIN tot t ON p.user_id = t.user_id
+    """,
+    tags=("map", "agg"),
+)
+def map_roundtrip_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType coverage: per-user event-type counts are packed into a
+    ``map<string,bigint>`` (``map_from_entries`` over a sorted entry
+    list), the user total is reduced JVM-side from ``map_values`` with
+    ``F.aggregate``, and the map is exploded back to (key, value) rows
+    with per-user shares. The oracle computes the same relation without
+    maps — proving the map build/reduce/explode round trip is lossless.
+
+    Scale: one hash aggregate to (user, type), one to user grain; the
+    map never exceeds the per-user type cardinality (bounded, small)."""
+    ev = _t(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    packed = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "n")))
+        ).alias("m")
+    )
+    with_total = packed.withColumn(
+        "total",
+        F.aggregate(
+            F.map_values("m"), F.lit(0).cast("bigint"), lambda acc, x: acc + x
+        ),
+    )
+    return with_total.select(
+        "user_id",
+        F.explode("m").alias("event_type", "n"),
+        "total",
+    ).select(
+        "user_id",
+        "event_type",
+        "n",
+        F.round(F.col("n") * 1.0 / F.col("total"), 6).alias("share"),
+    )
+
+
+@q(
+    "value_change_intervals_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    runs AS (
+      SELECT user_id, ts, event_type,
+             cast(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS bigint) AS run_id
+      FROM flagged)
+    SELECT user_id, run_id, event_type, count(*) AS n_events,
+           min(ts) AS valid_from, max(ts) AS valid_to
+    FROM runs GROUP BY user_id, run_id, event_type
+    """,
+    tags=("window", "scd2", "gaps-islands"),
+)
+def value_change_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands / SCD2 history build: per user, consecutive runs
+    of the same event_type collapse into validity intervals
+    (valid_from/valid_to, run_id ordinal) — change detection via lag,
+    run numbering via a running sum of change flags, the standard
+    slowly-changing-dimension construction from a change log.
+
+    Scale: one exchange on user_id feeds both windows and the final
+    aggregate (same key); the running sum is per-user, never global."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 0
+    ).otherwise(1)
+    runs = ev.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.sum(chg)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("run_id"),
+    )
+    return runs.groupBy("user_id", "run_id", "event_type").agg(
+        F.count("*").alias("n_events"),
+        F.min("ts").alias("valid_from"),
+        F.max("ts").alias("valid_to"),
+    )

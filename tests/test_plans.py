@@ -8,6 +8,7 @@ results are still correct.
 from local_data_pipeline_spark.plans.inspect import (
     broadcast_join_count,
     has_pushed_filter,
+    physical_plan,
     read_schemas,
     shuffle_exchange_count,
     uses_take_ordered,
@@ -184,3 +185,33 @@ def test_q20_nested_ins_are_broadcast_semi_joins_one_fact_pass(spark):
     assert has_pushed_filter(df, "l_shipdate")
     schemas = read_schemas(df)
     assert sum("l_quantity" in s for s in schemas) == 1
+
+
+def test_distributed_ntile_has_no_single_partition_stage(spark):
+    """The scalable ntile must never funnel the table through one task:
+    exactly the range-partition exchange, zero SinglePartition stages."""
+    df = _df(spark, "ntile_customer_value_deciles")
+    assert shuffle_exchange_count(df) == 1  # the repartitionByRange
+    assert "SinglePartition" not in physical_plan(df)
+
+
+def test_vocab_coverage_orders_via_top_k(spark):
+    """Top-100 selection must be TakeOrderedAndProject (partial per-task
+    top-k), not a global sort; the running-sum window then only ever sees
+    the 100 surviving rows."""
+    df = _df(spark, "vocab_coverage_curve")
+    assert uses_take_ordered(df)
+
+
+def test_value_change_intervals_single_exchange(spark):
+    """Gaps-and-islands: the lag window, the running sum, and the final
+    aggregate all key on user_id — one shuffle feeds all three."""
+    df = _df(spark, "value_change_intervals_events")
+    assert shuffle_exchange_count(df) == 1
+
+
+def test_segment_dedup_two_exchanges(spark):
+    """Span dedup: explode is map-side; only the segment-text window and
+    the per-doc rollup shuffle."""
+    df = _df(spark, "segment_dedup_documents")
+    assert shuffle_exchange_count(df) <= 2
