@@ -4130,3 +4130,40 @@ def value_change_intervals_events(spark: SparkSession, sf_dir: str) -> DataFrame
         F.min("ts").alias("valid_from"),
         F.max("ts").alias("valid_to"),
     )
+
+
+@q(
+    "trimmed_mean_value_by_type",
+    f"""
+    WITH ranked AS (
+      SELECT event_type, value, event_id,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    kept AS (
+      SELECT event_type, value FROM ranked
+      WHERE rn > cast(floor(n * 0.1) AS bigint)
+        AND rn <= n - cast(floor(n * 0.1) AS bigint))
+    SELECT event_type, round({davg_sql('value')}, 6) AS trimmed_mean
+    FROM kept GROUP BY event_type
+    """,
+    tags=("agg", "udaf", "robust-stats"),
+)
+def trimmed_mean_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust location estimate per event type: the 10%-trimmed mean,
+    computed with a GROUPED-AGG pandas UDF (functions/python_udfs.py) —
+    the aggregate-UDAF API class, used here because the order-statistic
+    trim needs the group's raw values. The oracle reproduces the
+    rank-based trim in SQL (drop exactly floor(n*0.1) lowest/highest
+    under a pinned total order; exact sums both sides, round 6).
+
+    Scale: Arrow ships each group's values once; groups are the 5 event
+    types — for high-cardinality groups prefer the SQL-window form the
+    oracle uses (two window passes, no Python)."""
+    from .functions.python_udfs import trimmed_mean_udaf
+
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        trimmed_mean_udaf("value").alias("trimmed_mean")
+    )

@@ -298,3 +298,35 @@ def test_segment_dedup_flags_planted_boilerplate(spark):
             for r in QUERIES["segment_dedup_documents"].fn(spark, td).collect()
         }
     assert out == {1: (2, 2, 0), 2: (2, 1, 1)}
+
+
+def test_ngrams_udtf_matches_explode_shape(spark):
+    """The UDTF (API-surface coverage) must agree with the fast explode
+    shape on real documents."""
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.functions.python_udfs import register_python_udfs
+    from local_data_pipeline_spark.functions.text import tokens
+    from local_data_pipeline_spark.session import load_table
+
+    register_python_udfs(spark)
+    d = load_table(spark, "/root/testdata/sf0.001", "documents").limit(50)
+    d.createOrReplaceTempView("udtf_docs")
+    got = spark.sql(
+        "SELECT d.doc_id, g.pos, g.ngram FROM udtf_docs d, LATERAL ngrams(d.text, 3) g"
+    )
+    # sequence(0, -1) would DESCEND, not be empty — filter short docs
+    # instead (the UDTF yields nothing for them anyway)
+    t = d.select("doc_id", tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 3
+    )
+    want = t.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.size("t") - 3),
+                lambda i: F.array_join(F.slice(F.col("t"), i + 1, 3), " "),
+            )
+        ).alias("pos", "ngram"),
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
