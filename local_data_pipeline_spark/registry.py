@@ -30,7 +30,7 @@ import time
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 
@@ -100,7 +100,7 @@ class BuildResult:
 
     model: str
     materialization: str
-    rows: int | None
+    rows: int | None  # rows written by this run (observed on the write job)
     seconds: float
     test_failures: dict[str, int] = field(default_factory=dict)
 
@@ -234,15 +234,21 @@ class Registry:
             m = self._models[name]
             t0 = time.perf_counter()
             df = self.ref(name)
-            rows: int | None = None
+            rows: int | None = None  # rows written (observed on the write job)
             if m.materialization == "view":
                 df.createOrReplaceTempView(name)
             elif m.materialization == "table":
                 target = f"{database}.{name}" if database else name
-                writer = df.write.mode("overwrite")
+                # the row count rides the write job itself (Observation),
+                # not a second full scan of the written table — at scale
+                # that re-scan is a whole extra pass
+                obs = Observation()
+                observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                writer = observed.write.mode("overwrite")
                 if m.partition_by:
                     writer = writer.partitionBy(*m.partition_by)
                 writer.saveAsTable(target)
+                rows = int(obs.get["rows"])
                 if m.description:
                     # persist model docs on the table (≙ dbt +persist_docs,
                     # dbt_project.yml:11-13)
@@ -255,7 +261,6 @@ class Registry:
                 # session's relation cache when the table was read earlier
                 spark.catalog.refreshTable(target)
                 persisted = spark.table(target)
-                rows = persisted.count()
                 self._cache[name] = persisted
                 persisted.createOrReplaceTempView(name)
             elif m.materialization == "incremental":
@@ -265,18 +270,20 @@ class Registry:
                     prev_max = spark.table(target).agg(F.max(wcol)).collect()[0][0]
                     if prev_max is not None:
                         df = df.filter(F.col(wcol) > F.lit(prev_max))
-                    writer = df.write.mode("append")
-                    if m.partition_by:
-                        writer = writer.partitionBy(*m.partition_by)
-                    writer.saveAsTable(target)
+                    mode = "append"
                 else:
-                    writer = df.write.mode("overwrite")
-                    if m.partition_by:
-                        writer = writer.partitionBy(*m.partition_by)
-                    writer.saveAsTable(target)
+                    mode = "overwrite"
+                # rows = rows WRITTEN THIS RUN (dbt-style rows-affected),
+                # observed on the write job — no post-write rescan
+                obs = Observation()
+                observed = df.observe(obs, F.count(F.lit(1)).alias("rows"))
+                writer = observed.write.mode(mode)
+                if m.partition_by:
+                    writer = writer.partitionBy(*m.partition_by)
+                writer.saveAsTable(target)
+                rows = int(obs.get["rows"])
                 spark.catalog.refreshTable(target)
                 persisted = spark.table(target)
-                rows = persisted.count()
                 self._cache[name] = persisted
                 persisted.createOrReplaceTempView(name)
             failures = {t.name: t.run(self._cache.get(name, df)) for t in m.tests}
