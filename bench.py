@@ -54,11 +54,17 @@ def main() -> None:
     # cluster run needs.
     shuffle = os.environ.get("SPARK_GRAFT_SHUFFLE", "8")
     codegen = os.environ.get("SPARK_GRAFT_CODEGEN", "true")
+    # Local mode runs driver + all executors in ONE JVM; the 1g default heap
+    # GC-thrashes ~100 queries in (observed: late queries inflate 2-4x).
+    # 16g keeps the full suite GC-quiet on this 128 GiB box; on a cluster
+    # this is spark.executor.memory territory instead.
+    driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g")
     builder_aqe_off = (
         SparkSession.builder.master(
             f"local[{os.environ.get('SPARK_GRAFT_CPUS', '*')}]"
         )
         .appName("bench")
+        .config("spark.driver.memory", driver_mem)
         .config("spark.sql.shuffle.partitions", shuffle)
         .config("spark.locality.wait", "0")
         .config("spark.sql.codegen.wholeStage", codegen)

@@ -56,6 +56,13 @@ def get_spark(
     builder = (
         SparkSession.builder.master(f"local[{cpus}]")
         .appName(app_name)
+        # Single-JVM local mode: the 1g default heap GC-thrashes long
+        # sessions (test suite + bench run hundreds of jobs). Harmless if a
+        # session already exists (config only applies at JVM launch).
+        .config(
+            "spark.driver.memory",
+            os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"),
+        )
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
