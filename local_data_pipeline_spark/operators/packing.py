@@ -22,7 +22,7 @@ def distributed_cumsum(
     order_col: str | Sequence[str],
     value_col: str,
     out_col: str = "cumsum",
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Exclusive prefix sum of ``value_col`` under the total order of
     ``order_col`` (unique key), computed without any single-task stage.
@@ -54,6 +54,15 @@ def _distributed_cumsum_with_total(
     the driver from the shard-totals collect — callers that need n, like
     distributed_ntile, get it without an extra count job)."""
     order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    if n_partitions is None:
+        # Size shards from the session's configured shuffle width — the
+        # same knob every other exchange in the job uses (clusters set it
+        # to match executor count; AQE coalesces small shards). A fixed
+        # constant either under-shards a cluster or pays needless task
+        # dispatch on a 15k-row local input.
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
     ranged = df.repartitionByRange(
         n_partitions, *[F.col(c) for c in order_cols]
     ).withColumn("__shard", F.spark_partition_id())
@@ -65,7 +74,12 @@ def _distributed_cumsum_with_total(
     # Materialize once: the totals collect and the final join are two
     # jobs, and range boundaries come from sampling — recomputing the
     # partitioning per job could shift shard assignment between them.
-    local = ranged.withColumn("__local", F.sum(value_col).over(w_in)).localCheckpoint()
+    # eager=False: the totals collect right below is the materializing
+    # action anyway; an eager checkpoint would add a whole extra job.
+    local = (
+        ranged.withColumn("__local", F.sum(value_col).over(w_in))
+        .localCheckpoint(eager=False)
+    )
 
     totals = (
         local.groupBy("__shard")
@@ -90,7 +104,7 @@ def distributed_rank(
     df: DataFrame,
     order_cols: Sequence[str],
     out_col: str = "rank",
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """``row_number() OVER (ORDER BY order_cols)`` without the single-task
     global window: an exclusive distributed prefix sum of ones, plus one.
@@ -120,7 +134,7 @@ def distributed_ntile(
     order_cols: Sequence[str],
     n_buckets: int,
     out_col: str = "bucket",
-    n_partitions: int = 32,
+    n_partitions: int | None = None,
 ) -> DataFrame:
     """Exact ``ntile(n)`` over a global total order, computed scalably.
 

@@ -96,3 +96,42 @@ def test_approx_percentiles_bounded_rank_error(spark):
                 (F.col("event_type") == t) & (F.col("value") <= r[col])
             ).count()
             assert abs(below / counts[t] - target) <= 0.01, (t, col)
+
+
+def test_order_chain_walk_matches_window_formulation(spark):
+    """The recursive-CTE walk must agree row-for-row with the standard
+    window formulation (running sum over the first 8 orders per
+    customer) — same seq, same running spend to 6 decimals."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.session import load_table
+
+    got = {
+        (r["custkey"], r["orderkey"]): (r["seq"], r["run_spend"])
+        for r in QUERIES["order_chain_walk"].fn(spark, SF_DIR).collect()
+    }
+
+    o = load_table(spark, SF_DIR, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    expect = (
+        o.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            "o_totalprice",
+            F.row_number().over(w).alias("seq"),
+            F.round(
+                F.sum("o_totalprice").over(
+                    w.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+                6,
+            ).alias("run_spend"),
+        )
+        .filter(F.col("seq") <= 8)
+        .collect()
+    )
+    assert len(expect) == len(got)
+    for r in expect:
+        seq, spend = got[(r["custkey"], r["orderkey"])]
+        assert seq == r["seq"]
+        assert abs(spend - r["run_spend"]) < 1e-6
