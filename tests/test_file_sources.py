@@ -235,3 +235,63 @@ def test_clustered_write_produces_skippable_layout(spark, tmp_path):
     want = events.filter(F.col("ts") <= F.lit(hi)).count()
     got = spark.read.parquet(p).filter(F.col("ts") <= F.lit(hi)).count()
     assert want == got and got > 0
+
+
+def test_zorder_write_skips_on_both_dimensions(spark, tmp_path):
+    """write_zorder: row-group min/max footer stats must prune a narrow
+    range predicate on EITHER Z dimension, where the linear-clustered
+    layout prunes only its leading key. Also row parity and identical
+    filter results."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.session import load_table
+    from local_data_pipeline_spark.sources.files import (
+        write_clustered,
+        write_zorder,
+    )
+
+    ev = load_table(spark, SF_DIR, "events").select(
+        "event_id",
+        "user_id",
+        (F.col("value") % 1000).alias("v"),  # 2nd dim, independent of user
+    )
+    n = ev.count()
+    p_lin = str(tmp_path / "linear")
+    p_z = str(tmp_path / "zorder")
+    write_clustered(ev, p_lin, cluster_by=["user_id"], n_files=8, rows_per_rowgroup=512)
+    write_zorder(ev, p_z, zorder_by=["user_id", "v"], n_files=8, rows_per_rowgroup=512)
+
+    def overlap_fraction(path: str, col: str, lo: float, hi: float) -> float:
+        total = hit = 0
+        for fp in glob.glob(path + "/*.parquet"):
+            f = pq.ParquetFile(fp)
+            idx = f.schema_arrow.get_field_index(col)
+            for i in range(f.num_row_groups):
+                st = f.metadata.row_group(i).column(idx).statistics
+                total += 1
+                if st.max >= lo and st.min <= hi:
+                    hit += 1
+        assert total >= 8, f"want several row groups, got {total}"
+        return hit / total
+
+    # narrow range on each dim (~5% of the value space)
+    lin_u = overlap_fraction(p_lin, "user_id", 100, 150)
+    lin_v = overlap_fraction(p_lin, "v", 100, 150)
+    z_u = overlap_fraction(p_z, "user_id", 100, 150)
+    z_v = overlap_fraction(p_z, "v", 100, 150)
+
+    # linear layout: perfect on the leading key, useless on the other
+    assert lin_u < 0.35
+    assert lin_v > 0.9
+    # z-order: substantially better than "read everything" on BOTH dims
+    assert z_u < 0.7, f"zorder should prune user_id scans, got {z_u}"
+    assert z_v < 0.7, f"zorder should prune v scans, got {z_v}"
+
+    # row parity + filter-result parity through the rewritten layout
+    back = spark.read.parquet(p_z)
+    assert back.count() == n > 0
+    want = ev.filter("v BETWEEN 100 AND 150").count()
+    assert back.filter("v BETWEEN 100 AND 150").count() == want
