@@ -4247,3 +4247,42 @@ def order_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM walk
         """
     )
+
+
+@q(
+    "lateral_top2_customers_per_nation",
+    """
+    SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+    FROM nation n,
+    LATERAL (
+      SELECT c_custkey, c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+    ) t
+    """,
+    tags=("lateral", "join", "topk"),
+)
+def lateral_top2_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery with per-row ORDER BY ... LIMIT — the
+    SQL-standard lateral join surface (Spark 3.2+), same text on DuckDB.
+    Catalyst decorrelates this into the window-rank plan (the
+    DomainJoin rewrite), so the per-nation top-2 does NOT execute as a
+    nested loop: one exchange on the correlation key, rank, filter —
+    identical physical shape to top3_parts_per_brand's explicit window.
+    The declarative form is the point: at 100 TB both formulations run
+    the same single-shuffle plan."""
+    n = _t(spark, sf_dir, "nation")
+    c = _t(spark, sf_dir, "customer")
+    n.createOrReplaceTempView("__nation_lat")
+    c.createOrReplaceTempView("__customer_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, t.c_custkey, t.c_name, t.c_acctbal
+        FROM __nation_lat n,
+        LATERAL (
+          SELECT c_custkey, c_name, c_acctbal FROM __customer_lat
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_custkey LIMIT 2
+        ) t
+        """
+    )

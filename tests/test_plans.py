@@ -215,3 +215,15 @@ def test_segment_dedup_two_exchanges(spark):
     the per-doc rollup shuffle."""
     df = _df(spark, "segment_dedup_documents")
     assert shuffle_exchange_count(df) <= 2
+
+
+def test_lateral_topk_decorrelates_to_window_plan(spark):
+    """The LATERAL ORDER BY/LIMIT subquery must decorrelate into the
+    window-rank plan (map-side WindowGroupLimit, broadcast join with the
+    outer side) — never a per-outer-row nested loop."""
+    df = _df(spark, "lateral_top2_customers_per_nation")
+    plan = physical_plan(df)
+    assert uses_window_group_limit(df)
+    assert broadcast_join_count(df) >= 1
+    assert "NestedLoop" not in plan
+    assert shuffle_exchange_count(df) <= 1
