@@ -4286,3 +4286,74 @@ def lateral_top2_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
         ) t
         """
     )
+
+
+@q(
+    "rebuild_deduped_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(0, cast(ceil(len(t) / 20.0) AS bigint))) AS i
+      FROM toks WHERE len(t) > 0),
+    segs AS (
+      SELECT doc_id, i AS seg_idx,
+             array_to_string(t[(i*20+1):(i*20+20)], ' ') AS seg
+      FROM idx),
+    ranked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx) AS rn
+      FROM segs)
+    SELECT doc_id,
+           cast(count(*) AS bigint) AS n_kept,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+    FROM ranked WHERE rn = 1
+    GROUP BY doc_id
+    """,
+    tags=("dedup", "text", "curation"),
+)
+def rebuild_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup that EMITS the cleaned corpus: corpus-wide
+    first-occurrence-wins on 20-token segments (same rule as
+    segment_dedup_documents), then each document is REBUILT from its
+    surviving segments in original order — the CCNet/RefinedWeb-style
+    "remove boilerplate lines, keep the document" pass, not just the
+    audit counts. Docs whose every segment is a duplicate disappear.
+
+    Scale: the only wide ops are the segment-hash exchange (fixed-width
+    after fingerprinting) and the per-doc regroup; the rebuild is
+    array_sort over each doc's own kept segments — no global order, no
+    skew beyond the natural per-doc segment counts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") > 0
+    )
+    n_segs = F.ceil(F.size("t") / F.lit(20.0)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * 20 + 1, 20), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    w = Window.partitionBy("seg").orderBy("doc_id", "seg_idx")
+    kept = (
+        segs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return kept.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seg_idx", "seg"))),
+                _extract("seg"),
+            ),
+            " ",
+        ).alias("clean_text"),
+    )

@@ -163,3 +163,66 @@ def run_windowed_event_stream(
         .start()
         .awaitTermination()
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    ts: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+    key: str = "user_id",
+) -> DataFrame:
+    """Per-key session aggregation with the NATIVE ``session_window``
+    operator: a session is a run of events where consecutive gaps stay
+    under ``gap``; the window closes (and its single result row emits)
+    once the watermark passes the last event + gap.
+
+    This is the built-in counterpart of the two custom sessionizers —
+    the batch lag/gap window (operators/windows.py sessionize) and the
+    cross-batch applyInPandasWithState stitcher (streaming/stateful.py).
+    Prefer this form when "one output row per closed session" is the
+    contract: state eviction, merge of out-of-order events into one
+    session, and the gap semantics are engine-managed (dynamic gaps via
+    a column/expression are also supported upstream).
+
+    Scale: state is hash-partitioned by (key); each key holds only its
+    OPEN sessions — bounded by the watermark horizon, independent of
+    history length."""
+    return (
+        events.withWatermark(ts, watermark)
+        .groupBy(F.session_window(F.col(ts), gap).alias("sw"), key)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("value").alias("session_value"),
+        )
+        .select(
+            key,
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_session_window_stream(
+    spark: SparkSession,
+    events_path: str,
+    out_path: str,
+    checkpoint: str,
+    schema,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> None:
+    """File-stream → native session windows → parquet, AvailableNow."""
+    stream = spark.readStream.schema(schema).parquet(events_path)
+    out = session_window_counts(stream, gap=gap, watermark=watermark)
+    (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

@@ -300,6 +300,37 @@ def test_segment_dedup_flags_planted_boilerplate(spark):
     assert out == {1: (2, 2, 0), 2: (2, 1, 1)}
 
 
+def test_rebuild_deduped_documents_emits_clean_text(spark):
+    """The rebuild variant must emit the surviving text itself: doc 2
+    loses the shared boilerplate span but keeps its unique span, doc 1
+    is intact, and a doc that is ALL boilerplate disappears."""
+    import os
+    import tempfile
+
+    from local_data_pipeline_spark.queries import QUERIES
+
+    span = " ".join(f"tok{i}" for i in range(20))
+    uniq_a = " ".join(f"aaa{i}" for i in range(20))
+    uniq_b = " ".join(f"bbb{i}" for i in range(20))
+    docs = spark.createDataFrame(
+        [
+            (1, f"{span} {uniq_a}", "en", "s", 0),
+            (2, f"{span} {uniq_b}", "en", "s", 0),
+            (3, span, "en", "s", 0),  # pure boilerplate
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    with tempfile.TemporaryDirectory() as td:
+        docs.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: (r.n_kept, r.clean_text)
+            for r in QUERIES["rebuild_deduped_documents"].fn(spark, td).collect()
+        }
+    assert out[1] == (2, f"{span} {uniq_a}")
+    assert out[2] == (1, uniq_b)
+    assert 3 not in out
+
+
 def test_ngrams_udtf_matches_explode_shape(spark):
     """The UDTF (API-surface coverage) must agree with the fast explode
     shape on real documents."""

@@ -206,3 +206,44 @@ def test_stream_upsert_foreachbatch(spark, tmp_path):
     run_stream_upsert(spark, src, tbl, ckpt, v1.schema, key="id", partition_col="part")
     got = {(r.id, r.v) for r in spark.read.parquet(tbl).collect()}
     assert got == {(1, "A2"), (2, "b"), (3, "c")}
+
+
+def test_native_session_window_stream(spark, tmp_path):
+    """Native session_window: out-of-order events within the gap merge
+    into ONE session; a quiet gap splits sessions; only sessions closed
+    by the watermark emit (the far-ahead sentinel closes them)."""
+    from local_data_pipeline_spark.streaming.incremental import (
+        run_session_window_stream,
+    )
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("ssrc", "sout", "sckpt"))
+    rows = [
+        # user 1, session A: 00:00, 00:10 (out of order), 00:05
+        (1, "2026-08-10 00:00:00", 1, "click", 1.0),
+        (2, "2026-08-10 00:10:00", 1, "click", 2.0),
+        (3, "2026-08-10 00:05:00", 1, "view", 4.0),
+        # user 1, session B after a >30min gap
+        (4, "2026-08-10 01:00:00", 1, "view", 8.0),
+        # user 2, one session
+        (5, "2026-08-10 00:20:00", 2, "click", 16.0),
+        # sentinel far ahead advances the watermark past all of the above
+        (6, "2026-08-10 09:00:00", 9, "click", 0.0),
+    ]
+    events = spark.createDataFrame(
+        rows, "event_id long, ts string, user_id long, event_type string, value double"
+    ).select(
+        "event_id", F.col("ts").cast("timestamp"), "user_id", "event_type", "value"
+    )
+    events.write.parquet(src)
+    run_session_window_stream(spark, src, out, ckpt, schema=events.schema)
+    got = {
+        (r.user_id, str(r.session_start)): (r.n_events, r.session_value)
+        for r in spark.read.parquet(out).collect()
+    }
+    # session A merged the out-of-order event: 3 events, ends 00:10+gap
+    assert got[(1, "2026-08-10 00:00:00")] == (3, 7.0)
+    # the >30 min quiet gap split a second session
+    assert got[(1, "2026-08-10 01:00:00")] == (1, 8.0)
+    assert got[(2, "2026-08-10 00:20:00")] == (1, 16.0)
+    # the sentinel's own session is still open -> not emitted
+    assert all(u != 9 for (u, _s) in got)
