@@ -174,33 +174,47 @@ def synthesize_raw_payloads(
     }
     rows: list[tuple[str, str, str]] = []
     for day in range(n_ingest_days):
-        ingest_ts = f"2026-08-{10 + day:02d} 06:00:00"
         for li, (loc, (lat, lon)) in enumerate(sorted(locations.items())):
-            start_day = 10 + day  # overlapping 48h windows across runs
-            times, series = [], {f: [] for f in HOURLY_FIELDS}
-            for h in range(payload_hours):
-                d, hh = start_day + h // 24, h % 24
-                times.append(f"2026-08-{d:02d}T{hh:02d}:00")
-                base = ((h * 7 + li * 13 + day * 3) % 40) / 10.0
-                for fi, f in enumerate(HOURLY_FIELDS):
-                    if f == "wave_height" and h == 5:
-                        series[f].append(None)  # mid-array null (recipe a)
-                    elif f == "swell_wave_height":
-                        # exact tie at hours 3 and 9, above every base value,
-                        # so the argmax must use the timestamp tie-break
-                        # (recipe b; int sql:14-15)
-                        v = 9.9 if h in (3, 9) else base
-                        series[f].append(v)
-                    else:
-                        series[f].append(round(base * (fi + 1) + fi, 2))
-            payload = {
-                "latitude": lat,
-                "longitude": lon,
-                "timezone": "America/Los_Angeles",
-                "hourly": {"time": times, **series},
-            }
-            rows.append((ingest_ts, loc, json.dumps(payload)))
+            rows.append(payload_row(day, li, loc, lat, lon, payload_hours))
     return rows
+
+
+def payload_row(
+    day: int,
+    li: int,
+    loc: str,
+    lat: float,
+    lon: float,
+    payload_hours: int = 48,
+) -> tuple[str, str, str]:
+    """One deterministic (ingest_ts, location, payload-JSON) row — the unit
+    both the fixture above and the Python DataSource (sources/pyds.py)
+    generate, so a DataSource partition can produce exactly its own row."""
+    ingest_ts = f"2026-08-{10 + day:02d} 06:00:00"
+    start_day = 10 + day  # overlapping 48h windows across runs
+    times, series = [], {f: [] for f in HOURLY_FIELDS}
+    for h in range(payload_hours):
+        d, hh = start_day + h // 24, h % 24
+        times.append(f"2026-08-{d:02d}T{hh:02d}:00")
+        base = ((h * 7 + li * 13 + day * 3) % 40) / 10.0
+        for fi, f in enumerate(HOURLY_FIELDS):
+            if f == "wave_height" and h == 5:
+                series[f].append(None)  # mid-array null (recipe a)
+            elif f == "swell_wave_height":
+                # exact tie at hours 3 and 9, above every base value,
+                # so the argmax must use the timestamp tie-break
+                # (recipe b; int sql:14-15)
+                v = 9.9 if h in (3, 9) else base
+                series[f].append(v)
+            else:
+                series[f].append(round(base * (fi + 1) + fi, 2))
+    payload = {
+        "latitude": lat,
+        "longitude": lon,
+        "timezone": "America/Los_Angeles",
+        "hourly": {"time": times, **series},
+    }
+    return (ingest_ts, loc, json.dumps(payload))
 
 
 def synthesize_raw_swell(spark: SparkSession, **kw) -> DataFrame:

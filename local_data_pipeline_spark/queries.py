@@ -4357,3 +4357,41 @@ def rebuild_deduped_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ",
         ).alias("clean_text"),
     )
+
+
+@q(
+    "variant_props_stats",
+    """
+    WITH x AS (
+      SELECT event_type,
+             cast(json_extract(props, '$.k') AS bigint) AS k
+      FROM events)
+    SELECT event_type,
+           cast(count(k) AS bigint) AS n,
+           cast(sum(k) AS bigint) AS sum_k,
+           round(sum(k) * 1.0 / count(k), 6) AS avg_k,
+           cast(min(k) AS bigint) AS min_k,
+           cast(max(k) AS bigint) AS max_k
+    FROM x GROUP BY event_type
+    """,
+    tags=("json", "variant", "agg"),
+)
+def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured aggregation through Spark 4's VARIANT type:
+    ``parse_json`` turns the props payload into the binary VARIANT
+    encoding once, ``try_variant_get`` extracts typed fields without
+    re-tokenizing JSON text per access — the engine-native answer to
+    the reference's parse-at-query-time JSON columns (SURVEY B3/B4),
+    and the shape that scales when one payload feeds many extractions.
+    Integer sums are exact on both engines; the mean is derived from
+    them (sum/count), so round(6) is cross-engine safe."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json(F.col("props")), "$.k", "long")
+    x = ev.select("event_type", k.alias("k"))
+    return x.groupBy("event_type").agg(
+        F.count("k").cast("bigint").alias("n"),
+        F.sum("k").cast("bigint").alias("sum_k"),
+        F.round(F.sum("k") * F.lit(1.0) / F.count("k"), 6).alias("avg_k"),
+        F.min("k").cast("bigint").alias("min_k"),
+        F.max("k").cast("bigint").alias("max_k"),
+    )

@@ -1,0 +1,124 @@
+"""Spark 4 Python DataSource: the reference's ingestion as a SOURCE.
+
+The reference ingests by looping locations on the driver and appending one
+row per (fetch, location) (`/root/reference/src/dagster_pipeline/defs/
+open_meteo.py:106-108, 73-76`). The idiomatic Spark 4 restatement is a
+custom *Python DataSource* (SPARK-44076): each (ingest-day, location) is an
+``InputPartition``, so fetch/generate work runs ON EXECUTORS, in parallel,
+with the engine owning retries and task placement — `spark.read.format(
+"swell_synth")` instead of a driver loop.
+
+Two readers are registered under one source name:
+
+- batch (``reader``): partitions = ingest_days × locations; each partition
+  emits exactly its own payload row (deterministic fixture shape from
+  models/swell.py payload_row — the network seam stays injectable/offline,
+  SURVEY A1).
+- streaming (``simpleStreamReader``): each micro-batch is one ingest day —
+  the cron-per-day cadence of the reference (SURVEY D6) expressed as a
+  Structured Streaming source with offset tracking; `Trigger.AvailableNow`
+  drains all pending days, a checkpoint restart resumes from the last
+  committed day.
+
+At 100 TB the same pattern carries a real HTTP/queue-backed source: one
+partition per shard/endpoint, offsets = source cursors.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+    SimpleDataSourceStreamReader,
+)
+
+#: Default fan-out (≙ reference LOCATIONS, ordered — the set-literal quirk
+#: documented in SURVEY §1.2 is deliberately not replicated).
+DEFAULT_LOCATIONS = (
+    ("mavericks", 37.4936, -122.5010),
+    ("oceanside", 33.1505, -117.3483),
+    ("trestles", 33.3828, -117.5931),
+)
+
+SCHEMA = "timestamp string, location string, data string"
+
+
+class SwellPartition(InputPartition):
+    def __init__(self, day: int, li: int, loc: str, lat: float, lon: float):
+        self.day, self.li, self.loc, self.lat, self.lon = day, li, loc, lat, lon
+
+
+def _opts(options) -> tuple[int, int]:
+    return (
+        int(options.get("n_ingest_days", 3)),
+        int(options.get("payload_hours", 48)),
+    )
+
+
+class SwellSynthReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_days, self.payload_hours = _opts(options)
+
+    def partitions(self) -> list[InputPartition]:
+        return [
+            SwellPartition(day, li, loc, lat, lon)
+            for day in range(self.n_days)
+            for li, (loc, lat, lon) in enumerate(DEFAULT_LOCATIONS)
+        ]
+
+    def read(self, p: SwellPartition) -> Iterator[tuple]:
+        # import inside read(): runs on the executor's Python worker
+        from ..models.swell import payload_row
+
+        yield payload_row(p.day, p.li, p.loc, p.lat, p.lon, self.payload_hours)
+
+
+class SwellSynthStreamReader(SimpleDataSourceStreamReader):
+    """One ingest day per micro-batch; offset = next unread day."""
+
+    def __init__(self, options):
+        self.n_days, self.payload_hours = _opts(options)
+
+    def initialOffset(self) -> dict:
+        return {"day": 0}
+
+    def read(self, start: dict) -> tuple[Iterator[tuple], dict]:
+        from ..models.swell import payload_row
+
+        day = int(start["day"])
+        if day >= self.n_days:  # fully drained: empty batch, same offset
+            return iter(()), {"day": day}
+        rows = [
+            payload_row(day, li, loc, lat, lon, self.payload_hours)
+            for li, (loc, lat, lon) in enumerate(DEFAULT_LOCATIONS)
+        ]
+        return iter(rows), {"day": day + 1}
+
+    def readBetweenOffsets(self, start: dict, end: dict) -> Iterator[tuple]:
+        from ..models.swell import payload_row
+
+        for day in range(int(start["day"]), int(end["day"])):
+            for li, (loc, lat, lon) in enumerate(DEFAULT_LOCATIONS):
+                yield payload_row(day, li, loc, lat, lon, self.payload_hours)
+
+
+class SwellSynthDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "swell_synth"
+
+    def schema(self) -> str:
+        return SCHEMA
+
+    def reader(self, schema) -> DataSourceReader:
+        return SwellSynthReader(self.options)
+
+    def simpleStreamReader(self, schema) -> SimpleDataSourceStreamReader:
+        return SwellSynthStreamReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SwellSynthDataSource)

@@ -247,3 +247,51 @@ def test_native_session_window_stream(spark, tmp_path):
     assert got[(2, "2026-08-10 00:20:00")] == (1, 16.0)
     # the sentinel's own session is still open -> not emitted
     assert all(u != 9 for (u, _s) in got)
+
+
+def test_python_datasource_batch_matches_fixture(spark):
+    """The custom Python DataSource must produce exactly the fixture rows,
+    one executor-side partition per (day, location) — the reference's
+    driver loop turned into a parallel source."""
+    from local_data_pipeline_spark.models.swell import synthesize_raw_payloads
+    from local_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    df = spark.read.format("swell_synth").option("n_ingest_days", 2).load()
+    assert df.rdd.getNumPartitions() == 6  # 2 days x 3 locations
+    got = sorted((r.timestamp, r.location, r.data) for r in df.collect())
+    want = sorted(synthesize_raw_payloads(n_ingest_days=2))
+    assert got == want
+
+
+def test_python_datasource_stream_one_day_per_batch(spark, tmp_path):
+    """Streaming reader: each AvailableNow trigger run processes ONE
+    pending ingest day (the simple stream reader prefetches one batch
+    per start — exactly the reference's one-fetch-per-cron-tick
+    cadence); once all days are drained, further runs add nothing."""
+    from local_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    out, ckpt = str(tmp_path / "pout"), str(tmp_path / "pckpt")
+
+    def drain():
+        (
+            spark.readStream.format("swell_synth")
+            .option("n_ingest_days", 3)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination()
+        )
+
+    for want in (3, 6, 9):  # one day per run, offsets committed
+        drain()
+        assert spark.read.parquet(out).count() == want
+    back = spark.read.parquet(out)
+    assert back.select("location").distinct().count() == 3
+    drain()  # fully drained: nothing new
+    assert spark.read.parquet(out).count() == 9
