@@ -569,7 +569,7 @@ def distinct_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            substring(p_name, 1, 8) AS name_prefix,
            length(p_name) AS name_len,
            concat(p_brand, ':', p_type) AS brand_type,
-           abs(p_size - 25) AS size_dev,
+           cast(abs(p_size - 25) AS bigint) AS size_dev,
            cast(floor(p_retailprice) AS bigint) AS price_floor,
            cast(ceil(p_retailprice) AS bigint) AS price_ceil,
            round(sqrt(p_retailprice), 6) AS price_sqrt,
@@ -619,8 +619,8 @@ def date_functions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "conditional_agg_lineitem",
     f"""
     SELECT l_returnflag,
-           sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-           sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+           cast(sum(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS bigint) AS n_open,
+           cast(sum(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS bigint) AS n_filled,
            {dsum_sql("CASE WHEN l_discount > 0.05 THEN l_extendedprice ELSE 0 END")} AS hi_disc_price,
            {dsum_sql("CASE WHEN l_discount <= 0.05 THEN l_extendedprice ELSE 0 END")} AS lo_disc_price
     FROM lineitem GROUP BY l_returnflag
@@ -879,8 +879,8 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts, value,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
       FROM flagged)
     SELECT user_id, session_id, count(*) AS n_events,
            min(ts) AS session_start, max(ts) AS session_end,
@@ -1116,7 +1116,7 @@ def string_agg_nations_per_region(spark: SparkSession, sf_dir: str) -> DataFrame
     SELECT p_partkey,
            cast(regexp_extract(p_brand, 'Brand#(\\d+)', 1) AS bigint) AS brand_num,
            regexp_replace(p_name, '\\s+', '_', 'g') AS name_snake,
-           CASE WHEN regexp_matches(p_type, '^(STANDARD|SMALL)') THEN 1 ELSE 0 END AS is_basic
+           cast(CASE WHEN regexp_matches(p_type, '^(STANDARD|SMALL)') THEN 1 ELSE 0 END AS bigint) AS is_basic
     FROM part
     """,
     tags=("scalar", "regex"),
@@ -1885,7 +1885,11 @@ def q7_volume_shipping(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("n1_key") == F.col("s_nationkey"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("c_nationkey"))
         .filter(pair)
-        .groupBy("supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year"))
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
     )
 
@@ -1938,7 +1942,7 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n1), F.col("n1_key") == F.col("c_nationkey"))
         .join(F.broadcast(r), F.col("r_regionkey") == F.col("n1_region"))
         .join(F.broadcast(n2), F.col("n2_key") == F.col("s_nationkey"))
-        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .groupBy(F.year("o_orderdate").cast("bigint").alias("o_year"))
         .agg(
             F.round(
                 dsum(F.when(F.col("supp_nation") == "NATION_3", volume).otherwise(0.0))
@@ -1978,7 +1982,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(s), F.col("s_suppkey") == F.col("l_suppkey"))
         .join(o, F.col("o_orderkey") == F.col("l_orderkey"))
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
-        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+        )
         .agg(dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("profit"))
     )
 
@@ -2291,8 +2298,8 @@ def q19_disjunctive_predicate_revenue(spark: SparkSession, sf_dir: str) -> DataF
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS bigint) AS session_id
       FROM flagged),
     intervals AS (
       SELECT user_id, session_id,
@@ -2591,7 +2598,7 @@ def bigram_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = pairs.groupBy("w1", "w2").agg(F.count("*").alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
     return (
-        counted.withColumn("rnk", F.row_number().over(w))
+        counted.withColumn("rnk", F.row_number().over(w).cast("bigint"))
         .orderBy("rnk")
         .limit(50)
     )
@@ -2908,9 +2915,9 @@ def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     offsets AS (
       SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
-                                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               - n_tokens AS start_offset
+             cast(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS bigint) AS start_offset
       FROM toks)
     SELECT doc_id, n_tokens, start_offset,
            cast(floor(start_offset / 2048.0) AS bigint) AS seq_id,
@@ -3059,10 +3066,10 @@ def repetition_signals_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                                      ORDER BY q.doc_id) = 1) AS pass_dedup
       FROM quality q LEFT JOIN rep r ON r.doc_id = q.doc_id)
     SELECT count(*) AS n_total,
-           sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS n_lang,
-           sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS n_quality,
-           sum(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS n_repetition,
-           sum(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS n_dedup
+           cast(sum(CASE WHEN pass_lang THEN 1 ELSE 0 END) AS bigint) AS n_lang,
+           cast(sum(CASE WHEN pass_quality THEN 1 ELSE 0 END) AS bigint) AS n_quality,
+           cast(sum(CASE WHEN pass_rep THEN 1 ELSE 0 END) AS bigint) AS n_repetition,
+           cast(sum(CASE WHEN pass_dedup THEN 1 ELSE 0 END) AS bigint) AS n_dedup
     FROM staged
     """,
     tags=("curation", "text", "funnel"),
