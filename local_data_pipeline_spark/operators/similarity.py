@@ -109,27 +109,33 @@ def brute_force_topk_arrow(
         import pandas as pd
 
         ids, qm, qn = bq.value
+        q_ids_arr = np.asarray(ids, dtype=np.int64)
         for pdf in batches:
             if pdf.empty:
                 continue
             c_mat = np.array(list(pdf[vec_col]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
-            sims = (c_mat @ qm.T) / np.outer(c_norm, qn)  # |C| x |Q|
-            n_c = len(pdf)
-            out = {
-                "query_id": np.repeat(ids, n_c),
-                "neighbor_id": np.tile(pdf[id_col].values, len(ids)),
-                "cos_sim": np.round(sims.T.ravel(), 6),
-            }
-            res = pd.DataFrame(out)
-            # per-partition prune: keep k+1 per query (self may be dropped later)
-            res = (
-                res.sort_values(["query_id", "cos_sim", "neighbor_id"],
-                                ascending=[True, False, True])
-                .groupby("query_id", sort=False)
-                .head(k + 1)
+            # |Q| x |C|, rounded once — the same rounding the final global
+            # ranking uses, so the per-partition prune sees the exact
+            # values the ranking will compare.
+            sims = np.round((qm @ c_mat.T) / np.outer(qn, c_norm), 6)
+            n_c = sims.shape[1]
+            kk = min(k + 1, n_c)
+            # Per-partition prune WITHOUT materializing the |C|·|Q| pair
+            # frame (a pandas sort over millions of rows dominated the
+            # runtime): np.partition finds each query's kk-th largest
+            # score in O(|C|); keeping every candidate >= that threshold
+            # is tie-INCLUSIVE, so the deterministic global tie-break
+            # (cos desc, neighbor_id asc) still sees all contenders.
+            kth = np.partition(sims, n_c - kk, axis=1)[:, n_c - kk]
+            qi, ci = np.nonzero(sims >= kth[:, None])
+            yield pd.DataFrame(
+                {
+                    "query_id": q_ids_arr[qi],
+                    "neighbor_id": pdf[id_col].values[ci],
+                    "cos_sim": sims[qi, ci],
+                }
             )
-            yield res
 
     scored = corpus.select(id_col, vec_col).mapInPandas(
         score, "query_id long, neighbor_id long, cos_sim double"
