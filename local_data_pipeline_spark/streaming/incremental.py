@@ -104,6 +104,23 @@ def clicks_to_purchases_join(
     ).select("user_id", "purchase_id", "purchase_ts", "value", "click_id", "click_ts")
 
 
+def enrich_with_static_dim(
+    events: DataFrame,
+    dim: DataFrame,
+    on: str = "event_type",
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static broadcast enrichment — the most common production
+    streaming shape: a streaming fact joined to a small static dimension.
+    The static side is broadcast, so every micro-batch is a map-side
+    hash join with zero shuffle and NO join state (unlike stream-stream
+    joins, nothing is watermark-evicted: the dim is re-resolved per
+    micro-batch, so an updated dim parquet is picked up on the next
+    trigger). At 100 TB-of-stream this is the only join shape whose cost
+    is independent of stream history."""
+    return events.join(F.broadcast(dim), on=on, how=how)
+
+
 def run_stream_upsert(
     spark: SparkSession,
     src_path: str,

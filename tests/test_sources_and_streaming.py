@@ -295,3 +295,28 @@ def test_python_datasource_stream_one_day_per_batch(spark, tmp_path):
     assert back.select("location").distinct().count() == 3
     drain()  # fully drained: nothing new
     assert spark.read.parquet(out).count() == 9
+
+
+def test_stream_static_broadcast_enrichment(spark, tmp_path):
+    """Stream-static join: every micro-batch map-side joins the broadcast
+    dim with no streaming join state; rows with no dim match survive
+    (left join) with nulls."""
+    from local_data_pipeline_spark.streaming.incremental import enrich_with_static_dim
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("ssrc", "sout", "sckpt"))
+    rows = [
+        (1, "click", 1.0),
+        (2, "view", 2.0),
+        (3, "purchase", 3.0),
+        (4, "scroll", 4.0),  # not in dim -> null weight
+    ]
+    df = spark.createDataFrame(rows, "event_id long, event_type string, value double")
+    df.write.parquet(src)
+    dim = spark.createDataFrame(
+        [("click", 0.5), ("view", 0.1), ("purchase", 5.0)],
+        "event_type string, weight double",
+    )
+    stream = spark.readStream.schema(df.schema).parquet(src)
+    _stream_to_parquet(enrich_with_static_dim(stream, dim), out, ckpt)
+    got = {r.event_id: r.weight for r in spark.read.parquet(out).collect()}
+    assert got == {1: 0.5, 2: 0.1, 3: 5.0, 4: None}
