@@ -55,7 +55,14 @@ def compare(spark_rows, spark_cols, duck_rows, duck_cols):
 
 def main() -> int:
     only = set(sys.argv[1:])
-    spark = get_spark(app_name="check_oracle")
+    # SPARK_GRAFT_ORACLE_SHUFFLE simulates a driver-owned session with a
+    # different parallelism (e.g. Spark's default 200) — results must be
+    # identical at ANY shuffle width (exact-decimal sums, total orders).
+    shuffle_env = os.environ.get("SPARK_GRAFT_ORACLE_SHUFFLE")
+    spark = get_spark(
+        app_name="check_oracle",
+        shuffle_partitions=int(shuffle_env) if shuffle_env else None,
+    )
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
