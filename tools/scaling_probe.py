@@ -21,7 +21,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from local_data_pipeline_spark.queries import QUERIES  # noqa: E402
 from local_data_pipeline_spark.session import get_spark  # noqa: E402
 
+# Override with SPARK_GRAFT_PROBE_DIRS=dir1,dir2,... (absolute paths) to
+# probe extra scales, e.g. a /tmp sf1 from tools/gen_scaled_data.py.
 SFS = ("sf0.001", "sf0.01", "sf0.1")
+PROBE_DIRS = [
+    p
+    for p in os.environ.get(
+        "SPARK_GRAFT_PROBE_DIRS",
+        ",".join(f"/root/testdata/{sf}" for sf in SFS),
+    ).split(",")
+    if p
+]
 DEFAULT = (
     "q1_pricing_summary",        # single-pass scan agg (decimal sums)
     "q9_product_profit",         # 5-way join
@@ -43,21 +53,20 @@ def main() -> None:
     QUERIES["q1_pricing_summary"].fn(spark, "/root/testdata/sf0.1").write.format(
         "noop"
     ).mode("overwrite").save()
-    rows = []
+    labels = [os.path.basename(d.rstrip("/")) for d in PROBE_DIRS]
     for name in names:
         per_sf = []
-        for sf in SFS:
+        for d in PROBE_DIRS:
             t0 = time.perf_counter()
-            QUERIES[name].fn(spark, f"/root/testdata/{sf}").write.format(
-                "noop"
-            ).mode("overwrite").save()
+            QUERIES[name].fn(spark, d).write.format("noop").mode(
+                "overwrite"
+            ).save()
             per_sf.append(time.perf_counter() - t0)
-        rows.append((name, per_sf))
         print(
             f"{name:32s} " + "  ".join(f"{t:6.2f}" for t in per_sf)
-            + f"   x100 data -> x{per_sf[2] / max(per_sf[0], 1e-9):.1f} time"
+            + f"   {labels[-1]}/{labels[0]} time x{per_sf[-1] / max(per_sf[0], 1e-9):.1f}"
         )
-    print("\ncolumns: " + " / ".join(SFS) + " seconds")
+    print("\ncolumns: " + " / ".join(labels) + " seconds")
     spark.stop()
 
 
