@@ -38,8 +38,21 @@ def davg(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
 
 
 def dsum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
-    """The ANSI-SQL twin of :func:`dsum` for oracle queries."""
-    return f"cast(sum(cast({expr} as decimal({DEFAULT_PRECISION},{scale}))) as double)"
+    """The SQL twin of :func:`dsum` for DuckDB oracle queries.
+
+    The final decimal→double hop goes THROUGH VARCHAR: DuckDB's direct
+    decimal→double cast divides the int128 payload by 10^scale in
+    floating point (two roundings), which diverges from Spark's
+    correctly-rounded BigDecimal.doubleValue by 1 ulp once the sum
+    exceeds 2^53 micro-units (~9e9 in value units — first observed on
+    sf1 TPC-H Q1 sums). decimal→string is exact and string→double is
+    correctly-rounded strtod, so this route matches Spark bit-for-bit
+    at any magnitude; below the boundary both routes agree, so the
+    sf0.01 driver gate is unaffected."""
+    return (
+        "cast(cast(sum(cast("
+        f"{expr} as decimal({DEFAULT_PRECISION},{scale}))) as string) as double)"
+    )
 
 
 def davg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:

@@ -465,7 +465,7 @@ def grouping_sets_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
                cast(grouping(l_returnflag) AS bigint) AS g_flag,
                cast(grouping(l_linestatus) AS bigint) AS g_status,
                count(*) AS n,
-               cast(sum(cast(l_extendedprice AS decimal(25,6))) AS double) AS sum_price
+               cast(cast(sum(cast(l_extendedprice AS decimal(25,6))) AS string) AS double) AS sum_price
         FROM __li_gs
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
@@ -646,9 +646,9 @@ def conditional_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     "running_total_orders",
     f"""
     SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
-           cast(sum(cast(o_totalprice AS decimal(25,6)))
+           cast(cast(sum(cast(o_totalprice AS decimal(25,6)))
                 OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS double) AS running_spend,
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS string) AS double) AS running_spend,
            lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
            row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
     FROM orders
@@ -860,7 +860,7 @@ def hypertable_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ELSE 'week' END AS granularity,
                coalesce(h, d, w) AS bucket_start, event_type,
                count(*) AS n,
-               cast(sum(cast(value AS decimal(25,6))) AS double) AS sum_value
+               cast(cast(sum(cast(value AS decimal(25,6))) AS string) AS double) AS sum_value
         FROM __ht_base
         GROUP BY GROUPING SETS ((h, event_type), (d, event_type), (w, event_type))
         """
@@ -1051,7 +1051,7 @@ def percentiles_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT event_type,
              count(*) AS n,
-             cast(sum(cast(value AS decimal(25,6))) AS double) AS sx,
+             cast(cast(sum(cast(value AS decimal(25,6))) AS string) AS double) AS sx,
              cast(sum(cast(value * value AS decimal(30,8))) AS double) AS sxx
       FROM events GROUP BY event_type)
     SELECT event_type, n,
@@ -2613,8 +2613,8 @@ def bigram_counts_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type, cast(ts AS date)),
     stats AS (
       SELECT event_type, dt, day_value,
-             cast(sum(cast(day_value AS decimal(25,6))) OVER w AS double) AS s1,
-             cast(sum(cast(day_value * day_value AS decimal(25,6))) OVER w AS double) AS s2,
+             cast(cast(sum(cast(day_value AS decimal(25,6))) OVER w AS string) AS double) AS s1,
+             cast(cast(sum(cast(day_value * day_value AS decimal(25,6))) OVER w AS string) AS double) AS s2,
              count(*) OVER w AS n
       FROM daily
       WINDOW w AS (PARTITION BY event_type ORDER BY dt
@@ -2682,7 +2682,7 @@ def zscore_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE p_size = 10 AND p_type = 'LARGE'),
     costs AS (
       SELECT l_partkey, l_suppkey,
-             round(cast(sum(cast(l_extendedprice / l_quantity AS decimal(25,6))) AS double)
+             round(cast(cast(sum(cast(l_extendedprice / l_quantity AS decimal(25,6))) AS string) AS double)
                    / count(*), 6) AS unit_cost
       FROM lineitem JOIN sel ON sel.p_partkey = lineitem.l_partkey
       GROUP BY l_partkey, l_suppkey),
@@ -3574,7 +3574,7 @@ def lm_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     powered AS (
       SELECT *, round(pow(n_tokens, 0.7), 6) AS pw FROM per_source),
     tot AS (
-      SELECT *, cast(sum(cast(pw AS decimal(25,6))) OVER () AS double) AS t
+      SELECT *, cast(cast(sum(cast(pw AS decimal(25,6))) OVER () AS string) AS double) AS t
       FROM powered)
     SELECT source, n_docs, n_tokens,
            round(pw / t, 6) AS weight,
@@ -3943,12 +3943,12 @@ def percent_rank_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
       FROM g)
     SELECT h, event_type,
-           round(CASE
+           floor((CASE
              WHEN v IS NOT NULL THEN v
              WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
                pv + (nv - pv)
                   * (date_diff('second', ph, h) * 1.0 / date_diff('second', ph, nh))
-             ELSE coalesce(pv, nv) END, 6) AS v_filled,
+             ELSE coalesce(pv, nv) END) * 1e6 + 0.5) / 1e6 AS v_filled,
            CASE WHEN v IS NULL THEN 1 ELSE 0 END AS filled
     FROM f
     """,
@@ -3961,8 +3961,10 @@ def interpolate_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     densification a downstream model expects. Uses IGNORE NULLS window
     frames (last non-null before / first non-null after) on both engines;
     anchors are exact decimal hourly means, the interpolation fraction is
-    a ratio of integer second-gaps, and the result rounds to 6 decimals —
-    bit-stable cross-engine.
+    a ratio of integer second-gaps, and the result is fixed to 6 decimals
+    via floor(x*1e6+0.5)/1e6 — identical double ops on both engines, so
+    bit-stable at any scale (engine round() half-boundary semantics are
+    NOT: see the inline note).
 
     Scale: windows are partitioned by event_type over the bounded hour
     spine (grid rows ≈ hours × types, independent of event count), so no
@@ -4009,7 +4011,13 @@ def interpolate_hourly_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     return f.select(
         "h",
         "event_type",
-        F.round(interp, 6).alias("v_filled"),
+        # NOT F.round: engine-native round() semantics differ exactly at
+        # half boundaries (Spark rounds the double's exact decimal
+        # expansion HALF_UP; DuckDB multiplies by 1e6 first) — a knife-
+        # edge value at sf1 produced 43.472812 vs 43.472813. floor(x*1e6
+        # + 0.5)/1e6 is the same three exact double ops on BOTH engines,
+        # so the result is bit-identical at any scale.
+        (F.floor(interp * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias("v_filled"),
         F.when(F.col("v").isNull(), 1).otherwise(0).alias("filled"),
     )
 
@@ -4221,6 +4229,11 @@ def order_chain_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Addition chains run in identical sequential order on both engines
     (run_spend is fold-left along the chain), so round(6) is safe."""
+    # The recursion row limit is a runaway guard, not a resource bound:
+    # total recursive output here is ≤ 8 rows per customer, but at sf≥1
+    # (1.5M+ customers) that legitimately exceeds the 1M-row default and
+    # fails with RECURSION_ROW_LIMIT_EXCEEDED. Size it to the data.
+    spark.conf.set("spark.sql.cteRecursionRowLimit", str(200_000_000))
     o = _t(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
     chain = (
