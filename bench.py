@@ -87,37 +87,46 @@ def main() -> None:
         spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
 
-    # The driver records only the LAST ~2000 chars of stdout and JSON-parses
-    # that tail (round 2: our full 110-query line was truncated mid-object and
-    # recorded as parsed:null). Full per-query timings go to BENCH_local.json;
-    # the printed line keeps per-query entries only up to a safe byte budget.
+    full, line = format_bench_output(times, _sf_label(SF_DIR))
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
+        "w",
+    ) as fh:
+        json.dump(full, fh)
+    print(line)
+    spark.stop()
+
+
+#: The driver records only the LAST ~2000 chars of stdout and JSON-parses
+#: that tail (round 2: our full 110-query line was truncated mid-object and
+#: recorded as parsed:null). Keep a safety margin below that window.
+LINE_BUDGET = 1600
+
+
+def format_bench_output(times: dict[str, float], sf: float) -> tuple[dict, str]:
+    """(full result dict for BENCH_local.json, stdout line <= LINE_BUDGET).
+
+    The printed line keeps per-query entries only up to the byte budget,
+    preferring the slowest queries; totals always survive."""
     full = {
         "metric": "total_query_wall_seconds",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "n_queries": len(times),
         "queries": times,
-        "sf": _sf_label(SF_DIR),
+        "sf": sf,
     }
-    with open(
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_local.json"),
-        "w",
-    ) as fh:
-        json.dump(full, fh)
     line = json.dumps(full)
-    if len(line) > 1600:
-        slowest = dict(
-            sorted(times.items(), key=lambda kv: -kv[1])[:25]
-        )
+    if len(line) > LINE_BUDGET:
+        slowest = dict(sorted(times.items(), key=lambda kv: -kv[1])[:25])
         compact = dict(full)
         compact["queries"] = {k: times[k] for k in times if k in slowest}
         compact["queries_note"] = "25 slowest; full map in BENCH_local.json"
         line = json.dumps(compact)
-        while len(line) > 1600 and compact["queries"]:
+        while len(line) > LINE_BUDGET and compact["queries"]:
             compact["queries"].pop(next(iter(compact["queries"])))
             line = json.dumps(compact)
-    print(line)
-    spark.stop()
+    return full, line
 
 
 if __name__ == "__main__":

@@ -84,3 +84,26 @@ def test_time_queries_survive_non_utc_driver_session(spark):
             assert ok, f"{name} under America/New_York: {msg}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_bench_line_fits_driver_tail_window():
+    """The round driver JSON-parses only the last ~2000 chars of bench
+    stdout (round 2 recorded parsed:null when the full 110-query line
+    overflowed it). The printed line must stay under the budget for any
+    realistic suite size, keep valid JSON, and preserve the totals."""
+    import json as _json
+
+    from bench import LINE_BUDGET, format_bench_output
+
+    times = {f"query_with_a_long_name_{i:03d}": i * 0.103 for i in range(400)}
+    full, line = format_bench_output(times, 0.1)
+    assert len(line) <= LINE_BUDGET
+    parsed = _json.loads(line)
+    assert parsed["value"] == full["value"] == round(sum(times.values()), 3)
+    assert parsed["n_queries"] == 400
+    assert 0 < len(parsed["queries"]) <= 25
+    # slowest entries survive the cut
+    assert "query_with_a_long_name_399" in parsed["queries"]
+    # small suites print the complete map
+    small_full, small_line = format_bench_output({"a": 1.0, "b": 2.0}, 0.01)
+    assert _json.loads(small_line)["queries"] == {"a": 1.0, "b": 2.0}
