@@ -174,6 +174,46 @@ class Registry:
     def models(self) -> list[Model]:
         return list(self._models.values())
 
+    def manifest(self) -> dict:
+        """The pipeline DAG as plain data (≙ dbt ``manifest.json``, which
+        the reference's Dagster bridge consumes at dbt_defs.py:13): one
+        entry per model with deps, group, materialization, declared
+        tests, and docs, in topological order. Drives docs rendering and
+        lets external orchestrators schedule the DAG without importing
+        Spark."""
+        return {
+            "models": [
+                {
+                    "name": m.name,
+                    "deps": list(m.deps),
+                    "group": m.group,
+                    "materialization": m.materialization,
+                    "description": m.description,
+                    "tests": [t.name for t in m.tests],
+                    "partition_by": list(m.partition_by),
+                    "incremental_col": m.incremental_col,
+                }
+                for m in (self._models[n] for n in self.topo_order())
+            ]
+        }
+
+    def docs_markdown(self) -> str:
+        """Human-readable lineage docs generated from :meth:`manifest`
+        (≙ dbt docs + the persisted descriptions of D8)."""
+        lines = ["# Pipeline lineage", ""]
+        for m in self.manifest()["models"]:
+            arrow = " ← " + ", ".join(m["deps"]) if m["deps"] else ""
+            lines.append(
+                f"## {m['name']}  ({m['materialization']}, group={m['group']})"
+                f"{arrow}"
+            )
+            if m["description"]:
+                lines.append(m["description"])
+            if m["tests"]:
+                lines.append(f"tests: {', '.join(m['tests'])}")
+            lines.append("")
+        return "\n".join(lines)
+
     def topo_order(self) -> list[str]:
         order: list[str] = []
         seen: dict[str, int] = {}  # 0=visiting 1=done

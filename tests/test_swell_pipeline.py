@@ -216,3 +216,28 @@ def test_build_select_pulls_upstream_deps(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="unknown model"):
         reg.build(spark, select=["nope"])
+
+
+def test_manifest_and_docs_export(spark):
+    """The manifest (dbt manifest.json analog) lists every model in topo
+    order with deps/tests intact, and the docs renderer includes the
+    lineage arrows and descriptions."""
+    from local_data_pipeline_spark.models.swell import (
+        build_registry,
+        synthesize_raw_swell,
+    )
+
+    reg = build_registry(lambda s: synthesize_raw_swell(s))
+    man = reg.manifest()
+    names = [m["name"] for m in man["models"]]
+    assert names.index("stg_swell_hourly") < names.index("int_daily_max_swell")
+    assert names.index("int_daily_max_swell") < names.index("pres_daily_max_swell")
+    by_name = {m["name"]: m for m in man["models"]}
+    assert by_name["int_daily_max_swell"]["deps"] == ["stg_swell_hourly"]
+    assert set(by_name["int_daily_max_swell"]["tests"]) == {
+        "not_null(dt)",
+        "not_null(location)",
+    }
+    assert by_name["pres_daily_max_swell"]["materialization"] == "table"
+    docs = reg.docs_markdown()
+    assert "## int_daily_max_swell" in docs and "← stg_swell_hourly" in docs
