@@ -415,6 +415,7 @@ def winnowing_overlap_pairs(
     w: int = 8,
     min_shared: int = 3,
     use_arrow: bool = True,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Near-dup/overlap candidates by shared winnowing fingerprints:
     (id_a, id_b, n_shared) with ≥ min_shared common fingerprints — the
@@ -423,10 +424,26 @@ def winnowing_overlap_pairs(
 
     k must span more than one typical token, or common short substrings
     make fingerprint multiplicity (and the self-join) blow up — k=16/w=8
-    measured 500× fewer pairs than k=5/w=4 on the synthetic corpus."""
+    measured 500× fewer pairs than k=5/w=4 on the synthetic corpus.
+
+    ``max_df`` is THE 100 TB knob: the self-join emits ~df² pairs per
+    fingerprint, so one boilerplate fingerprint shared by 10k documents
+    costs 10^8 rows by itself. Dropping fingerprints with document
+    frequency > max_df before the join (MOSS's stop-fingerprint rule —
+    they carry no discriminative signal anyway) bounds every posting
+    list and makes the join cost max_df × multiplicity, linear again.
+    None keeps exact all-pairs semantics for small corpora."""
     make = winnowing_fingerprints_arrow if use_arrow else winnowing_fingerprints
     # both self-join sides reuse the fingerprints; compute them once
     fps = make(df, text_col, id_col, k, w).localCheckpoint(eager=False)
+    if max_df is not None:
+        rare = (
+            fps.groupBy("fingerprint")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("fingerprint")
+        )
+        fps = fps.join(rare, "fingerprint")
     a = fps.select(F.col(id_col).alias("id_a"), "fingerprint")
     b = fps.select(F.col(id_col).alias("id_b"), "fingerprint")
     return (

@@ -276,3 +276,28 @@ def test_dedup_clusters_long_chain_converges(spark):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs, max_iterations=40).collect()}
     assert set(got.values()) == {1} and len(got) == 30
+
+
+def test_winnowing_stop_fingerprint_cap_bounds_pairs(spark):
+    """max_df (MOSS stop-fingerprint rule) must cut the df^2 pair
+    explosion from corpus-wide boilerplate while keeping the genuine
+    low-df overlap pair."""
+    from local_data_pipeline_spark.operators.dedup import winnowing_overlap_pairs
+
+    boiler = "this standard license header is identical in every file "
+    unique = [f"entirely distinct body text number {i} " * 4 for i in range(12)]
+    rows = [(i, boiler * 3 + unique[i]) for i in range(12)]
+    # docs 100/101: a real shared passage that appears nowhere else
+    shared = "a genuinely shared rare passage that only these two contain " * 3
+    rows += [(100, shared + "tail one"), (101, shared + "tail two")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    uncapped = winnowing_overlap_pairs(df, min_shared=3)
+    capped = winnowing_overlap_pairs(df, min_shared=3, max_df=4)
+    n_uncapped = uncapped.count()
+    n_capped = capped.count()
+    # boilerplate links all 12 docs pairwise without the cap
+    assert n_uncapped >= 66  # C(12,2) boiler pairs + the true pair
+    assert n_capped < n_uncapped
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert (100, 101) in got  # the rare true overlap survives the cap
