@@ -92,6 +92,7 @@ def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
     n_bands: int = 8,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Band each signature into ``n_bands`` chunks; docs sharing any band
     hash become a candidate pair. Output: (id_a, id_b), id_a < id_b,
@@ -99,8 +100,12 @@ def lsh_candidate_pairs(
 
     Scale shape: explode to n_bands rows/doc → group by (band, band_hash)
     → pairs within buckets. Bucket sizes are the knob: more bands → higher
-    recall and bigger buckets. A degenerate bucket (e.g. empty docs) is the
-    skew risk — cap it upstream or raise rows-per-band."""
+    recall and bigger buckets. ``max_bucket_size`` is the jumbo-bucket
+    guard: a bucket of n docs emits n² pairs, so one degenerate bucket
+    (empty docs, boilerplate) can dominate the whole job — buckets above
+    the cap are SKIPPED (their members still pair through their other
+    bands, which a truly similar pair shares anyway). None keeps exact
+    banding semantics."""
     # both sides of the self-join would recompute the signature subtree;
     # checkpoint it once (at 100 TB: persist to a signatures table instead)
     signatures = signatures.localCheckpoint(eager=False)
@@ -124,6 +129,14 @@ def lsh_candidate_pairs(
             )
         ).alias("bh"),
     ).select(id_col, "bh.band", "bh.band_hash")
+    if max_bucket_size is not None:
+        small = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count("*").alias("__n"))
+            .filter(F.col("__n") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(small, ["band", "band_hash"])
     a = banded.alias("a")
     b = banded.alias("b")
     return (

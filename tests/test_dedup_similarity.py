@@ -301,3 +301,27 @@ def test_winnowing_stop_fingerprint_cap_bounds_pairs(spark):
     assert n_capped < n_uncapped
     got = {(r.id_a, r.id_b) for r in capped.collect()}
     assert (100, 101) in got  # the rare true overlap survives the cap
+
+
+def test_lsh_jumbo_bucket_cap_skips_degenerate_buckets(spark):
+    """max_bucket_size must stop a degenerate bucket (identical
+    boilerplate signatures) from emitting n^2 candidates, while a
+    small genuine near-dup pair still surfaces."""
+    from local_data_pipeline_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    boiler = [(i, "identical boilerplate text in every doc") for i in range(30)]
+    near = [
+        (100, "a very particular rare document about winnowing oceans"),
+        (101, "a very particular rare document about winnowing oceans!"),
+    ]
+    df = spark.createDataFrame(boiler + near, "doc_id long, text string")
+    sigs = minhash_signature(df)
+    uncapped = lsh_candidate_pairs(sigs).count()
+    capped = lsh_candidate_pairs(sigs, max_bucket_size=5)
+    got = {(r.id_a, r.id_b) for r in capped.collect()}
+    assert uncapped >= 435 + 1  # C(30,2) boiler pairs + the real pair
+    assert len(got) < uncapped
+    assert (100, 101) in got  # genuine near-dup survives the cap
