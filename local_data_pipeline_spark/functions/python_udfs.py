@@ -61,7 +61,45 @@ def make_ngrams_udtf():
     return udtf(NGramsUDTF, returnType="pos int, ngram string")
 
 
+class TokenRLEUDTF:
+    """Python UDTF: (doc_id, text) -> one row per RUN of identical
+    adjacent whitespace tokens (run-length encoding). Genuinely
+    procedural row generation — the UDTF API's natural fit — with the
+    doc_id passed through so the lateral caller needs no outer-column
+    reference:
+
+        SELECT t.doc_id, t.run_idx, t.token, t.run_len
+        FROM documents d, LATERAL token_rle(d.doc_id, d.text) t
+
+    Tokenization matches functions/text.tokens (trim, lower, split \\s+)
+    so a SQL oracle can reproduce the runs with a lag/running-sum
+    gaps-and-islands construction."""
+
+    def eval(self, doc_id: int, text: str):
+        toks = text.strip().lower().split() if text else []
+        if not toks:
+            return
+        run_idx, run_len, cur = 1, 1, toks[0]
+        for t in toks[1:]:
+            if t == cur:
+                run_len += 1
+            else:
+                yield (doc_id, run_idx, cur, run_len)
+                run_idx, run_len, cur = run_idx + 1, 1, t
+        yield (doc_id, run_idx, cur, run_len)
+
+
+def make_token_rle_udtf():
+    from pyspark.sql.functions import udtf
+
+    return udtf(
+        TokenRLEUDTF,
+        returnType="doc_id bigint, run_idx bigint, token string, run_len bigint",
+    )
+
+
 def register_python_udfs(spark) -> None:
-    """Register both under stable SQL names (idempotent)."""
+    """Register all under stable SQL names (idempotent)."""
     spark.udf.register("trimmed_mean", trimmed_mean_udaf)
     spark.udtf.register("ngrams", make_ngrams_udtf())
+    spark.udtf.register("token_rle", make_token_rle_udtf())

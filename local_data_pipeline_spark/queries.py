@@ -4418,6 +4418,644 @@ def variant_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round 4: sequence analytics, fuzzy matching, profiling, sampling,
+# regression, UDTF surface
+# =====================================================================
+
+@q(
+    "markov_event_transitions",
+    """
+    WITH seq AS (
+      SELECT user_id, event_type AS cur,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (
+      SELECT cur, nxt, count(*) AS n FROM seq
+      WHERE nxt IS NOT NULL GROUP BY cur, nxt)
+    SELECT cur, nxt, n,
+           round(n / cast(sum(n) OVER (PARTITION BY cur) AS double), 6) AS p
+    FROM c
+    """,
+    tags=("window", "sequence", "markov"),
+)
+def markov_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over per-user event streams:
+    P(next event_type | current event_type), the standard user-journey /
+    clickstream model. lead() pairs each event with its successor under
+    the pinned (ts, event_id) total order; the row-normalization uses an
+    integer window sum (exact, order-insensitive), so the probabilities
+    are deterministic at any parallelism.
+
+    Scale: one exchange on user_id for the lead window; the transition
+    aggregate is map-side combinable over at most |types|^2 keys and the
+    normalizing window runs on that tiny aggregate, not the fact table."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    c = seq.groupBy("cur", "nxt").agg(F.count("*").alias("n"))
+    wt = Window.partitionBy("cur")
+    return c.select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(wt).cast("double"), 6).alias("p"),
+    )
+
+
+@q(
+    "top_event_paths_3step",
+    """
+    WITH seq AS (
+      SELECT event_type AS e1,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT concat_ws('>', e1, e2, e3) AS path, count(*) AS n
+    FROM seq WHERE e3 IS NOT NULL
+    GROUP BY concat_ws('>', e1, e2, e3)
+    ORDER BY n DESC, path ASC LIMIT 10
+    """,
+    tags=("window", "sequence", "topk"),
+)
+def top_event_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequential pattern mining, frequency flavor: the 10 most common
+    3-step event-type paths across user journeys (two stacked lead()s —
+    no self-joins). Total order on (n desc, path) makes the LIMIT
+    deterministic.
+
+    Scale: both leads share ONE user_id exchange (same window spec); the
+    path aggregate has at most |types|^3 keys, and the global top-10 is
+    a TakeOrderedAndProject, never a full sort."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("e1"),
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.select(F.concat_ws(">", "e1", "e2", "e3").alias("path"))
+        .groupBy("path")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
+
+
+@q(
+    "fuzzy_part_name_pairs",
+    """
+    SELECT a.p_brand AS brand, cast(count(*) AS bigint) AS n_pairs,
+           cast(min(levenshtein(a.p_name, b.p_name)) AS bigint) AS min_dist
+    FROM part a JOIN part b
+      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    WHERE levenshtein(a.p_name, b.p_name) <= 3
+    GROUP BY a.p_brand
+    """,
+    tags=("join", "fuzzy", "entity-resolution"),
+)
+def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution style fuzzy matching: per brand, how many part
+    name pairs sit within Levenshtein distance 3 (and the closest such
+    distance). Classic blocked pairwise comparison — the brand is the
+    blocking key, so candidate pairs are per-block quadratic instead of
+    corpus quadratic.
+
+    Scale: the self-join shuffles on the block key only; a length-band
+    predicate (|len(a)-len(b)| <= 3, valid because edit distance >= length
+    difference) prunes pairs before the edit-distance kernel runs. At
+    100 TB add a second blocking axis (first-token bucket) to cap block
+    sizes, exactly like the LSH band trick in dedup."""
+    p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    a, b = p.alias("a"), p.alias("b")
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    pairs = a.join(
+        b,
+        (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.p_partkey") < F.col("b.p_partkey"))
+        & (
+            F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
+            <= F.lit(3)
+        )
+        & (dist <= F.lit(3)),
+    )
+    return pairs.groupBy(F.col("a.p_brand").alias("brand")).agg(
+        F.count("*").alias("n_pairs"),
+        F.min(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        .cast("bigint")
+        .alias("min_dist"),
+    )
+
+
+_PROFILE_NUM_COLS = ("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+_PROFILE_STR_COLS = ("l_returnflag", "l_linestatus")
+
+
+def _profile_oracle() -> str:
+    parts = []
+    for c in _PROFILE_NUM_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}' AS column_name, cast(count(*) AS bigint) AS n_rows,
+           cast(count(*) - count({c}) AS bigint) AS n_nulls,
+           cast(count(DISTINCT {c}) AS bigint) AS n_distinct,
+           cast(min({c}) AS double) AS min_value,
+           cast(max({c}) AS double) AS max_value
+    FROM lineitem"""
+        )
+    for c in _PROFILE_STR_COLS:
+        parts.append(
+            f"""
+    SELECT '{c}', cast(count(*) AS bigint), cast(count(*) - count({c}) AS bigint),
+           cast(count(DISTINCT {c}) AS bigint),
+           cast(NULL AS double), cast(NULL AS double)
+    FROM lineitem"""
+        )
+    return "\n    UNION ALL".join(parts)
+
+
+@q(
+    "profile_lineitem_columns",
+    _profile_oracle(),
+    tags=("agg", "profiling", "quality"),
+)
+def profile_lineitem_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data profiling (dbt-style table summary): per column, row count,
+    null count, exact distinct count, and numeric min/max — the
+    warehouse-health scan run before trusting a new table drop.
+
+    Scale: ONE pass over the fact table computes every metric (the
+    oracle's UNION ALL shape would be 6 scans); the multi-column exact
+    distinct counts expand rows 6x into one hash aggregate. At 100 TB
+    swap count_distinct for approx_count_distinct (HLL) — exact
+    multi-column distinct is the one metric here that doesn't scale."""
+    li = _t(spark, sf_dir, "lineitem")
+    aggs = [F.count("*").alias("n_rows")]
+    for c in _PROFILE_NUM_COLS + _PROFILE_STR_COLS:
+        aggs.append(F.count(F.when(F.col(c).isNull(), 1)).alias(f"{c}__nulls"))
+        aggs.append(F.count_distinct(F.col(c)).alias(f"{c}__nd"))
+    for c in _PROFILE_NUM_COLS:
+        aggs.append(F.min(c).cast("double").alias(f"{c}__min"))
+        aggs.append(F.max(c).cast("double").alias(f"{c}__max"))
+    row = li.agg(*aggs)
+    stack_args = []
+    for c in _PROFILE_NUM_COLS:
+        stack_args.append(
+            f"'{c}', {c}__nulls, {c}__nd, {c}__min, {c}__max"
+        )
+    for c in _PROFILE_STR_COLS:
+        stack_args.append(
+            f"'{c}', {c}__nulls, {c}__nd, cast(NULL AS double), cast(NULL AS double)"
+        )
+    n = len(_PROFILE_NUM_COLS) + len(_PROFILE_STR_COLS)
+    return row.selectExpr(
+        "n_rows",
+        f"stack({n}, {', '.join(stack_args)}) AS "
+        "(column_name, n_nulls, n_distinct, min_value, max_value)",
+    ).select("column_name", "n_rows", "n_nulls", "n_distinct", "min_value", "max_value")
+
+
+@q(
+    "customer_yearly_churn",
+    """
+    WITH act AS (
+      SELECT DISTINCT cast(year(o_orderdate) AS int) AS yr, o_custkey AS ck
+      FROM orders),
+    j AS (
+      SELECT coalesce(b.yr, a.yr + 1) AS yr,
+             CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL THEN 'retained'
+                  WHEN b.ck IS NOT NULL THEN 'new'
+                  ELSE 'churned' END AS status
+      FROM act a FULL JOIN act b ON a.ck = b.ck AND a.yr + 1 = b.yr)
+    SELECT yr, status, cast(count(*) AS bigint) AS n_customers
+    FROM j WHERE yr BETWEEN 1996 AND 2001
+    GROUP BY yr, status
+    """,
+    tags=("join", "set-ops", "cdc"),
+)
+def customer_yearly_churn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year customer churn matrix — the snapshot-diff (CDC)
+    pattern: for each year, customers active in both that year and the
+    prior one (retained), only this year (new), or only the prior year
+    (churned), via a FULL OUTER self-join of the distinct (year,
+    customer) activity set against itself shifted one year.
+
+    Scale: the distinct set is one map-side-combinable aggregate over
+    the fact table; the self-join shuffles on customer key and the churn
+    aggregate has |years| x 3 keys. The same shape diffs two table
+    snapshots of any size (added/removed/changed keys)."""
+    o = _t(spark, sf_dir, "orders")
+    act = o.select(
+        F.year("o_orderdate").cast("int").alias("yr"),
+        F.col("o_custkey").alias("ck"),
+    ).distinct()
+    a, b = act.alias("a"), act.alias("b")
+    j = a.join(
+        b,
+        (F.col("a.ck") == F.col("b.ck")) & (F.col("a.yr") + 1 == F.col("b.yr")),
+        "full_outer",
+    )
+    status = (
+        F.when(F.col("a.ck").isNotNull() & F.col("b.ck").isNotNull(), "retained")
+        .when(F.col("b.ck").isNotNull(), "new")
+        .otherwise("churned")
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("b.yr"), F.col("a.yr") + 1).alias("yr"),
+            status.alias("status"),
+        )
+        .filter(F.col("yr").between(1996, 2001))
+        .groupBy("yr", "status")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@q(
+    "max_concurrent_sessions_daily",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts,
+             cast(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS bigint)
+               AS session_id
+      FROM flagged),
+    sess AS (
+      SELECT user_id, session_id, min(ts) AS t0, max(ts) AS t1
+      FROM sessioned GROUP BY user_id, session_id),
+    bounds AS (
+      SELECT user_id, t0 AS t, 1 AS d FROM sess
+      UNION ALL
+      SELECT user_id, t1 AS t, -1 AS d FROM sess),
+    swept AS (
+      SELECT t, cast(sum(d) OVER (ORDER BY t, d DESC, user_id
+                                  ROWS UNBOUNDED PRECEDING) AS bigint) AS conc
+      FROM bounds)
+    SELECT cast(t AS date) AS dt, max(conc) AS max_concurrent
+    FROM swept GROUP BY cast(t AS date)
+    """,
+    tags=("window", "sweep-line", "sessionize"),
+)
+def max_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap concurrency via sweep line: sessionize per user
+    (30-min gap), convert each session to +1/-1 boundary events, take a
+    running sum under the total order (t, starts-before-ends, user_id),
+    and report the daily peak of concurrently open sessions.
+
+    Scale: the running sum over ALL boundaries is the one globally
+    ordered step — computed with operators/packing.distributed_cumsum
+    (range-partitioned shards + driver prefix of K shard totals), so no
+    single-task global window exists anywhere in the plan. Sessionization
+    itself is per-user windows (one exchange)."""
+    from .operators.packing import distributed_cumsum
+
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_ok = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    new_s = F.when(
+        F.lag("ts").over(w).isNull()
+        | (F.col("ts") > F.lag("ts").over(w) + F.expr("INTERVAL 30 MINUTE")),
+        1,
+    ).otherwise(0)
+    sessioned = ev.select(
+        "user_id",
+        "ts",
+        F.sum(new_s)
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("session_id"),
+    )
+    sess = sessioned.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("t0"), F.max("ts").alias("t1")
+    )
+    bounds = sess.select(
+        "user_id", F.col("t0").alias("t"), F.lit(1).alias("d")
+    ).unionAll(sess.select("user_id", F.col("t1").alias("t"), F.lit(-1).alias("d")))
+    # inclusive running sum = exclusive prefix + own delta; ties ordered
+    # starts-first via the negated delta sort key (closed intervals).
+    swept = distributed_cumsum(
+        bounds.withColumn("dneg", -F.col("d")),
+        ["t", "dneg", "user_id"],
+        "d",
+        out_col="excl",
+    ).select(
+        "t", (F.col("excl") + F.col("d")).cast("bigint").alias("conc")
+    )
+    return swept.groupBy(F.col("t").cast("date").alias("dt")).agg(
+        F.max("conc").alias("max_concurrent")
+    )
+
+
+@q(
+    "pmi_collocations_documents",
+    """
+    WITH toks AS (
+      SELECT CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    uni AS (
+      SELECT unnest(t) AS w FROM toks),
+    unic AS (
+      SELECT w, count(*) AS c FROM uni GROUP BY w),
+    idx AS (
+      SELECT t, unnest(range(0, len(t) - 1)) AS i FROM toks WHERE len(t) >= 2),
+    pairs AS (
+      SELECT t[i + 1] AS w1, t[i + 2] AS w2 FROM idx),
+    bic AS (
+      SELECT w1, w2, count(*) AS c2 FROM pairs GROUP BY w1, w2),
+    tot AS (
+      SELECT (SELECT sum(c) FROM unic) AS tu, (SELECT sum(c2) FROM bic) AS tb),
+    scored AS (
+      SELECT b.w1, b.w2, b.c2 AS n,
+             round(ln((b.c2 / cast(t.tb AS double)) /
+                      ((u1.c / cast(t.tu AS double)) *
+                       (u2.c / cast(t.tu AS double)))), 6) AS pmi
+      FROM bic b CROSS JOIN tot t
+      JOIN unic u1 ON b.w1 = u1.w
+      JOIN unic u2 ON b.w2 = u2.w
+      WHERE b.c2 >= 5)
+    SELECT w1, w2, n, pmi FROM scored
+    ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 20
+    """,
+    tags=("text", "ngram", "collocation"),
+)
+def pmi_collocations_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation extraction: top-20 adjacent token pairs by pointwise
+    mutual information, PMI = ln(P(w1,w2) / (P(w1)P(w2))), min count 5 —
+    the classic phrase-detection signal (word2vec phrase merging, NLP
+    pipeline staple). The ranking sorts on the ROUNDED score with a
+    (w1, w2) tie-break so the top-20 is engine-independent even when
+    distinct pairs share a score.
+
+    Scale: one tokenize pass feeds both the unigram and bigram counts
+    (bigrams pair each token with its successor scan-side — no join);
+    corpus totals ride in as broadcast 1-row cross joins; the unigram
+    lookups broadcast (vocabulary-sized). All shuffles are over count
+    keys, never raw text."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(TX.tokens(F.col("text")).alias("t"))
+    unic = (
+        toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("c"))
+    )
+    pairs = (
+        toks.filter(F.size("t") >= 2)
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                    F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+                )
+            ).alias("p")
+        )
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+    )
+    bic = pairs.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    tu = unic.agg(F.sum("c").alias("tu"))
+    tb = bic.agg(F.sum("c2").alias("tb"))
+    tot = F.broadcast(tu.crossJoin(tb))
+    u1 = F.broadcast(unic.select(F.col("w").alias("w1"), F.col("c").alias("c1")))
+    u2 = F.broadcast(unic.select(F.col("w").alias("w2"), F.col("c").alias("cc2")))
+    scored = (
+        bic.filter(F.col("c2") >= 5)
+        .crossJoin(tot)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .select(
+            "w1",
+            "w2",
+            F.col("c2").alias("n"),
+            F.round(
+                F.log(
+                    (F.col("c2") / F.col("tb").cast("double"))
+                    / (
+                        (F.col("c1") / F.col("tu").cast("double"))
+                        * (F.col("cc2") / F.col("tu").cast("double"))
+                    )
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2")).limit(20)
+
+
+@q(
+    "weighted_sample_documents",
+    """
+    WITH keyed AS (
+      SELECT doc_id, n_chars,
+             ln(((doc_id * 2654435761 + 12345) % 4294967296 + 0.5)
+                / 4294967296.0) / n_chars AS k
+      FROM documents)
+    SELECT doc_id, n_chars, round(k * 1000000.0, 6) AS sample_key_ppm
+    FROM keyed ORDER BY k DESC, doc_id ASC LIMIT 100
+    """,
+    tags=("sampling", "weighted"),
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement (Efraimidis-
+    Spirtsou A-ES): each document draws a reproducible uniform u from a
+    Knuth multiplicative hash of its id, gets key ln(u)/weight (monotone
+    in u^(1/w); weight = n_chars), and the global top-100 keys ARE the
+    weighted sample. Longer documents are proportionally likelier, the
+    sample is identical on every engine and at any parallelism, and
+    adding data never perturbs the relative order of existing rows.
+
+    Scale: keys are computed scan-side and the selection is a
+    TakeOrderedAndProject (per-partition top-100 then merge of K
+    candidate sets) — no global sort, no shuffle of the corpus. This is
+    the scale-correct form of 'sample k docs by length' for mixture
+    construction."""
+    d = _t(spark, sf_dir, "documents")
+    u = (
+        (F.col("doc_id") * F.lit(2654435761) + F.lit(12345)) % F.lit(4294967296)
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    keyed = d.select(
+        "doc_id", "n_chars", (F.log(u) / F.col("n_chars")).alias("k")
+    )
+    return (
+        keyed.orderBy(F.desc("k"), F.asc("doc_id"))
+        .limit(100)
+        .select(
+            "doc_id",
+            "n_chars",
+            F.round(F.col("k") * F.lit(1000000.0), 6).alias("sample_key_ppm"),
+        )
+    )
+
+
+@q(
+    "regression_value_trend_by_type",
+    f"""
+    WITH xy AS (
+      SELECT event_type,
+             cast(date_diff('hour', TIMESTAMP '1970-01-01 00:00:00',
+                            date_trunc('hour', ts)) AS double) AS x,
+             value AS y
+      FROM events),
+    s AS (
+      SELECT event_type, cast(count(*) AS double) AS n,
+             {dsum_sql('x')} AS sx, {dsum_sql('y')} AS sy,
+             {dsum_sql('(x*y)')} AS sxy, {dsum_sql('(x*x)')} AS sxx
+      FROM xy GROUP BY event_type)
+    SELECT event_type, cast(n AS bigint) AS n_obs,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) * 1e6 + 0.5) / 1e6
+             AS slope_per_hour,
+           floor((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n
+                 * 1e6 + 0.5) / 1e6 AS intercept
+    FROM s
+    """,
+    tags=("agg", "regression", "stats"),
+)
+def regression_value_trend_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group OLS linear regression (value vs. hours-since-epoch):
+    slope and intercept assembled from the five sufficient statistics
+    (n, Σx, Σy, Σxy, Σx²) — the map-side-combinable form of regr_slope /
+    regr_intercept. Sums accumulate in exact decimal (order-insensitive,
+    see functions/numeric.py), the closing arithmetic is the same IEEE
+    double expression on both engines, and rounding uses the
+    floor(x*1e6+0.5)/1e6 construction that is bit-identical cross-engine
+    (Spark round() HALF_UPs the exact decimal expansion; DuckDB doesn't).
+
+    Scale: one pass, one tiny aggregate — this is how regression over
+    100 TB is actually computed (sufficient statistics, never a solver
+    over raw rows)."""
+    ev = _t(spark, sf_dir, "events")
+    x = (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600).cast(
+        "double"
+    )
+    xy = ev.select(
+        "event_type", x.alias("x"), F.col("value").alias("y")
+    )
+    s = xy.groupBy("event_type").agg(
+        F.count("*").cast("double").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    r6 = lambda c: F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)  # noqa: E731
+    return s.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_obs"),
+        r6(slope).alias("slope_per_hour"),
+        r6((F.col("sy") - slope * F.col("sx")) / F.col("n")).alias("intercept"),
+    )
+
+
+@q(
+    "token_rle_udtf_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i
+      FROM toks WHERE len(t) >= 1),
+    seq AS (
+      SELECT doc_id, t[i] AS token, i,
+             CASE WHEN i = 1 OR t[i] IS DISTINCT FROM t[i - 1]
+                  THEN 1 ELSE 0 END AS chg
+      FROM idx),
+    runs AS (
+      SELECT doc_id, token, i,
+             cast(sum(chg) OVER (PARTITION BY doc_id ORDER BY i
+                                 ROWS UNBOUNDED PRECEDING) AS bigint) AS run_idx
+      FROM seq)
+    SELECT doc_id, run_idx, min(token) AS token,
+           cast(count(*) AS bigint) AS run_len
+    FROM runs GROUP BY doc_id, run_idx
+    """,
+    tags=("udtf", "text", "gaps-islands"),
+)
+def token_rle_udtf_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each document's token stream through a
+    Python UDTF in a LATERAL join (Spark 4 user-defined table function
+    API — functions/python_udfs.TokenRLEUDTF): one output row per run of
+    identical adjacent tokens. The stateful per-row row-generation is
+    the UDTF API's natural fit; the DuckDB twin rebuilds the runs
+    relationally (lateral index series + change-flag running sum — the
+    reference's own generate_series explode idiom, SURVEY B8).
+
+    Scale: the UDTF is per-row (no shuffle); rows stream through Python
+    workers partition-parallel. For hot paths prefer the relational
+    form (see repetition_signals_documents); this query pins the API
+    surface and its exactness."""
+    from .functions.python_udfs import register_python_udfs
+
+    register_python_udfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_rle")
+    return spark.sql(
+        """
+        SELECT t.doc_id, t.run_idx, t.token, t.run_len
+        FROM _docs_rle d, LATERAL token_rle(d.doc_id, d.text) t
+        """
+    )
+
+
+@q(
+    "rolling_median_daily_value",
+    f"""
+    WITH daily AS (
+      SELECT event_type, cast(ts AS date) AS dt, {dsum_sql('value')} AS total
+      FROM events GROUP BY event_type, cast(ts AS date))
+    SELECT event_type, dt,
+           round(median(total) OVER (PARTITION BY event_type ORDER BY dt
+                                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
+                 6) AS med7
+    FROM daily
+    """,
+    tags=("window", "robust-stats", "timeseries"),
+)
+def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """7-day rolling MEDIAN of daily event value per type — the robust
+    trend line (medians shrug off the spike days that wreck rolling
+    means). Daily totals are exact-decimal sums (identical both
+    engines); the window median is Spark's exact percentile(0.5) vs
+    DuckDB's median, which agree on even counts (both average the two
+    middle values).
+
+    Scale: the expensive exact order statistic runs on the PRE-AGGREGATED
+    daily series (|types| x |days| rows), never the fact table — the
+    two-level shape (massive reduce, then small window) is the 100 TB
+    pattern for windowed quantiles; use percentile_approx if the window
+    input itself stays huge."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dt")
+    ).agg(dsum("value").alias("total"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("dt")
+        .rowsBetween(-6, Window.currentRow)
+    )
+    return daily.select(
+        "event_type",
+        "dt",
+        F.round(F.expr("percentile(total, 0.5)").over(w), 6).alias("med7"),
+    )
+
+
+# =====================================================================
 # Driver-facing declaration order
 # =====================================================================
 # The driver's correctness gate verifies a 50-query PREFIX of the

@@ -1,0 +1,176 @@
+"""Round-4 operator invariants beyond the oracle hash checks:
+sequence analytics, sweep-line concurrency, weighted sampling, fuzzy
+matching, and the UDTF surface."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.queries import QUERIES
+
+from conftest import SF_DIR
+
+
+def test_markov_rows_are_proper_distributions(spark):
+    """Outgoing transition probabilities must sum to 1 per current state
+    (up to the 6-decimal rounding of each term)."""
+    rows = QUERIES["markov_event_transitions"].fn(spark, SF_DIR).collect()
+    by_cur = {}
+    for r in rows:
+        by_cur.setdefault(r["cur"], []).append(r["p"])
+        assert 0.0 < r["p"] <= 1.0
+    for cur, ps in by_cur.items():
+        assert abs(sum(ps) - 1.0) < 1e-5, (cur, sum(ps))
+
+
+def test_top_paths_are_subsequences_of_transitions(spark):
+    """Every step inside a frequent 3-path must exist as a Markov
+    transition (the 3-gram relation marginalizes to the 2-gram one)."""
+    trans = {
+        (r["cur"], r["nxt"])
+        for r in QUERIES["markov_event_transitions"].fn(spark, SF_DIR).collect()
+    }
+    for r in QUERIES["top_event_paths_3step"].fn(spark, SF_DIR).collect():
+        e1, e2, e3 = r["path"].split(">")
+        assert (e1, e2) in trans and (e2, e3) in trans
+
+
+def test_weighted_sample_stable_under_repartition(spark):
+    """A-ES keys are pure row functions, so the chosen sample must not
+    depend on physical partitioning."""
+    base = QUERIES["weighted_sample_documents"].fn(spark, SF_DIR)
+    ids = [r["doc_id"] for r in base.collect()]
+    rep = [
+        r["doc_id"]
+        for r in QUERIES["weighted_sample_documents"]
+        .fn(spark, SF_DIR)
+        .repartition(13)
+        .collect()
+    ]
+    assert set(ids) == set(rep) and len(ids) == 100
+
+
+def test_weighted_sample_favors_longer_documents(spark):
+    """With weight = n_chars the sampled docs must skew long: the sample
+    mean length exceeds the corpus mean."""
+    from local_data_pipeline_spark.session import load_table
+
+    sample = QUERIES["weighted_sample_documents"].fn(spark, SF_DIR)
+    s_mean = sample.agg(F.avg("n_chars")).first()[0]
+    c_mean = (
+        load_table(spark, SF_DIR, "documents").agg(F.avg("n_chars")).first()[0]
+    )
+    assert s_mean > c_mean
+
+
+def test_sweepline_peak_bounded_by_session_count(spark):
+    """Daily peak concurrency is at least 1 and can't exceed the number
+    of distinct users (one open session per user at a time by
+    construction of gap sessionization)."""
+    from local_data_pipeline_spark.session import load_table
+
+    n_users = (
+        load_table(spark, SF_DIR, "events").select("user_id").distinct().count()
+    )
+    rows = QUERIES["max_concurrent_sessions_daily"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["max_concurrent"] <= n_users
+
+
+def test_fuzzy_pairs_blocked_by_brand(spark):
+    """Every reported block must be a real brand and distances in
+    [0, 3]."""
+    from local_data_pipeline_spark.session import load_table
+
+    brands = {
+        r["p_brand"]
+        for r in load_table(spark, SF_DIR, "part").select("p_brand").distinct().collect()
+    }
+    for r in QUERIES["fuzzy_part_name_pairs"].fn(spark, SF_DIR).collect():
+        assert r["brand"] in brands
+        assert 0 <= r["min_dist"] <= 3
+        assert r["n_pairs"] >= 1
+
+
+def test_token_rle_reconstructs_token_stream(spark):
+    """Expanding the runs of one document must reproduce its exact token
+    sequence (lossless RLE round-trip through the Python UDTF)."""
+    from local_data_pipeline_spark.session import load_table
+
+    doc = (
+        load_table(spark, SF_DIR, "documents")
+        .filter(F.col("text").isNotNull() & (F.trim("text") != ""))
+        .orderBy("doc_id")
+        .first()
+    )
+    runs = (
+        QUERIES["token_rle_udtf_documents"]
+        .fn(spark, SF_DIR)
+        .filter(F.col("doc_id") == doc["doc_id"])
+        .orderBy("run_idx")
+        .collect()
+    )
+    rebuilt = [t for r in runs for t in [r["token"]] * r["run_len"]]
+    assert rebuilt == doc["text"].strip().lower().split()
+    # runs are maximal: no two adjacent runs share a token
+    for a, b in zip(runs, runs[1:]):
+        assert a["token"] != b["token"]
+
+
+def test_regression_slope_matches_numpy(spark):
+    """The sufficient-statistics OLS must agree with numpy's lstsq per
+    group (to well beyond the 6-decimal emission rounding)."""
+    import numpy as np
+
+    from local_data_pipeline_spark.session import load_table
+
+    ev = (
+        load_table(spark, SF_DIR, "events")
+        .select(
+            "event_type",
+            (F.unix_timestamp(F.date_trunc("hour", F.col("ts"))) / 3600)
+            .cast("double")
+            .alias("x"),
+            F.col("value").alias("y"),
+        )
+        .collect()
+    )
+    groups = {}
+    for r in ev:
+        groups.setdefault(r["event_type"], []).append((r["x"], r["y"]))
+    got = {
+        r["event_type"]: (r["slope_per_hour"], r["intercept"])
+        for r in QUERIES["regression_value_trend_by_type"].fn(spark, SF_DIR).collect()
+    }
+    for et, pts in groups.items():
+        x = np.array([p[0] for p in pts])
+        y = np.array([p[1] for p in pts])
+        slope, intercept = np.polyfit(x, y, 1)
+        assert got[et][0] == pytest.approx(slope, abs=2e-6)
+        # the intercept extrapolates to x=0 from x ~ 4.7e5 hours, so an
+        # O(1e-11) slope difference vs numpy's SVD route shifts it by
+        # ~5e-6 absolute — compare relatively.
+        assert got[et][1] == pytest.approx(intercept, rel=1e-6)
+
+
+def test_churn_partitions_each_years_actives(spark):
+    """retained(y) + new(y) must equal the distinct active customers of
+    year y, and retained(y) + churned(y) the actives of y-1."""
+    from local_data_pipeline_spark.session import load_table
+
+    act = (
+        load_table(spark, SF_DIR, "orders")
+        .select(F.year("o_orderdate").alias("yr"), "o_custkey")
+        .distinct()
+        .groupBy("yr")
+        .count()
+        .collect()
+    )
+    actives = {r["yr"]: r["count"] for r in act}
+    rows = QUERIES["customer_yearly_churn"].fn(spark, SF_DIR).collect()
+    m = {}
+    for r in rows:
+        m.setdefault(r["yr"], {})[r["status"]] = r["n_customers"]
+    for yr, d in m.items():
+        assert d.get("retained", 0) + d.get("new", 0) == actives[yr]
+        assert d.get("retained", 0) + d.get("churned", 0) == actives[yr - 1]
