@@ -90,12 +90,25 @@ class TokenRLEUDTF:
 
 
 def make_token_rle_udtf():
+    """Arrow-optimized when available (batches rows over Arrow instead of
+    pickling one row at a time — the UDTF analog of a pandas UDF)."""
     from pyspark.sql.functions import udtf
 
-    return udtf(
-        TokenRLEUDTF,
-        returnType="doc_id bigint, run_idx bigint, token string, run_len bigint",
-    )
+    try:
+        return udtf(
+            TokenRLEUDTF,
+            returnType=(
+                "doc_id bigint, run_idx bigint, token string, run_len bigint"
+            ),
+            useArrow=True,
+        )
+    except Exception:  # pragma: no cover - older Spark without Arrow UDTFs
+        return udtf(
+            TokenRLEUDTF,
+            returnType=(
+                "doc_id bigint, run_idx bigint, token string, run_len bigint"
+            ),
+        )
 
 
 def register_python_udfs(spark) -> None:

@@ -5055,6 +5055,258 @@ def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "bm25_search_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+      SELECT cast(count(*) AS bigint) AS n_docs,
+             cast(sum(dl) AS bigint) AS sum_dl
+      FROM dl),
+    hits AS (
+      SELECT doc_id, unnest(t) AS w FROM toks),
+    tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM hits
+      WHERE w IN ('spark', 'join', 'fast') GROUP BY doc_id, w),
+    df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    term_scores AS (
+      SELECT tf.doc_id,
+             round(ln(1.0 + (s.n_docs - df.df + 0.5) / (df.df + 0.5))
+                   * (tf.tf * 2.2)
+                   / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                     / (s.sum_dl / cast(s.n_docs AS double)))),
+                   6) AS ts
+      FROM tf
+      JOIN df ON tf.w = df.w
+      JOIN dl ON tf.doc_id = dl.doc_id
+      CROSS JOIN stats s)
+    SELECT doc_id,
+           round(cast(cast(sum(cast(ts AS decimal(25,6))) AS string) AS double),
+                 6) AS bm25
+    FROM term_scores GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id ASC LIMIT 20
+    """,
+    tags=("text", "search", "ranking"),
+)
+def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-text relevance ranking: Okapi BM25 (k1=1.2, b=0.75, Lucene
+    idf) for the query {spark, join, fast}, top-20 documents. Per-term
+    partial scores are rounded to 6 decimals and summed in exact decimal,
+    so the total is order-insensitive and engine-identical; ranking sorts
+    the rounded score with a doc_id tie-break.
+
+    Scale: one tokenize pass; the term filter drops every non-query
+    token BEFORE the tf aggregate (the postings built are only for query
+    terms); df and the corpus stats are broadcast scalars; the final
+    top-20 is a TakeOrderedAndProject. This is the scan-side scoring
+    shape (score-then-rank), not an index build — pair it with
+    inverted_index_tokens for the index-side story."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+    terms = ["spark", "join", "fast"]
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    df = F.broadcast(tf.groupBy("w").agg(F.count("*").alias("df")))
+    avgdl = F.col("sum_dl") / F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    ts = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = (
+        tf.join(df, "w")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", ts.alias("ts"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(dsum("ts"), 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), F.asc("doc_id"))
+        .limit(20)
+    )
+
+
+@q(
+    "token_entropy_documents",
+    f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    tc AS (
+      SELECT doc_id, unnest(t) AS w FROM toks),
+    counts AS (
+      SELECT doc_id, w, count(*) AS c FROM tc GROUP BY doc_id, w),
+    terms AS (
+      SELECT doc_id, round(c * ln(cast(c AS double)), 6) AS clnc, c
+      FROM counts),
+    agg AS (
+      SELECT doc_id, cast(sum(c) AS bigint) AS n_tokens,
+             {dsum_sql('clnc')} AS s
+      FROM terms GROUP BY doc_id)
+    SELECT doc_id, n_tokens,
+           round(ln(cast(n_tokens AS double)) - s / n_tokens, 6) AS entropy
+    FROM agg WHERE n_tokens > 0
+    """,
+    tags=("text", "quality", "entropy"),
+)
+def token_entropy_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document unigram Shannon entropy (nats) — the information-
+    density quality signal (boilerplate and keyword-stuffed pages score
+    low, diverse prose high; a standard pretraining-corpus filter next
+    to the Gopher repetition rules). Uses the algebraic form
+    H = ln(n) - (1/n)·Σ c·ln(c): each c·ln(c) term is a function of an
+    integer count (identical on both engines), rounded to 6 decimals and
+    summed in exact decimal — order-insensitive at any parallelism.
+
+    Scale: one explode + two hash aggregates, both map-side combinable;
+    nothing global. At 100 TB this runs at scan speed."""
+    d = _t(spark, sf_dir, "documents")
+    counts = (
+        d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    terms = counts.select(
+        "doc_id",
+        "c",
+        F.round(F.col("c") * F.log(F.col("c").cast("double")), 6).alias("clnc"),
+    )
+    agg = terms.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"), dsum("clnc").alias("s")
+    )
+    return agg.filter(F.col("n_tokens") > 0).select(
+        "doc_id",
+        "n_tokens",
+        F.round(
+            F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col("n_tokens"),
+            6,
+        ).alias("entropy"),
+    )
+
+
+@q(
+    "co_purchase_lift_parts",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    n AS (SELECT cast(count(DISTINCT ok) AS bigint) AS n_orders FROM op),
+    pc AS (SELECT pk, count(*) AS c FROM op GROUP BY pk),
+    pairs AS (
+      SELECT a.pk AS p1, b.pk AS p2, count(*) AS n_both
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk
+      GROUP BY a.pk, b.pk),
+    scored AS (
+      SELECT p1, p2, n_both,
+             round(n_both / cast(n.n_orders AS double), 6) AS support,
+             round(n_both * n.n_orders / (ca.c * cast(cb.c AS double)), 6)
+               AS lift
+      FROM pairs
+      CROSS JOIN n
+      JOIN pc ca ON p1 = ca.pk
+      JOIN pc cb ON p2 = cb.pk
+      WHERE n_both >= 3)
+    SELECT p1, p2, n_both, support, lift FROM scored
+    ORDER BY lift DESC, p1 ASC, p2 ASC LIMIT 20
+    """,
+    tags=("join", "market-basket", "association"),
+)
+def co_purchase_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association mining: part pairs bought together in
+    the same order, scored by support and lift (obs/expected co-purchase
+    under independence), min co-count 3, top-20 by lift. All scores are
+    ratios of exact integer counts — deterministic everywhere.
+
+    Scale: the pair generation self-joins the distinct (order, part)
+    relation on the ORDER key, so candidate pairs are per-basket
+    quadratic (baskets average ~4 items), never catalog quadratic; part
+    marginals broadcast. For huge baskets cap or sample items per
+    basket before pairing — the same guard as the LSH jumbo-bucket
+    rule."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n = F.broadcast(
+        op.agg(F.count_distinct("ok").cast("bigint").alias("n_orders"))
+    )
+    pc = op.groupBy("pk").agg(F.count("*").alias("c"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 3)
+    )
+    ca = pc.select(F.col("pk").alias("p1"), F.col("c").alias("c1"))
+    cb = pc.select(F.col("pk").alias("p2"), F.col("c").alias("c2"))
+    scored = (
+        pairs.crossJoin(n)
+        .join(F.broadcast(ca), "p1")
+        .join(F.broadcast(cb), "p2")
+        .select(
+            "p1",
+            "p2",
+            "n_both",
+            F.round(F.col("n_both") / F.col("n_orders").cast("double"), 6).alias(
+                "support"
+            ),
+            F.round(
+                F.col("n_both") * F.col("n_orders")
+                / (F.col("c1") * F.col("c2").cast("double")),
+                6,
+            ).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("lift"), F.asc("p1"), F.asc("p2")).limit(20)
+
+
+@q(
+    "heavy_hitter_tokens_mg",
+    None,
+    tags=("sketch", "approx", "text"),
+)
+def heavy_hitter_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-20 corpus tokens via per-partition Misra-Gries
+    sketches (operators/heavy_hitters.py, summary size 200) merged in a
+    tiny hash aggregate. Rows-only: sketch counts are lower bounds that
+    depend on the partition layout — the guarantee (every token with
+    frequency > N/k survives; undercount <= N/k per partition stream) is
+    pinned by test against the exact counts.
+
+    Scale: the ONLY shuffle is partitions x k summary rows — the exact
+    top-k's full-vocabulary shuffle never happens. This is the operator
+    to reach for when the token space itself is huge (URLs, hashes,
+    n-grams)."""
+    from .operators.heavy_hitters import heavy_hitters_topk
+
+    d = _t(spark, sf_dir, "documents")
+    tokens = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    return heavy_hitters_topk(tokens, k=200, top=20)
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
@@ -5080,16 +5332,9 @@ _PRIORITY: tuple[str, ...] = (
     "q5_region_revenue",
     "q7_volume_shipping",
     "q9_product_profit",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q21_suppliers_kept_waiting",
     "q22_idle_rich_customers",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
-    "q20_potential_part_promotion",
     # join family beyond TPC-H
     "broadcast_dim_enrich",
     "outer_join_customer_order_counts",
@@ -5117,6 +5362,15 @@ _PRIORITY: tuple[str, ...] = (
     "cohort_retention_events",
     "interpolate_hourly_gaps",
     "order_chain_walk",
+    # round-4 families: sequences, CDC, profiling, sampling, regression,
+    # sweep-line concurrency, UDTF surface
+    "markov_event_transitions",
+    "customer_yearly_churn",
+    "profile_lineitem_columns",
+    "max_concurrent_sessions_daily",
+    "weighted_sample_documents",
+    "regression_value_trend_by_type",
+    "token_rle_udtf_documents",
     # dedup / text curation / similarity
     "exact_dedup_documents",
     "ngram_jaccard_within_source",

