@@ -4526,13 +4526,25 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key, so candidate pairs are per-block quadratic instead of
     corpus quadratic.
 
-    Scale: the self-join shuffles on the block key only; a length-band
-    predicate (|len(a)-len(b)| <= 3, valid because edit distance >= length
-    difference) prunes pairs before the edit-distance kernel runs. At
-    100 TB add a second blocking axis (first-token bucket) to cap block
-    sizes, exactly like the LSH band trick in dedup."""
+    Scale: the self-join is SHUFFLED on the block key (merge-join hint):
+    a dimension at fuzzy-match scale won't broadcast, and the shuffle
+    spreads the per-block quadratic kernel across one task per block —
+    measured at sf1 the broadcast plan serialized 800M Levenshtein evals
+    into the scan's task layout (970 s single-task) while the brand-
+    partitioned form runs blocks in parallel. A length-band predicate
+    (|len(a)-len(b)| <= 3, valid because edit distance >= length
+    difference) prunes pairs before the edit-distance kernel, ordered
+    so codegen short-circuits cheap conditions first. At 100 TB add a
+    second blocking axis (first-token bucket) to cap block sizes,
+    exactly like the LSH band trick in dedup."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
-    a, b = p.alias("a"), p.alias("b")
+    # Explicit repartition (not just a join hint): the shuffle is tiny in
+    # BYTES but each block is quadratic in COMPUTE, and AQE's byte-based
+    # coalescing would fold the blocks onto a few cores (measured sf1:
+    # 176 s coalesced vs 52 s pinned). User-specified repartitioning is
+    # exempt from coalescing, so blocks keep one task each.
+    a = p.repartition(64, "p_brand").alias("a")
+    b = p.repartition(64, "p_brand").alias("b").hint("shuffle_merge")
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     pairs = a.join(
         b,
@@ -5305,6 +5317,101 @@ def heavy_hitter_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     tokens = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
     return heavy_hitters_topk(tokens, k=200, top=20)
+
+
+@q(
+    "pagerank_copurchase_parts",
+    None,
+    tags=("graph", "iterative", "ranking"),
+)
+def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph: parts are nodes,
+    symmetric edges connect parts bought together in >= 2 orders, 6
+    damped iterations (operators/graph.py; iteration count is the
+    standard accuracy/cost knob — rank ORDER stabilizes well before the
+    values do). Top-20 by rank (6-decimal,
+    part tie-break). Rows-only: iterative fixpoint, not SQL-expressible
+    — determinism comes from exact-decimal contribution sums (verified
+    by rerun equality; mass conservation + planted-graph tests in
+    test_round4_ops.py).
+
+    Scale: Pregel-as-joins — per iteration one shuffle on edge source
+    plus one destination aggregate; edges/nodes are checkpointed once;
+    rank lineage is cut every iteration. Co-purchase edge generation is
+    per-basket quadratic (see co_purchase_lift_parts)."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    ranks = pagerank(edges, damping=0.85, iterations=6)
+    return (
+        ranks.select(
+            F.col("node").alias("p_partkey"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
+
+@q(
+    "dow_seasonality_events",
+    f"""
+    WITH d AS (
+      SELECT event_type, isodow(ts) AS dow, value FROM events),
+    per_dow AS (
+      SELECT event_type, dow, count(*) AS n,
+             {dsum_sql('value')} AS sv
+      FROM d GROUP BY event_type, dow),
+    per_type AS (
+      SELECT event_type,
+             cast(sum(n) AS bigint) AS n_total,
+             {dsum_sql('sv')} AS sv_total
+      FROM per_dow GROUP BY event_type)
+    SELECT p.event_type, p.dow, p.n,
+           round((p.sv / p.n) / (t.sv_total / t.n_total), 6) AS seasonal_index
+    FROM per_dow p JOIN per_type t ON p.event_type = t.event_type
+    """,
+    tags=("agg", "timeseries", "seasonality"),
+)
+def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Day-of-week seasonal index per event type: mean value on each ISO
+    weekday divided by the type's overall mean — the multiplicative
+    seasonality profile (index > 1 = above-trend weekday). Means derive
+    from exact decimal sums on both engines; weekday numbering is pinned
+    to ISO (Monday=1) via weekday()+1 on Spark and isodow() on DuckDB.
+
+    Scale: two nested map-side-combinable aggregates (type x 7 keys,
+    then type); the join is on the tiny per-type relation. One scan."""
+    ev = _t(spark, sf_dir, "events")
+    d = ev.select(
+        "event_type", (F.weekday("ts") + 1).alias("dow"), "value"
+    )
+    per_dow = d.groupBy("event_type", "dow").agg(
+        F.count("*").alias("n"), dsum("value").alias("sv")
+    )
+    per_type = per_dow.groupBy("event_type").agg(
+        F.sum("n").cast("bigint").alias("n_total"), dsum("sv").alias("sv_total")
+    )
+    return per_dow.join(per_type, "event_type").select(
+        "event_type",
+        "dow",
+        "n",
+        F.round(
+            (F.col("sv") / F.col("n")) / (F.col("sv_total") / F.col("n_total")), 6
+        ).alias("seasonal_index"),
+    )
 
 
 # =====================================================================

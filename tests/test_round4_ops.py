@@ -239,3 +239,46 @@ def test_lift_symmetric_margins(spark):
     for r in QUERIES["co_purchase_lift_parts"].fn(spark, SF_DIR).collect():
         assert r["n_both"] <= min(marg[r["p1"]], marg[r["p2"]])
         assert abs(r["support"] - r["n_both"] / n_orders) < 1e-6
+
+
+def test_pagerank_star_graph_and_mass_conservation(spark):
+    """On a planted star (all leaves -> hub) the hub must rank first;
+    total rank mass stays 1; repeated runs are bit-identical."""
+    from local_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame(
+        [(i, 0) for i in range(1, 8)] + [(0, i) for i in range(1, 8)],
+        "src long, dst long",
+    )
+    r1 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    r2 = {r["node"]: r["rank"] for r in pagerank(edges, iterations=8).collect()}
+    assert r1 == r2
+    assert abs(sum(r1.values()) - 1.0) < 1e-9
+    assert r1[0] == max(r1.values())
+    # leaves 1..7 are symmetric -> identical ranks
+    leaf_ranks = {r1[i] for i in range(1, 8)}
+    assert len(leaf_ranks) == 1
+
+
+def test_pagerank_handles_dangling_nodes(spark):
+    """A sink node (no out-edges) must not leak mass: totals still 1."""
+    from local_data_pipeline_spark.operators.graph import pagerank
+
+    edges = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], "src long, dst long")
+    ranks = {r["node"]: r["rank"] for r in pagerank(edges, iterations=12).collect()}
+    assert abs(sum(ranks.values()) - 1.0) < 1e-9
+    assert ranks[3] == max(ranks.values())
+
+
+def test_dow_seasonality_weighted_mean_is_one(spark):
+    """The n-weighted mean of seasonal indices equals 1 per type (the
+    index is mean_dow / mean_total with shared denominators)."""
+    rows = QUERIES["dow_seasonality_events"].fn(spark, SF_DIR).collect()
+    by_type = {}
+    for r in rows:
+        assert 1 <= r["dow"] <= 7
+        by_type.setdefault(r["event_type"], []).append((r["n"], r["seasonal_index"]))
+    for et, pairs in by_type.items():
+        total_n = sum(n for n, _ in pairs)
+        wmean = sum(n * s for n, s in pairs) / total_n
+        assert abs(wmean - 1.0) < 1e-4, (et, wmean)
