@@ -1,0 +1,99 @@
+"""Relational Bloom filter: build a bitmap from a (small-ish) build-side
+key set with pure DataFrame aggregation, probe it with a broadcast + filter
+— the semi-join pre-filter pattern Spark's runtime row-level filtering
+(`spark.sql.optimizer.runtime.bloomFilter.*`) applies automatically when
+statistics allow. Declared here explicitly so the engine controls when a
+100 TB probe side is pruned before the shuffle instead of after it.
+
+The filter is approximate (false positives only); callers that need exact
+semantics follow it with the real join — the Bloom pass just keeps the
+shuffle O(matching rows). Everything stays JVM-side: xxhash64 for the k
+probes, `bit_or` of shifted bits for the bitmap words, one single-row
+broadcast for the probe side. No UDFs, no driver collect, and — the point
+— ZERO shuffles added to the probe side (the filter is a plain codegen
+predicate under a broadcast nested-loop of one row).
+
+Parity note: the reference delegates all join execution to DuckDB
+(SURVEY.md §4 — "no optimizer, no execution engine"); this operator exists
+for the 100 TB extension surface, not reference parity.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: Default bitmap geometry: 2^16 bits in 1024 longs (~8 KiB broadcast) at
+#: k=3 gives <1% false positives up to ~6k build keys. At 100 TB scale,
+#: size m at ~10 bits per expected distinct build key.
+DEFAULT_BITS = 1 << 16
+DEFAULT_HASHES = 3
+
+
+def _positions(key: Column, n_hashes: int, n_bits: int) -> list[Column]:
+    """k bit positions for a key: xxhash64 seeded per probe, folded mod m."""
+    return [
+        F.pmod(F.xxhash64(key, F.lit(i)), F.lit(n_bits)) for i in range(n_hashes)
+    ]
+
+
+def build_bitmap(
+    build: DataFrame,
+    key: str,
+    n_bits: int = DEFAULT_BITS,
+    n_hashes: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """Aggregate the build side into one row: ``__bloom_words:
+    map<bigint,bigint>`` of set 64-bit bitmap words (absent = zero).
+
+    The per-word aggregation is map-side combinable: each partition emits
+    at most m/64 partial words and ``bit_or`` merges them — the same merge
+    shape ``bloom_filter_agg`` uses internally — so any build-side row
+    count reduces to ≤ m/64 rows before the final single-row collect_list.
+    """
+    pos = F.explode(F.array(*_positions(F.col(key), n_hashes, n_bits))).alias("pos")
+    words = (
+        build.select(pos)
+        .select(
+            (F.col("pos") / 64).cast("bigint").alias("word_idx"),
+            # shiftleft's bit-count argument must be a literal in the
+            # Python API; the SQL form takes a column
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 64 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+    return words.groupBy().agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("word_idx", "word"))
+        ).alias("__bloom_words")
+    )
+
+
+def probe(
+    df: DataFrame,
+    key: str,
+    bitmap: DataFrame,
+    n_bits: int = DEFAULT_BITS,
+    n_hashes: int = DEFAULT_HASHES,
+) -> DataFrame:
+    """Keep rows whose key *might* be in the build set (no false negatives).
+
+    Cross-joins the single-row bitmap (broadcast, ~8 KiB) and filters with
+    a conjunction of k bit tests — whole-stage-codegen predicates, no added
+    exchange, so the probe side's partitioning and pushed-down scan filters
+    are untouched.
+    """
+    out = df.join(F.broadcast(bitmap))
+    cond = F.lit(True)
+    for i, p in enumerate(_positions(F.col(key), n_hashes, n_bits)):
+        out = out.withColumn(f"__pos{i}", p)
+        word = F.element_at(
+            F.col("__bloom_words"), (F.col(f"__pos{i}") / 64).cast("bigint")
+        )
+        bit = F.expr(f"shiftleft(cast(1 as bigint), cast(__pos{i} % 64 as int))")
+        cond = cond & word.isNotNull() & (word.bitwiseAND(bit) != 0)
+    return (
+        out.filter(cond)
+        .drop("__bloom_words", *[f"__pos{i}" for i in range(n_hashes)])
+    )

@@ -1,0 +1,248 @@
+"""Distributed training-data ML primitives: BPE merge learning and PCA.
+
+Both follow the same scale discipline as the rest of the engine — the big
+input is only ever touched by map-side-combinable aggregations; anything
+iterative or super-linear runs on a reduced relation (the word-frequency
+vocabulary for BPE, the d×d scatter matrix for PCA) that is orders of
+magnitude smaller than the corpus.
+
+Parity note: the reference has no ML surface (SURVEY.md §2 — its
+computational surface ends at a window argmax); these operators belong to
+the BASELINE.json extension surface for LLM training-data pipelines.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text as TX
+
+
+def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """``(word string, freq bigint)`` for lowercase alphabetic words.
+
+    This is the corpus-sized pass (one scan, one map-side-combinable
+    count); everything BPE does afterwards runs on this vocabulary
+    relation, exactly how word-level BPE trainers (the public
+    Hugging Face ``tokenizers``/original Sennrich formulation) avoid
+    re-scanning the corpus per merge.
+    """
+    toks = docs.select(
+        F.explode(TX.tokens(F.col(text_col))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    return toks.groupBy("word").agg(F.count("*").alias("freq"))
+
+
+def _merge_adjacent(sym_col, left: str, right: str):
+    """Greedy left-to-right single-pass merge of adjacent (left, right)
+    symbol pairs inside an array<string> column — pure Catalyst HOF
+    (aggregate over indices with a (accumulated, consumed-flag) state),
+    no UDF. "a a a" under merge (a,a) becomes ["aa","a"], matching the
+    reference BPE apply order.
+    """
+    n = F.size(sym_col)
+    return F.aggregate(
+        F.sequence(F.lit(0), n - 1),
+        F.struct(
+            F.array().cast("array<string>").alias("acc"),
+            F.lit(False).alias("skip"),
+        ),
+        lambda st, i: F.when(st["skip"], F.struct(st["acc"].alias("acc"), F.lit(False).alias("skip")))
+        .when(
+            (i < n - 1)
+            & (F.element_at(sym_col, i + 1) == F.lit(left))
+            & (F.element_at(sym_col, i + 2) == F.lit(right)),
+            F.struct(
+                F.concat(st["acc"], F.array(F.lit(left + right))).alias("acc"),
+                F.lit(True).alias("skip"),
+            ),
+        )
+        .otherwise(
+            F.struct(
+                F.concat(st["acc"], F.array(F.element_at(sym_col, i + 1))).alias("acc"),
+                F.lit(False).alias("skip"),
+            )
+        ),
+        lambda st: st["acc"],
+    )
+
+
+def train_bpe_merges(
+    docs: DataFrame,
+    n_merges: int = 10,
+    text_col: str = "text",
+) -> list[tuple[str, str, int]]:
+    """Learn the first ``n_merges`` BPE merges from a document corpus.
+
+    Returns ``[(left, right, pair_count), ...]`` in merge order. Ties on
+    pair count break lexicographically on (left, right) so the learned
+    tokenizer is deterministic on any engine/partitioning.
+
+    Distribution shape: per merge iteration, one adjacent-pair count over
+    the *vocabulary* relation (words × symbols, weighted by word
+    frequency, map-side combinable) + a driver argmax of the tiny
+    aggregated pair table + one narrow map applying the merge. The corpus
+    itself is scanned exactly once (word_frequencies). The vocabulary is
+    cached between iterations and its lineage is cut by the rewrite each
+    round (arrays shrink monotonically).
+    """
+    vocab = word_frequencies(docs, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    )
+    vocab = vocab.select("word", "freq", "syms").cache()
+    merges: list[tuple[str, str, int]] = []
+    try:
+        for _ in range(n_merges):
+            pairs = (
+                vocab.select(
+                    "freq",
+                    F.explode(
+                        F.zip_with(
+                            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                            F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+                        )
+                    ).alias("p"),
+                )
+                .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+                .agg(F.sum("freq").alias("c"))
+            )
+            top = (
+                pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
+            )
+            if not top or top[0]["c"] is None:
+                break
+            left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
+            merges.append((left, right, count))
+            new_vocab = vocab.select(
+                "word",
+                "freq",
+                _merge_adjacent(F.col("syms"), left, right).alias("syms"),
+            ).cache()
+            new_vocab.count()  # materialize before dropping the parent
+            vocab.unpersist()
+            vocab = new_vocab
+    finally:
+        vocab.unpersist()
+    return merges
+
+
+def bpe_merges_df(
+    spark: SparkSession, docs: DataFrame, n_merges: int = 10
+) -> DataFrame:
+    """The learned merge table as a DataFrame:
+    ``(merge_rank bigint, left string, right string, pair_count bigint)``."""
+    merges = train_bpe_merges(docs, n_merges=n_merges)
+    rows = [
+        (i + 1, left, right, count) for i, (left, right, count) in enumerate(merges)
+    ]
+    return spark.createDataFrame(
+        rows, "merge_rank bigint, left string, right string, pair_count bigint"
+    )
+
+
+def train_bpe_merges_local(
+    word_freqs: list[tuple[str, int]], n_merges: int = 10
+) -> list[tuple[str, str, int]]:
+    """Pure-python reference implementation (test oracle) of
+    :func:`train_bpe_merges` over an explicit (word, freq) list."""
+    vocab = {w: list(w) for w, _ in word_freqs}
+    freqs = dict(word_freqs)
+    merges: list[tuple[str, str, int]] = []
+    for _ in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for w, syms in vocab.items():
+            f = freqs[w]
+            for a, b in zip(syms, syms[1:]):
+                counts[(a, b)] = counts.get((a, b), 0) + f
+        if not counts:
+            break
+        (left, right), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((left, right, c))
+        for w, syms in vocab.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                    out.append(left + right)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            vocab[w] = out
+    return merges
+
+
+def embedding_scatter(
+    emb: DataFrame, vec_col: str = "embedding"
+) -> tuple[int, np.ndarray, np.ndarray]:
+    """Sufficient statistics for PCA in one Arrow pass:
+    ``(n, sum_vec (d,), scatter (d,d))`` where scatter = Σ xᵀx.
+
+    Each partition reduces its rows to a single (n, Σx, Σxᵀx) triple with
+    one BLAS syrk-shaped matmul — the map-side-combine shape — and the
+    driver adds the K partial triples. d² doubles per partition is the
+    only data that moves, independent of row count, so this holds at any
+    corpus size (d=64 → 32 KiB per partition).
+    """
+    import pandas as pd  # noqa: F401 (documents the Arrow path)
+
+    d = len(emb.select(vec_col).first()[0])
+
+    def partials(batches):
+        n = 0
+        s = np.zeros(d)
+        sc = np.zeros((d, d))
+        for pdf in batches:
+            x = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+            if len(x):
+                n += x.shape[0]
+                s += x.sum(axis=0)
+                sc += x.T @ x
+        import pandas as pd
+
+        yield pd.DataFrame(
+            {
+                "n": [n],
+                "s": [s.tolist()],
+                "sc": [sc.reshape(-1).tolist()],
+            }
+        )
+
+    parts = emb.select(vec_col).mapInPandas(
+        partials, schema="n long, s array<double>, sc array<double>"
+    ).collect()
+    n = sum(p["n"] for p in parts)
+    s = np.sum([np.array(p["s"]) for p in parts], axis=0)
+    sc = np.sum([np.array(p["sc"]).reshape(d, d) for p in parts], axis=0)
+    return n, s, sc
+
+
+def pca_explained_variance(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k PCA eigenvalues of the embedding covariance and their
+    explained-variance ratios:
+    ``(component bigint, eigenvalue double, explained_ratio double)``.
+
+    Covariance = scatter/n − mean meanᵀ from :func:`embedding_scatter`
+    (one distributed pass); the d×d eigendecomposition runs on the driver
+    — at any corpus scale d stays model-sized (64–4096), so ``eigh`` on
+    the driver is the right split of work.
+    """
+    n, s, sc = embedding_scatter(emb, vec_col)
+    mean = s / n
+    cov = sc / n - np.outer(mean, mean)
+    vals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    total = float(vals.sum())
+    rows = [
+        (i + 1, round(float(vals[i]), 6), round(float(vals[i]) / total, 6))
+        for i in range(min(k, len(vals)))
+    ]
+    return spark.createDataFrame(
+        rows, "component bigint, eigenvalue double, explained_ratio double"
+    )

@@ -45,30 +45,47 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     exclude_self: bool = True,
+    label_col: str | None = None,
+    exclude_same_label: bool = False,
 ) -> DataFrame:
     """Exact cosine top-k: (query_id, neighbor_id, cos_sim, rank).
 
     The query side is broadcast — at scale the corpus (the 100 TB side)
     streams through executors exactly once with zero shuffle; only the
-    scored candidate rows move."""
+    scored candidate rows move.
+
+    With ``label_col`` set, both sides carry their label through as
+    ``own_label`` / ``nb_label``; ``exclude_same_label=True`` restricts
+    candidates to different-label vectors (hard-negative mining)."""
     # norms are hoisted to per-ROW columns before the join; computing
     # l2_norm inside the pair expression would redo it once per pair
-    q = queries.select(
+    q_cols = [
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-    )
-    c = corpus.select(
+    ]
+    c_cols = [
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
-    )
+    ]
+    if label_col is not None:
+        q_cols.append(F.col(label_col).alias("own_label"))
+        c_cols.append(F.col(label_col).alias("nb_label"))
+    q = queries.select(*q_cols)
+    c = corpus.select(*c_cols)
     joined = c.join(F.broadcast(q), how="cross")
     if exclude_self:
         joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    if exclude_same_label:
+        if label_col is None:
+            raise ValueError("exclude_same_label requires label_col")
+        joined = joined.filter(F.col("own_label") != F.col("nb_label"))
+    out_cols = ["query_id", "neighbor_id"]
+    if label_col is not None:
+        out_cols += ["own_label", "nb_label"]
     scored = joined.select(
-        "query_id",
-        "neighbor_id",
+        *out_cols,
         F.round(
             dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
             6,

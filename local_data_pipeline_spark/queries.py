@@ -5415,6 +5415,435 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-5 additions: CDC/SCD2, Bloom pruning, graph triangles,
+# contrastive mining, incremental dedup, skew-proof aggregation,
+# tokenizer induction, PCA, sketch audits
+# =====================================================================
+
+@q(
+    "scd2_customer_priority_history",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             cast(sum(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS bigint) AS run_id
+      FROM seq),
+    hist AS (
+      SELECT o_custkey AS custkey, run_id,
+             min(o_orderpriority) AS priority,
+             min(o_orderdate) AS valid_from,
+             count(*) AS n_orders
+      FROM runs GROUP BY o_custkey, run_id)
+    SELECT custkey, run_id, priority, valid_from,
+           lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id) AS valid_to,
+           cast(CASE WHEN lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id)
+                          IS NULL THEN 1 ELSE 0 END AS bigint) AS is_current,
+           n_orders
+    FROM hist
+    """,
+    tags=("cdc", "scd2", "window"),
+)
+def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 dimension build from an event feed: each customer's
+    order-priority history collapsed into validity intervals
+    (gaps-and-islands: lag-change flag → running-sum run ids → per-run
+    min/count → lead() closes each interval, open interval = current row).
+    The standard warehouse pattern for turning a CDC/order stream into a
+    slowly-changing dimension without MERGE.
+
+    Scale: every window and the aggregate share ONE partitioning
+    (custkey) — a single exchange serves all four steps; intervals per
+    customer are tiny so the lead() window never skews."""
+    o = _t(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(wseq).alias("prev_p"),
+    )
+    runs = seq.withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev_p").isNull()
+                | (F.col("prev_p") != F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    hist = runs.groupBy(
+        F.col("o_custkey").alias("custkey"), "run_id"
+    ).agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wrun = Window.partitionBy("custkey").orderBy("run_id")
+    return hist.select(
+        "custkey",
+        "run_id",
+        "priority",
+        "valid_from",
+        F.lead("valid_from").over(wrun).alias("valid_to"),
+        F.when(F.lead("valid_from").over(wrun).isNull(), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("is_current"),
+        "n_orders",
+    )
+
+
+@q(
+    "bloom_prune_urgent_revenue",
+    f"""
+    SELECT year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
+           count(*) AS n_items,
+           {dsum_sql('l_extendedprice * (1 - l_discount)')} AS revenue
+    FROM lineitem
+    WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                         WHERE o_orderpriority = '1-URGENT')
+    GROUP BY 1, 2
+    """,
+    tags=("join", "bloom", "runtime-filter"),
+)
+def bloom_prune_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly revenue of urgent orders' line items, with the fact scan
+    pre-pruned by a relational Bloom filter (operators/bloom.py) built
+    from the filtered orders keys, then made exact by the real semi join.
+    Result is identical to the plain semi join (the oracle) — the Bloom
+    pass only removes guaranteed-non-matching rows BEFORE the shuffle,
+    which is the runtime row-level filtering shape that matters when the
+    probe side is 100 TB and the build side fits a broadcast bitmap.
+
+    Geometry: 2^19 bits (64 KiB) / 3 hashes ≈ 1.5% false positives at
+    sf0.1's ~30k urgent keys; size m at ~17 bits per key as SF grows."""
+    from .operators import bloom as BLOOM
+
+    o = _t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") == "1-URGENT")
+    li = _t(spark, sf_dir, "lineitem")
+    n_bits = 1 << 19
+    bitmap = BLOOM.build_bitmap(o, "o_orderkey", n_bits=n_bits)
+    pruned = BLOOM.probe(li, "l_orderkey", bitmap, n_bits=n_bits)
+    exact = pruned.join(
+        o.select("o_orderkey"),
+        pruned["l_orderkey"] == F.col("o_orderkey"),
+        "left_semi",
+    )
+    return exact.groupBy(
+        F.year("l_shipdate").cast("bigint").alias("ship_year"),
+        F.month("l_shipdate").cast("bigint").alias("ship_month"),
+    ).agg(
+        F.count("*").alias("n_items"),
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+    )
+
+
+@q(
+    "triangle_count_copurchase",
+    """
+    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)
+    SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
+    FROM edges e1
+    JOIN edges e2 ON e1.pb = e2.pa
+    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    """,
+    tags=("graph", "join"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the co-purchase graph (parts bought
+    together in ≥2 orders): the canonical a<b<c ordered wedge join —
+    each triangle listed exactly once.
+
+    Scale: the support-≥2 HAVING collapses the edge set by ~300×
+    (1.2M raw pair instances → 3.6k edges at sf0.1) BEFORE the quadratic
+    wedge join, and the a<b<c orientation bounds wedge fan-out by
+    out-degree only — the standard distributed triangle recipe
+    (degree-ordered orientation); skewed hubs would additionally be
+    degree-capped upstream."""
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    e1 = edges.alias("e1")
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
+    return (
+        e1.join(e2, F.col("e1.pb") == F.col("e2.pa"))
+        .join(
+            e3,
+            (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+        )
+        .select(
+            F.col("e1.pa").alias("part_a"),
+            F.col("e1.pb").alias("part_b"),
+            F.col("e2.pb").alias("part_c"),
+        )
+    )
+
+
+@q(
+    "hard_negative_mining",
+    """
+    WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS own_label,
+             c.vec_id AS neighbor_id, c.label AS nb_label,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c
+        ON q.vec_id <> c.vec_id AND q.label <> c.label),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+    SELECT query_id, own_label, neighbor_id, nb_label, cos_sim, rank
+    FROM ranked WHERE rank <= 3
+    """,
+    tags=("similarity", "ml", "contrastive"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard-negative mining: for each query vector, the 3
+    most cosine-similar vectors with a DIFFERENT label — the pairs that
+    teach an embedding model the most (highest-loss negatives). Exact
+    ranking with the engine's standard round-6 + neighbor-id tie-break.
+
+    Scale: same candidate-generation seam as the k-NN audit — swap the
+    broadcast brute-force for IVF/LSH blocking and keep the label-filter
+    + rank tail unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    scored = SIM.brute_force_topk(
+        qs, emb, k=3, label_col="label", exclude_same_label=True
+    )
+    return scored.select(
+        "query_id",
+        "own_label",
+        "neighbor_id",
+        "nb_label",
+        "cos_sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
+
+
+@q(
+    "incremental_dedup_new_docs",
+    """
+    WITH corpus AS (
+      SELECT md5(text) AS fp FROM documents
+      WHERE cast(substr(source, 4) AS bigint) < 15),
+    batch AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+      WHERE cast(substr(source, 4) AS bigint) >= 15),
+    fresh AS (
+      SELECT b.* FROM batch b LEFT JOIN (SELECT DISTINCT fp FROM corpus) c
+        ON b.fp = c.fp WHERE c.fp IS NULL),
+    first_in_batch AS (
+      SELECT doc_id, source, fp,
+             row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+      FROM fresh)
+    SELECT doc_id, source, fp FROM first_in_batch WHERE rn = 1
+    """,
+    tags=("dedup", "incremental"),
+)
+def incremental_dedup_new_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: a new batch (sources src15–src19) checked
+    against the existing corpus (src0–src14) by content fingerprint —
+    anti join drops docs already in the corpus, then first-occurrence-wins
+    within the batch. The O(new data) shape every recurring ingest needs:
+    the corpus side is a fingerprint index scan, never a re-read of text.
+
+    Scale: both sides shuffle only (fp, id) pairs; the corpus index would
+    be a bucketed table on fp so the anti join co-locates without a
+    corpus-side exchange."""
+    docs = _t(spark, sf_dir, "documents").withColumn(
+        "src_num", F.substring("source", 4, 10).cast("bigint")
+    )
+    fp = F.md5("text")
+    corpus = docs.filter(F.col("src_num") < 15).select(fp.alias("fp"))
+    batch = docs.filter(F.col("src_num") >= 15).select(
+        "doc_id", "source", fp.alias("fp")
+    )
+    fresh = batch.join(corpus.distinct(), "fp", "left_anti")
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    return (
+        fresh.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "source", "fp")
+    )
+
+
+@q(
+    "cumulative_distinct_users_daily",
+    """
+    WITH firsts AS (
+      SELECT user_id, min(cast(ts AS date)) AS first_day
+      FROM events GROUP BY user_id),
+    new_per_day AS (
+      SELECT first_day AS dt, count(*) AS new_users
+      FROM firsts GROUP BY first_day),
+    daily AS (
+      SELECT cast(ts AS date) AS dt, count(DISTINCT user_id) AS dau
+      FROM events GROUP BY 1)
+    SELECT d.dt, d.dau, coalesce(n.new_users, 0) AS new_users,
+           cast(sum(coalesce(n.new_users, 0))
+                OVER (ORDER BY d.dt ROWS UNBOUNDED PRECEDING) AS bigint)
+             AS cumulative_users
+    FROM daily d LEFT JOIN new_per_day n ON d.dt = n.dt
+    """,
+    tags=("window", "timeseries", "distinct"),
+)
+def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users + cumulative distinct users ever seen — the
+    running COUNT(DISTINCT) that plain windows can't express, decomposed
+    into first-seen flags: cumulative distinct = running sum of per-day
+    new-user counts.
+
+    Scale: both aggregates are map-side combinable over the raw events;
+    the only global window runs on the per-DAY relation (≤ a few thousand
+    rows at any corpus size), so the single-partition sort is free."""
+    ev = _t(spark, sf_dir, "events").withColumn("dt", F.col("ts").cast("date"))
+    firsts = ev.groupBy("user_id").agg(F.min("dt").alias("first_day"))
+    new_per_day = firsts.groupBy(F.col("first_day").alias("dt")).agg(
+        F.count("*").alias("new_users")
+    )
+    daily = ev.groupBy("dt").agg(F.count_distinct("user_id").alias("dau"))
+    wall = Window.orderBy("dt").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        daily.join(new_per_day, "dt", "left")
+        .select(
+            "dt",
+            "dau",
+            F.coalesce("new_users", F.lit(0)).alias("new_users"),
+        )
+        .withColumn(
+            "cumulative_users",
+            F.sum("new_users").over(wall).cast("bigint"),
+        )
+    )
+
+
+@q(
+    "salted_agg_event_type",
+    f"""
+    SELECT event_type, count(*) AS n, {dsum_sql('value')} AS total
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "skew"),
+)
+def salted_agg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type event stats computed through the two-stage SALTED
+    aggregation (operators/skew.py): every group is split across 16
+    deterministic salts for the wide first stage, then the tiny partial
+    relation re-aggregates. Decimal-exact partials make the result
+    bit-identical to the direct group-by — which is exactly what the
+    oracle asserts. The pattern that keeps one hot key (a dominant
+    event type at 100 TB) from pinning a single reducer."""
+    from .operators import skew as SK
+
+    ev = _t(spark, sf_dir, "events")
+    return SK.salted_sum_count(ev, ["event_type"], "value", n_salts=16)
+
+
+@q(
+    "bpe_merge_table_documents",
+    None,
+    tags=("text", "tokenizer", "iterative"),
+)
+def bpe_merge_table_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer induction: the first 10 BPE merges learned from the
+    document corpus (operators/ml.py train_bpe_merges) — adjacent-symbol
+    pair counting over the word-frequency vocabulary, deterministic
+    argmax (count desc, pair lexicographic), greedy merge application as
+    a pure Catalyst HOF. Rows-only check (iterative, not SQL-expressible);
+    tests pin exact parity with a pure-python reference trainer.
+
+    Scale: the corpus is scanned ONCE into (word, freq); every merge
+    iteration touches only that vocabulary relation — the public
+    word-level BPE trainer shape."""
+    from .operators import ml as ML
+
+    docs = _t(spark, sf_dir, "documents")
+    return ML.bpe_merges_df(spark, docs, n_merges=10)
+
+
+@q(
+    "pca_embedding_variance",
+    None,
+    tags=("ml", "linalg", "arrow"),
+)
+def pca_embedding_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-8 PCA eigenvalues + explained-variance ratios of the embedding
+    covariance. One Arrow pass reduces each partition to (n, Σx, Σxxᵀ)
+    sufficient statistics — d² doubles per partition regardless of row
+    count — and the d×d eigendecomposition runs on the driver. Rows-only
+    check; tests pin numpy parity on the full covariance.
+
+    The intrinsic-dimensionality / whitening diagnostic every embedding
+    corpus audit starts with."""
+    from .operators import ml as ML
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return ML.pca_explained_variance(spark, emb, k=8)
+
+
+@q(
+    "approx_distinct_users_audit",
+    None,
+    tags=("sketch", "approx"),
+)
+def approx_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ audit: per event type, exact distinct users vs
+    approx_count_distinct at 2% target rsd, with the realized relative
+    error. Rows-only (sketch estimates are engine-specific by design);
+    tests bound the error at 3×rsd. The mergeable-sketch path that
+    replaces exact COUNT(DISTINCT) shuffles at 100 TB."""
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("n_exact"),
+            F.approx_count_distinct("user_id", 0.02).alias("n_approx"),
+        )
+        .withColumn(
+            "rel_err",
+            F.round(
+                F.abs(F.col("n_approx") - F.col("n_exact"))
+                / F.col("n_exact"),
+                6,
+            ),
+        )
+    )
+
+
+# =====================================================================
 # Driver-facing declaration order
 # =====================================================================
 # The driver's correctness gate verifies a 50-query PREFIX of the
