@@ -44,12 +44,18 @@ def build_bitmap(
     n_hashes: int = DEFAULT_HASHES,
 ) -> DataFrame:
     """Aggregate the build side into one row: ``__bloom_words:
-    map<bigint,bigint>`` of set 64-bit bitmap words (absent = zero).
+    array<bigint>`` — the DENSE m/64-word bitmap (index = word_idx).
+
+    Dense array, not a map: ``element_at`` on Spark's MapType is a linear
+    scan of the entries, which made the probe O(|probe| · k · m/64)
+    (measured 6.2 s at sf0.1 with m=2^19); array indexing is O(1) and
+    drops the probe to scan speed. A ``spark.range`` spine left-joined
+    with the set words fills the zero words.
 
     The per-word aggregation is map-side combinable: each partition emits
     at most m/64 partial words and ``bit_or`` merges them — the same merge
     shape ``bloom_filter_agg`` uses internally — so any build-side row
-    count reduces to ≤ m/64 rows before the final single-row collect_list.
+    count reduces to ≤ m/64 rows before the final single-row collect.
     """
     pos = F.explode(F.array(*_positions(F.col(key), n_hashes, n_bits))).alias("pos")
     words = (
@@ -63,9 +69,16 @@ def build_bitmap(
         .groupBy("word_idx")
         .agg(F.bit_or("bit").alias("word"))
     )
-    return words.groupBy().agg(
-        F.map_from_entries(
-            F.collect_list(F.struct("word_idx", "word"))
+    spine = build.sparkSession.range(n_bits // 64).withColumnRenamed(
+        "id", "word_idx"
+    )
+    dense = spine.join(words, "word_idx", "left").select(
+        "word_idx", F.coalesce("word", F.lit(0).cast("bigint")).alias("word")
+    )
+    return dense.groupBy().agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("word_idx", "word"))),
+            lambda s: s["word"],
         ).alias("__bloom_words")
     )
 
@@ -88,11 +101,13 @@ def probe(
     cond = F.lit(True)
     for i, p in enumerate(_positions(F.col(key), n_hashes, n_bits)):
         out = out.withColumn(f"__pos{i}", p)
+        # array indices are 1-based; the dense bitmap covers every word,
+        # so no null check is needed on the lookup
         word = F.element_at(
-            F.col("__bloom_words"), (F.col(f"__pos{i}") / 64).cast("bigint")
+            F.col("__bloom_words"), ((F.col(f"__pos{i}") / 64).cast("int") + 1)
         )
         bit = F.expr(f"shiftleft(cast(1 as bigint), cast(__pos{i} % 64 as int))")
-        cond = cond & word.isNotNull() & (word.bitwiseAND(bit) != 0)
+        cond = cond & (word.bitwiseAND(bit) != 0)
     return (
         out.filter(cond)
         .drop("__bloom_words", *[f"__pos{i}" for i in range(n_hashes)])

@@ -174,6 +174,86 @@ def train_bpe_merges_local(
     return merges
 
 
+def logistic_irls(
+    features: DataFrame,
+    feature_cols: list[str],
+    label_col: str,
+    n_iters: int = 8,
+    ridge: float = 1e-6,
+) -> np.ndarray:
+    """Distributed logistic regression via IRLS (Newton-Raphson).
+
+    Per iteration, ONE Arrow pass reduces each partition to the (p×p,
+    p) sufficient statistics of the weighted least-squares step —
+    Hessian XᵀWX and gradient Xᵀ(y−μ) — and the driver solves the p×p
+    system. p = len(feature_cols)+1 (intercept first), so the data
+    moved per iteration is p² doubles per partition regardless of row
+    count: the exact shape a quality-classifier fit needs at corpus
+    scale. A small ridge term keeps the Hessian invertible on
+    degenerate/separable slices.
+
+    Returns the coefficient vector (intercept first).
+    """
+    import pandas as pd  # executor-side
+
+    p = len(feature_cols) + 1
+    beta = np.zeros(p)
+
+    # cache the (usually derived) feature relation: every Newton step
+    # re-reads it, and recomputing text features 8x would dominate
+    sel = features.select(
+        *feature_cols, F.col(label_col).cast("double").alias("__y")
+    ).cache()
+
+    for _ in range(n_iters):
+        b = beta.copy()
+
+        def partials(batches, b=b):
+            h = np.zeros((p, p))
+            g = np.zeros(p)
+            for pdf in batches:
+                x = np.column_stack(
+                    [np.ones(len(pdf))]
+                    + [pdf[c].to_numpy(dtype=np.float64) for c in feature_cols]
+                )
+                y = pdf["__y"].to_numpy(dtype=np.float64)
+                eta = np.clip(x @ b, -30, 30)
+                mu = 1.0 / (1.0 + np.exp(-eta))
+                w = mu * (1.0 - mu)
+                h += (x * w[:, None]).T @ x
+                g += x.T @ (y - mu)
+            yield pd.DataFrame(
+                {"h": [h.reshape(-1).tolist()], "g": [g.tolist()]}
+            )
+
+        parts = sel.mapInPandas(
+            partials, schema="h array<double>, g array<double>"
+        ).collect()
+        hess = np.sum([np.array(r["h"]).reshape(p, p) for r in parts], axis=0)
+        grad = np.sum([np.array(r["g"]) for r in parts], axis=0)
+        beta = beta + np.linalg.solve(hess + ridge * np.eye(p), grad)
+    sel.unpersist()
+    return beta
+
+
+def logistic_irls_local(
+    x: np.ndarray, y: np.ndarray, n_iters: int = 8, ridge: float = 1e-6
+) -> np.ndarray:
+    """Single-node reference (test oracle) of :func:`logistic_irls`;
+    ``x`` excludes the intercept column."""
+    xx = np.column_stack([np.ones(len(x)), x])
+    p = xx.shape[1]
+    beta = np.zeros(p)
+    for _ in range(n_iters):
+        eta = np.clip(xx @ beta, -30, 30)
+        mu = 1.0 / (1.0 + np.exp(-eta))
+        w = mu * (1.0 - mu)
+        hess = (xx * w[:, None]).T @ xx
+        grad = xx.T @ (y - mu)
+        beta = beta + np.linalg.solve(hess + ridge * np.eye(p), grad)
+    return beta
+
+
 def embedding_scatter(
     emb: DataFrame, vec_col: str = "embedding"
 ) -> tuple[int, np.ndarray, np.ndarray]:

@@ -5843,6 +5843,206 @@ def approx_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "standardize_embedding_dims",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    un AS (
+      SELECT vec_id, idx.i - 1 AS dim, embedding[idx.i]::DOUBLE AS val
+      FROM embeddings, idx WHERE idx.i <= len(embedding)),
+    stats AS (
+      SELECT dim, count(*) AS n,
+             cast(cast(sum(cast(val AS decimal(25,6))) AS string) AS double) AS s,
+             cast(cast(sum(cast(val * val AS decimal(25,6))) AS string) AS double) AS sq
+      FROM un GROUP BY dim)
+    SELECT u.vec_id, u.dim,
+           round((u.val - s.s / s.n) /
+                 sqrt(s.sq / s.n - (s.s / s.n) * (s.s / s.n)), 6) AS z
+    FROM un u JOIN stats s ON u.dim = s.dim
+    WHERE u.vec_id < 50
+    """,
+    tags=("vector", "ml", "normalize"),
+)
+def standardize_embedding_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension z-score standardization of the embedding corpus
+    (feature whitening before clustering/classifier training): dimension
+    means and stds come from exact-decimal sufficient sums over ALL
+    vectors, then each value is standardized (output limited to the
+    first 50 vectors, long form).
+
+    Scale: the stats aggregate is map-side combinable into 64 groups —
+    negligible at any corpus size; the normalization itself is a
+    broadcast join (64 rows) against the stats, so the corpus side
+    never shuffles. The identical arithmetic expression shape on both
+    engines (sum/n, sq/n − mean², round 6) makes the hash deterministic."""
+    emb = _t(spark, sf_dir, "embeddings")
+    un = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    stats = un.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        dsum("val").alias("s"),
+        dsum(F.col("val") * F.col("val")).alias("sq"),
+    )
+    mean = F.col("s") / F.col("n")
+    return (
+        un.filter(F.col("vec_id") < 50)
+        .join(F.broadcast(stats), "dim")
+        .select(
+            "vec_id",
+            "dim",
+            F.round(
+                (F.col("val") - mean)
+                / F.sqrt(F.col("sq") / F.col("n") - mean * mean),
+                6,
+            ).alias("z"),
+        )
+    )
+
+
+@q(
+    "key_skew_profile_events",
+    """
+    WITH per_key AS (
+      SELECT event_type, user_id, count(*) AS c
+      FROM events GROUP BY event_type, user_id),
+    prof AS (
+      SELECT event_type, count(*) AS n_keys,
+             cast(sum(c) AS bigint) AS total,
+             cast(max(c) AS bigint) AS max_count,
+             cast(cast(sum(cast(c AS decimal(25,0))) AS string) AS double) AS s,
+             cast(cast(sum(cast(c * c AS decimal(25,0))) AS string) AS double) AS sq
+      FROM per_key GROUP BY event_type)
+    SELECT event_type, n_keys, total, max_count,
+           round(max_count * 1.0 / total, 6) AS top_share,
+           round(sqrt(sq / n_keys - (s / n_keys) * (s / n_keys))
+                 / (s / n_keys), 6) AS cov
+    FROM prof
+    """,
+    tags=("profiling", "skew"),
+)
+def key_skew_profile_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key skew profiler: per event type, the distribution of
+    rows over user_id — key count, hottest key's share, and the
+    coefficient of variation of per-key counts. The diagnostic that
+    decides WHEN the salted/AQE skew paths are worth their overhead,
+    run before choosing a shuffle key at 100 TB.
+
+    Two nested map-side-combinable aggregates; exact integer sufficient
+    sums keep the profile hash-stable across engines."""
+    ev = _t(spark, sf_dir, "events")
+    per_key = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    dec = F.col("c").cast("decimal(25,0)")
+    prof = per_key.groupBy("event_type").agg(
+        F.count("*").alias("n_keys"),
+        F.sum("c").cast("bigint").alias("total"),
+        F.max("c").cast("bigint").alias("max_count"),
+        F.sum(dec).cast("double").alias("s"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(25,0)")).cast("double").alias("sq"),
+    )
+    mean = F.col("s") / F.col("n_keys")
+    return prof.select(
+        "event_type",
+        "n_keys",
+        "total",
+        "max_count",
+        F.round(F.col("max_count") * 1.0 / F.col("total"), 6).alias("top_share"),
+        F.round(
+            F.sqrt(F.col("sq") / F.col("n_keys") - mean * mean) / mean, 6
+        ).alias("cov"),
+    )
+
+
+@q(
+    "budget_fill_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source, len(t) AS toks,
+             round(0.4 * least(len(t) / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(CASE WHEN length(text) = 0 THEN 0.0
+                      ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / length(text) END * 5, 1.0))
+                 + 0.3 * least(CASE WHEN len(t) = 0 THEN 0.0
+                      ELSE len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) * 1.0 / len(t) END * 4, 1.0), 6)
+               AS quality
+      FROM toks),
+    ranked AS (
+      SELECT doc_id, source, toks, quality,
+             cast(sum(toks) OVER (PARTITION BY source
+                                  ORDER BY quality DESC, doc_id ASC
+                                  ROWS UNBOUNDED PRECEDING) AS bigint) AS cum_toks
+      FROM feats)
+    SELECT doc_id, source, cast(toks AS bigint) AS toks, quality, cum_toks
+    FROM ranked WHERE cum_toks <= 2000
+    """,
+    tags=("curation", "sampling", "window"),
+)
+def budget_fill_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget curation: per source, greedily keep the
+    highest-quality documents until a 2000-token budget is filled
+    (quality desc, doc_id tie-break; a doc that would overflow the
+    budget is dropped along with everything after it). How a pretraining
+    data mix actually turns per-source weights into a concrete document
+    selection.
+
+    Scale: one scan computes tokens+quality; the only shuffle is the
+    per-source window, whose partitions are balanced by construction
+    (sources are the mix's top-level units; a giant source would move to
+    the distributed_cumsum path)."""
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).cast("bigint").alias("toks"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy(F.desc("quality"), F.asc("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        feats.withColumn("cum_toks", F.sum("toks").over(w).cast("bigint"))
+        .filter(F.col("cum_toks") <= 2000)
+        .select("doc_id", "source", "toks", "quality", "cum_toks")
+    )
+
+
+@q(
+    "logistic_quality_lang_classifier",
+    None,
+    tags=("ml", "classifier", "iterative"),
+)
+def logistic_quality_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train a logistic-regression classifier (is the document English?)
+    on three cheap text features — log token count, punctuation ratio,
+    English-stopword ratio — via distributed IRLS (operators/ml.py):
+    each Newton step is ONE Arrow pass producing p×p sufficient
+    statistics per partition, solved on the driver. The
+    quality-classifier fit every learned corpus filter needs
+    (fastText/DSIR-style), with the optimization fully distributed.
+    Rows-only (iterative); tests pin parity with a single-node IRLS on
+    the collected features."""
+    from .operators import ml as ML
+
+    d = _t(spark, sf_dir, "documents")
+    feats = d.select(
+        F.log1p(TX.token_count(F.col("text"))).alias("log_toks"),
+        TX.punct_ratio(F.col("text")).alias("punct"),
+        TX.stopword_ratio(F.col("text"), "en").alias("stop_en"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    )
+    names = ["intercept", "log_toks", "punct", "stop_en"]
+    beta = ML.logistic_irls(feats, ["log_toks", "punct", "stop_en"], "is_en")
+    rows = [(n, round(float(b), 6)) for n, b in zip(names, beta)]
+    return spark.createDataFrame(rows, "feature string, coef double")
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -202,6 +202,125 @@ def test_approx_distinct_error_is_bounded(spark):
         assert r["rel_err"] < 0.06, (r["event_type"], r["rel_err"])
 
 
+# ------------------------------------------------------- IRLS logistic
+
+def test_logistic_irls_matches_local_reference(spark):
+    df = spark.createDataFrame(
+        [
+            (float(i % 7) / 7, float((i * 3) % 5) / 5, 1 if (i % 7) > 3 else 0)
+            for i in range(200)
+        ],
+        "x1 double, x2 double, y int",
+    )
+    got = ML.logistic_irls(df, ["x1", "x2"], "y", n_iters=8)
+    rows = df.collect()
+    x = np.array([[r["x1"], r["x2"]] for r in rows])
+    y = np.array([float(r["y"]) for r in rows])
+    want = ML.logistic_irls_local(x, y, n_iters=8)
+    assert np.allclose(got, want, rtol=1e-8, atol=1e-10)
+
+
+def test_logistic_query_matches_local_fit_on_same_features(spark):
+    """The distributed fit must equal a single-node IRLS on the collected
+    feature matrix. (The synthetic corpus draws every language from the
+    same vocabulary, so coefficient SIGNS are data artifacts — parity
+    with the reference optimizer is the meaningful check.)"""
+    from local_data_pipeline_spark.functions import text as TX
+
+    rows = {
+        r["feature"]: r["coef"]
+        for r in QUERIES["logistic_quality_lang_classifier"]
+        .fn(spark, SF_DIR)
+        .collect()
+    }
+    assert set(rows) == {"intercept", "log_toks", "punct", "stop_en"}
+    docs = load_table(spark, SF_DIR, "documents")
+    feats = docs.select(
+        F.log1p(TX.token_count(F.col("text"))).alias("log_toks"),
+        TX.punct_ratio(F.col("text")).alias("punct"),
+        TX.stopword_ratio(F.col("text"), "en").alias("stop_en"),
+        (F.col("lang") == "en").cast("int").alias("is_en"),
+    ).collect()
+    x = np.array([[r["log_toks"], r["punct"], r["stop_en"]] for r in feats])
+    y = np.array([float(r["is_en"]) for r in feats])
+    want = ML.logistic_irls_local(x, y, n_iters=8)
+    got = [rows["intercept"], rows["log_toks"], rows["punct"], rows["stop_en"]]
+    assert np.allclose(got, want, rtol=1e-4, atol=1e-5), (got, want)
+
+
+# ------------------------------------------------- standardized dims
+
+def test_standardize_matches_numpy(spark):
+    emb = load_table(spark, SF_DIR, "embeddings")
+    data = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.collect()}
+    x = np.stack(list(data.values()))
+    mean, std = x.mean(axis=0), x.std(axis=0)
+    got = QUERIES["standardize_embedding_dims"].fn(spark, SF_DIR).collect()
+    assert got
+    for r in got:
+        want = (data[r["vec_id"]][r["dim"]] - mean[r["dim"]]) / std[r["dim"]]
+        # the engine's exact-decimal(,6) sums quantize each value at 1e-6
+        # before summing, so means drift up to ~1e-6/sqrt(12)·n/n vs
+        # numpy's full-precision mean; z is O(1), tolerance 1e-4 covers it
+        assert r["z"] == pytest.approx(want, abs=1e-4)
+
+
+# ------------------------------------------------------- budget fill
+
+def test_budget_fill_is_greedy_and_within_budget(spark):
+    sel = QUERIES["budget_fill_documents"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    from local_data_pipeline_spark.functions import text as TX
+
+    all_feats = docs.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).alias("toks"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    ).collect()
+    by_source_sel = {}
+    for r in sel:
+        by_source_sel.setdefault(r["source"], []).append(r)
+    by_source_all = {}
+    for r in all_feats:
+        by_source_all.setdefault(r["source"], []).append(r)
+    for src, rows in by_source_all.items():
+        rows.sort(key=lambda r: (-r["quality"], r["doc_id"]))
+        cum, keep = 0, []
+        for r in rows:
+            cum += r["toks"]
+            if cum > 2000:
+                break
+            keep.append(r["doc_id"])
+        got_ids = [r["doc_id"] for r in sorted(
+            by_source_sel.get(src, []), key=lambda r: r["cum_toks"])]
+        assert got_ids == keep, src
+        if got_ids:
+            assert max(r["cum_toks"] for r in by_source_sel[src]) <= 2000
+
+
+# ------------------------------------------------------ skew profile
+
+def test_key_skew_profile_matches_local(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    got = {r["event_type"]: r for r in
+           QUERIES["key_skew_profile_events"].fn(spark, SF_DIR).collect()}
+    from collections import Counter
+
+    counts = {}
+    for r in ev.select("event_type", "user_id").collect():
+        counts.setdefault(r["event_type"], Counter())[r["user_id"]] += 1
+    for et, c in counts.items():
+        vals = np.array(list(c.values()), dtype=np.float64)
+        r = got[et]
+        assert r["n_keys"] == len(vals)
+        assert r["total"] == int(vals.sum())
+        assert r["max_count"] == int(vals.max())
+        assert r["top_share"] == pytest.approx(vals.max() / vals.sum(), abs=1e-6)
+        assert r["cov"] == pytest.approx(vals.std() / vals.mean(), abs=1e-5)
+
+
 # ----------------------------------------------------- cumulative users
 
 def test_cumulative_distinct_converges_to_total(spark):
