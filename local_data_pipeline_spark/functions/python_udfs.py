@@ -36,6 +36,14 @@ def trimmed_mean_udaf(v: pd.Series) -> float:
     return round(math.fsum(kept) / len(kept), 6)
 
 
+@F.pandas_udf(T.DoubleType())
+def median_udaf(v: pd.Series) -> float:
+    """Exact median (grouped-agg pandas UDF). Even-count groups return
+    the mean of the two middle values — pandas' and DuckDB's shared
+    interpolation rule, so the oracle matches exactly."""
+    return float(v.median())
+
+
 class NGramsUDTF:
     """Python UDTF: (text, n) -> one row per word n-gram with its
     position. Register with ``spark.udtf.register("ngrams",

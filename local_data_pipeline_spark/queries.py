@@ -6043,6 +6043,136 @@ def logistic_quality_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFr
     return spark.createDataFrame(rows, "feature string, coef double")
 
 
+@q(
+    "pandas_udaf_median_quantity",
+    """
+    SELECT l_returnflag, l_linestatus,
+           count(*) AS n, median(l_quantity) AS med_qty
+    FROM lineitem GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("udaf", "pandas", "agg"),
+)
+def pandas_udaf_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via a GROUPED_AGG pandas UDF — the
+    user-defined aggregate surface (Arrow-batched, one series per
+    group). Median interpolation (mean of the two middle values on even
+    counts) matches DuckDB's `median`, so the result is oracle-exact.
+
+    Scale note: a grouped-agg UDAF materializes each group on one
+    worker — right for modest group sizes like these 6 flag/status
+    groups of bounded quantiles domain; a 100 TB exact median uses the
+    distributed-rank path (operators/packing.distributed_ntile's
+    machinery) instead. This query exists to pin the UDAF API."""
+    from .functions.python_udfs import median_udaf
+
+    li = _t(spark, sf_dir, "lineitem")
+    # Spark disallows mixing a grouped-agg pandas UDF with JVM
+    # aggregates in one agg(); the count rides in a second aggregate
+    # joined on the (tiny) group keys
+    med = li.groupBy("l_returnflag", "l_linestatus").agg(
+        median_udaf("l_quantity").alias("med_qty")
+    )
+    cnt = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n")
+    )
+    return med.join(cnt, ["l_returnflag", "l_linestatus"]).select(
+        "l_returnflag", "l_linestatus", "n", "med_qty"
+    )
+
+
+@q(
+    "native_session_window_events",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts,
+             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                         ROWS UNBOUNDED PRECEDING) AS bigint) AS sid
+      FROM flagged)
+    SELECT user_id,
+           min(ts) AS session_start,
+           max(ts) + INTERVAL 30 MINUTE AS session_end,
+           count(*) AS n_events
+    FROM sessioned GROUP BY user_id, sid
+    """,
+    tags=("window", "streaming", "session"),
+)
+def native_session_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENGINE-NATIVE session operator: ``F.session_window(ts, gap)``
+    used in batch mode (same operator Structured Streaming uses with
+    state) — versus the composed lag/running-sum sessionizer
+    (`sessionize_events`). Session end is exclusive: last event + gap.
+    The oracle reproduces native semantics with the gaps-and-islands
+    formulation, proving the two formulations agree.
+
+    Scale: one exchange on user_id; the native operator merges
+    overlapping per-event [ts, ts+gap) windows with no window function,
+    so it also runs without a per-user sort at the whole-stage level."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window("ts", "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "null_safe_join_event_buckets",
+    """
+    WITH clicks AS (
+      SELECT CASE WHEN cast(json_extract_string(props, '$.k') AS bigint) % 7 = 0
+                  THEN NULL
+                  ELSE cast(json_extract_string(props, '$.k') AS bigint) END AS bucket,
+             count(*) AS n_clicks
+      FROM events WHERE event_type = 'click' GROUP BY 1),
+    views AS (
+      SELECT CASE WHEN cast(json_extract_string(props, '$.k') AS bigint) % 7 = 0
+                  THEN NULL
+                  ELSE cast(json_extract_string(props, '$.k') AS bigint) END AS bucket,
+             count(*) AS n_views
+      FROM events WHERE event_type = 'view' GROUP BY 1)
+    SELECT c.bucket, c.n_clicks, v.n_views
+    FROM clicks c JOIN views v ON c.bucket IS NOT DISTINCT FROM v.bucket
+    """,
+    tags=("join", "null-safe"),
+)
+def null_safe_join_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Null-safe equi join (``<=>`` / IS NOT DISTINCT FROM): click and
+    view counts per property bucket where a deterministic subset of
+    buckets is nulled — the null groups MATCH each other instead of
+    disappearing, the semantic difference from a plain equi join.
+    Spark plans ``<=>`` as a hash-join key like any other equality, so
+    the shape is identical to a normal aggregate-join at scale."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("bigint")
+    bucket = F.when(k % 7 == 0, F.lit(None).cast("bigint")).otherwise(k)
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("n_views"))
+    )
+    return clicks.join(
+        views, clicks["bucket"].eqNullSafe(views["bucket"])
+    ).select(clicks["bucket"], "n_clicks", "n_views")
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -321,6 +321,60 @@ def test_key_skew_profile_matches_local(spark):
         assert r["cov"] == pytest.approx(vals.std() / vals.mean(), abs=1e-5)
 
 
+# ------------------------------------------- native session window
+
+def test_native_session_window_agrees_with_composed_sessionizer(spark):
+    """The engine-native session_window operator and the lag/running-sum
+    formulation must produce the same sessions (same count per user,
+    same starts; native end = composed max ts + gap)."""
+    native = QUERIES["native_session_window_events"].fn(spark, SF_DIR).collect()
+    composed = QUERIES["sessionize_events"].fn(spark, SF_DIR).collect()
+    n_by_user, c_by_user = {}, {}
+    for r in native:
+        n_by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["n_events"])
+        )
+    for r in composed:
+        c_by_user.setdefault(r["user_id"], []).append(
+            (r["session_start"], r["n_events"])
+        )
+    assert {u: sorted(v) for u, v in n_by_user.items()} == {
+        u: sorted(v) for u, v in c_by_user.items()
+    }
+
+
+# ----------------------------------------------------- pandas UDAF
+
+def test_pandas_udaf_median_matches_numpy(spark):
+    got = {
+        (r["l_returnflag"], r["l_linestatus"]): (r["n"], r["med_qty"])
+        for r in QUERIES["pandas_udaf_median_quantity"].fn(spark, SF_DIR).collect()
+    }
+    li = load_table(spark, SF_DIR, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_quantity"
+    ).collect()
+    groups = {}
+    for r in li:
+        groups.setdefault((r["l_returnflag"], r["l_linestatus"]), []).append(
+            r["l_quantity"]
+        )
+    assert set(got) == set(groups)
+    for k, vals in groups.items():
+        assert got[k][0] == len(vals)
+        assert got[k][1] == pytest.approx(float(np.median(vals)), abs=1e-9)
+
+
+# -------------------------------------------------- null-safe join
+
+def test_null_safe_join_keeps_null_bucket(spark):
+    rows = QUERIES["null_safe_join_event_buckets"].fn(spark, SF_DIR).collect()
+    buckets = [r["bucket"] for r in rows]
+    assert None in buckets  # the nulled groups matched each other
+    for r in rows:
+        if r["bucket"] is not None:
+            assert r["bucket"] % 7 != 0
+
+
 # ----------------------------------------------------- cumulative users
 
 def test_cumulative_distinct_converges_to_total(spark):
