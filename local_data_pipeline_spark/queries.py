@@ -6173,6 +6173,101 @@ def null_safe_join_event_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(clicks["bucket"], "n_clicks", "n_views")
 
 
+@q(
+    "prefix_jaccard_pairs_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             list_distinct(string_split_regex(trim(lower(text)), '\\s+')) AS t
+      FROM documents WHERE trim(text) <> '' AND doc_id % 10 = 0),
+    pairs AS (
+      SELECT a.source, a.doc_id AS id_a, b.doc_id AS id_b,
+             round(len(list_intersect(a.t, b.t)) * 1.0 /
+                   len(list_distinct(list_concat(a.t, b.t))), 6) AS jaccard
+      FROM toks a JOIN toks b ON a.source = b.source AND a.doc_id < b.doc_id)
+    SELECT source, id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.8
+    """,
+    tags=("similarity", "dedup", "setjoin"),
+)
+def prefix_jaccard_pairs_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT set-similarity join (PPJoin-style prefix filtering,
+    operators/setjoin.py): all within-source document pairs with word-set
+    Jaccard >= 0.8. Candidates come from shared RARE tokens only (the
+    first |T| − ceil(0.8|T|) + 1 under the global ascending-frequency
+    order), then the exact intersect/union verify keeps true pairs: no
+    recall knob, no false negatives — the exact-threshold complement to
+    the MinHash/LSH pipeline. The oracle brute-forces every pair.
+
+    Scale: the brute-force oracle is O(n² per source); the prefix join's
+    candidate set is output-sized for realistic vocabularies (rare
+    tokens are selective), and its join keys are rare by construction —
+    the skew defense is the algorithm itself."""
+    from .operators.setjoin import prefix_filter_jaccard_join
+
+    # deterministic 10% slice: the synthetic corpus's ~40-word vocabulary
+    # makes almost EVERY pair >= 0.8-similar (15M qualifying pairs at
+    # sf1), so the unbounded query is output-bound quadratic on this data
+    # — a corpus artifact, not an operator property; real vocabularies
+    # give prefix filtering its selectivity
+    d = _t(spark, sf_dir, "documents").filter(
+        (F.trim(F.col("text")) != "") & (F.col("doc_id") % 10 == 0)
+    )
+    toks = d.select(
+        "doc_id", "source", F.array_distinct(TX.tokens(F.col("text"))).alias("t")
+    )
+    out = prefix_filter_jaccard_join(
+        toks, "doc_id", "t", threshold=0.8, block_col="source"
+    )
+    return out.select("source", "id_a", "id_b", "jaccard")
+
+
+@q(
+    "frame_sample_plan_events",
+    """
+    WITH media AS (
+      SELECT event_id AS media_id,
+             cast(greatest(value, 0.0) * 1000 AS bigint) AS duration_ms
+      FROM events WHERE event_type = 'view'),
+    plan AS (
+      SELECT media_id,
+             greatest(cast(floor(duration_ms / 1000.0) AS bigint), 1) AS n_frames
+      FROM media)
+    SELECT media_id, n_frames,
+           (n_frames - 1) * 1000 AS last_offset_ms
+    FROM plan
+    """,
+    tags=("multimodal", "plan"),
+)
+def frame_sample_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video frame-sampling PLAN through the real multimodal operator
+    (operators/multimodal.frame_sample_plan): 'view' events stand in as
+    videos (duration = value seconds, no media table in the fixtures);
+    the operator emits one row per 1000 ms frame offset from metadata
+    alone — no decoding — and this query folds the offsets back to
+    per-video counts the SQL oracle reproduces arithmetically. The
+    metadata-only planning stage is exactly what a 100 TB video
+    pipeline runs BEFORE shipping any bytes to GPU decoders."""
+    from .operators.multimodal import frame_sample_plan
+
+    ev = _t(spark, sf_dir, "events")
+    media = ev.filter(F.col("event_type") == "view").select(
+        F.col("event_id").alias("media_id"),
+        F.lit("video").alias("modality"),
+        F.lit(None).cast("binary").alias("content"),
+        F.struct(
+            (F.greatest(F.col("value"), F.lit(0.0)) * 1000)
+            .cast("bigint")
+            .alias("duration_ms"),
+            F.lit(0).alias("width"),
+        ).alias("meta"),
+    )
+    frames = frame_sample_plan(media, every_ms=1000)
+    return frames.groupBy("media_id").agg(
+        F.count("*").alias("n_frames"),
+        F.max("frame_offset_ms").cast("bigint").alias("last_offset_ms"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

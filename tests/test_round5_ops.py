@@ -375,6 +375,60 @@ def test_null_safe_join_keeps_null_bucket(spark):
             assert r["bucket"] % 7 != 0
 
 
+# --------------------------------------------- prefix-filter set join
+
+def test_prefix_jaccard_join_equals_bruteforce(spark):
+    """The prefix-filtered join must return EXACTLY the brute-force
+    pair set (no false negatives from the prefix bound, none added)."""
+    from local_data_pipeline_spark.functions import text as TX
+    from local_data_pipeline_spark.operators.setjoin import (
+        prefix_filter_jaccard_join,
+    )
+
+    docs = load_table(spark, SF_DIR, "documents").filter(
+        F.trim(F.col("text")) != ""
+    )
+    toks = docs.select(
+        "doc_id", "source", F.array_distinct(TX.tokens(F.col("text"))).alias("t")
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in prefix_filter_jaccard_join(
+            toks, "doc_id", "t", threshold=0.7, block_col="source"
+        ).collect()
+    }
+    local = [(r["doc_id"], r["source"], set(r["t"])) for r in toks.collect()]
+    want = {}
+    for i in range(len(local)):
+        for j in range(i + 1, len(local)):
+            a, b = local[i], local[j]
+            if a[1] != b[1]:
+                continue
+            ia, ib = min(a[0], b[0]), max(a[0], b[0])
+            jac = round(len(a[2] & b[2]) / len(a[2] | b[2]), 6)
+            if jac >= 0.7:
+                want[(ia, ib)] = jac
+    assert got == want
+
+
+# ------------------------------------------------- frame sample plan
+
+def test_frame_plan_matches_duration_arithmetic(spark):
+    rows = QUERIES["frame_sample_plan_events"].fn(spark, SF_DIR).collect()
+    ev = {
+        r["event_id"]: r["value"]
+        for r in load_table(spark, SF_DIR, "events")
+        .filter(F.col("event_type") == "view")
+        .collect()
+    }
+    assert len(rows) == len(ev)
+    for r in rows:
+        dur_ms = int(max(ev[r["media_id"]], 0.0) * 1000)
+        n = max(dur_ms // 1000, 1)
+        assert r["n_frames"] == n
+        assert r["last_offset_ms"] == (n - 1) * 1000
+
+
 # ----------------------------------------------------- cumulative users
 
 def test_cumulative_distinct_converges_to_total(spark):
