@@ -6268,6 +6268,219 @@ def frame_sample_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "temporal_join_orders_scd2",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             lag(o_orderpriority) OVER w AS prev_p
+      FROM orders
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
+    runs AS (
+      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
+             cast(sum(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
+                           THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                        ROWS UNBOUNDED PRECEDING) AS bigint) AS run_id
+      FROM seq),
+    dim AS (
+      SELECT o_custkey AS custkey, run_id,
+             min(o_orderpriority) AS priority,
+             min(o_orderdate) AS valid_from,
+             lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY run_id)
+               AS valid_to
+      FROM runs GROUP BY o_custkey, run_id)
+    SELECT d.custkey, d.run_id, d.priority,
+           count(*) AS n_orders,
+           cast(sum(CASE WHEN o.o_orderpriority = d.priority THEN 1 ELSE 0 END)
+                AS bigint) AS n_consistent
+    FROM orders o
+    JOIN dim d
+      ON o.o_custkey = d.custkey
+     AND o.o_orderdate >= d.valid_from
+     AND (d.valid_to IS NULL OR o.o_orderdate < d.valid_to)
+    GROUP BY d.custkey, d.run_id, d.priority
+    """,
+    tags=("cdc", "temporal", "range-join"),
+)
+def temporal_join_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each order matched to the SCD2
+    priority interval that was CURRENT on its order date — the lookup
+    every fact-to-slowly-changing-dimension pipeline performs. Output
+    aggregates per interval. ``n_consistent`` counts orders whose own
+    priority equals the interval's: it falls short of ``n_orders``
+    exactly when a customer places same-date orders with different
+    priorities (the run boundary splits inside one date while interval
+    boundaries are date-grain) — the standard effective-dating
+    ambiguity a date-grain SCD2 carries, surfaced as a metric instead
+    of hidden.
+
+    Scale: both the dimension build and the temporal join share the
+    custkey partitioning (one exchange lineage); interval predicates are
+    sargable AND-chains, and per-customer interval counts are tiny so
+    the range probe never degenerates. Half-open [from, to) intervals
+    guarantee exactly one match per fact row."""
+    o = _t(spark, sf_dir, "orders")
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(wseq).alias("prev_p"),
+    ).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev_p").isNull()
+                | (F.col("prev_p") != F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    wrun = Window.partitionBy("custkey").orderBy("run_id")
+    dim = (
+        runs.groupBy(F.col("o_custkey").alias("custkey"), "run_id")
+        .agg(
+            F.min("o_orderpriority").alias("priority"),
+            F.min("o_orderdate").alias("valid_from"),
+        )
+        .withColumn("valid_to", F.lead("valid_from").over(wrun))
+    )
+    j = o.join(
+        dim,
+        (o["o_custkey"] == dim["custkey"])
+        & (o["o_orderdate"] >= dim["valid_from"])
+        & (dim["valid_to"].isNull() | (o["o_orderdate"] < dim["valid_to"])),
+    )
+    return j.groupBy("custkey", "run_id", "priority").agg(
+        F.count("*").alias("n_orders"),
+        F.sum(
+            F.when(F.col("o_orderpriority") == F.col("priority"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_consistent"),
+    )
+
+
+@q(
+    "event_id_gap_ranges",
+    """
+    WITH ids AS (
+      SELECT DISTINCT event_id FROM events WHERE event_type <> 'error'),
+    nxt AS (
+      SELECT event_id, lead(event_id) OVER (ORDER BY event_id) AS next_id
+      FROM ids)
+    SELECT event_id + 1 AS gap_start, next_id - 1 AS gap_end,
+           next_id - event_id - 1 AS n_missing
+    FROM nxt WHERE next_id > event_id + 1
+    """,
+    tags=("window", "audit", "gaps"),
+)
+def event_id_gap_ranges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-integrity audit: missing id ranges in the non-error event
+    stream (each gap reported once as [gap_start, gap_end] + its size) —
+    the lost-data / dropped-message check every append-log ingest runs.
+    Classic gaps detection via lead() over the distinct id sequence.
+
+    Scale: the global lead() window is the textbook case for
+    repartitionByRange + per-shard windows with boundary exchange
+    (operators/packing.py's machinery); at audit cardinalities the
+    distinct-id relation is already small, and a day-partitioned log
+    audits per partition anyway."""
+    ev = _t(spark, sf_dir, "events")
+    ids = ev.filter(F.col("event_type") != "error").select("event_id").distinct()
+    w = Window.orderBy("event_id")
+    nxt = ids.withColumn("next_id", F.lead("event_id").over(w))
+    return nxt.filter(F.col("next_id") > F.col("event_id") + 1).select(
+        (F.col("event_id") + 1).alias("gap_start"),
+        (F.col("next_id") - 1).alias("gap_end"),
+        (F.col("next_id") - F.col("event_id") - 1).alias("n_missing"),
+    )
+
+
+@q(
+    "distributed_exact_median_value",
+    """
+    SELECT event_type, count(*) AS n, median(value) AS med
+    FROM events GROUP BY event_type
+    """,
+    tags=("agg", "median", "distributed"),
+)
+def distributed_exact_median_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median WITHOUT collecting any group: rank every
+    value inside its group (one exchange on the group key), keep only
+    the one or two middle ranks, average them — the scale path the
+    pandas-UDAF median (`pandas_udaf_median_quantity`) points at. A
+    group of any size costs one window pass; nothing materializes on a
+    single worker.
+
+    Tie handling: row_number over (value, event_id) is a total order, so
+    the middle POSITIONS are well-defined regardless of duplicate
+    values; averaging the two middle values on even counts matches
+    DuckDB's median interpolation bit-for-bit (same (a+b)/2 on the same
+    doubles)."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    ranked = ev.select(
+        "event_type",
+        "value",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("event_type")).alias("n"),
+    )
+    # keep ranks floor((n+1)/2) and floor(n/2)+1 — equal when n is odd
+    lo = F.floor((F.col("n") + 1) / 2)
+    hi = F.floor(F.col("n") / 2) + 1
+    mid = ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+    return mid.groupBy("event_type").agg(
+        F.max("n").cast("bigint").alias("n"),
+        ((F.min("value") + F.max("value")) / 2).alias("med"),
+    )
+
+
+@q(
+    "window_value_family_orders",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate, o_totalprice,
+           first_value(o_totalprice) OVER w AS first_price,
+           last_value(o_totalprice) OVER w AS latest_price,
+           nth_value(o_totalprice, 2) OVER w AS second_price,
+           min(o_totalprice) OVER w AS min_so_far,
+           max(o_totalprice) OVER w AS max_so_far
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    """,
+    tags=("window", "value-family"),
+)
+def window_value_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The VALUE window-function family (first_value / last_value /
+    nth_value / running min / running max) over each customer's order
+    history with an explicit running frame — complements the rank
+    family (`window_rank_family_orders`) and the offset family
+    (`lead_diff_user_events`). One exchange on custkey serves all five
+    functions (a single Window physical operator)."""
+    o = _t(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        "o_totalprice",
+        F.first("o_totalprice").over(w).alias("first_price"),
+        F.last("o_totalprice").over(w).alias("latest_price"),
+        F.nth_value("o_totalprice", 2).over(w).alias("second_price"),
+        F.min("o_totalprice").over(w).alias("min_so_far"),
+        F.max("o_totalprice").over(w).alias("max_so_far"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -429,6 +429,56 @@ def test_frame_plan_matches_duration_arithmetic(spark):
         assert r["last_offset_ms"] == (n - 1) * 1000
 
 
+# ---------------------------------------------------- temporal join
+
+def test_temporal_join_intervals_cover_every_order_once(spark):
+    """Half-open SCD2 intervals must partition each customer's timeline:
+    every order lands in exactly ONE interval (coverage, no overlap).
+    n_consistent may trail n_orders only where same-date orders carry
+    different priorities (date-grain effective-dating ambiguity) — so
+    any shortfall must be explained by a multi-priority date."""
+    rows = QUERIES["temporal_join_orders_scd2"].fn(spark, SF_DIR).collect()
+    orders = load_table(spark, SF_DIR, "orders")
+    per_cust = {
+        r["o_custkey"]: r["n"]
+        for r in orders.groupBy("o_custkey").agg(F.count("*").alias("n")).collect()
+    }
+    multi_priority_custs = {
+        r["o_custkey"]
+        for r in orders.groupBy("o_custkey", "o_orderdate")
+        .agg(F.count_distinct("o_orderpriority").alias("k"))
+        .filter(F.col("k") > 1)
+        .collect()
+    }
+    got_per_cust = {}
+    for r in rows:
+        if r["n_consistent"] != r["n_orders"]:
+            assert r["custkey"] in multi_priority_custs, r
+        got_per_cust[r["custkey"]] = got_per_cust.get(r["custkey"], 0) + r["n_orders"]
+    assert got_per_cust == per_cust
+
+
+# ------------------------------------------------------- gap ranges
+
+def test_event_id_gaps_match_local_set_arithmetic(spark):
+    rows = QUERIES["event_id_gap_ranges"].fn(spark, SF_DIR).collect()
+    ev = load_table(spark, SF_DIR, "events")
+    ids = sorted(
+        r["event_id"]
+        for r in ev.filter(F.col("event_type") != "error")
+        .select("event_id")
+        .distinct()
+        .collect()
+    )
+    want = []
+    for a, b in zip(ids, ids[1:]):
+        if b > a + 1:
+            want.append((a + 1, b - 1, b - a - 1))
+    got = sorted((r["gap_start"], r["gap_end"], r["n_missing"]) for r in rows)
+    assert got == sorted(want)
+    assert got, "fixture should contain gaps (error ids removed)"
+
+
 # ----------------------------------------------------- cumulative users
 
 def test_cumulative_distinct_converges_to_total(spark):
