@@ -6481,6 +6481,79 @@ def window_value_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "quantize_embeddings_int8",
+    """
+    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    un AS (
+      SELECT vec_id, idx.i - 1 AS dim, embedding[idx.i]::DOUBLE AS val
+      FROM embeddings, idx WHERE idx.i <= len(embedding)),
+    scales AS (
+      SELECT dim, greatest(max(abs(val)), 1e-12) AS max_abs FROM un GROUP BY dim),
+    quant AS (
+      SELECT u.vec_id, u.dim, u.val, s.max_abs,
+             greatest(least(cast(round(u.val * 127.0 / s.max_abs) AS bigint),
+                            127), -127) AS q
+      FROM un u JOIN scales s ON u.dim = s.dim),
+    err AS (
+      SELECT dim, max_abs,
+             cast(cast(sum(cast(abs(val - q * max_abs / 127.0)
+                  AS decimal(25,12))) AS string) AS double) AS abs_err_sum,
+             count(*) AS n
+      FROM quant GROUP BY dim, max_abs)
+    SELECT dim, round(max_abs, 6) AS scale,
+           round(abs_err_sum / n, 9) AS mean_abs_err
+    FROM err
+    """,
+    tags=("vector", "quantization", "compression"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 scalar quantization of the embedding corpus —
+    per-dimension max-abs scale, q = clamp(round(127·x/scale)), plus the
+    reconstruction-error audit (mean |x − q·scale/127| per dimension).
+    The 4× storage/bandwidth cut a 100 TB vector store takes before
+    ANN indexing; the error column is the accept/reject signal.
+
+    Scale: two map-side-combinable aggregates over the exploded values
+    (64 scale rows broadcast back); nothing else moves. round() at ±0.5
+    on exact multiples of 1/254 is engine-consistent here because both
+    engines round half-away-from-zero for doubles via the same
+    expression shape."""
+    emb = _t(spark, sf_dir, "embeddings")
+    un = emb.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
+    )
+    scales = un.groupBy("dim").agg(
+        F.greatest(F.max(F.abs("val")), F.lit(1e-12)).alias("max_abs")
+    )
+    quant = un.join(F.broadcast(scales), "dim").withColumn(
+        "q",
+        F.greatest(
+            F.least(
+                F.round(F.col("val") * 127.0 / F.col("max_abs"), 0).cast("bigint"),
+                F.lit(127),
+            ),
+            F.lit(-127),
+        ),
+    )
+    err = quant.groupBy("dim", "max_abs").agg(
+        F.sum(
+            F.abs(
+                F.col("val") - F.col("q") * F.col("max_abs") / 127.0
+            ).cast("decimal(25,12)")
+        )
+        .cast("double")
+        .alias("abs_err_sum"),
+        F.count("*").alias("n"),
+    )
+    return err.select(
+        "dim",
+        F.round("max_abs", 6).alias("scale"),
+        F.round(F.col("abs_err_sum") / F.col("n"), 9).alias("mean_abs_err"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

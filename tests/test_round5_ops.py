@@ -479,6 +479,27 @@ def test_event_id_gaps_match_local_set_arithmetic(spark):
     assert got, "fixture should contain gaps (error ids removed)"
 
 
+# ------------------------------------------------------ quantization
+
+def test_int8_quantization_error_is_bounded_by_half_step(spark):
+    """Mean reconstruction error per dim must be <= half the quantization
+    step (scale/254 on average for round-to-nearest), and scales must
+    cover the data (no value maps outside [-127, 127])."""
+    rows = QUERIES["quantize_embeddings_int8"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 64
+    emb = load_table(spark, SF_DIR, "embeddings")
+    x = np.array(
+        [np.array(r["embedding"], dtype=np.float64) for r in emb.collect()]
+    )
+    for r in rows:
+        d = r["dim"]
+        assert r["scale"] == pytest.approx(
+            max(np.abs(x[:, d]).max(), 1e-12), rel=1e-5
+        )
+        step = r["scale"] / 127.0
+        assert 0 <= r["mean_abs_err"] <= step / 2 + 1e-12, r
+
+
 # ----------------------------------------------------- cumulative users
 
 def test_cumulative_distinct_converges_to_total(spark):
