@@ -6554,6 +6554,93 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "corpus_dataset_card",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, source, md5(text) AS fp,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END AS toks
+      FROM documents)
+    SELECT lang,
+           count(*) AS n_docs,
+           count(DISTINCT source) AS n_sources,
+           cast(sum(toks) AS bigint) AS total_tokens,
+           cast(count(*) - count(DISTINCT fp) AS bigint) AS n_exact_dups,
+           round((count(*) - count(DISTINCT fp)) * 1.0 / count(*), 6) AS dup_rate,
+           cast(min(toks) AS bigint) AS min_tokens,
+           cast(max(toks) AS bigint) AS max_tokens
+    FROM toks GROUP BY lang
+    """,
+    tags=("curation", "governance", "profiling"),
+)
+def corpus_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card summary per language: document/source counts, token
+    totals, exact-duplicate counts and rate, token-length extrema — the
+    one-pass corpus statement every dataset release ships. All signals
+    from a single scan + one aggregate (distinct counts are the only
+    shuffle-widening part; at 100 TB the fp distinct-count swaps to the
+    HLL sketch and the card notes the rsd)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        "lang",
+        "source",
+        F.md5("text").alias("fp"),
+        TX.token_count(F.col("text")).alias("toks"),
+    )
+    return base.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.count_distinct("source").alias("n_sources"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        (F.count("*") - F.count_distinct("fp")).cast("bigint").alias("n_exact_dups"),
+        F.round(
+            (F.count("*") - F.count_distinct("fp")) * 1.0 / F.count("*"), 6
+        ).alias("dup_rate"),
+        F.min("toks").cast("bigint").alias("min_tokens"),
+        F.max("toks").cast("bigint").alias("max_tokens"),
+    )
+
+
+@q(
+    "cross_source_overlap_matrix",
+    """
+    WITH fps AS (
+      SELECT DISTINCT source, md5(text) AS fp FROM documents),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS n_shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_shared FROM pairs
+    """,
+    tags=("dedup", "governance", "join"),
+)
+def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every source pair, how many
+    exact content fingerprints they share — the provenance audit run
+    before mixing sources into one training corpus (a high overlap cell
+    means double-weighting or a mirrored crawl).
+
+    Scale: one shuffle on fingerprint; a fingerprint shared by k sources
+    fans out k(k−1)/2 pair rows, so a boilerplate fingerprint present in
+    ALL sources is the df² hot key — production adds the same max-df cut
+    the winnowing/LSH operators use."""
+    d = _t(spark, sf_dir, "documents")
+    fps = d.select("source", F.md5("text").alias("fp")).distinct()
+    a, b = fps.alias("a"), fps.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -500,6 +500,25 @@ def test_int8_quantization_error_is_bounded_by_half_step(spark):
         assert 0 <= r["mean_abs_err"] <= step / 2 + 1e-12, r
 
 
+# ------------------------------------------------------ governance
+
+def test_dataset_card_totals_cover_corpus(spark):
+    rows = QUERIES["corpus_dataset_card"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+    for r in rows:
+        assert 0 <= r["dup_rate"] < 1
+        assert r["min_tokens"] <= r["max_tokens"]
+        assert r["n_exact_dups"] >= 0
+
+
+def test_cross_source_overlap_is_symmetric_ordered(spark):
+    rows = QUERIES["cross_source_overlap_matrix"].fn(spark, SF_DIR).collect()
+    for r in rows:
+        assert r["source_a"] < r["source_b"]
+        assert r["n_shared"] >= 1
+
+
 # ----------------------------------------------------- cumulative users
 
 def test_cumulative_distinct_converges_to_total(spark):
