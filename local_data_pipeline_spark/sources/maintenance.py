@@ -110,3 +110,79 @@ def analyze_table(
     if columns:
         cols = ", ".join(columns)
         spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}")
+
+
+def refresh_aggregate_mv(
+    spark: SparkSession,
+    new_data,
+    mv_path: str,
+    group_cols: list[str],
+    partition_col: str,
+    sum_cols: dict[str, str],
+    count_col: str = "n",
+    scale: int = 6,
+) -> None:
+    """Incrementally maintain a partitioned AGGREGATE materialized view:
+    merge the new batch's per-group partials into the existing rollup,
+    rewriting only the partitions the batch touches.
+
+    The MV schema is ``group_cols + count_col (bigint) + one
+    decimal(25,scale) column per sum_cols entry``. Sums are STORED as
+    decimal, not double: decimal partials are associative, so any
+    sequence of refreshes — day by day, backfill chunks, replays of the
+    same batch boundary — produces the bit-identical rollup a full
+    recompute would (the test pins this). Readers cast to double at
+    query time.
+
+    Cost shape at 100 TB: one aggregate over the NEW data only (map-side
+    combinable), a partition-pruned read of the touched MV partitions
+    (group-cardinality-sized, not fact-sized), and a dynamic-partition
+    overwrite of just those partitions. The full-refresh alternative
+    re-scans the entire fact table; this is the O(new data) upgrade —
+    the same role dbt's incremental aggregates / continuous aggregates
+    play. ``partition_col`` must be one of ``group_cols``.
+    """
+    import os
+
+    from pyspark.sql import functions as F
+
+    if partition_col not in group_cols:
+        raise ValueError("partition_col must be one of group_cols")
+    dec = f"decimal(25,{scale})"
+    partials = new_data.groupBy(*group_cols).agg(
+        F.count("*").alias(count_col),
+        *[
+            F.sum(F.col(src).cast(dec)).cast(dec).alias(out)
+            for out, src in sum_cols.items()
+        ],
+    )
+    if not os.path.exists(mv_path):
+        (
+            partials.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(mv_path)
+        )
+        return
+    prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        touched = [r[0] for r in partials.select(partition_col).distinct().collect()]
+        existing = spark.read.parquet(mv_path).filter(
+            F.col(partition_col).isin(touched)
+        )
+        merged = existing.unionByName(partials).groupBy(*group_cols).agg(
+            F.sum(count_col).cast("bigint").alias(count_col),
+            *[
+                F.sum(out).cast(dec).alias(out)
+                for out in sum_cols
+            ],
+        )
+        (
+            merged.repartition(partition_col)
+            .write.mode("overwrite")
+            .partitionBy(partition_col)
+            .parquet(mv_path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
