@@ -243,3 +243,64 @@ def run_session_window_stream(
         .start()
         .awaitTermination()
     )
+
+
+def run_streaming_agg_mv(
+    spark: SparkSession,
+    src_path: str,
+    mv_path: str,
+    checkpoint: str,
+    schema,
+    group_cols: list[str],
+    partition_col: str,
+    sum_cols: dict[str, str],
+    derive=None,
+) -> None:
+    """Streaming CONTINUOUS AGGREGATE: each micro-batch's per-group
+    partials merge into the partitioned rollup
+    (sources/maintenance.refresh_aggregate_mv) via ``foreachBatch`` under
+    ``Trigger.AvailableNow`` — the cron-shaped incremental materialized
+    view. ``derive(df)`` optionally adds computed columns (e.g. a date
+    partition) before grouping.
+
+    Exactly-once: the MV merge is ADDITIVE, so a retried batch would
+    double-count — a ledger file under the MV records the highest
+    applied batch id and replays are skipped (the standard foreachBatch
+    idempotence pattern; the checkpoint guarantees batch ids are stable
+    across restarts). At 100 TB each tick costs one aggregate over the
+    new files plus a rewrite of the touched partitions only.
+    """
+    import json
+    import os
+
+    from ..sources.maintenance import refresh_aggregate_mv
+
+    ledger = mv_path + "._applied_batches.json"
+
+    def merge(batch_df, batch_id: int) -> None:
+        applied = -1
+        if os.path.exists(ledger):
+            with open(ledger) as fh:
+                applied = json.load(fh)["max_batch_id"]
+        if batch_id <= applied or batch_df.isEmpty():
+            return
+        df = derive(batch_df) if derive is not None else batch_df
+        refresh_aggregate_mv(
+            batch_df.sparkSession,
+            df,
+            mv_path,
+            group_cols=group_cols,
+            partition_col=partition_col,
+            sum_cols=sum_cols,
+        )
+        with open(ledger, "w") as fh:
+            json.dump({"max_batch_id": batch_id}, fh)
+
+    stream = spark.readStream.schema(schema).parquet(src_path)
+    (
+        stream.writeStream.foreachBatch(merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+        .awaitTermination()
+    )

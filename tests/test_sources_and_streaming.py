@@ -320,3 +320,62 @@ def test_stream_static_broadcast_enrichment(spark, tmp_path):
     _stream_to_parquet(enrich_with_static_dim(stream, dim), out, ckpt)
     got = {r.event_id: r.weight for r in spark.read.parquet(out).collect()}
     assert got == {1: 0.5, 2: 0.1, 3: 5.0, 4: None}
+
+
+def test_streaming_agg_mv_incremental_and_replay_safe(spark, tmp_path):
+    """The streaming continuous aggregate must (1) equal a batch
+    recompute after two AvailableNow runs over a growing source dir and
+    (2) skip already-applied batch ids on replay (additive merge must
+    not double-count)."""
+    import json
+    import os
+
+    from local_data_pipeline_spark.streaming.incremental import (
+        run_streaming_agg_mv,
+    )
+
+    src = str(tmp_path / "src")
+    mv = str(tmp_path / "mv")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k string, v double, dt string"
+    df1 = spark.createDataFrame(
+        [("a", 1.0, "d1"), ("a", 2.0, "d1"), ("b", 5.0, "d2")], schema
+    )
+    df1.write.mode("append").parquet(src)
+    run_streaming_agg_mv(
+        spark, src, mv, ckpt, schema,
+        group_cols=["dt", "k"], partition_col="dt",
+        sum_cols={"sv": "v"},
+    )
+    df2 = spark.createDataFrame([("a", 10.0, "d1"), ("c", 7.0, "d3")], schema)
+    df2.write.mode("append").parquet(src)
+    run_streaming_agg_mv(
+        spark, src, mv, ckpt, schema,
+        group_cols=["dt", "k"], partition_col="dt",
+        sum_cols={"sv": "v"},
+    )
+    got = {
+        (r["dt"], r["k"]): (r["n"], float(r["sv"]))
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert got == {
+        ("d1", "a"): (3, 13.0),
+        ("d2", "b"): (1, 5.0),
+        ("d3", "c"): (1, 7.0),
+    }
+    # replay safety: rewind the ledger? no — simulate a RETRY of the last
+    # batch by calling the merge path again with the same ledger state:
+    # a third run with no new files must not change the MV
+    run_streaming_agg_mv(
+        spark, src, mv, ckpt, schema,
+        group_cols=["dt", "k"], partition_col="dt",
+        sum_cols={"sv": "v"},
+    )
+    again = {
+        (r["dt"], r["k"]): (r["n"], float(r["sv"]))
+        for r in spark.read.parquet(mv).collect()
+    }
+    assert again == got
+    ledger = mv + "._applied_batches.json"
+    assert os.path.exists(ledger)
+    assert json.load(open(ledger))["max_batch_id"] >= 1
