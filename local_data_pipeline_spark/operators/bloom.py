@@ -43,8 +43,10 @@ def build_bitmap(
     n_bits: int = DEFAULT_BITS,
     n_hashes: int = DEFAULT_HASHES,
 ) -> DataFrame:
-    """Aggregate the build side into one row: ``__bloom_words:
-    array<bigint>`` — the DENSE m/64-word bitmap (index = word_idx).
+    """Aggregate the build side into one row:
+    ``__bloom_words_{n_bits}: array<bigint>`` — the DENSE m/64-word
+    bitmap (index = word_idx; geometry in the column name so mismatched
+    probes fail fast).
 
     Dense array, not a map: ``element_at`` on Spark's MapType is a linear
     scan of the entries, which made the probe O(|probe| · k · m/64)
@@ -75,11 +77,15 @@ def build_bitmap(
     dense = spine.join(words, "word_idx", "left").select(
         "word_idx", F.coalesce("word", F.lit(0).cast("bigint")).alias("word")
     )
+    # the geometry is encoded in the column NAME so a probe() called with
+    # a different n_bits fails fast with a missing-column error instead
+    # of silently testing wrong bit positions (or an opaque ANSI
+    # INVALID_ARRAY_INDEX)
     return dense.groupBy().agg(
         F.transform(
             F.sort_array(F.collect_list(F.struct("word_idx", "word"))),
             lambda s: s["word"],
-        ).alias("__bloom_words")
+        ).alias(f"__bloom_words_{n_bits}")
     )
 
 
@@ -97,6 +103,20 @@ def probe(
     exchange, so the probe side's partitioning and pushed-down scan filters
     are untouched.
     """
+    words_col = f"__bloom_words_{n_bits}"
+    if words_col not in bitmap.columns:
+        raise ValueError(
+            f"bitmap was built with a different n_bits (columns: "
+            f"{bitmap.columns}); probe() requires the same geometry "
+            f"(expected {words_col})"
+        )
+    clash = [c for c in df.columns if c == words_col or c.startswith("__pos")]
+    if clash:
+        raise ValueError(
+            f"probe input already has reserved column(s) {clash}; rename "
+            "them before probing (they would be silently overwritten and "
+            "dropped)"
+        )
     out = df.join(F.broadcast(bitmap))
     cond = F.lit(True)
     for i, p in enumerate(_positions(F.col(key), n_hashes, n_bits)):
@@ -104,11 +124,11 @@ def probe(
         # array indices are 1-based; the dense bitmap covers every word,
         # so no null check is needed on the lookup
         word = F.element_at(
-            F.col("__bloom_words"), ((F.col(f"__pos{i}") / 64).cast("int") + 1)
+            F.col(words_col), ((F.col(f"__pos{i}") / 64).cast("int") + 1)
         )
         bit = F.expr(f"shiftleft(cast(1 as bigint), cast(__pos{i} % 64 as int))")
         cond = cond & (word.bitwiseAND(bit) != 0)
     return (
         out.filter(cond)
-        .drop("__bloom_words", *[f"__pos{i}" for i in range(n_hashes)])
+        .drop(words_col, *[f"__pos{i}" for i in range(n_hashes)])
     )

@@ -266,9 +266,13 @@ def embedding_scatter(
     only data that moves, independent of row count, so this holds at any
     corpus size (d=64 → 32 KiB per partition).
     """
-    import pandas as pd  # noqa: F401 (documents the Arrow path)
-
-    d = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).first()
+    if first is None or first[0] is None:
+        raise ValueError(
+            "embedding_scatter: input has no rows (or a null first "
+            "vector) — nothing to factor; check upstream filters"
+        )
+    d = len(first[0])
 
     def partials(batches):
         n = 0

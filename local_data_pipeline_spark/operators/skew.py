@@ -48,12 +48,23 @@ def salted_sum_count(
     direct aggregation (decimal partials are associative), but no single
     reducer ever sees more than ~1/n_salts of a hot group.
 
-    ``salt_on`` picks the deterministic salt source column (defaults to a
-    hash of all columns via ``xxhash64`` on the value column, which is
-    deterministic for a given row content).
+    The salt must spread a hot GROUP's rows across reducers, so it must
+    not be derived from the group keys — and hashing the value column
+    fails the same way when values are constant or low-cardinality
+    (counters, flags: every row of the hot group hashes to ONE salt and
+    the straggler survives). Default: round-robin within each input
+    partition (``monotonically_increasing_id() % n_salts``), which
+    spreads uniformly regardless of data values; the final result is
+    salt-assignment-independent because the partials are exact. Pass
+    ``salt_on`` to salt on a known-high-cardinality column instead when
+    a *stable* per-row salt matters (e.g. reproducing a partial-level
+    debug trace).
     """
-    salt_src = F.col(salt_on) if salt_on else F.col(value)
-    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_src), F.lit(n_salts)))
+    if salt_on:
+        salt_src = F.xxhash64(F.col(salt_on))
+    else:
+        salt_src = F.monotonically_increasing_id()
+    salted = df.withColumn("__salt", F.pmod(salt_src, F.lit(n_salts)))
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count("*").alias("__n"),
         F.sum(F.col(value).cast("decimal(25,6)")).alias("__s"),

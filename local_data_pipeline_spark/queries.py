@@ -5420,10 +5420,14 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tokenizer induction, PCA, sketch audits
 # =====================================================================
 
-@q(
-    "scd2_customer_priority_history",
-    """
-    WITH seq AS (
+
+#: Shared SCD2 dimension build (gaps-and-islands over the orders feed) —
+#: used by BOTH scd2_customer_priority_history and
+#: temporal_join_orders_scd2 so the run-boundary and tie-break rules
+#: cannot drift between the history view and the temporal join. The SQL
+#: twin below is the oracle-side fragment for the same reason.
+_SCD2_DIM_SQL = """
+    seq AS (
       SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
              lag(o_orderpriority) OVER w AS prev_p
       FROM orders
@@ -5440,13 +5444,54 @@ def dow_seasonality_events(spark: SparkSession, sf_dir: str) -> DataFrame:
              min(o_orderpriority) AS priority,
              min(o_orderdate) AS valid_from,
              count(*) AS n_orders
-      FROM runs GROUP BY o_custkey, run_id)
-    SELECT custkey, run_id, priority, valid_from,
-           lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id) AS valid_to,
-           cast(CASE WHEN lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id)
-                          IS NULL THEN 1 ELSE 0 END AS bigint) AS is_current,
+      FROM runs GROUP BY o_custkey, run_id),
+    dim AS (
+      SELECT custkey, run_id, priority, valid_from, n_orders,
+             lead(valid_from) OVER (PARTITION BY custkey ORDER BY run_id)
+               AS valid_to
+      FROM hist)"""
+
+
+def _scd2_priority_dim(o: DataFrame) -> DataFrame:
+    """(custkey, run_id, priority, valid_from, valid_to, n_orders) —
+    each customer's order-priority validity intervals, half-open
+    [valid_from, valid_to), open current interval = null valid_to."""
+    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    runs = o.select(
+        "o_custkey",
+        "o_orderdate",
+        "o_orderkey",
+        "o_orderpriority",
+        F.lag("o_orderpriority").over(wseq).alias("prev_p"),
+    ).withColumn(
+        "run_id",
+        F.sum(
+            F.when(
+                F.col("prev_p").isNull()
+                | (F.col("prev_p") != F.col("o_orderpriority")),
+                1,
+            ).otherwise(0)
+        )
+        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint"),
+    )
+    hist = runs.groupBy(F.col("o_custkey").alias("custkey"), "run_id").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+        F.count("*").alias("n_orders"),
+    )
+    wrun = Window.partitionBy("custkey").orderBy("run_id")
+    return hist.withColumn("valid_to", F.lead("valid_from").over(wrun))
+
+
+@q(
+    "scd2_customer_priority_history",
+    "WITH" + _SCD2_DIM_SQL + """
+    SELECT custkey, run_id, priority, valid_from, valid_to,
+           cast(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS bigint)
+             AS is_current,
            n_orders
-    FROM hist
+    FROM dim
     """,
     tags=("cdc", "scd2", "window"),
 )
@@ -5461,42 +5506,14 @@ def scd2_customer_priority_history(spark: SparkSession, sf_dir: str) -> DataFram
     Scale: every window and the aggregate share ONE partitioning
     (custkey) — a single exchange serves all four steps; intervals per
     customer are tiny so the lead() window never skews."""
-    o = _t(spark, sf_dir, "orders")
-    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    seq = o.select(
-        "o_custkey",
-        "o_orderdate",
-        "o_orderkey",
-        "o_orderpriority",
-        F.lag("o_orderpriority").over(wseq).alias("prev_p"),
-    )
-    runs = seq.withColumn(
-        "run_id",
-        F.sum(
-            F.when(
-                F.col("prev_p").isNull()
-                | (F.col("prev_p") != F.col("o_orderpriority")),
-                1,
-            ).otherwise(0)
-        )
-        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint"),
-    )
-    hist = runs.groupBy(
-        F.col("o_custkey").alias("custkey"), "run_id"
-    ).agg(
-        F.min("o_orderpriority").alias("priority"),
-        F.min("o_orderdate").alias("valid_from"),
-        F.count("*").alias("n_orders"),
-    )
-    wrun = Window.partitionBy("custkey").orderBy("run_id")
-    return hist.select(
+    dim = _scd2_priority_dim(_t(spark, sf_dir, "orders"))
+    return dim.select(
         "custkey",
         "run_id",
         "priority",
         "valid_from",
-        F.lead("valid_from").over(wrun).alias("valid_to"),
-        F.when(F.lead("valid_from").over(wrun).isNull(), 1)
+        "valid_to",
+        F.when(F.col("valid_to").isNull(), 1)
         .otherwise(0)
         .cast("bigint")
         .alias("is_current"),
@@ -5761,11 +5778,13 @@ def cumulative_distinct_users_daily(spark: SparkSession, sf_dir: str) -> DataFra
 def salted_agg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-type event stats computed through the two-stage SALTED
     aggregation (operators/skew.py): every group is split across 16
-    deterministic salts for the wide first stage, then the tiny partial
+    round-robin salts for the wide first stage (value-independent, so a
+    constant-valued hot group still spreads), then the tiny partial
     relation re-aggregates. Decimal-exact partials make the result
-    bit-identical to the direct group-by — which is exactly what the
-    oracle asserts. The pattern that keeps one hot key (a dominant
-    event type at 100 TB) from pinning a single reducer."""
+    bit-identical to the direct group-by at ANY salt assignment — which
+    is exactly what the oracle asserts. The pattern that keeps one hot
+    key (a dominant event type at 100 TB) from pinning a single
+    reducer."""
     from .operators import skew as SK
 
     ev = _t(spark, sf_dir, "events")
@@ -6084,7 +6103,7 @@ def pandas_udaf_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "native_session_window_events",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER w IS NULL
                        OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
                   THEN 1 ELSE 0 END AS new_session
@@ -6092,7 +6111,8 @@ def pandas_udaf_median_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
     sessioned AS (
       SELECT user_id, ts,
-             cast(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             cast(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
                                          ROWS UNBOUNDED PRECEDING) AS bigint) AS sid
       FROM flagged)
     SELECT user_id,
@@ -6270,26 +6290,7 @@ def frame_sample_plan_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "temporal_join_orders_scd2",
-    """
-    WITH seq AS (
-      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-             lag(o_orderpriority) OVER w AS prev_p
-      FROM orders
-      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)),
-    runs AS (
-      SELECT o_custkey, o_orderdate, o_orderkey, o_orderpriority,
-             cast(sum(CASE WHEN prev_p IS NULL OR prev_p <> o_orderpriority
-                           THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                        ROWS UNBOUNDED PRECEDING) AS bigint) AS run_id
-      FROM seq),
-    dim AS (
-      SELECT o_custkey AS custkey, run_id,
-             min(o_orderpriority) AS priority,
-             min(o_orderdate) AS valid_from,
-             lead(min(o_orderdate)) OVER (PARTITION BY o_custkey ORDER BY run_id)
-               AS valid_to
-      FROM runs GROUP BY o_custkey, run_id)
+    "WITH" + _SCD2_DIM_SQL + """
     SELECT d.custkey, d.run_id, d.priority,
            count(*) AS n_orders,
            cast(sum(CASE WHEN o.o_orderpriority = d.priority THEN 1 ELSE 0 END)
@@ -6321,34 +6322,7 @@ def temporal_join_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
     the range probe never degenerates. Half-open [from, to) intervals
     guarantee exactly one match per fact row."""
     o = _t(spark, sf_dir, "orders")
-    wseq = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
-    runs = o.select(
-        "o_custkey",
-        "o_orderdate",
-        "o_orderkey",
-        "o_orderpriority",
-        F.lag("o_orderpriority").over(wseq).alias("prev_p"),
-    ).withColumn(
-        "run_id",
-        F.sum(
-            F.when(
-                F.col("prev_p").isNull()
-                | (F.col("prev_p") != F.col("o_orderpriority")),
-                1,
-            ).otherwise(0)
-        )
-        .over(wseq.rowsBetween(Window.unboundedPreceding, 0))
-        .cast("bigint"),
-    )
-    wrun = Window.partitionBy("custkey").orderBy("run_id")
-    dim = (
-        runs.groupBy(F.col("o_custkey").alias("custkey"), "run_id")
-        .agg(
-            F.min("o_orderpriority").alias("priority"),
-            F.min("o_orderdate").alias("valid_from"),
-        )
-        .withColumn("valid_to", F.lead("valid_from").over(wrun))
-    )
+    dim = _scd2_priority_dim(o).drop("n_orders")
     j = o.join(
         dim,
         (o["o_custkey"] == dim["custkey"])

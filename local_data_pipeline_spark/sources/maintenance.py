@@ -166,11 +166,21 @@ def refresh_aggregate_mv(
         return
     prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    # cache: `touched` and the merge both read the partials — without the
+    # pin the aggregate over the new batch (and the scan feeding it)
+    # would execute twice, breaking the one-pass cost contract
+    partials = partials.cache()
     try:
         touched = [r[0] for r in partials.select(partition_col).distinct().collect()]
-        existing = spark.read.parquet(mv_path).filter(
-            F.col(partition_col).isin(touched)
-        )
+        # NULL partition values: isin() never matches NULL (three-valued
+        # logic), which would DROP the existing null partition's rows
+        # while the dynamic overwrite rewrites that partition — silent
+        # data loss. Match nulls explicitly when the batch touches them.
+        non_null = [t for t in touched if t is not None]
+        cond = F.col(partition_col).isin(non_null)
+        if None in touched:
+            cond = cond | F.col(partition_col).isNull()
+        existing = spark.read.parquet(mv_path).filter(cond)
         merged = existing.unionByName(partials).groupBy(*group_cols).agg(
             F.sum(count_col).cast("bigint").alias(count_col),
             *[
@@ -185,4 +195,5 @@ def refresh_aggregate_mv(
             .parquet(mv_path)
         )
     finally:
+        partials.unpersist()
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)

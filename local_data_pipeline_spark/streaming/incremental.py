@@ -263,12 +263,19 @@ def run_streaming_agg_mv(
     view. ``derive(df)`` optionally adds computed columns (e.g. a date
     partition) before grouping.
 
-    Exactly-once: the MV merge is ADDITIVE, so a retried batch would
-    double-count — a ledger file under the MV records the highest
-    applied batch id and replays are skipped (the standard foreachBatch
-    idempotence pattern; the checkpoint guarantees batch ids are stable
-    across restarts). At 100 TB each tick costs one aggregate over the
-    new files plus a rewrite of the touched partitions only.
+    Replay protection: the MV merge is ADDITIVE, so a retried batch
+    would double-count — a ledger file under the MV records the highest
+    applied batch id (written atomically via rename) and replayed ids
+    are skipped. Honest limits of the pattern: (a) a crash in the window
+    AFTER the merge commits but BEFORE the ledger rename still
+    double-applies that one batch on restart — closing it needs a sink
+    that can commit data+batch-id in one transaction (a lakehouse table
+    storing per-batch partials, compacted later); (b) the ledger is
+    bound to its checkpoint — deleting/recreating the checkpoint resets
+    batch ids to 0, which would silently skip everything, so the ledger
+    records the checkpoint path and a mismatch raises instead.
+    At 100 TB each tick costs one aggregate over the new files plus a
+    rewrite of the touched partitions only.
     """
     import json
     import os
@@ -281,7 +288,16 @@ def run_streaming_agg_mv(
         applied = -1
         if os.path.exists(ledger):
             with open(ledger) as fh:
-                applied = json.load(fh)["max_batch_id"]
+                state = json.load(fh)
+            applied = state["max_batch_id"]
+            if state.get("checkpoint", checkpoint) != checkpoint:
+                raise ValueError(
+                    f"MV ledger {ledger} belongs to checkpoint "
+                    f"{state['checkpoint']!r}, not {checkpoint!r}: batch ids "
+                    "restart from 0 under a new checkpoint and the ledger "
+                    "would silently skip all new data. Reset the MV and "
+                    "ledger together, or reuse the original checkpoint."
+                )
         if batch_id <= applied or batch_df.isEmpty():
             return
         df = derive(batch_df) if derive is not None else batch_df
@@ -293,8 +309,10 @@ def run_streaming_agg_mv(
             partition_col=partition_col,
             sum_cols=sum_cols,
         )
-        with open(ledger, "w") as fh:
-            json.dump({"max_batch_id": batch_id}, fh)
+        tmp = ledger + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"max_batch_id": batch_id, "checkpoint": checkpoint}, fh)
+        os.replace(tmp, ledger)
 
     stream = spark.readStream.schema(schema).parquet(src_path)
     (

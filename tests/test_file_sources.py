@@ -372,3 +372,30 @@ def test_incremental_agg_mv_equals_full_recompute(spark, tmp_path):
         for r in spark.read.parquet(full_path).filter(F.col("dt") == days[0]).collect()
     }
     assert doubled == {k: 2 * v for k, v in base.items()}
+
+
+def test_incremental_agg_mv_preserves_null_partition(spark, tmp_path):
+    """Merging a batch that touches the NULL partition must MERGE with
+    (not replace) the null partition's existing aggregates — isin()
+    alone would drop them under three-valued logic."""
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.sources.maintenance import refresh_aggregate_mv
+
+    p = str(tmp_path / "mv_null")
+    schema = "k string, v double, part string"
+    b1 = spark.createDataFrame([("a", 1.0, None), ("b", 2.0, "p1")], schema)
+    refresh_aggregate_mv(
+        spark, b1, p, group_cols=["part", "k"], partition_col="part",
+        sum_cols={"sv": "v"},
+    )
+    b2 = spark.createDataFrame([("a", 10.0, None)], schema)
+    refresh_aggregate_mv(
+        spark, b2, p, group_cols=["part", "k"], partition_col="part",
+        sum_cols={"sv": "v"},
+    )
+    rows = {
+        (r["part"], r["k"]): (r["n"], float(r["sv"]))
+        for r in spark.read.parquet(p).collect()
+    }
+    assert rows == {(None, "a"): (2, 11.0), ("p1", "b"): (1, 2.0)}
