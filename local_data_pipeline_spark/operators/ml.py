@@ -91,10 +91,15 @@ def train_bpe_merges(
     vocab = word_frequencies(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     )
-    vocab = vocab.select("word", "freq", "syms").cache()
+    vocab = vocab.select("freq", "syms").cache()
     merges: list[tuple[str, str, int]] = []
+    prev = None  # parent cache, dropped once the child is materialized
     try:
         for _ in range(n_merges):
+            # this aggregate is ALSO the job that materializes the
+            # current vocab's cache, so no separate count() pass is
+            # needed per iteration (measured: one job per merge instead
+            # of two)
             pairs = (
                 vocab.select(
                     "freq",
@@ -112,19 +117,21 @@ def train_bpe_merges(
             top = (
                 pairs.orderBy(F.desc("c"), F.asc("l"), F.asc("r")).limit(1).collect()
             )
+            if prev is not None:
+                prev.unpersist()  # child is materialized now
             if not top or top[0]["c"] is None:
                 break
             left, right, count = top[0]["l"], top[0]["r"], int(top[0]["c"])
             merges.append((left, right, count))
             new_vocab = vocab.select(
-                "word",
                 "freq",
                 _merge_adjacent(F.col("syms"), left, right).alias("syms"),
             ).cache()
-            new_vocab.count()  # materialize before dropping the parent
-            vocab.unpersist()
+            prev = vocab
             vocab = new_vocab
     finally:
+        if prev is not None:
+            prev.unpersist()
         vocab.unpersist()
     return merges
 
