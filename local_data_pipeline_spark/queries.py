@@ -6615,6 +6615,116 @@ def cross_source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "try_functions_events",
+    f"""
+    WITH typed AS (
+      SELECT event_type, value,
+             cast(json_extract_string(props, '$.k') AS bigint) AS k
+      FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(CASE WHEN k = 0 THEN 1 ELSE 0 END) AS bigint) AS n_zero_k,
+           cast(sum(cast(floor(coalesce(value / nullif(k, 0), 0.0) * 1000000)
+                         AS bigint)) AS double) / 1000000.0 AS sum_value_per_k
+    FROM typed GROUP BY event_type
+    """,
+    tags=("scalar", "ansi", "error-safe"),
+)
+def try_functions_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic surface: ``try_divide`` returns NULL on
+    division by zero instead of failing the job under ANSI mode — the
+    fault-isolation idiom for dirty data at scale (one bad row must not
+    kill a 100 TB job). The oracle expresses the same semantics with
+    NULLIF; zero-divisor rows are also counted so the null-swallowing is
+    observable, not silent."""
+    ev = _t(spark, sf_dir, "events")
+    typed = ev.select(
+        "event_type",
+        "value",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+    )
+    return typed.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("k") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_zero_k"),
+        # per-row quotients are floored into integer micro-units before
+        # summing: floor() of the same double product is bit-identical on
+        # any engine, where double->decimal casts differ at rounding
+        # midpoints (observed 1e-6 drift on exactly this query)
+        (
+            F.sum(
+                F.floor(
+                    F.coalesce(
+                        F.try_divide(F.col("value"), F.col("k")), F.lit(0.0)
+                    )
+                    * 1000000
+                ).cast("bigint")
+            ).cast("double")
+            / 1000000.0
+        ).alias("sum_value_per_k"),
+    )
+
+
+@q(
+    "out_of_order_rate_events",
+    """
+    WITH seq AS (
+      SELECT event_type, ts,
+             max(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS max_prev_ts
+      FROM events)
+    SELECT event_type,
+           count(*) AS n,
+           cast(sum(CASE WHEN ts < max_prev_ts THEN 1 ELSE 0 END) AS bigint)
+             AS n_late,
+           round(sum(CASE WHEN ts < max_prev_ts THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 6) AS late_rate,
+           cast(coalesce(max(CASE WHEN ts < max_prev_ts
+                  THEN cast(floor(date_part('epoch', max_prev_ts)) AS bigint)
+                       - cast(floor(date_part('epoch', ts)) AS bigint) END), 0)
+                AS bigint) AS max_lateness_s
+    FROM seq GROUP BY event_type
+    """,
+    tags=("streaming", "audit", "watermark"),
+)
+def out_of_order_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Out-of-order arrival diagnostic: treating event_id as ARRIVAL
+    order, how often does an event's timestamp precede the max timestamp
+    already seen for its user, and by how much at worst — exactly the
+    measurement that sizes a streaming watermark delay (PERF: watermark
+    = max observed lateness + margin bounds state without dropping
+    data). One window pass per user, then a per-type rollup."""
+    ev = _t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    seq = ev.select(
+        "event_type", "ts", F.max("ts").over(w).alias("max_prev_ts")
+    )
+    late = F.col("ts") < F.col("max_prev_ts")
+    # TIMESTAMP_NTZ has no direct long cast; unix_seconds floors to epoch
+    # seconds, matching the oracle's floor(epoch(...)) exactly
+    lateness_s = F.expr(
+        "unix_seconds(cast(max_prev_ts as timestamp))"
+        " - unix_seconds(cast(ts as timestamp))"
+    )
+    return seq.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(late, 1).otherwise(0)).cast("bigint").alias("n_late"),
+        F.round(
+            F.sum(F.when(late, 1).otherwise(0)) * 1.0 / F.count("*"), 6
+        ).alias("late_rate"),
+        F.coalesce(F.max(F.when(late, lateness_s)), F.lit(0))
+        .cast("bigint")
+        .alias("max_lateness_s"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
