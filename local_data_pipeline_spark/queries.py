@@ -6726,6 +6726,878 @@ def out_of_order_rate_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # =====================================================================
+# Round-6 additions: curation, attribution, governance, layout planning
+# =====================================================================
+
+
+@q(
+    "boilerplate_removal_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, source, t,
+             unnest(range(0, cast(ceil(len(t) / 5.0) AS bigint))) AS i
+      FROM toks WHERE len(t) > 0),
+    segs AS (
+      SELECT doc_id, source, i AS seg_idx,
+             array_to_string(t[(i*5+1):(i*5+5)], ' ') AS seg
+      FROM idx),
+    src_docs AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs FROM segs GROUP BY source),
+    seg_freq AS (
+      SELECT source, seg, count(DISTINCT doc_id) AS n_docs_with_seg,
+             count(*) AS n_occurrences
+      FROM segs GROUP BY source, seg),
+    flagged AS (
+      SELECT f.source, f.seg, f.n_docs_with_seg, f.n_occurrences,
+             (f.n_docs_with_seg >= greatest(3, cast(ceil(0.10 * d.n_docs) AS bigint)))
+               AS is_boiler
+      FROM seg_freq f JOIN src_docs d ON f.source = d.source),
+    affected AS (
+      SELECT s.source, count(DISTINCT s.doc_id) AS n_docs_affected
+      FROM segs s JOIN flagged fl
+        ON s.source = fl.source AND s.seg = fl.seg AND fl.is_boiler
+      GROUP BY s.source)
+    SELECT d.source, d.n_docs,
+           cast(sum(fl.n_occurrences) AS bigint) AS n_segments,
+           cast(sum(CASE WHEN fl.is_boiler THEN 1 ELSE 0 END) AS bigint)
+             AS n_boiler_templates,
+           cast(sum(CASE WHEN fl.is_boiler THEN fl.n_occurrences ELSE 0 END)
+             AS bigint) AS n_removed_segments,
+           coalesce(max(a.n_docs_affected), 0) AS n_docs_affected
+    FROM src_docs d
+    JOIN flagged fl ON fl.source = d.source
+    LEFT JOIN affected a ON a.source = d.source
+    GROUP BY d.source, d.n_docs
+    """,
+    tags=("text", "curation", "dedup"),
+)
+def boilerplate_removal_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-based boilerplate detection: cut each document into
+    5-token segments; a segment is a boilerplate TEMPLATE within its
+    source when it occurs in >= max(3, 10% ) of that source's documents
+    (headers, footers, nav chrome in a web crawl). Reports per-source
+    template counts and removal attrition — the pass CCNet/RefinedWeb run
+    before dedup, which document-level fingerprints cannot catch.
+
+    Scale shape: one explode (no shuffle), one (source, seg) exchange for
+    the frequency count, one broadcast-back of the tiny per-source doc
+    totals; the affected-docs count re-uses the same exchange. At 100 TB,
+    hash segments to 128-bit fingerprints before the exchange so shuffle
+    rows are fixed-width."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", TX.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") > 0)
+    n_segs = F.ceil(F.size("t") / F.lit(5.0)).cast("int")
+    segs = toks.select(
+        "doc_id",
+        "source",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_segs - 1),
+                lambda i: F.array_join(F.slice(F.col("t"), i * 5 + 1, 5), " "),
+            )
+        ).alias("seg_idx", "seg"),
+    )
+    src_docs = segs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("n_docs")
+    )
+    seg_freq = segs.groupBy("source", "seg").agg(
+        F.countDistinct("doc_id").alias("n_docs_with_seg"),
+        F.count("*").alias("n_occurrences"),
+    )
+    flagged = seg_freq.join(F.broadcast(src_docs), "source").withColumn(
+        "is_boiler",
+        F.col("n_docs_with_seg")
+        >= F.greatest(F.lit(3), F.ceil(0.10 * F.col("n_docs")).cast("bigint")),
+    )
+    affected = (
+        segs.join(
+            flagged.filter("is_boiler").select("source", "seg"),
+            ["source", "seg"],
+        )
+        .groupBy("source")
+        .agg(F.countDistinct("doc_id").alias("n_docs_affected"))
+    )
+    return (
+        flagged.groupBy("source", "n_docs")
+        .agg(
+            F.sum("n_occurrences").cast("bigint").alias("n_segments"),
+            F.sum(F.when(F.col("is_boiler"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_boiler_templates"),
+            F.sum(F.when(F.col("is_boiler"), F.col("n_occurrences")).otherwise(0))
+            .cast("bigint")
+            .alias("n_removed_segments"),
+        )
+        .join(F.broadcast(affected), "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "n_segments",
+            "n_boiler_templates",
+            "n_removed_segments",
+            F.coalesce("n_docs_affected", F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_affected"),
+        )
+    )
+
+
+@q(
+    "attribution_linear_events",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_event, user_id, ts AS p_ts,
+             cast(floor(value * 1000000) AS bigint) AS micros
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT event_id AS t_event, user_id, ts AS t_ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    joined AS (
+      SELECT p.p_event, p.micros, t.t_event, t.event_type
+      FROM purchases p LEFT JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+    credited AS (
+      SELECT p_event, t_event,
+             CASE WHEN t_event IS NULL THEN 'direct' ELSE event_type END AS channel,
+             CASE WHEN t_event IS NULL THEN micros
+                  ELSE micros // count(t_event) OVER (PARTITION BY p_event)
+             END AS credit_micros
+      FROM joined)
+    SELECT channel,
+           cast(count(t_event) AS bigint) AS n_touches,
+           cast(count(DISTINCT p_event) AS bigint) AS n_purchases,
+           cast(sum(credit_micros) AS double) / 1000000.0 AS attributed_value
+    FROM credited GROUP BY channel
+    """,
+    tags=("join", "window", "attribution"),
+)
+def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's value is split
+    equally across the user's click/view touches in the trailing 7 days;
+    purchases with no prior touch credit the 'direct' channel. All money
+    moves as integer micro-units with integer division (`div`), so the
+    split is exact and order-insensitive on any engine (PERF.md quotient
+    -midpoint rule); one double division at the very end.
+
+    Scale shape: the touch join is an equi-join on user_id with a range
+    predicate — hash-partition both sides by user once; the per-purchase
+    touch count is a window over the SAME user-clustered partitioning
+    (no second exchange of the fact)."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("micros"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_event"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    joined = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    ).select("p_event", "micros", "t_event", "event_type")
+    w = Window.partitionBy("p_event")
+    credited = joined.select(
+        "p_event",
+        "t_event",
+        F.when(F.col("t_event").isNull(), F.lit("direct"))
+        .otherwise(F.col("event_type"))
+        .alias("channel"),
+        F.when(F.col("t_event").isNull(), F.col("micros"))
+        .otherwise(F.expr("micros div count(t_event) OVER (PARTITION BY p_event)"))
+        .alias("credit_micros"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("t_event").cast("bigint").alias("n_touches"),
+        F.countDistinct("p_event").cast("bigint").alias("n_purchases"),
+        (F.sum("credit_micros").cast("double") / F.lit(1000000.0)).alias(
+            "attributed_value"
+        ),
+    )
+
+
+@q(
+    "pareto_frontier_parts",
+    """
+    WITH per_price AS (
+      SELECT p_retailprice, max(p_size) AS max_size
+      FROM part GROUP BY p_retailprice),
+    lvl AS (
+      SELECT p_retailprice, max_size,
+             max(max_size) OVER (ORDER BY p_retailprice
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS best_cheaper
+      FROM per_price)
+    SELECT p.p_partkey, p.p_name, p.p_size, p.p_retailprice
+    FROM part p JOIN lvl l ON p.p_retailprice = l.p_retailprice
+    WHERE p.p_size = l.max_size
+      AND (l.best_cheaper IS NULL OR p.p_size > l.best_cheaper)
+    """,
+    tags=("window", "skyline"),
+)
+def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): parts not dominated on (cheaper-or-equal
+    price, larger-or-equal size, strict in one). The naive formulation is
+    an O(n^2) inequality self-join; this is the O(n log n) distributed
+    rewrite — collapse to one row per price level, take the running max
+    size over strictly-cheaper levels with a window, and keep rows that
+    beat it. One exchange on price for the tiny level relation; the join
+    back to parts is a broadcast.
+
+    Dominance accounting: equal (price, size) ties are all kept (neither
+    dominates); an equal-price larger-size part eliminates via
+    `p_size = max_size`; a cheaper equal-size part eliminates via the
+    strict `> best_cheaper`."""
+    part = _t(spark, sf_dir, "part")
+    per_price = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("max_size")
+    )
+    w = (
+        Window.orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lvl = per_price.withColumn("best_cheaper", F.max("max_size").over(w))
+    return (
+        part.join(F.broadcast(lvl), "p_retailprice")
+        .filter(
+            (F.col("p_size") == F.col("max_size"))
+            & (
+                F.col("best_cheaper").isNull()
+                | (F.col("p_size") > F.col("best_cheaper"))
+            )
+        )
+        .select("p_partkey", "p_name", "p_size", "p_retailprice")
+    )
+
+
+@q(
+    "fk_integrity_audit",
+    """
+    WITH checks AS (
+      SELECT 'lineitem.l_orderkey->orders' AS constraint_name,
+             count(*) AS n_rows,
+             cast(sum(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+               AS n_orphans
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+        ON l.l_orderkey = o.o_orderkey
+      UNION ALL
+      SELECT 'lineitem.l_partkey->part', count(*),
+             cast(sum(CASE WHEN p.p_partkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT p_partkey FROM part) p
+        ON l.l_partkey = p.p_partkey
+      UNION ALL
+      SELECT 'lineitem.l_suppkey->supplier', count(*),
+             cast(sum(CASE WHEN s.s_suppkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+      FROM lineitem l LEFT JOIN (SELECT DISTINCT s_suppkey FROM supplier) s
+        ON l.l_suppkey = s.s_suppkey
+      UNION ALL
+      SELECT 'orders.o_custkey->customer', count(*),
+             cast(sum(CASE WHEN c.c_custkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+      FROM orders o LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+        ON o.o_custkey = c.c_custkey
+      UNION ALL
+      SELECT 'customer.c_nationkey->nation', count(*),
+             cast(sum(CASE WHEN n.n_nationkey IS NULL THEN 1 ELSE 0 END) AS bigint)
+      FROM customer c LEFT JOIN (SELECT DISTINCT n_nationkey FROM nation) n
+        ON c.c_nationkey = n.n_nationkey)
+    SELECT constraint_name, n_rows, n_orphans, (n_orphans = 0) AS ok
+    FROM checks
+    """,
+    tags=("quality", "join", "audit"),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: orphan counts for every FK edge in the
+    schema, as one row per constraint — the warehouse-wide data test the
+    reference expresses per-model as dbt `not_null`/relationship tests
+    (SURVEY §2.D7), generalized to the full star schema.
+
+    Scale shape: each check is a left join of the fact against the
+    DISTINCT parent key set — the parent sides here are dimension-sized,
+    so every probe is a broadcast join; no fact table shuffles. The
+    orphan count folds into the same pass (sum of null-parent flags)."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+
+    def check(name, child, fk, parent, pk):
+        keys = parent.select(pk).distinct()
+        joined = child.select(F.col(fk)).join(
+            F.broadcast(keys), child[fk] == keys[pk], "left"
+        )
+        return joined.agg(
+            F.lit(name).alias("constraint_name"),
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col(pk).isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_orphans"),
+        )
+
+    out = (
+        check("lineitem.l_orderkey->orders", li, "l_orderkey", o, "o_orderkey")
+        .unionAll(check("lineitem.l_partkey->part", li, "l_partkey", p, "p_partkey"))
+        .unionAll(
+            check("lineitem.l_suppkey->supplier", li, "l_suppkey", s, "s_suppkey")
+        )
+        .unionAll(check("orders.o_custkey->customer", o, "o_custkey", c, "c_custkey"))
+        .unionAll(
+            check("customer.c_nationkey->nation", c, "c_nationkey", n, "n_nationkey")
+        )
+    )
+    return out.withColumn("ok", F.col("n_orphans") == 0)
+
+
+def _interleave_sql(a: str, b: str, bits: int = 8) -> str:
+    """Portable-arithmetic Morton/Z-order interleave of two ``bits``-bit
+    ints: bit i of ``a`` lands at position 2i+1, of ``b`` at 2i. Pure
+    // % * + so the identical expression runs on Spark and DuckDB."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"(({a} // {1 << i}) % 2) * {1 << (2 * i + 1)}")
+        terms.append(f"(({b} // {1 << i}) % 2) * {1 << (2 * i)}")
+    return " + ".join(terms)
+
+
+@q(
+    "zorder_layout_lineitem",
+    f"""
+    WITH keyed AS (
+      SELECT l_partkey, l_suppkey,
+             {_interleave_sql('(l_partkey % 256)', '(l_suppkey % 256)')} AS zval
+      FROM lineitem)
+    SELECT zval // 1024 AS z_tile,
+           count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_suppliers,
+           min(zval) AS z_min, max(zval) AS z_max
+    FROM keyed GROUP BY z_tile
+    """,
+    tags=("layout", "scale"),
+)
+def zorder_layout_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton curve) layout keys: interleave the low 8 bits of
+    (l_partkey, l_suppkey) into a space-filling-curve value and summarize
+    per 64-cell tile — the clustering key a table optimizer (Delta
+    OPTIMIZE ZORDER BY, Iceberg sort orders) writes so that later
+    two-dimensional predicates prune files on BOTH columns at once. The
+    per-tile distinct counts demonstrate the locality the curve buys.
+
+    The interleave is pure integer arithmetic (``// % *``) — identical
+    semantics on any engine, and on Spark it stays inside whole-stage
+    codegen (no UDF). In production the zval would feed
+    ``repartitionByRange(zval)`` before the write; here we emit the tile
+    histogram that validates the layout."""
+    li = _t(spark, sf_dir, "lineitem")
+    a = F.col("l_partkey") % 256
+    b = F.col("l_suppkey") % 256
+    zval = None
+    for i in range(8):
+        t1 = ((a / (1 << i)).cast("bigint") % 2) * (1 << (2 * i + 1))
+        t2 = ((b / (1 << i)).cast("bigint") % 2) * (1 << (2 * i))
+        term = t1 + t2
+        zval = term if zval is None else zval + term
+    keyed = li.select(
+        "l_partkey", "l_suppkey", zval.cast("bigint").alias("zval")
+    )
+    return keyed.groupBy(
+        (F.col("zval") / 1024).cast("bigint").alias("z_tile")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.min("zval").alias("z_min"),
+        F.max("zval").alias("z_max"),
+    )
+
+
+@q(
+    "compaction_plan_orders",
+    """
+    WITH part_stats AS (
+      SELECT cast(date_trunc('month', o_orderdate) AS date) AS month,
+             count(*) AS n_rows,
+             cast(count(*) * 48
+                  + sum(length(o_orderpriority) + length(o_orderstatus))
+               AS bigint) AS est_bytes
+      FROM orders GROUP BY 1),
+    planned AS (
+      SELECT month, n_rows, est_bytes,
+             greatest(1, cast(ceil(est_bytes / 4194304.0) AS bigint)) AS n_files,
+             cast(avg(n_rows) OVER () AS double) AS avg_rows
+      FROM part_stats)
+    SELECT month, n_rows, est_bytes, n_files,
+           cast(ceil(cast(n_rows AS double) / n_files) AS bigint) AS rows_per_file,
+           (cast(n_rows AS double) > 2.0 * avg_rows) AS is_hot_partition
+    FROM planned
+    """,
+    tags=("layout", "scale", "maintenance"),
+)
+def compaction_plan_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner: per month partition of orders,
+    estimate bytes (fixed-width columns + measured varchar lengths),
+    target 4 MiB output files, and emit the file count + rows-per-file a
+    compaction job (Delta OPTIMIZE / Iceberg rewrite_data_files) would
+    use, flagging partitions >2x the mean as skew candidates for further
+    splitting. This is the table-maintenance metadata pass that keeps a
+    100 TB table's file population scan-friendly; it reads only
+    aggregates, never data, so it costs one exchange on month.
+
+    Numeric determinism: byte estimates are exact integers; the two
+    double divisions (file sizing, skew ratio) are single operations on
+    identical inputs on either engine."""
+    o = _t(spark, sf_dir, "orders")
+    stats = o.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(
+        F.count("*").alias("n_rows"),
+        (
+            F.count("*") * 48
+            + F.sum(F.length("o_orderpriority") + F.length("o_orderstatus"))
+        )
+        .cast("bigint")
+        .alias("est_bytes"),
+    )
+    planned = stats.select(
+        "*",
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.ceil(F.col("est_bytes") / F.lit(4194304.0)).cast("bigint"),
+        ).alias("n_files"),
+        F.avg("n_rows").over(Window.partitionBy()).cast("double").alias("avg_rows"),
+    )
+    return planned.select(
+        "month",
+        "n_rows",
+        "est_bytes",
+        "n_files",
+        F.ceil(F.col("n_rows").cast("double") / F.col("n_files"))
+        .cast("bigint")
+        .alias("rows_per_file"),
+        (F.col("n_rows").cast("double") > 2.0 * F.col("avg_rows")).alias(
+            "is_hot_partition"
+        ),
+    )
+
+
+@q(
+    "k_anonymity_audit_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           cast(floor(c_acctbal / 1000) AS bigint) AS bal_bucket,
+           count(*) AS group_size,
+           (count(*) >= 5) AS meets_k
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment, cast(floor(c_acctbal / 1000) AS bigint)
+    """,
+    tags=("quality", "privacy", "audit"),
+)
+def k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the quasi-identifier tuple (nation, market
+    segment, account-balance band): every equivalence class with its size
+    and a k>=5 flag. Classes below k are re-identification risks a
+    release pipeline must suppress or generalize — the privacy
+    counterpart of the PII scrub (`pii_scrub_documents`).
+
+    One exchange on the quasi-identifier; the class histogram is
+    dimension-sized however large the input, so the audit is
+    map-side-combined and cheap at any scale."""
+    c = _t(spark, sf_dir, "customer")
+    return c.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000).cast("bigint").alias("bal_bucket"),
+    ).agg(
+        F.count("*").alias("group_size"),
+        (F.count("*") >= 5).alias("meets_k"),
+    )
+
+
+def _ewma_terms(cents: str = "cents") -> tuple[str, str]:
+    """(numerator, denominator) SQL for a binary-weighted trailing-8 EWMA:
+    weight 2^(7-j) for lag j. Integer-only until the final division, so
+    the value is exact and engine-independent."""
+    num = " + ".join(
+        f"coalesce(lag({cents}, {j}) OVER w, 0) * {1 << (7 - j)}"
+        for j in range(8)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag({cents}, {j}) OVER w IS NULL THEN 0 ELSE {1 << (7 - j)} END)"
+        for j in range(8)
+    )
+    return num, den
+
+
+@q(
+    "ewma_value_by_user",
+    f"""
+    WITH base AS (
+      SELECT user_id, event_id, value,
+             cast(floor(value * 100) AS bigint) AS cents, ts
+      FROM events),
+    terms AS (
+      SELECT user_id, event_id, value,
+             {_ewma_terms()[0]} AS num,
+             {_ewma_terms()[1]} AS den
+      FROM base
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id, value,
+           (cast(num AS double) / cast(den AS double)) / 100.0 AS ewma_value
+    FROM terms
+    """,
+    tags=("window", "timeseries"),
+)
+def ewma_value_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (halving weights, trailing 8
+    events) of `value` per user — the smoothing pass behind rate
+    monitoring and anomaly scoring. Classic EWMA is a sequential
+    recurrence (state_i = a*x_i + (1-a)*state_{i-1}) that doesn't
+    parallelize; with a=1/2 the influence horizon is 8 events
+    (2^-8 < 0.4%), so the recurrence truncates EXACTLY into 8 window
+    lags with integer weights 128..1 — embarrassingly parallel per user
+    and deterministic: integer cents x power-of-two weights, one double
+    division at the end (PERF.md quotient rule).
+
+    Scale shape: a single user_id exchange serves all 16 lag reads (one
+    Window operator, one sort)."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id",
+        "event_id",
+        "value",
+        F.floor(F.col("value") * 100).cast("bigint").alias("cents"),
+        "ts",
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = None
+    den = None
+    for j in range(8):
+        weight = 1 << (7 - j)
+        lagc = F.lag("cents", j).over(w)
+        tn = F.coalesce(lagc, F.lit(0)) * weight
+        td = F.when(lagc.isNull(), 0).otherwise(weight)
+        num = tn if num is None else num + tn
+        den = td if den is None else den + td
+    return base.select(
+        "user_id",
+        "event_id",
+        "value",
+        (
+            (num.cast("double") / den.cast("double")) / F.lit(100.0)
+        ).alias("ewma_value"),
+    )
+
+
+@q(
+    "expectation_audit_lineitem",
+    """
+    WITH agg AS (
+      SELECT count(*) AS n_checked,
+             cast(sum(CASE WHEN l_quantity < 1 OR l_quantity > 50
+                           THEN 1 ELSE 0 END) AS bigint) AS v_quantity_range,
+             cast(sum(CASE WHEN l_discount < 0 OR l_discount > 0.1
+                           THEN 1 ELSE 0 END) AS bigint) AS v_discount_range,
+             cast(sum(CASE WHEN l_extendedprice <= 0 THEN 1 ELSE 0 END) AS bigint)
+               AS v_price_positive,
+             cast(sum(CASE WHEN l_returnflag NOT IN ('A','N','R')
+                           THEN 1 ELSE 0 END) AS bigint) AS v_returnflag_domain,
+             cast(sum(CASE WHEN l_linestatus NOT IN ('O','F')
+                           THEN 1 ELSE 0 END) AS bigint) AS v_linestatus_domain,
+             cast(sum(CASE WHEN l_shipdate IS NULL THEN 1 ELSE 0 END) AS bigint)
+               AS v_shipdate_not_null,
+             count(*) - count(DISTINCT l_orderkey || '#' || l_linenumber)
+               AS v_pk_unique
+      FROM lineitem)
+    SELECT u.expectation, a.n_checked, u.n_violations,
+           (u.n_violations = 0) AS pass
+    FROM agg a, LATERAL (VALUES
+      ('quantity_in_1_50', a.v_quantity_range),
+      ('discount_in_0_0.1', a.v_discount_range),
+      ('extendedprice_positive', a.v_price_positive),
+      ('returnflag_in_domain', a.v_returnflag_domain),
+      ('linestatus_in_domain', a.v_linestatus_domain),
+      ('shipdate_not_null', a.v_shipdate_not_null),
+      ('orderkey_linenumber_unique', a.v_pk_unique)
+    ) AS u(expectation, n_violations)
+    """,
+    tags=("quality", "audit"),
+)
+def expectation_audit_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expectation-suite audit (Great-Expectations shape): seven checks —
+    range, domain, positivity, not-null, composite-key uniqueness — over
+    lineitem in ONE scan, unpivoted to a row per expectation with its
+    violation count. Extends the reference's per-model dbt data tests
+    (SURVEY §2.D7) to a declarative suite.
+
+    Scale shape: every check folds into the same partial aggregate
+    (map-side combined); uniqueness rides the same pass as a distinct
+    count on the composite key. One job, one scan, 7 rows out."""
+    li = _t(spark, sf_dir, "lineitem")
+    agg = li.agg(
+        F.count("*").alias("n_checked"),
+        F.sum(
+            F.when((F.col("l_quantity") < 1) | (F.col("l_quantity") > 50), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("quantity_in_1_50"),
+        F.sum(
+            F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1)
+            .otherwise(0)
+        ).cast("bigint").alias("discount_in_0_0.1"),
+        F.sum(F.when(F.col("l_extendedprice") <= 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("extendedprice_positive"),
+        F.sum(F.when(~F.col("l_returnflag").isin("A", "N", "R"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("returnflag_in_domain"),
+        F.sum(F.when(~F.col("l_linestatus").isin("O", "F"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("linestatus_in_domain"),
+        F.sum(F.when(F.col("l_shipdate").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("shipdate_not_null"),
+        (
+            F.count("*")
+            - F.countDistinct(
+                F.concat_ws("#", F.col("l_orderkey"), F.col("l_linenumber"))
+            )
+        ).alias("orderkey_linenumber_unique"),
+    )
+    names = [
+        "quantity_in_1_50",
+        "discount_in_0_0.1",
+        "extendedprice_positive",
+        "returnflag_in_domain",
+        "linestatus_in_domain",
+        "shipdate_not_null",
+        "orderkey_linenumber_unique",
+    ]
+    stack_expr = "stack({}, {}) as (expectation, n_violations)".format(
+        len(names), ", ".join(f"'{n}', `{n}`" for n in names)
+    )
+    return agg.select(F.col("n_checked"), F.expr(stack_expr)).select(
+        "expectation",
+        "n_checked",
+        "n_violations",
+        (F.col("n_violations") == 0).alias("pass"),
+    )
+
+
+@q(
+    "content_hash_manifest_documents",
+    """
+    SELECT source, count(*) AS n_docs,
+           count(DISTINCT md5(text)) AS n_distinct_md5,
+           min(md5(text)) AS min_md5,
+           min(sha256(text)) AS min_sha256,
+           cast(sum(length(text)) AS bigint) AS total_chars
+    FROM documents GROUP BY source
+    """,
+    tags=("functions", "dedup", "audit"),
+)
+def content_hash_manifest_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cryptographic content manifest: per-source MD5/SHA-256 digest
+    stats — the content-addressing layer under dataset versioning and
+    cross-replica integrity checks (a per-file manifest at 100 TB). MD5
+    and SHA-256 are standard built-ins on both engines and hash to
+    identical lowercase hex, so the manifest is portable; distinct-digest
+    vs row counts also re-derives the exact-dup rate from digests alone.
+
+    Scale shape: digests computed in the scan projection (JVM codegen),
+    one source exchange for the rollup."""
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct(F.md5("text")).alias("n_distinct_md5"),
+        F.min(F.md5("text")).alias("min_md5"),
+        F.min(F.sha2("text", 256)).alias("min_sha256"),
+        F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+    )
+
+
+@q(
+    "hourly_activity_bitmap",
+    """
+    WITH per_user_day AS (
+      SELECT user_id, cast(ts AS date) AS dt,
+             bit_or(cast(1 AS bigint) << cast(extract(hour FROM ts) AS int))
+               AS hour_bitmap
+      FROM events GROUP BY user_id, cast(ts AS date))
+    SELECT dt,
+           count(*) AS n_users,
+           cast(sum(bit_count(hour_bitmap)) AS bigint) AS total_active_hours,
+           cast(max(bit_count(hour_bitmap)) AS bigint) AS max_active_hours,
+           cast(sum(CASE WHEN hour_bitmap % 4096 > 0 THEN 1 ELSE 0 END) AS bigint)
+             AS n_am_users
+    FROM per_user_day GROUP BY dt
+    """,
+    tags=("agg", "bitmap", "scale"),
+)
+def hourly_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index activity rollup: per (user, day) OR the hours of
+    activity into a 24-bit bitmap (`bit_or(1 << hour)`), then per day
+    count users, popcount active hours, and test the AM half-day with
+    arithmetic (`% 4096`). Bitmaps turn per-hour distinct bookkeeping
+    into fixed 8-byte values that merge associatively — the same trick
+    roaring-bitmap engines use for audience/segment membership at scale,
+    and the partial-aggregates shuffle is one long per user-day.
+
+    All-integer, so exact on any engine."""
+    ev = _t(spark, sf_dir, "events")
+    per_user_day = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("dt")
+    ).agg(
+        F.expr("bit_or(shiftleft(cast(1 as bigint), hour(ts)))").alias(
+            "hour_bitmap"
+        )
+    )
+    return per_user_day.groupBy("dt").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.bit_count("hour_bitmap")).cast("bigint").alias(
+            "total_active_hours"
+        ),
+        F.max(F.bit_count("hour_bitmap")).cast("bigint").alias(
+            "max_active_hours"
+        ),
+        F.sum(F.when(F.col("hour_bitmap") % 4096 > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_am_users"),
+    )
+
+
+@q(
+    "rfm_segmentation_customers",
+    f"""
+    WITH anchor AS (SELECT max(o_orderdate) AS max_d FROM orders),
+    per_cust AS (
+      SELECT o_custkey,
+             date_diff('day', cast(max(o_orderdate) AS date),
+                       cast((SELECT max_d FROM anchor) AS date)) AS recency_days,
+             count(*) AS frequency,
+             {dsum_sql('o_totalprice')} AS monetary
+      FROM orders GROUP BY o_custkey),
+    scored AS (
+      SELECT o_custkey, recency_days, frequency, monetary,
+             ntile(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+             ntile(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+             ntile(4) OVER (ORDER BY monetary DESC, o_custkey) AS m_q
+      FROM per_cust)
+    SELECT r_q, f_q, m_q, count(*) AS n_customers,
+           {dsum_sql('monetary')} AS total_monetary
+    FROM scored GROUP BY r_q, f_q, m_q
+    """,
+    tags=("window", "segmentation"),
+)
+def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per customer compute Recency (days since last
+    order, anchored to the corpus max date), Frequency (order count), and
+    Monetary (exact-decimal spend), quartile each with ntile under a
+    TOTAL order (metric, custkey — ntile is only deterministic with a
+    tie-broken order), and report the segment grid with customer counts
+    and exact spend totals — the classic CRM cube.
+
+    Scale shape: one custkey exchange for the profile; the three ntiles
+    share one pass over the small per-customer relation. At true scale
+    the global ntile sort would become a range-partitioned rank (the
+    distributed_cumsum pattern in operators/)."""
+    o = _t(spark, sf_dir, "orders")
+    anchor = o.agg(F.max("o_orderdate").alias("max_d"))
+    per_cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count("*").alias("frequency"),
+            dsum("o_totalprice").alias("monetary"),
+        )
+        .crossJoin(F.broadcast(anchor))
+        .select(
+            "o_custkey",
+            F.datediff(
+                F.col("max_d").cast("date"), F.col("last_order").cast("date")
+            ).cast("bigint").alias("recency_days"),
+            "frequency",
+            "monetary",
+        )
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        "recency_days",
+        "frequency",
+        "monetary",
+        F.ntile(4)
+        .over(Window.orderBy("recency_days", "o_custkey"))
+        .alias("r_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f_q"),
+        F.ntile(4)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m_q"),
+    )
+    return scored.groupBy("r_q", "f_q", "m_q").agg(
+        F.count("*").alias("n_customers"),
+        dsum("monetary").alias("total_monetary"),
+    )
+
+
+@q("ann_recall_eval", None, tags=("similarity", "eval"))
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation: recall@10 of the two approximate
+    neighbor indexes (hyperplane LSH, IVF) against exact brute-force
+    cosine ground truth, over a deterministic query sample
+    (vec_id % 97 == 0). This is the eval loop that tunes n_planes /
+    n_probe before an index rolls out corpus-wide; rows-only check
+    (the hash-banded indexes are not SQL-expressible — see
+    operators/similarity.py).
+
+    Output: one row per method with mean recall@10 as an exact integer
+    ratio (hits / (10 * n_queries), single double division)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    truth = SIM.brute_force_topk(qs, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    results = []
+    for method, df in (
+        ("lsh", SIM.lsh_topk(qs, emb, k=10, n_planes=6)),
+        ("ivf", SIM.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=4)),
+    ):
+        hits = (
+            df.select("query_id", "neighbor_id")
+            .join(truth, ["query_id", "neighbor_id"])
+            .agg(F.count("*").alias("n_hits"))
+            .select(F.lit(method).alias("method"), "n_hits")
+        )
+        results.append(hits)
+    nq = qs.count()
+    out = results[0].unionAll(results[1])
+    return out.select(
+        "method",
+        F.lit(nq).cast("bigint").alias("n_queries"),
+        "n_hits",
+        (F.col("n_hits").cast("double") / F.lit(float(10 * nq))).alias(
+            "mean_recall_at_10"
+        ),
+    )
+
+
+# =====================================================================
 # Driver-facing declaration order
 # =====================================================================
 # The driver's correctness gate verifies a 50-query PREFIX of the

@@ -1,0 +1,259 @@
+"""Round-6 operator invariants beyond the oracle hash checks: skyline
+dominance, EWMA closed-form, Z-order interleaving, attribution value
+conservation, bitmap popcounts, hash manifests, expectation suites, and
+ANN recall bounds."""
+
+import hashlib
+import math
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.queries import QUERIES
+from local_data_pipeline_spark.session import load_table
+
+from conftest import SF_DIR
+
+
+# ------------------------------------------------------- pareto skyline
+
+def test_pareto_frontier_has_no_dominated_rows(spark):
+    """Brute-force O(n^2) dominance check over the full part table: no
+    returned part may be dominated, and every non-returned part must be
+    dominated by someone (the frontier is exactly the skyline)."""
+    parts = [
+        (r["p_partkey"], r["p_size"], r["p_retailprice"])
+        for r in load_table(spark, SF_DIR, "part")
+        .select("p_partkey", "p_size", "p_retailprice")
+        .collect()
+    ]
+    frontier = {
+        r["p_partkey"]
+        for r in QUERIES["pareto_frontier_parts"].fn(spark, SF_DIR).collect()
+    }
+
+    def dominated(me):
+        k, s, p = me
+        return any(
+            op <= p and os >= s and (op < p or os > s)
+            for ok, os, op in parts
+            if ok != k
+        )
+
+    for row in parts:
+        assert (row[0] in frontier) == (not dominated(row)), row
+
+
+# ------------------------------------------------------------- EWMA
+
+def test_ewma_matches_sequential_reference(spark):
+    """The 8-lag windowed formulation must equal the truncated sequential
+    EWMA: weights 2^(7-j) over the trailing 8 events (newest heaviest)."""
+    rows = QUERIES["ewma_value_by_user"].fn(spark, SF_DIR).collect()
+    ev = sorted(
+        (
+            (r["user_id"], r["ts"], r["event_id"], r["value"])
+            for r in load_table(spark, SF_DIR, "events")
+            .select("user_id", "ts", "event_id", "value")
+            .collect()
+        ),
+    )
+    per_user: dict[int, list] = {}
+    for u, ts, eid, v in ev:
+        per_user.setdefault(u, []).append((ts, eid, v))
+    expect = {}
+    for u, seq in per_user.items():
+        seq.sort()
+        for i in range(len(seq)):
+            num = den = 0
+            for j in range(min(8, i + 1)):
+                w = 1 << (7 - j)
+                num += math.floor(seq[i - j][2] * 100) * w
+                den += w
+            expect[(u, seq[i][1])] = (num / den) / 100.0
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert r["ewma_value"] == pytest.approx(
+            expect[(r["user_id"], r["event_id"])], abs=0, rel=0
+        ), (r["user_id"], r["event_id"])
+
+
+# ------------------------------------------------------------ Z-order
+
+def _interleave(a: int, b: int, bits: int = 8) -> int:
+    z = 0
+    for i in range(bits):
+        z |= ((a >> i) & 1) << (2 * i + 1)
+        z |= ((b >> i) & 1) << (2 * i)
+    return z
+
+
+def test_zorder_tiles_match_python_interleave(spark):
+    """Tile histogram recomputed from a pure-Python Morton code must match
+    the arithmetic-only SQL interleave exactly."""
+    li = [
+        (r["l_partkey"], r["l_suppkey"])
+        for r in load_table(spark, SF_DIR, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .collect()
+    ]
+    want: dict[int, int] = {}
+    for pk, sk in li:
+        z = _interleave(pk % 256, sk % 256)
+        want[z // 1024] = want.get(z // 1024, 0) + 1
+    got = {
+        r["z_tile"]: r["n_rows"]
+        for r in QUERIES["zorder_layout_lineitem"].fn(spark, SF_DIR).collect()
+    }
+    assert got == want
+
+
+# -------------------------------------------------------- attribution
+
+def test_attribution_conserves_purchase_value(spark):
+    """Every purchase is credited exactly once: the per-channel purchase
+    counts cover all purchases, and total attributed value is within
+    floor-division loss (< 1 micro-unit per touch) of total purchase
+    value, never above."""
+    out = {
+        r["channel"]: r
+        for r in QUERIES["attribution_linear_events"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    p = ev.filter(F.col("event_type") == "purchase")
+    total_micros = p.select(
+        F.sum(F.floor(F.col("value") * 1000000).cast("bigint"))
+    ).first()[0]
+    attributed = sum(r["attributed_value"] for r in out.values())
+    n_touches = sum(r["n_touches"] for r in out.values())
+    assert attributed <= total_micros / 1e6 + 1e-9
+    assert attributed >= (total_micros - n_touches) / 1e6 - 1e-9
+    assert set(out) <= {"click", "view", "direct"}
+
+
+# ------------------------------------------------------------- bitmap
+
+def test_hourly_bitmap_popcount_equals_exact_distinct(spark):
+    """sum(bit_count(bitmap)) per day == exact count of distinct
+    (user, hour) pairs that day — the bitmap loses nothing at day scope."""
+    ev = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["dt"]: r["n"]
+        for r in ev.select(
+            F.col("ts").cast("date").alias("dt"),
+            "user_id",
+            F.hour("ts").alias("h"),
+        )
+        .distinct()
+        .groupBy("dt")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    got = QUERIES["hourly_activity_bitmap"].fn(spark, SF_DIR).collect()
+    assert {r["dt"]: r["total_active_hours"] for r in got} == exact
+
+
+# ----------------------------------------------------------- manifest
+
+def test_content_hash_manifest_matches_hashlib(spark):
+    """Spark md5/sha2 agree with Python hashlib (and with DuckDB, per the
+    oracle test) — the manifest is portable content addressing."""
+    docs = load_table(spark, SF_DIR, "documents").limit(5).collect()
+    df = spark.createDataFrame([(r["text"],) for r in docs], ["text"])
+    got = df.select(
+        F.md5("text").alias("m"), F.sha2("text", 256).alias("s"), "text"
+    ).collect()
+    for r in got:
+        assert r["m"] == hashlib.md5(r["text"].encode()).hexdigest()
+        assert r["s"] == hashlib.sha256(r["text"].encode()).hexdigest()
+
+
+# ------------------------------------------------- audits / governance
+
+def test_fk_integrity_clean_on_generated_data(spark):
+    rows = QUERIES["fk_integrity_audit"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r["ok"] and r["n_orphans"] == 0 for r in rows)
+
+
+def test_expectation_audit_counts_real_violations(spark):
+    """Value/domain/null checks are clean on the generated data; the
+    composite-key uniqueness check must report EXACTLY the true duplicate
+    count (the generator does emit duplicate (orderkey, linenumber)
+    pairs — a defect the audit exists to catch)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    li_n = li.count()
+    true_dups = li_n - li.select("l_orderkey", "l_linenumber").distinct().count()
+    rows = {
+        r["expectation"]: r
+        for r in QUERIES["expectation_audit_lineitem"].fn(spark, SF_DIR).collect()
+    }
+    assert len(rows) == 7
+    assert all(r["n_checked"] == li_n for r in rows.values())
+    pk = rows.pop("orderkey_linenumber_unique")
+    assert pk["n_violations"] == true_dups
+    assert pk["pass"] == (true_dups == 0)
+    assert all(r["pass"] and r["n_violations"] == 0 for r in rows.values())
+
+
+def test_k_anonymity_partitions_all_customers(spark):
+    c_n = load_table(spark, SF_DIR, "customer").count()
+    rows = QUERIES["k_anonymity_audit_customers"].fn(spark, SF_DIR).collect()
+    assert sum(r["group_size"] for r in rows) == c_n
+    assert all((r["group_size"] >= 5) == r["meets_k"] for r in rows)
+
+
+def test_rfm_covers_every_ordering_customer(spark):
+    n_cust = (
+        load_table(spark, SF_DIR, "orders").select("o_custkey").distinct().count()
+    )
+    rows = QUERIES["rfm_segmentation_customers"].fn(spark, SF_DIR).collect()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_q"] <= 4 and 1 <= r["f_q"] <= 4 and 1 <= r["m_q"] <= 4
+
+
+def test_compaction_plan_capacity_covers_rows(spark):
+    rows = QUERIES["compaction_plan_orders"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        assert r["n_files"] >= 1
+        assert r["rows_per_file"] * r["n_files"] >= r["n_rows"]
+
+
+# -------------------------------------------------------- boilerplate
+
+def test_boilerplate_accounting_invariants(spark):
+    rows = QUERIES["boilerplate_removal_documents"].fn(spark, SF_DIR).collect()
+    docs = load_table(spark, SF_DIR, "documents")
+    n_docs_per_src = {
+        r["source"]: r["n"]
+        for r in docs.filter(F.trim("text") != "")
+        .groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert {r["source"] for r in rows} == set(n_docs_per_src)
+    for r in rows:
+        assert r["n_docs"] == n_docs_per_src[r["source"]]
+        assert 0 <= r["n_removed_segments"] <= r["n_segments"]
+        assert 0 <= r["n_docs_affected"] <= r["n_docs"]
+        # a flagged template implies at least threshold-many docs touched
+        if r["n_boiler_templates"] > 0:
+            assert r["n_docs_affected"] >= 3
+
+
+# --------------------------------------------------------- ANN recall
+
+def test_ann_recall_bounds_and_brute_force_floor(spark):
+    rows = {
+        r["method"]: r
+        for r in QUERIES["ann_recall_eval"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == {"lsh", "ivf"}
+    for r in rows.values():
+        assert 0.0 <= r["mean_recall_at_10"] <= 1.0
+        assert r["n_hits"] <= 10 * r["n_queries"]
+    # IVF probing 4/16 cells should recover a meaningful share
+    assert rows["ivf"]["mean_recall_at_10"] > 0.2
