@@ -6784,32 +6784,38 @@ def boilerplate_removal_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     template counts and removal attrition — the pass CCNet/RefinedWeb run
     before dedup, which document-level fingerprints cannot catch.
 
-    Scale shape: one explode (no shuffle), one (source, seg) exchange for
-    the frequency count, one broadcast-back of the tiny per-source doc
-    totals; the affected-docs count re-uses the same exchange. At 100 TB,
-    hash segments to 128-bit fingerprints before the exchange so shuffle
-    rows are fixed-width."""
+    Scale shape: ONE explode collapsed immediately into the per
+    (source, seg, doc_id) relation — everything downstream (template
+    frequency, flagging, affected-doc counts) derives from that compact
+    aggregate, so the raw segment stream is shuffled exactly once (the
+    Catalyst DAG re-derives it for the affected-side probe; at 100 TB
+    persist seg_doc or cut it as an intermediate table). The per-source
+    doc totals come straight off the un-exploded table and broadcast. At
+    100 TB, hash segments to 128-bit fingerprints before the exchange so
+    shuffle rows are fixed-width."""
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", "source", TX.tokens(F.col("text")).alias("t")
     ).filter(F.size("t") > 0)
     n_segs = F.ceil(F.size("t") / F.lit(5.0)).cast("int")
-    segs = toks.select(
-        "doc_id",
-        "source",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_segs - 1),
-                lambda i: F.array_join(F.slice(F.col("t"), i * 5 + 1, 5), " "),
-            )
-        ).alias("seg_idx", "seg"),
+    seg_doc = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), n_segs - 1),
+                    lambda i: F.array_join(F.slice(F.col("t"), i * 5 + 1, 5), " "),
+                )
+            ).alias("seg"),
+        )
+        .groupBy("source", "seg", "doc_id")
+        .agg(F.count("*").alias("n_occ"))
     )
-    src_docs = segs.groupBy("source").agg(
-        F.countDistinct("doc_id").alias("n_docs")
-    )
-    seg_freq = segs.groupBy("source", "seg").agg(
-        F.countDistinct("doc_id").alias("n_docs_with_seg"),
-        F.count("*").alias("n_occurrences"),
+    src_docs = toks.groupBy("source").agg(F.count("*").alias("n_docs"))
+    seg_freq = seg_doc.groupBy("source", "seg").agg(
+        F.count("*").alias("n_docs_with_seg"),
+        F.sum("n_occ").alias("n_occurrences"),
     )
     flagged = seg_freq.join(F.broadcast(src_docs), "source").withColumn(
         "is_boiler",
@@ -6817,7 +6823,7 @@ def boilerplate_removal_documents(spark: SparkSession, sf_dir: str) -> DataFrame
         >= F.greatest(F.lit(3), F.ceil(0.10 * F.col("n_docs")).cast("bigint")),
     )
     affected = (
-        segs.join(
+        seg_doc.join(
             flagged.filter("is_boiler").select("source", "seg"),
             ["source", "seg"],
         )
@@ -7594,6 +7600,521 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n_hits").cast("double") / F.lit(float(10 * nq))).alias(
             "mean_recall_at_10"
         ),
+    )
+
+
+@q(
+    "incident_session_overlap_events",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr, count(*) AS n_err
+      FROM events WHERE event_type = 'error' GROUP BY 1),
+    thresh AS (
+      SELECT cast(sum(n_err) AS double) / count(*) AS avg_err FROM hourly),
+    incidents AS (
+      SELECT hr, n_err,
+             cast(floor(epoch(hr)) AS bigint) AS a
+      FROM hourly, thresh WHERE cast(n_err AS double) >= 2.0 * avg_err),
+    marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       IS NULL
+                    OR epoch_us(ts)
+                       - epoch_us(lag(ts) OVER (PARTITION BY user_id
+                                                ORDER BY ts, event_id))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events),
+    numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS session_id
+      FROM marked),
+    sessions AS (
+      SELECT user_id, session_id,
+             cast(floor(epoch(min(ts))) AS bigint) AS s_f,
+             cast(floor(epoch(max(ts))) AS bigint) AS e_f
+      FROM numbered GROUP BY user_id, session_id),
+    ovl AS (
+      SELECT i.hr, i.n_err, s.user_id, s.session_id,
+             greatest(0, least(s.e_f, i.a + 3599) - greatest(s.s_f, i.a) + 1)
+               AS ov_s
+      FROM sessions s JOIN incidents i
+        ON s.s_f < i.a + 3600 AND s.e_f >= i.a)
+    SELECT hr AS incident_hour, n_err,
+           count(*) AS n_sessions_hit,
+           count(DISTINCT user_id) AS n_users_hit,
+           cast(sum(ov_s) AS bigint) AS total_overlap_s
+    FROM ovl GROUP BY hr, n_err
+    """,
+    tags=("join", "interval", "sessionize"),
+)
+def incident_session_overlap_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap join: error-rate incidents (hours with >= 2x the
+    mean hourly error count) overlapped against per-user 30-minute-gap
+    activity sessions — which sessions were exposed to each incident and
+    for how long. This is the interval x interval shape (blast-radius /
+    SLA attribution) that `range_join_purchases_in_sessions` (point x
+    interval) doesn't cover.
+
+    Scale shape: the incident list is hour-granular — tiny at any data
+    size — so it broadcasts and the overlap join never shuffles the
+    session side; sessions come from one user_id exchange (two window
+    passes over the same sort). Overlap lengths are integer epoch
+    seconds (floor(epoch()) on both engines), exactly comparable."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = (
+        ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n_err"))
+    )
+    thresh = hourly.agg(
+        (F.sum("n_err").cast("double") / F.count("*")).alias("avg_err")
+    )
+    incidents = (
+        hourly.crossJoin(F.broadcast(thresh))
+        .filter(F.col("n_err").cast("double") >= 2.0 * F.col("avg_err"))
+        .select(
+            "hr",
+            "n_err",
+            F.expr("unix_seconds(cast(hr as timestamp))").alias("a"),
+        )
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    with_us = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.expr("unix_micros(cast(ts as timestamp))").alias("ts_us"),
+    )
+    marked = with_us.select(
+        "user_id",
+        "ts",
+        F.when(
+            F.lag("ts_us").over(w).isNull()
+            | (F.col("ts_us") - F.lag("ts_us").over(w) > 1800000000),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    wn = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    numbered = marked.select(
+        "user_id", "ts", F.sum("is_new").over(wn).alias("session_id")
+    )
+    sessions = numbered.groupBy("user_id", "session_id").agg(
+        F.expr("unix_seconds(cast(min(ts) as timestamp))").alias("s_f"),
+        F.expr("unix_seconds(cast(max(ts) as timestamp))").alias("e_f"),
+    )
+    overlaps = sessions.join(
+        F.broadcast(incidents),
+        (F.col("s_f") < F.col("a") + 3600) & (F.col("e_f") >= F.col("a")),
+    ).select(
+        "hr",
+        "n_err",
+        "user_id",
+        "session_id",
+        F.greatest(
+            F.lit(0).cast("bigint"),
+            F.least(F.col("e_f"), F.col("a") + 3599)
+            - F.greatest(F.col("s_f"), F.col("a"))
+            + 1,
+        ).alias("ov_s"),
+    )
+    return overlaps.groupBy(
+        F.col("hr").alias("incident_hour"), "n_err"
+    ).agg(
+        F.count("*").alias("n_sessions_hit"),
+        F.countDistinct("user_id").alias("n_users_hit"),
+        F.sum("ov_s").cast("bigint").alias("total_overlap_s"),
+    )
+
+
+@q(
+    "mad_robust_anomalies_events",
+    """
+    WITH base AS (
+      SELECT event_type, event_id,
+             cast(floor(value * 100) AS bigint) AS c
+      FROM events),
+    r1 AS (
+      SELECT event_type, event_id, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY c, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM base),
+    med AS (
+      SELECT event_type, cast(sum(c) AS bigint) AS m2
+      FROM r1
+      WHERE rn = cast(floor((n + 1) / 2) AS bigint)
+         OR rn = cast(floor(n / 2) AS bigint) + 1
+      GROUP BY event_type
+      HAVING count(*) IN (1, 2)),
+    med_fix AS (
+      -- odd n hits a single middle row: double it to keep m2 = 2x median
+      SELECT r.event_type,
+             CASE WHEN max(r.n) % 2 = 1 THEN 2 * max(m.m2) ELSE max(m.m2) END AS m2
+      FROM r1 r JOIN med m ON r.event_type = m.event_type
+      GROUP BY r.event_type),
+    dev AS (
+      SELECT b.event_type, b.event_id, b.c,
+             abs(2 * b.c - m.m2) AS d
+      FROM base b JOIN med_fix m ON b.event_type = m.event_type),
+    r2 AS (
+      SELECT event_type, event_id, c, d,
+             row_number() OVER (PARTITION BY event_type ORDER BY d, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM dev),
+    mad AS (
+      SELECT event_type, cast(sum(d) AS bigint) AS d2raw, count(*) AS hits
+      FROM r2
+      WHERE rn = cast(floor((n + 1) / 2) AS bigint)
+         OR rn = cast(floor(n / 2) AS bigint) + 1
+      GROUP BY event_type),
+    mad_fix AS (
+      SELECT r.event_type,
+             CASE WHEN max(r.n) % 2 = 1 THEN 2 * max(ma.d2raw)
+                  ELSE max(ma.d2raw) END AS d2
+      FROM r2 r JOIN mad ma ON r.event_type = ma.event_type
+      GROUP BY r.event_type)
+    SELECT d.event_type,
+           count(*) AS n,
+           cast(max(m.m2) AS double) / 200.0 AS median_value,
+           cast(max(x.d2) AS double) / 400.0 AS mad_value,
+           cast(sum(CASE WHEN 2 * d.d > 3 * x.d2 THEN 1 ELSE 0 END) AS bigint)
+             AS n_anomalies
+    FROM dev d
+    JOIN med_fix m ON d.event_type = m.event_type
+    JOIN mad_fix x ON d.event_type = x.event_type
+    GROUP BY d.event_type
+    """,
+    tags=("agg", "median", "anomaly"),
+)
+def mad_robust_anomalies_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outlier detection per event type — the
+    robust alternative to the rolling z-score (`zscore_anomalies_events`):
+    median and MAD are insensitive to the very outliers being hunted.
+    Values move as integer cents; the median rides as 2x-median (sum of
+    the two middle order statistics, doubled when n is odd), deviations
+    as 2x, MAD as 4x — so `|x - med| > 3 * MAD` becomes the EXACT integer
+    test `2*dev > 3*mad4x`, bit-identical on any engine; doubles appear
+    only in the two display divisions.
+
+    Scale shape: two ranking passes over the same event_type exchange
+    (value rank, then deviation rank) — the distributed exact-median
+    pattern (`distributed_exact_median_value`) applied twice, never
+    collecting a group."""
+    ev = _t(spark, sf_dir, "events")
+    base = ev.select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100).cast("bigint").alias("c"),
+    )
+
+    def two_x_median(df: DataFrame, col: str) -> DataFrame:
+        wr = Window.partitionBy("event_type").orderBy(col, "event_id")
+        wn = Window.partitionBy("event_type")
+        ranked = df.select(
+            "event_type",
+            F.col(col),
+            F.row_number().over(wr).alias("rn"),
+            F.count("*").over(wn).alias("n"),
+        )
+        lo = F.floor((F.col("n") + 1) / 2)
+        hi = F.floor(F.col("n") / 2) + 1
+        mid = ranked.filter((F.col("rn") == lo) | (F.col("rn") == hi))
+        return mid.groupBy("event_type").agg(
+            F.when(
+                F.max("n") % 2 == 1, 2 * F.sum(col)
+            )
+            .otherwise(F.sum(col))
+            .cast("bigint")
+            .alias(f"{col}2x"),
+        )
+
+    med = two_x_median(base, "c").withColumnRenamed("c2x", "m2")
+    dev = base.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "event_id",
+        "c",
+        F.abs(2 * F.col("c") - F.col("m2")).alias("d"),
+    )
+    mad = two_x_median(dev, "d").withColumnRenamed("d2x", "d2")
+    joined = dev.join(F.broadcast(med), "event_type").join(
+        F.broadcast(mad), "event_type"
+    )
+    return joined.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        (F.max("m2").cast("double") / 200.0).alias("median_value"),
+        (F.max("d2").cast("double") / 400.0).alias("mad_value"),
+        F.sum(F.when(2 * F.col("d") > 3 * F.col("d2"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalies"),
+    )
+
+
+@q(
+    "benford_audit_orders",
+    """
+    WITH digits AS (
+      SELECT cast(substr(cast(cast(floor(o_totalprice) AS bigint) AS varchar), 1, 1)
+                  AS bigint) AS d
+      FROM orders WHERE o_totalprice >= 1),
+    obs AS (
+      SELECT d, count(*) AS n_obs FROM digits GROUP BY d),
+    tot AS (SELECT cast(sum(n_obs) AS bigint) AS n FROM obs)
+    SELECT o.d AS first_digit, o.n_obs,
+           round(ln(1.0 + 1.0 / o.d) / ln(10.0), 6) AS benford_p,
+           round(t.n * round(ln(1.0 + 1.0 / o.d) / ln(10.0), 6), 6) AS expected_n,
+           round(cast(o.n_obs AS double)
+                 / round(t.n * round(ln(1.0 + 1.0 / o.d) / ln(10.0), 6), 6), 6)
+             AS obs_over_expected
+    FROM obs o, tot t
+    """,
+    tags=("quality", "audit", "stats"),
+)
+def benford_audit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law audit: distribution of the first significant digit
+    of order totals against the log10(1 + 1/d) expectation — the
+    classic fraud / synthetic-data screen (fabricated amounts flatten
+    the curve). First digits extract via integer + string ops (no
+    float log bucketing); the expected shares round at 6 decimals
+    before any multiplication so both engines chain identical doubles
+    (the `token_entropy_documents` ln-determinism pattern).
+
+    One scan, digit histogram is 9 rows — map-side combined, scan-bound
+    at any scale."""
+    o = _t(spark, sf_dir, "orders")
+    digits = o.filter(F.col("o_totalprice") >= 1).select(
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("bigint")
+        .alias("d")
+    )
+    obs = digits.groupBy("d").agg(F.count("*").alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").cast("bigint").alias("n"))
+    p = F.round(F.log(F.lit(1.0) + F.lit(1.0) / F.col("d")) / F.log(F.lit(10.0)), 6)
+    expected = F.round(F.col("n") * p, 6)
+    return obs.crossJoin(F.broadcast(tot)).select(
+        F.col("d").alias("first_digit"),
+        "n_obs",
+        p.alias("benford_p"),
+        expected.alias("expected_n"),
+        F.round(F.col("n_obs").cast("double") / expected, 6).alias(
+            "obs_over_expected"
+        ),
+    )
+
+
+@q(
+    "gini_spend_concentration",
+    """
+    WITH spend AS (
+      SELECT o.o_custkey, c.c_nationkey,
+             cast(sum(cast(floor(o.o_totalprice * 100) AS bigint)) AS bigint)
+               AS cents
+      FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      GROUP BY o.o_custkey, c.c_nationkey),
+    ranked AS (
+      SELECT c_nationkey, cents,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY cents, o_custkey) AS rn
+      FROM spend)
+    SELECT c_nationkey,
+           count(*) AS n_customers,
+           cast(sum(cents) AS double) / 100.0 AS total_spend,
+           round((2.0 * cast(sum(rn * cents) AS double))
+                 / (cast(count(*) AS double) * cast(sum(cents) AS double))
+                 - (cast(count(*) AS double) + 1.0) / cast(count(*) AS double),
+                 6) AS gini
+    FROM ranked GROUP BY c_nationkey
+    """,
+    tags=("window", "stats", "inequality"),
+)
+def gini_spend_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of customer spend per nation — revenue
+    concentration (0 = equal, ->1 = one whale) via the rank formula
+    G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over spend sorted ascending.
+    Spend accumulates as integer cents (floor per order row), the rank
+    moment sum(rn*cents) stays a bigint, and the Gini itself is a fixed
+    chain of double ops rounded at 6 — deterministic cross-engine.
+
+    Scale shape: one custkey exchange for the spend rollup (customer
+    joins broadcast), one nationkey exchange for the rank — partitioned
+    ranking, no global sort."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    spend = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")),
+               o.o_custkey == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+    )
+    wr = Window.partitionBy("c_nationkey").orderBy("cents", "o_custkey")
+    ranked = spend.select(
+        "c_nationkey", "cents", F.row_number().over(wr).alias("rn")
+    )
+    n = F.count("*").cast("double")
+    tot = F.sum("cents").cast("double")
+    return ranked.groupBy("c_nationkey").agg(
+        F.count("*").alias("n_customers"),
+        (F.sum("cents").cast("double") / 100.0).alias("total_spend"),
+        F.round(
+            (2.0 * F.sum(F.col("rn") * F.col("cents")).cast("double"))
+            / (n * tot)
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+@q(
+    "ab_test_conversion_events",
+    """
+    WITH assigned AS (
+      SELECT user_id,
+             ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::BIGINT % 2
+               AS arm,
+             CASE WHEN min(CASE WHEN event_type = 'purchase'
+                                THEN epoch_us(ts) END)
+                       - min(epoch_us(ts)) <= 86400000000
+                  THEN 1 ELSE 0 END AS converted,
+             cast(sum(CASE WHEN event_type = 'purchase'
+                           THEN cast(floor(value * 100) AS bigint)
+                           ELSE 0 END) AS bigint) AS purchase_cents
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT cast(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS bigint) AS n_a,
+             cast(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS bigint) AS n_b,
+             cast(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END) AS bigint)
+               AS conv_a,
+             cast(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END) AS bigint)
+               AS conv_b,
+             cast(sum(CASE WHEN arm = 0 THEN purchase_cents ELSE 0 END)
+                  AS double) / 100.0 AS value_a,
+             cast(sum(CASE WHEN arm = 1 THEN purchase_cents ELSE 0 END)
+                  AS double) / 100.0 AS value_b
+      FROM assigned),
+    se AS (
+      SELECT *,
+             sqrt((cast(conv_a + conv_b AS double) / (n_a + n_b))
+                  * (1.0 - cast(conv_a + conv_b AS double) / (n_a + n_b))
+                  * (1.0 / n_a + 1.0 / n_b)) AS stderr
+      FROM arms)
+    SELECT n_a, n_b, conv_a, conv_b, value_a, value_b,
+           round(cast(conv_a AS double) / n_a, 6) AS rate_a,
+           round(cast(conv_b AS double) / n_b, 6) AS rate_b,
+           round(cast(conv_b AS double) / n_b - cast(conv_a AS double) / n_a, 6)
+             AS abs_lift,
+           CASE WHEN stderr > 0
+                THEN round((cast(conv_b AS double) / n_b
+                            - cast(conv_a AS double) / n_a) / stderr, 6)
+           END AS z_score
+    FROM se
+    """,
+    tags=("stats", "experiment"),
+)
+def ab_test_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-arm experiment readout: users deterministically assigned by
+    md5-bucket parity (the cross-engine splitter from
+    `hash_split_documents`), per-arm activation conversion (first
+    purchase within 24h of the user's first event — "any purchase ever"
+    saturates at ~100% and degenerates the z-test), purchase value,
+    absolute lift, and the two-proportion pooled z-statistic (NULL when
+    the pooled rate is degenerate — the stderr guard). Counts and money
+    are exact integers; rate / lift / z are identical double chains
+    rounded at 6 on both engines.
+
+    Scale shape: one user_id exchange for the per-user rollup, then a
+    single-row conditional aggregate — no per-arm shuffles, no skew
+    (arm is derived, never a join key)."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+    assigned = ev.groupBy("user_id").agg(
+        F.when(
+            F.min(F.when(F.col("event_type") == "purchase", ts_us))
+            - F.min(ts_us)
+            <= 86400000000,
+            1,
+        )
+        .otherwise(0)
+        .alias("converted"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase",
+                F.floor(F.col("value") * 100).cast("bigint"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("purchase_cents"),
+    ).select(
+        "*",
+        (
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 2
+        ).alias("arm"),
+    )
+    arms = assigned.agg(
+        F.sum(F.when(F.col("arm") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("arm") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("arm") == 0, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("arm") == 1, F.col("converted")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+        (
+            F.sum(
+                F.when(F.col("arm") == 0, F.col("purchase_cents")).otherwise(0)
+            ).cast("double")
+            / 100.0
+        ).alias("value_a"),
+        (
+            F.sum(
+                F.when(F.col("arm") == 1, F.col("purchase_cents")).otherwise(0)
+            ).cast("double")
+            / 100.0
+        ).alias("value_b"),
+    )
+    pooled = (F.col("conv_a") + F.col("conv_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    )
+    se = arms.withColumn(
+        "stderr",
+        F.sqrt(
+            pooled
+            * (1.0 - pooled)
+            * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+        ),
+    )
+    rate_a = F.col("conv_a").cast("double") / F.col("n_a")
+    rate_b = F.col("conv_b").cast("double") / F.col("n_b")
+    return se.select(
+        "n_a",
+        "n_b",
+        "conv_a",
+        "conv_b",
+        "value_a",
+        "value_b",
+        F.round(rate_a, 6).alias("rate_a"),
+        F.round(rate_b, 6).alias("rate_b"),
+        F.round(rate_b - rate_a, 6).alias("abs_lift"),
+        F.when(
+            F.col("stderr") > 0,
+            F.round((rate_b - rate_a) / F.col("stderr"), 6),
+        ).alias("z_score"),
     )
 
 

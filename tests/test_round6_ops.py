@@ -257,3 +257,113 @@ def test_ann_recall_bounds_and_brute_force_floor(spark):
         assert r["n_hits"] <= 10 * r["n_queries"]
     # IVF probing 4/16 cells should recover a meaningful share
     assert rows["ivf"]["mean_recall_at_10"] > 0.2
+
+
+# ----------------------------------------------------- incident overlap
+
+def test_incident_overlap_matches_recomputed_incidents(spark):
+    """Reported incident hours must be exactly the hours with >= 2x the
+    mean hourly error count; overlap seconds are positive and bounded by
+    3600 * sessions."""
+    ev = load_table(spark, SF_DIR, "events")
+    hourly = {
+        r["hr"]: r["n"]
+        for r in ev.filter(F.col("event_type") == "error")
+        .groupBy(F.date_trunc("hour", "ts").alias("hr"))
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    avg = sum(hourly.values()) / len(hourly)
+    want_hours = {h for h, n in hourly.items() if n >= 2.0 * avg}
+    rows = QUERIES["incident_session_overlap_events"].fn(spark, SF_DIR).collect()
+    got_hours = {r["incident_hour"] for r in rows}
+    # every reported hour is a true incident (sessions always exist to hit)
+    assert got_hours == want_hours
+    for r in rows:
+        assert r["n_err"] == hourly[r["incident_hour"]]
+        assert 0 < r["n_users_hit"] <= r["n_sessions_hit"]
+        assert 0 < r["total_overlap_s"] <= 3600 * r["n_sessions_hit"]
+
+
+# ---------------------------------------------------------------- MAD
+
+def test_mad_matches_numpy_reference(spark):
+    import numpy as np
+
+    ev = load_table(spark, SF_DIR, "events")
+    data = {}
+    for r in ev.select("event_type", "value").collect():
+        data.setdefault(r["event_type"], []).append(math.floor(r["value"] * 100))
+    rows = {
+        r["event_type"]: r
+        for r in QUERIES["mad_robust_anomalies_events"].fn(spark, SF_DIR).collect()
+    }
+    for et, cents in data.items():
+        med = float(np.median(np.array(cents)))
+        dev = [abs(c - med) for c in cents]
+        mad = float(np.median(np.array(dev)))
+        r = rows[et]
+        assert r["median_value"] == pytest.approx(med / 100.0)
+        assert r["mad_value"] == pytest.approx(mad / 100.0)
+        assert r["n_anomalies"] == sum(1 for d in dev if d > 3 * mad)
+
+
+# ------------------------------------------------------------- benford
+
+def test_benford_expected_shares_sum_to_one(spark):
+    rows = QUERIES["benford_audit_orders"].fn(spark, SF_DIR).collect()
+    n_filtered = (
+        load_table(spark, SF_DIR, "orders").filter("o_totalprice >= 1").count()
+    )
+    assert sum(r["n_obs"] for r in rows) == n_filtered
+    assert sum(r["benford_p"] for r in rows) == pytest.approx(1.0, abs=1e-5)
+    for r in rows:
+        assert 1 <= r["first_digit"] <= 9
+        assert r["obs_over_expected"] > 0
+
+
+# ---------------------------------------------------------------- gini
+
+def test_gini_matches_python_reference(spark):
+    o = load_table(spark, SF_DIR, "orders")
+    c = load_table(spark, SF_DIR, "customer")
+    spend = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+        )
+        .collect()
+    )
+    per_nation = {}
+    for r in spend:
+        per_nation.setdefault(r["c_nationkey"], []).append(
+            (r["cents"], r["o_custkey"])
+        )
+    rows = {
+        r["c_nationkey"]: r
+        for r in QUERIES["gini_spend_concentration"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(per_nation)
+    for nk, xs in per_nation.items():
+        xs.sort()
+        n = len(xs)
+        tot = sum(x for x, _ in xs)
+        num = sum((i + 1) * x for i, (x, _) in enumerate(xs))
+        gini = 2.0 * num / (n * tot) - (n + 1.0) / n
+        assert rows[nk]["gini"] == pytest.approx(gini, abs=1e-6)
+        assert 0.0 <= rows[nk]["gini"] < 1.0
+
+
+# ------------------------------------------------------------- AB test
+
+def test_ab_test_covers_all_users_and_z_sign(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    n_users = ev.select("user_id").distinct().count()
+    r = QUERIES["ab_test_conversion_events"].fn(spark, SF_DIR).collect()[0]
+    assert r["n_a"] + r["n_b"] == n_users
+    assert 0 <= r["conv_a"] <= r["n_a"] and 0 <= r["conv_b"] <= r["n_b"]
+    # conversion must not be saturated (the metric exists to avoid that)
+    assert 0 < r["conv_a"] + r["conv_b"] < r["n_a"] + r["n_b"]
+    if r["z_score"] is not None and r["abs_lift"] != 0:
+        assert (r["z_score"] > 0) == (r["abs_lift"] > 0)
