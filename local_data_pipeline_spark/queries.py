@@ -8118,6 +8118,315 @@ def ab_test_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "autocorr_daily_value",
+    """
+    WITH daily AS (
+      SELECT cast(ts AS date) AS dt,
+             cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS c
+      FROM events GROUP BY cast(ts AS date)),
+    seq AS (
+      SELECT dt, c, row_number() OVER (ORDER BY dt) AS rn,
+             count(*) OVER () AS n
+      FROM daily),
+    ks AS (SELECT unnest(range(1, 8)) AS k),
+    pairs AS (
+      SELECT k.k, a.c AS x, b.c AS y
+      FROM ks k JOIN seq a ON true JOIN seq b ON b.rn = a.rn + k.k),
+    moments AS (
+      SELECT k,
+             cast(count(*) AS bigint) AS m,
+             cast(sum(x) AS bigint) AS sx,
+             cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * y) AS bigint) AS sxy,
+             cast(sum(x * x) AS bigint) AS sxx,
+             cast(sum(y * y) AS bigint) AS syy
+      FROM pairs GROUP BY k)
+    SELECT k AS lag_days, m AS n_pairs,
+           round((cast(m AS double) * sxy - cast(sx AS double) * sy)
+                 / (sqrt(cast(m AS double) * sxx - cast(sx AS double) * sx)
+                    * sqrt(cast(m AS double) * syy - cast(sy AS double) * sy)),
+                 6) AS autocorr
+    FROM moments
+    """,
+    tags=("timeseries", "stats"),
+)
+def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lag-1..7 autocorrelation of the daily total event value — the
+    seasonality/persistence diagnostic behind forecasting and anomaly
+    baselines. Daily totals are exact integer cents; each lag's Pearson
+    correlation comes from the integer sufficient statistics
+    (n, Σx, Σy, Σxy, Σx², Σy²) so the only doubles are one fixed
+    round-6 expression per lag — deterministic at any parallelism.
+
+    Scale shape: the daily rollup is one dt exchange; the lagged pairing
+    is a self-join of the DAY-GRAIN relation (≤ ~3650 rows at a decade
+    of data) — broadcastable however big the raw table is."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("dt")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    seq = daily.select(
+        "dt", "c", F.row_number().over(Window.orderBy("dt")).alias("rn")
+    )
+    ks = spark.range(1, 8).select(F.col("id").alias("k"))
+    a, b = seq.alias("a"), seq.alias("b")
+    pairs = ks.crossJoin(a).join(
+        b, F.col("b.rn") == F.col("a.rn") + F.col("k")
+    ).select("k", F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+    m = pairs.groupBy("k").agg(
+        F.count("*").cast("bigint").alias("m"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+    )
+    md = lambda c: F.col(c).cast("double")  # noqa: E731
+    return m.select(
+        F.col("k").alias("lag_days"),
+        F.col("m").alias("n_pairs"),
+        F.round(
+            (md("m") * F.col("sxy") - md("sx") * F.col("sy"))
+            / (
+                F.sqrt(md("m") * F.col("sxx") - md("sx") * F.col("sx"))
+                * F.sqrt(md("m") * F.col("syy") - md("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("autocorr"),
+    )
+
+
+@q(
+    "changepoint_mean_shift_events",
+    """
+    WITH daily AS (
+      SELECT event_type, cast(ts AS date) AS dt, count(*) AS c
+      FROM events GROUP BY event_type, cast(ts AS date)),
+    seq AS (
+      SELECT event_type, dt, c,
+             row_number() OVER (PARTITION BY event_type ORDER BY dt) AS t,
+             cast(sum(c) OVER (PARTITION BY event_type ORDER BY dt
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS bigint) AS pre,
+             cast(sum(c) OVER (PARTITION BY event_type) AS bigint) AS tot,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM daily),
+    stats AS (
+      SELECT event_type, dt, t, n,
+             round(sqrt(cast(t AS double) * (n - t) / n)
+                   * abs(cast(pre AS double) / t
+                         - cast(tot - pre AS double) / (n - t)), 6) AS shift_stat,
+             round(cast(pre AS double) / t, 6) AS mean_before,
+             round(cast(tot - pre AS double) / (n - t), 6) AS mean_after
+      FROM seq WHERE t < n),
+    best AS (
+      SELECT *, row_number() OVER (PARTITION BY event_type
+                                   ORDER BY shift_stat DESC, dt ASC) AS rk
+      FROM stats)
+    SELECT event_type, dt AS change_day, shift_stat, mean_before, mean_after
+    FROM best WHERE rk = 1
+    """,
+    tags=("timeseries", "anomaly", "changepoint"),
+)
+def changepoint_mean_shift_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection (binary-segmentation step): per event
+    type, the split day maximizing the standardized mean shift
+    sqrt(t(n-t)/n) * |mean_before - mean_after| over the daily count
+    series — the CUSUM-family statistic that flags when a metric's level
+    changed. Every candidate split is scored from integer prefix sums in
+    ONE window pass (no per-candidate scan); the stat rounds at 6 before
+    the argmax so the ranking is cross-engine deterministic.
+
+    Scale shape: one exchange to the day grain, one window pass, one
+    ranked reduction — candidate count = days, not rows."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("dt")
+    ).agg(F.count("*").alias("c"))
+    wt = Window.partitionBy("event_type").orderBy("dt")
+    wp = Window.partitionBy("event_type")
+    seq = daily.select(
+        "event_type",
+        "dt",
+        F.row_number().over(wt).alias("t"),
+        F.sum("c")
+        .over(wt.rowsBetween(Window.unboundedPreceding, 0))
+        .cast("bigint")
+        .alias("pre"),
+        F.sum("c").over(wp).cast("bigint").alias("tot"),
+        F.count("*").over(wp).alias("n"),
+    )
+    t, n = F.col("t"), F.col("n")
+    pre, tot = F.col("pre").cast("double"), F.col("tot").cast("double")
+    stats = seq.filter(t < n).select(
+        "event_type",
+        "dt",
+        F.round(
+            F.sqrt(t.cast("double") * (n - t) / n)
+            * F.abs(pre / t - (tot - pre) / (n - t)),
+            6,
+        ).alias("shift_stat"),
+        F.round(pre / t, 6).alias("mean_before"),
+        F.round((tot - pre) / (n - t), 6).alias("mean_after"),
+    )
+    wr = Window.partitionBy("event_type").orderBy(
+        F.desc("shift_stat"), F.asc("dt")
+    )
+    return (
+        stats.withColumn("rk", F.row_number().over(wr))
+        .filter("rk = 1")
+        .select(
+            "event_type",
+            F.col("dt").alias("change_day"),
+            "shift_stat",
+            "mean_before",
+            "mean_after",
+        )
+    )
+
+
+@q(
+    "seasonal_decompose_daily_value",
+    f"""
+    WITH daily AS (
+      SELECT cast(ts AS date) AS dt,
+             cast(sum(cast(floor(value * 100) AS bigint)) AS bigint) AS c
+      FROM events GROUP BY cast(ts AS date)),
+    trended AS (
+      SELECT dt, c,
+             CASE WHEN count(*) OVER w7 = 7
+                  THEN round(cast(sum(c) OVER w7 AS double) / 700.0, 6)
+             END AS trend,
+             isodow(dt) AS dow
+      FROM daily
+      WINDOW w7 AS (ORDER BY dt ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+    detrended AS (
+      SELECT dt, dow, c, trend,
+             round(cast(c AS double) / 100.0 - trend, 6) AS detr
+      FROM trended),
+    seasonal AS (
+      SELECT dow, {dsum_sql('detr')} / count(detr) AS s
+      FROM detrended GROUP BY dow)
+    SELECT d.dt, round(cast(d.c AS double) / 100.0, 6) AS value,
+           d.trend,
+           round(s.s, 6) AS seasonal,
+           round(d.detr - round(s.s, 6), 6) AS residual
+    FROM detrended d JOIN seasonal s ON d.dow = s.dow
+    """,
+    tags=("timeseries", "decomposition"),
+)
+def seasonal_decompose_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (moving-average STL-lite) of the
+    daily event value series: trend = centered 7-day moving average
+    (NULL at the edges where the window is partial), weekday seasonal =
+    mean of the detrended series per ISO weekday, residual = remainder.
+    Daily totals are integer cents; the trend is one exact-integer
+    window sum with a single division; detrended values round at 6
+    before the exact-decimal seasonal mean (the dsum rule), so the
+    decomposition is bit-stable on any engine.
+
+    Scale shape: two exchanges (day grain, weekday grain) over a
+    day-grain relation — constant-sized regardless of raw volume."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("dt")).agg(
+        F.sum(F.floor(F.col("value") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("c")
+    )
+    w7 = Window.orderBy("dt").rowsBetween(-3, 3)
+    trended = daily.select(
+        "dt",
+        "c",
+        F.when(
+            F.count("*").over(w7) == 7,
+            F.round(F.sum("c").over(w7).cast("double") / 700.0, 6),
+        ).alias("trend"),
+        (F.expr("weekday(dt)") + 1).cast("bigint").alias("dow"),
+    )
+    detrended = trended.select(
+        "dt",
+        "dow",
+        "c",
+        "trend",
+        F.round(F.col("c").cast("double") / 100.0 - F.col("trend"), 6).alias(
+            "detr"
+        ),
+    )
+    seasonal = detrended.groupBy("dow").agg(davg("detr").alias("s"))
+    return detrended.join(F.broadcast(seasonal), "dow").select(
+        "dt",
+        F.round(F.col("c").cast("double") / 100.0, 6).alias("value"),
+        "trend",
+        F.round("s", 6).alias("seasonal"),
+        F.round(F.col("detr") - F.round(F.col("s"), 6), 6).alias("residual"),
+    )
+
+
+@q(
+    "fulfillment_latency_orders",
+    f"""
+    WITH lat AS (
+      SELECT l.l_returnflag,
+             date_diff('day', cast(o.o_orderdate AS date),
+                       cast(l.l_shipdate AS date)) AS latency_days
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    b AS (
+      SELECT l_returnflag,
+             CASE WHEN latency_days < 0 THEN -1
+                  ELSE least(latency_days // 30, 4) END AS bucket,
+             latency_days
+      FROM lat)
+    SELECT l_returnflag, bucket,
+           count(*) AS n,
+           min(latency_days) AS min_days,
+           max(latency_days) AS max_days,
+           {davg_sql('latency_days')} AS avg_days
+    FROM b GROUP BY l_returnflag, bucket
+    """,
+    tags=("join", "histogram", "latency"),
+)
+def fulfillment_latency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-to-ship latency distribution: days between order placement
+    and line-item shipment, bucketed in 30-day bands (capped at 120+,
+    negatives flagged as a -1 data-quality band) per return flag — the
+    operational-SLA histogram every fulfillment pipeline reports.
+    Latencies are integer day diffs; only the band average is a double
+    (exact-decimal dsum / count).
+
+    Scale shape: the orders join is the schema's canonical co-partition
+    candidate — bucketed layouts make it shuffle-free
+    (operators/bucketing.py); the band histogram is map-side combined."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        "l_returnflag",
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("latency_days"),
+    )
+    b = lat.select(
+        "l_returnflag",
+        F.when(F.col("latency_days") < 0, F.lit(-1).cast("bigint"))
+        .otherwise(F.least(F.expr("latency_days div 30"), F.lit(4).cast("bigint")))
+        .alias("bucket"),
+        "latency_days",
+    )
+    return b.groupBy("l_returnflag", "bucket").agg(
+        F.count("*").alias("n"),
+        F.min("latency_days").alias("min_days"),
+        F.max("latency_days").alias("max_days"),
+        davg("latency_days").alias("avg_days"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
@@ -8126,11 +8435,13 @@ def ab_test_conversion_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 # names in CORRECTNESS_r02.json), so the prefix below is curated for
 # category breadth — reference parity, JSON/VARIANT, TPC-H joins and
 # subqueries, grouping sets/pivot, window/time-series families, as-of /
-# range / lateral joins, dedup + clustering, text curation, similarity —
-# every entry oracle-hash-checked (no rows-only checks in the prefix)
-# and cheap at sf0.01. All remaining queries keep their original
-# relative order after the prefix and stay fully declared (bench runs
-# everything; tests/tools check all 110 against their oracles).
+# range / lateral joins, dedup + clustering, text curation, similarity,
+# plus round-6 governance/attribution families (expectation audit,
+# linear attribution, EWMA, MAD anomalies, Gini, RFM) — every entry
+# oracle-hash-checked (no rows-only checks in the prefix) and cheap at
+# sf0.01. All remaining queries keep their original relative order
+# after the prefix and stay fully declared (bench runs everything;
+# tests/tools check every oracle).
 _PRIORITY: tuple[str, ...] = (
     # reference parity + JSON
     "daily_max_event",
@@ -8141,8 +8452,8 @@ _PRIORITY: tuple[str, ...] = (
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q7_volume_shipping",
-    "q9_product_profit",
+    "expectation_audit_lineitem",
+    "attribution_linear_events",
     "q22_idle_rich_customers",
     "q2_min_cost_supplier",
     "q4_order_priority_checking",
@@ -8158,16 +8469,16 @@ _PRIORITY: tuple[str, ...] = (
     "grouping_sets_lineitem",
     "pivot_linestatus_by_flag",
     "unpivot_lineitem_measures",
-    "distinct_agg_orders",
-    "conditional_agg_lineitem",
+    "rfm_segmentation_customers",
+    "gini_spend_concentration",
     "percentiles_lineitem",
     "string_agg_nations_per_region",
     # window / time-series family
     "running_total_orders",
-    "trailing_30d_spend",
+    "ewma_value_by_user",
     "window_rank_family_orders",
     "sessionize_events",
-    "tumbling_hourly_events",
+    "mad_robust_anomalies_events",
     "hypertable_rollup_events",
     "funnel_conversion_events",
     "cohort_retention_events",

@@ -367,3 +367,99 @@ def test_ab_test_covers_all_users_and_z_sign(spark):
     assert 0 < r["conv_a"] + r["conv_b"] < r["n_a"] + r["n_b"]
     if r["z_score"] is not None and r["abs_lift"] != 0:
         assert (r["z_score"] > 0) == (r["abs_lift"] > 0)
+
+
+# ---------------------------------------------------------- autocorr
+
+def test_autocorr_matches_numpy_reference(spark):
+    import numpy as np
+
+    ev = load_table(spark, SF_DIR, "events")
+    daily = sorted(
+        (r["dt"], r["c"])
+        for r in ev.groupBy(F.col("ts").cast("date").alias("dt"))
+        .agg(
+            F.sum(F.floor(F.col("value") * 100).cast("bigint")).alias("c")
+        )
+        .collect()
+    )
+    xs = np.array([c for _, c in daily], dtype=float)
+    rows = {
+        r["lag_days"]: r
+        for r in QUERIES["autocorr_daily_value"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(range(1, 8))
+    for k in range(1, 8):
+        x, y = xs[:-k], xs[k:]
+        r_np = float(np.corrcoef(x, y)[0, 1])
+        assert rows[k]["n_pairs"] == len(x)
+        assert rows[k]["autocorr"] == pytest.approx(r_np, abs=1e-5)
+
+
+# -------------------------------------------------------- changepoint
+
+def test_changepoint_maximizes_shift_stat(spark):
+    """Recompute every candidate split in Python; the reported day must
+    achieve the maximum standardized mean shift (first day on ties)."""
+    ev = load_table(spark, SF_DIR, "events")
+    daily = {}
+    for r in (
+        ev.groupBy("event_type", F.col("ts").cast("date").alias("dt"))
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ):
+        daily.setdefault(r["event_type"], []).append((r["dt"], r["c"]))
+    got = {
+        r["event_type"]: r
+        for r in QUERIES["changepoint_mean_shift_events"].fn(spark, SF_DIR).collect()
+    }
+    for et, series in daily.items():
+        series.sort()
+        n = len(series)
+        cum, best = 0, None
+        for t, (dt, c) in enumerate(series, start=1):
+            cum += c
+            if t == n:
+                break
+            tot = sum(x for _, x in series)
+            stat = round(
+                math.sqrt(t * (n - t) / n) * abs(cum / t - (tot - cum) / (n - t)),
+                6,
+            )
+            if best is None or stat > best[0]:
+                best = (stat, dt)
+        assert got[et]["shift_stat"] == pytest.approx(best[0], abs=1e-6)
+        assert got[et]["change_day"] == best[1]
+
+
+# ----------------------------------------------------------- seasonal
+
+def test_seasonal_decomposition_reconstructs(spark):
+    """trend + seasonal + residual == value wherever trend is defined
+    (up to the documented 6-decimal roundings), and the seasonal term
+    depends only on the weekday."""
+    rows = QUERIES["seasonal_decompose_daily_value"].fn(spark, SF_DIR).collect()
+    assert rows
+    by_dow = {}
+    for r in rows:
+        if r["trend"] is not None:
+            recon = r["trend"] + r["seasonal"] + r["residual"]
+            assert recon == pytest.approx(r["value"], abs=5e-6)
+            by_dow.setdefault(r["dt"].isoweekday(), set()).add(r["seasonal"])
+    for dow, vals in by_dow.items():
+        assert len(vals) == 1, f"seasonal not constant within weekday {dow}"
+
+
+# ---------------------------------------------------------- latency
+
+def test_fulfillment_latency_counts_every_lineitem(spark):
+    li_n = load_table(spark, SF_DIR, "lineitem").count()
+    rows = QUERIES["fulfillment_latency_orders"].fn(spark, SF_DIR).collect()
+    assert sum(r["n"] for r in rows) == li_n
+    for r in rows:
+        assert -1 <= r["bucket"] <= 4
+        assert r["min_days"] <= r["avg_days"] <= r["max_days"]
+        if r["bucket"] >= 0:
+            assert r["min_days"] >= r["bucket"] * 30
+            if r["bucket"] < 4:
+                assert r["max_days"] < (r["bucket"] + 1) * 30
