@@ -8159,23 +8159,28 @@ def autocorr_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     (n, Σx, Σy, Σxy, Σx², Σy²) so the only doubles are one fixed
     round-6 expression per lag — deterministic at any parallelism.
 
-    Scale shape: the daily rollup is one dt exchange; the lagged pairing
-    is a self-join of the DAY-GRAIN relation (≤ ~3650 rows at a decade
-    of data) — broadcastable however big the raw table is."""
+    Scale shape: the daily rollup is one dt exchange; the 7 lagged
+    pairings come from SEVEN lead() columns in ONE window pass over the
+    day-grain relation (≤ ~3650 rows at a decade of data), unpivoted
+    with stack — one scan of the raw table, no self-join. The oracle
+    keeps the equivalent rn-offset join formulation."""
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("dt")).agg(
         F.sum(F.floor(F.col("value") * 100).cast("bigint"))
         .cast("bigint")
         .alias("c")
     )
-    seq = daily.select(
-        "dt", "c", F.row_number().over(Window.orderBy("dt")).alias("rn")
+    wd = Window.orderBy("dt")
+    leads = daily.select(
+        F.col("c").alias("x"),
+        *[F.lead("c", k).over(wd).alias(f"y{k}") for k in range(1, 8)],
     )
-    ks = spark.range(1, 8).select(F.col("id").alias("k"))
-    a, b = seq.alias("a"), seq.alias("b")
-    pairs = ks.crossJoin(a).join(
-        b, F.col("b.rn") == F.col("a.rn") + F.col("k")
-    ).select("k", F.col("a.c").alias("x"), F.col("b.c").alias("y"))
+    stack_expr = "stack(7, {}) as (k, y)".format(
+        ", ".join(f"{k}L, y{k}" for k in range(1, 8))
+    )
+    pairs = leads.select("x", F.expr(stack_expr)).filter(
+        F.col("y").isNotNull()
+    )
     m = pairs.groupBy("k").agg(
         F.count("*").cast("bigint").alias("m"),
         F.sum("x").cast("bigint").alias("sx"),

@@ -115,3 +115,43 @@ def test_transform_with_state_matches_apply_in_pandas_with_state(spark, tmp_path
     rows = spark.read.parquet(out).collect()
     latest_u10 = max((r for r in rows if r.user_id == 10), key=lambda r: r.n_events)
     assert (latest_u10.n_events, latest_u10.sum_value) == (3, 10.0)
+
+
+def test_streaming_ewma_continues_recurrence_across_runs(spark, tmp_path):
+    """The streaming EWMA must equal the sequential recurrence over the
+    FULL event history even when events arrive across two AvailableNow
+    runs — state carries the smoothed value, no history reprocessing."""
+    from local_data_pipeline_spark.streaming.stateful import run_streaming_ewma
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("esrc", "eout", "eckpt"))
+    schema = spark.createDataFrame([], EVENTS_DDL).schema
+    batch1 = [
+        (1, 10, "2026-01-01 10:00:00", 4.0),
+        (2, 10, "2026-01-01 10:05:00", 8.0),
+        (3, 20, "2026-01-01 10:10:00", 2.0),
+    ]
+    batch2 = [
+        (4, 10, "2026-01-01 11:00:00", 16.0),
+        (5, 20, "2026-01-01 11:05:00", 10.0),
+    ]
+    _write_events(spark, src, batch1)
+    run_streaming_ewma(spark, src, out, ckpt, schema, alpha=0.5)
+    _write_events(spark, src, batch2)
+    run_streaming_ewma(spark, src, out, ckpt, schema, alpha=0.5)
+
+    rows = spark.read.parquet(out).collect()
+    latest = {}
+    for r in rows:
+        if r.user_id not in latest or r.n_events > latest[r.user_id].n_events:
+            latest[r.user_id] = r
+
+    def seq_ewma(values, alpha=0.5):
+        e = None
+        for v in values:
+            e = v if e is None else alpha * v + (1 - alpha) * e
+        return e
+
+    assert latest[10].n_events == 3
+    assert latest[10].ewma_value == seq_ewma([4.0, 8.0, 16.0])
+    assert latest[20].n_events == 2
+    assert latest[20].ewma_value == seq_ewma([2.0, 10.0])
