@@ -311,3 +311,58 @@ def test_dynamic_partition_pruning_from_join(spark, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ------------------------------------------------- round-6 plan pins
+
+def test_attribution_filters_pushed_and_touches_broadcast(spark):
+    df = _df(spark, "attribution_linear_events")
+    # both event-type filters reach the parquet scan
+    assert has_pushed_filter(df, "event_type")
+    # the touch side broadcasts locally (at scale both sides hash on user)
+    assert broadcast_join_count(df) >= 1
+
+
+def test_fk_audit_all_parent_probes_broadcast(spark):
+    df = _df(spark, "fk_integrity_audit")
+    assert broadcast_join_count(df) == 5  # one per FK edge, no fact shuffles
+
+
+def test_pareto_level_relation_broadcasts_back(spark):
+    df = _df(spark, "pareto_frontier_parts")
+    assert broadcast_join_count(df) >= 1
+
+
+def test_zorder_interleave_stays_in_codegen(spark):
+    # arithmetic-only Morton code: no UDF / BatchEvalPython in the plan
+    plan = physical_plan(_df(spark, "zorder_layout_lineitem"))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_expectation_audit_is_single_scan(spark):
+    df = _df(spark, "expectation_audit_lineitem")
+    assert len(read_schemas(df)) == 1  # all 7 checks fold into one scan
+
+
+def test_ewma_single_user_exchange(spark):
+    # 8 lags ride one Window operator over one user_id hash exchange
+    df = _df(spark, "ewma_value_by_user")
+    assert shuffle_exchange_count(df) == 1
+    assert len(read_schemas(df)) == 1
+
+
+def test_autocorr_single_scan_single_window(spark):
+    # one raw-table scan: all 7 lags from one window pass (no self-join)
+    df = _df(spark, "autocorr_daily_value")
+    assert len(read_schemas(df)) == 1
+
+
+def test_incident_overlap_uses_broadcast_nested_loop_not_smj(spark):
+    # the range-predicate overlap join must broadcast the tiny incident
+    # side (BroadcastNestedLoopJoin — non-equi joins can't hash); a
+    # SortMergeJoin or unhinted CartesianProduct here would shuffle the
+    # session side at scale
+    plan = physical_plan(_df(spark, "incident_session_overlap_events"))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
