@@ -86,6 +86,13 @@ def main() -> None:
         t0 = time.perf_counter()
         spec.fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
         times[name] = round(time.perf_counter() - t0, 3)
+        # iterative operators localCheckpoint intermediates; those cached
+        # blocks outlive their query (Python GC holds the lineage) and by
+        # ~150 queries in the block manager + heap pressure inflates
+        # later queries 2-4x. Queries are independent — drop everything.
+        spark.catalog.clearCache()
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     full, line = format_bench_output(times, _sf_label(SF_DIR))
     with open(
