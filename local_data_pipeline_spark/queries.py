@@ -8432,6 +8432,298 @@ def fulfillment_latency_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "p95_fulfillment_latency_monthly",
+    """
+    WITH lat AS (
+      SELECT cast(date_trunc('month', o.o_orderdate) AS date) AS month,
+             date_diff('day', cast(o.o_orderdate AS date),
+                       cast(l.l_shipdate AS date)) AS latency_days,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+    ranked AS (
+      SELECT month, latency_days,
+             row_number() OVER (PARTITION BY month
+                                ORDER BY latency_days, l_orderkey, l_linenumber)
+               AS rn,
+             count(*) OVER (PARTITION BY month) AS n
+      FROM lat)
+    SELECT month, max(n) AS n_lineitems,
+           max(CASE WHEN rn = (19 * n + 19) // 20 THEN latency_days END)
+             AS p95_latency_days,
+           max(CASE WHEN rn = (n + 1) // 2 THEN latency_days END)
+             AS p50_latency_days
+    FROM ranked
+    WHERE rn = (19 * n + 19) // 20 OR rn = (n + 1) // 2
+    GROUP BY month
+    """,
+    tags=("window", "percentile", "latency"),
+)
+def p95_fulfillment_latency_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monthly p50/p95 fulfillment-latency SLA, as EXACT order statistics:
+    percentile_disc semantics via the distributed rank trick — rank every
+    latency inside its month (one exchange), keep the ceil(0.95n)-th and
+    lower-median positions. No group ever collects to one node, and the
+    result is an integer (no interpolation), hence bit-identical on any
+    engine — the scale-safe version of what `percentile_cont` windows do.
+
+    Scale shape: orders join (bucketing candidate) + one month exchange
+    with a single window pass serving both percentiles."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    lat = li.join(
+        o.select("o_orderkey", "o_orderdate"),
+        li.l_orderkey == F.col("o_orderkey"),
+    ).select(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+        F.datediff(
+            F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+        )
+        .cast("bigint")
+        .alias("latency_days"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wr = Window.partitionBy("month").orderBy(
+        "latency_days", "l_orderkey", "l_linenumber"
+    )
+    wn = Window.partitionBy("month")
+    ranked = lat.select(
+        "month",
+        "latency_days",
+        F.row_number().over(wr).alias("rn"),
+        F.count("*").over(wn).alias("n"),
+    )
+    p95 = F.expr("(19 * n + 19) div 20")
+    p50 = F.expr("(n + 1) div 2")
+    mid = ranked.filter((F.col("rn") == p95) | (F.col("rn") == p50))
+    return mid.groupBy("month").agg(
+        F.max("n").alias("n_lineitems"),
+        F.max(F.when(F.col("rn") == p95, F.col("latency_days"))).alias(
+            "p95_latency_days"
+        ),
+        F.max(F.when(F.col("rn") == p50, F.col("latency_days"))).alias(
+            "p50_latency_days"
+        ),
+    )
+
+
+@q(
+    "chi2_terms_by_source",
+    """
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    tc AS (
+      SELECT source, unnest(t) AS w FROM toks),
+    st AS (
+      SELECT source, w, count(*) AS a FROM tc GROUP BY source, w),
+    src_tot AS (
+      SELECT source, cast(sum(a) AS bigint) AS s_tot FROM st GROUP BY source),
+    term_tot AS (
+      SELECT w, cast(sum(a) AS bigint) AS w_tot FROM st GROUP BY w),
+    grand AS (SELECT cast(sum(a) AS bigint) AS n FROM st),
+    cells AS (
+      SELECT st.source, st.w, st.a,
+             (tt.w_tot - st.a) AS b,
+             (so.s_tot - st.a) AS c,
+             (g.n - tt.w_tot - so.s_tot + st.a) AS d,
+             g.n
+      FROM st JOIN term_tot tt ON st.w = tt.w
+              JOIN src_tot so ON st.source = so.source
+              CROSS JOIN grand g),
+    scored AS (
+      SELECT source, w, a,
+             round(cast(n AS double)
+                   * pow(cast(a AS double) * d - cast(b AS double) * c, 2)
+                   / (cast(a + b AS double) * (c + d) * (a + c) * (b + d)),
+                   6) AS chi2
+      FROM cells
+      WHERE (a + b) > 0 AND (c + d) > 0 AND (a + c) > 0 AND (b + d) > 0
+        AND cast(a AS double) * (c + d) > cast(c AS double) * (a + b)),
+    ranked AS (
+      SELECT source, w, a, chi2,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY chi2 DESC, w ASC) AS rk
+      FROM scored)
+    SELECT source, w AS term, a AS n_occurrences, chi2, rk
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("text", "stats", "nlp"),
+)
+def chi2_terms_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discriminative vocabulary per source: top-5 terms by chi-square
+    association between term occurrence and source membership (the
+    feature-selection statistic behind domain classifiers and corpus
+    drift reports), restricted to POSITIVELY associated terms (observed
+    rate above expectation). Counts are exact integers; the chi2 is one
+    fixed double chain rounded at 6 before the rank, so the top-5 set is
+    cross-engine deterministic.
+
+    Scale shape: one (source, term) exchange; the source and term
+    marginals are dimension-sized and broadcast; ranking partitions by
+    source (WindowGroupLimit prunes to 5 map-side)."""
+    d = _t(spark, sf_dir, "documents")
+    tc = d.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    st = tc.groupBy("source", "w").agg(F.count("*").alias("a"))
+    src_tot = st.groupBy("source").agg(F.sum("a").cast("bigint").alias("s_tot"))
+    term_tot = st.groupBy("w").agg(F.sum("a").cast("bigint").alias("w_tot"))
+    grand = st.agg(F.sum("a").cast("bigint").alias("n"))
+    cells = (
+        st.join(F.broadcast(term_tot), "w")
+        .join(F.broadcast(src_tot), "source")
+        .crossJoin(F.broadcast(grand))
+        .select(
+            "source",
+            "w",
+            "a",
+            (F.col("w_tot") - F.col("a")).alias("b"),
+            (F.col("s_tot") - F.col("a")).alias("c"),
+            (F.col("n") - F.col("w_tot") - F.col("s_tot") + F.col("a")).alias(
+                "d"
+            ),
+            "n",
+        )
+    )
+    ad = F.col("a").cast("double") * F.col("d")
+    bc = F.col("b").cast("double") * F.col("c")
+    scored = cells.filter(
+        ((F.col("a") + F.col("b")) > 0)
+        & ((F.col("c") + F.col("d")) > 0)
+        & ((F.col("a") + F.col("c")) > 0)
+        & ((F.col("b") + F.col("d")) > 0)
+        & (
+            F.col("a").cast("double") * (F.col("c") + F.col("d"))
+            > F.col("c").cast("double") * (F.col("a") + F.col("b"))
+        )
+    ).select(
+        "source",
+        "w",
+        "a",
+        F.round(
+            F.col("n").cast("double")
+            * F.pow(ad - bc, 2)
+            / (
+                (F.col("a") + F.col("b")).cast("double")
+                * (F.col("c") + F.col("d"))
+                * (F.col("a") + F.col("c"))
+                * (F.col("b") + F.col("d"))
+            ),
+            6,
+        ).alias("chi2"),
+    )
+    wr = Window.partitionBy("source").orderBy(F.desc("chi2"), F.asc("w"))
+    return (
+        scored.withColumn("rk", F.row_number().over(wr))
+        .filter("rk <= 5")
+        .select(
+            "source",
+            F.col("w").alias("term"),
+            F.col("a").alias("n_occurrences"),
+            "chi2",
+            "rk",
+        )
+    )
+
+
+@q(
+    "degree_distribution_copurchase",
+    """
+    WITH op AS (
+      SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+    pairs AS (
+      SELECT DISTINCT a.pk AS p1, b.pk AS p2
+      FROM op a JOIN op b ON a.ok = b.ok AND a.pk < b.pk),
+    deg AS (
+      SELECT pk, cast(count(*) AS bigint) AS degree FROM (
+        SELECT p1 AS pk FROM pairs UNION ALL SELECT p2 AS pk FROM pairs
+      ) AS u GROUP BY pk)
+    SELECT degree, count(*) AS n_parts,
+           min(pk) AS min_partkey, max(pk) AS max_partkey
+    FROM deg GROUP BY degree
+    """,
+    tags=("graph", "histogram"),
+)
+def degree_distribution_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the co-purchase graph (parts as nodes,
+    distinct same-order pairs as edges) — the first diagnostic run on
+    any large graph (power-law check, hub detection, join-skew
+    forecasting for the iterative operators that consume these edges:
+    `pagerank_copurchase_parts`, `triangle_count_copurchase`). Unlike
+    those fixpoint queries this one is fully SQL-expressible, so it is
+    the family's oracle-hash-checked representative.
+
+    Scale shape: per-basket-quadratic pair generation (one exchange on
+    the order key), one degree exchange, one histogram — the same edge
+    relation the iterative ops checkpoint."""
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("p1").alias("pk"))
+        .unionAll(pairs.select(F.col("p2").alias("pk")))
+        .groupBy("pk")
+        .agg(F.count("*").cast("bigint").alias("degree"))
+    )
+    return deg.groupBy("degree").agg(
+        F.count("*").alias("n_parts"),
+        F.min("pk").alias("min_partkey"),
+        F.max("pk").alias("max_partkey"),
+    )
+
+
+@q("minhash_precision_recall_eval", None, tags=("dedup", "eval"))
+def minhash_precision_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation for MinHash-LSH near-dup detection:
+    PRECISION of the banded candidate pairs against exact shingle
+    Jaccard >= 0.7, and RECALL against within-source ground truth (the
+    blocked all-pairs sweep `ngram_jaccard_within_source` runs — global
+    all-pairs truth is quadratic and exists only for evaluation scopes).
+    The tuning loop for (n_hashes, n_bands) before an index rolls out;
+    companion to `ann_recall_eval` on the embedding side. Rows-only:
+    hash-banded candidates are not SQL-expressible.
+
+    Output: one row — candidate counts, true-positive counts, precision,
+    and within-source recall, all exact-integer ratios."""
+    d = _t(spark, sf_dir, "documents")
+    sigs = DD.minhash_signature(d, n_hashes=32, shingle_k=3)
+    cands = DD.lsh_candidate_pairs(sigs, n_bands=8)
+    n_cand = cands.count()
+    n_tp = (
+        DD.jaccard_pairs(d, cands, shingle_k=3, threshold=0.7).count()
+    )
+    truth = DD.jaccard_pairs(
+        d, None, shingle_k=3, threshold=0.7, block_by="source"
+    ).select("id_a", "id_b")
+    n_truth = truth.count()
+    found = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
+    return spark.createDataFrame(
+        [
+            (
+                n_cand,
+                n_tp,
+                round(n_tp / n_cand, 6) if n_cand else None,
+                n_truth,
+                found,
+                round(found / n_truth, 6) if n_truth else None,
+            )
+        ],
+        "n_candidates bigint, n_true_pos bigint, precision double, "
+        "n_truth_within_source bigint, n_truth_found bigint, recall double",
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -463,3 +463,87 @@ def test_fulfillment_latency_counts_every_lineitem(spark):
             assert r["min_days"] >= r["bucket"] * 30
             if r["bucket"] < 4:
                 assert r["max_days"] < (r["bucket"] + 1) * 30
+
+
+# --------------------------------------------------------- exact p95
+
+def test_p95_latency_matches_python_order_stats(spark):
+    """percentile_disc semantics: the ceil(0.95n)-th and lower-median
+    order statistics recomputed in Python per month."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    o = load_table(spark, SF_DIR, "orders")
+    lat = (
+        li.join(o.select("o_orderkey", "o_orderdate"), li.l_orderkey == o.o_orderkey)
+        .select(
+            F.date_trunc("month", "o_orderdate").cast("date").alias("month"),
+            F.datediff(
+                F.col("l_shipdate").cast("date"), F.col("o_orderdate").cast("date")
+            ).alias("d"),
+        )
+        .collect()
+    )
+    per_month = {}
+    for r in lat:
+        per_month.setdefault(r["month"], []).append(r["d"])
+    rows = {
+        r["month"]: r
+        for r in QUERIES["p95_fulfillment_latency_monthly"].fn(spark, SF_DIR).collect()
+    }
+    assert set(rows) == set(per_month)
+    for m, xs in per_month.items():
+        xs.sort()
+        n = len(xs)
+        assert rows[m]["n_lineitems"] == n
+        assert rows[m]["p95_latency_days"] == xs[(19 * n + 19) // 20 - 1]
+        assert rows[m]["p50_latency_days"] == xs[(n + 1) // 2 - 1]
+
+
+# ---------------------------------------------------------- chi2 terms
+
+def test_chi2_terms_positive_association_and_rank(spark):
+    rows = QUERIES["chi2_terms_by_source"].fn(spark, SF_DIR).collect()
+    by_source = {}
+    for r in rows:
+        by_source.setdefault(r["source"], []).append(r)
+    for src, rs in by_source.items():
+        assert len(rs) <= 5
+        ranks = sorted(r["rk"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        # chi2 non-increasing in rank order
+        ordered = sorted(rs, key=lambda r: r["rk"])
+        for a, b in zip(ordered, ordered[1:]):
+            assert a["chi2"] >= b["chi2"]
+        assert all(r["chi2"] >= 0 for r in rs)
+
+
+# --------------------------------------------------- degree histogram
+
+def test_degree_distribution_conserves_edge_endpoints(spark):
+    """sum(degree * n_parts) == 2 * |edges| (handshake lemma)."""
+    li = load_table(spark, SF_DIR, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    n_edges = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .select("a.pk", "b.pk")
+        .distinct()
+        .count()
+    )
+    rows = QUERIES["degree_distribution_copurchase"].fn(spark, SF_DIR).collect()
+    assert sum(r["degree"] * r["n_parts"] for r in rows) == 2 * n_edges
+
+
+# ----------------------------------------------------- minhash eval
+
+def test_minhash_eval_ratios_consistent(spark):
+    r = QUERIES["minhash_precision_recall_eval"].fn(spark, SF_DIR).collect()[0]
+    assert 0 <= r["n_true_pos"] <= r["n_candidates"]
+    assert 0 <= r["n_truth_found"] <= r["n_truth_within_source"]
+    if r["n_candidates"]:
+        assert r["precision"] == round(r["n_true_pos"] / r["n_candidates"], 6)
+    if r["n_truth_within_source"]:
+        assert r["recall"] == round(
+            r["n_truth_found"] / r["n_truth_within_source"], 6
+        )
