@@ -6895,9 +6895,11 @@ def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     -midpoint rule); one double division at the very end.
 
     Scale shape: the touch join is an equi-join on user_id with a range
-    predicate — hash-partition both sides by user once; the per-purchase
-    touch count is a window over the SAME user-clustered partitioning
-    (no second exchange of the fact)."""
+    predicate — hash-partition both sides by user once (the small side
+    broadcasts locally); the per-purchase touch count then costs one
+    exchange on the purchase key for the count window. At extreme scale,
+    pre-aggregate counts per purchase with a groupBy (map-side combined)
+    and rejoin instead of the window."""
     ev = _t(spark, sf_dir, "events")
     p = ev.filter(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("p_event"),
@@ -8721,6 +8723,179 @@ def minhash_precision_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         "n_candidates bigint, n_true_pos bigint, precision double, "
         "n_truth_within_source bigint, n_truth_found bigint, recall double",
+    )
+
+
+#: Static schema snapshot for the catalog-wide null profile (kept in sync
+#: with TESTDATA.md; a schema change fails the oracle, which is the point
+#: of a profiling audit).
+_PROFILE_COLUMNS: dict[str, tuple[str, ...]] = {
+    "region": ("r_regionkey", "r_name"),
+    "nation": ("n_nationkey", "n_name", "n_regionkey"),
+    "customer": ("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"),
+    "supplier": ("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+    "part": ("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"),
+    "orders": (
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderdate",
+        "o_orderpriority",
+    ),
+    "lineitem": (
+        "l_orderkey",
+        "l_partkey",
+        "l_suppkey",
+        "l_linenumber",
+        "l_quantity",
+        "l_extendedprice",
+        "l_discount",
+        "l_tax",
+        "l_returnflag",
+        "l_linestatus",
+        "l_shipdate",
+    ),
+    "events": ("event_id", "ts", "user_id", "event_type", "value", "props"),
+    "documents": ("doc_id", "text", "lang", "source", "n_chars"),
+    "embeddings": ("vec_id", "embedding", "label"),
+}
+
+
+def _null_profile_oracle() -> str:
+    selects = []
+    for table, cols in _PROFILE_COLUMNS.items():
+        for col in cols:
+            selects.append(
+                f"SELECT '{table}' AS table_name, '{col}' AS column_name,"
+                f" count(*) AS n_rows,"
+                f" cast(sum(CASE WHEN {col} IS NULL THEN 1 ELSE 0 END) AS bigint)"
+                f" AS n_nulls"
+                f" FROM {table}"
+            )
+    return (
+        "WITH cells AS (" + " UNION ALL ".join(selects) + ") "
+        "SELECT table_name, column_name, n_rows, n_nulls, "
+        "round(cast(n_nulls AS double) / n_rows, 6) AS null_frac FROM cells"
+    )
+
+
+@q("null_profile_all_tables", _null_profile_oracle(), tags=("quality", "profiling"))
+def null_profile_all_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog-wide null profile: one row per (table, column) across all
+    ten tables with row and null counts — the data-catalog statistics
+    pass (dbt docs / Great-Expectations profiling) generalizing the
+    single-table `profile_lineitem_columns`. The column set is a static
+    schema snapshot, so schema drift breaks the audit loudly rather
+    than silently skipping a column.
+
+    Scale shape: each table contributes ONE scan computing all of its
+    per-column null counts in a single partial aggregate (not a
+    scan per column); the union of per-table 1-row results is
+    metadata-sized."""
+    outs = []
+    for table, cols in _PROFILE_COLUMNS.items():
+        df = _t(spark, sf_dir, table)
+        agg = df.agg(
+            F.count("*").alias("n_rows"),
+            *[
+                F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias(f"nn_{c}")
+                for c in cols
+            ],
+        )
+        stack = "stack({}, {}) as (column_name, n_nulls)".format(
+            len(cols), ", ".join(f"'{c}', nn_{c}" for c in cols)
+        )
+        outs.append(
+            agg.select(
+                F.lit(table).alias("table_name"),
+                F.col("n_rows"),
+                F.expr(stack),
+            )
+        )
+    prof = outs[0]
+    for o in outs[1:]:
+        prof = prof.unionAll(o)
+    return prof.select(
+        "table_name",
+        "column_name",
+        "n_rows",
+        "n_nulls",
+        F.round(F.col("n_nulls").cast("double") / F.col("n_rows"), 6).alias(
+            "null_frac"
+        ),
+    )
+
+
+@q(
+    "event_type_user_overlap",
+    """
+    WITH tu AS (
+      SELECT DISTINCT event_type, user_id FROM events),
+    sizes AS (
+      SELECT event_type, count(*) AS n FROM tu GROUP BY event_type),
+    inter AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             count(*) AS n_common
+      FROM tu a JOIN tu b
+        ON a.user_id = b.user_id AND a.event_type < b.event_type
+      GROUP BY a.event_type, b.event_type)
+    SELECT i.type_a, i.type_b, sa.n AS n_a, sb.n AS n_b, i.n_common,
+           round(cast(i.n_common AS double) / (sa.n + sb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.type_a = sa.event_type
+    JOIN sizes sb ON i.type_b = sb.event_type
+    """,
+    tags=("agg", "similarity", "audience"),
+)
+def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audience overlap matrix: exact Jaccard similarity of the user sets
+    behind every pair of event types — the segment-overlap report behind
+    audience planning (and the exact ground truth the sketch-based
+    variants approximate at scale). Distinct (type, user) pairs shuffle
+    once on user for the pair join; set sizes broadcast.
+
+    At 100 TB the same query runs on HLL or theta sketches
+    (`approx_distinct_users_audit` is the sketch-side counterpart);
+    this exact form remains correct when the type cardinality is small
+    enough to co-partition, which it is here by construction."""
+    ev = _t(spark, sf_dir, "events")
+    tu = ev.select("event_type", "user_id").distinct()
+    sizes = tu.groupBy("event_type").agg(F.count("*").alias("n"))
+    a = tu.alias("a")
+    b = tu.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("a.event_type") < F.col("b.event_type")),
+        )
+        .groupBy(
+            F.col("a.event_type").alias("type_a"),
+            F.col("b.event_type").alias("type_b"),
+        )
+        .agg(F.count("*").alias("n_common"))
+    )
+    sa = sizes.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
+    return (
+        inter.join(F.broadcast(sa), "type_a")
+        .join(F.broadcast(sb), "type_b")
+        .select(
+            "type_a",
+            "type_b",
+            "n_a",
+            "n_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
     )
 
 

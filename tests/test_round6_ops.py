@@ -547,3 +547,45 @@ def test_minhash_eval_ratios_consistent(spark):
         assert r["recall"] == round(
             r["n_truth_found"] / r["n_truth_within_source"], 6
         )
+
+
+# --------------------------------------------------- catalog profiling
+
+def test_null_profile_covers_catalog_and_counts_exactly(spark):
+    from local_data_pipeline_spark.queries import _PROFILE_COLUMNS
+
+    rows = QUERIES["null_profile_all_tables"].fn(spark, SF_DIR).collect()
+    want_cells = {(t, c) for t, cols in _PROFILE_COLUMNS.items() for c in cols}
+    assert {(r["table_name"], r["column_name"]) for r in rows} == want_cells
+    by_table = {}
+    for r in rows:
+        by_table.setdefault(r["table_name"], set()).add(r["n_rows"])
+    for t, sizes in by_table.items():
+        assert len(sizes) == 1  # all columns of a table report one row count
+        assert sizes.pop() == load_table(spark, SF_DIR, t).count()
+    # spot-check one column's null count exactly
+    ev_nulls = (
+        load_table(spark, SF_DIR, "events").filter(F.col("value").isNull()).count()
+    )
+    (cell,) = [
+        r for r in rows if r["table_name"] == "events" and r["column_name"] == "value"
+    ]
+    assert cell["n_nulls"] == ev_nulls
+
+
+# ----------------------------------------------------- audience overlap
+
+def test_event_type_overlap_matches_python_sets(spark):
+    ev = load_table(spark, SF_DIR, "events")
+    sets = {}
+    for r in ev.select("event_type", "user_id").distinct().collect():
+        sets.setdefault(r["event_type"], set()).add(r["user_id"])
+    rows = QUERIES["event_type_user_overlap"].fn(spark, SF_DIR).collect()
+    types = sorted(sets)
+    expected_pairs = {(a, b) for i, a in enumerate(types) for b in types[i + 1:]
+                      if sets[a] & sets[b]}
+    assert {(r["type_a"], r["type_b"]) for r in rows} == expected_pairs
+    for r in rows:
+        a, b = sets[r["type_a"]], sets[r["type_b"]]
+        assert r["n_common"] == len(a & b)
+        assert r["jaccard"] == round(len(a & b) / len(a | b), 6)
