@@ -337,3 +337,50 @@ def pca_explained_variance(
     return spark.createDataFrame(
         rows, "component bigint, eigenvalue double, explained_ratio double"
     )
+
+
+def bpe_encode_vocab(
+    docs: DataFrame,
+    merges: list[tuple[str, str, int]],
+    text_col: str = "text",
+) -> DataFrame:
+    """Apply a trained merge table to the corpus VOCABULARY: returns
+    ``(word, freq, n_subwords)`` with every merge applied in training
+    order via the same Catalyst HOF the trainer uses (no UDF).
+
+    This is the tokenizer-apply step done the way production tokenizers
+    amortize it at corpus scale: encode each DISTINCT word once
+    (vocabulary-sized work), then join token counts back onto the
+    corpus — never re-encode per occurrence."""
+    vocab = word_frequencies(docs, text_col).withColumn(
+        "syms", F.split(F.col("word"), "")
+    )
+    for left, right, _ in merges:
+        vocab = vocab.withColumn(
+            "syms", _merge_adjacent(F.col("syms"), left, right)
+        )
+    # one lineage cut after the merge chain: 10 nested HOFs re-plan fine,
+    # but downstream joins shouldn't re-derive them per consumer
+    vocab = vocab.localCheckpoint(eager=False)
+    return vocab.select(
+        "word", "freq", F.size("syms").cast("bigint").alias("n_subwords")
+    )
+
+
+def bpe_encode_local(
+    word: str, merges: list[tuple[str, str, int]]
+) -> list[str]:
+    """Pure-python reference (test oracle) of the greedy left-to-right
+    merge application, mirroring :func:`_merge_adjacent` exactly."""
+    syms = list(word)
+    for left, right, _ in merges:
+        out, i = [], 0
+        while i < len(syms):
+            if i < len(syms) - 1 and syms[i] == left and syms[i + 1] == right:
+                out.append(left + right)
+                i += 2
+            else:
+                out.append(syms[i])
+                i += 1
+        syms = out
+    return syms

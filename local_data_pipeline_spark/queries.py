@@ -8899,6 +8899,41 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("bpe_encode_documents", None, tags=("text", "tokenizer", "iterative"))
+def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer APPLY: train the 10-merge BPE table
+    (`bpe_merge_table_documents` is the training half) and encode the
+    corpus with it — per source, the word/subword-token totals and the
+    resulting fertility (subwords per word), the number a data pipeline
+    needs to budget context lengths after retokenization. Rows-only
+    (training is iterative); tests pin the encoder against a pure-Python
+    greedy-merge reference.
+
+    Scale shape: the distinct VOCABULARY is encoded once (10 chained
+    Catalyst HOF merge passes over vocab-sized data, no UDF, one lineage
+    cut), then subword counts join back to the corpus word stream —
+    per-occurrence work is a broadcast-join lookup, exactly how
+    production tokenizers amortize encoding at corpus scale."""
+    from .operators import ml as ML
+
+    d = _t(spark, sf_dir, "documents")
+    merges = ML.train_bpe_merges(d, n_merges=10)
+    encoded = ML.bpe_encode_vocab(d, merges)
+    words = d.select(
+        "source", F.explode(TX.tokens(F.col("text"))).alias("word")
+    ).filter(F.col("word").rlike("^[a-z]+$"))
+    joined = words.join(
+        F.broadcast(encoded.select("word", "n_subwords")), "word"
+    )
+    return joined.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_words"),
+        F.sum("n_subwords").cast("bigint").alias("n_subword_tokens"),
+        F.round(
+            F.sum("n_subwords").cast("double") / F.count("*"), 6
+        ).alias("fertility"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

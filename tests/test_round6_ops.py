@@ -589,3 +589,29 @@ def test_event_type_overlap_matches_python_sets(spark):
         a, b = sets[r["type_a"]], sets[r["type_b"]]
         assert r["n_common"] == len(a & b)
         assert r["jaccard"] == round(len(a & b) / len(a | b), 6)
+
+
+# ------------------------------------------------------- BPE encode
+
+def test_bpe_encode_matches_python_reference(spark):
+    """Every vocabulary word's subword segmentation must equal the
+    sequential greedy-merge reference under the trained merge table."""
+    from local_data_pipeline_spark.operators import ml as ML
+
+    docs = load_table(spark, SF_DIR, "documents")
+    merges = ML.train_bpe_merges(docs, n_merges=10)
+    got = {
+        r["word"]: r["n_subwords"]
+        for r in ML.bpe_encode_vocab(docs, merges).collect()
+    }
+    for word in list(got)[:200]:
+        assert got[word] == len(ML.bpe_encode_local(word, merges)), word
+
+
+def test_bpe_encode_query_fertility_bounds(spark):
+    rows = QUERIES["bpe_encode_documents"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # merges only ever shrink: chars/word >= fertility >= 1
+        assert 1.0 <= r["fertility"]
+        assert r["n_subword_tokens"] >= r["n_words"]
