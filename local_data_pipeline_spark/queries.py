@@ -6920,7 +6920,6 @@ def attribution_linear_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
         "left",
     ).select("p_event", "micros", "t_event", "event_type")
-    w = Window.partitionBy("p_event")
     credited = joined.select(
         "p_event",
         "t_event",
@@ -7577,31 +7576,35 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Output: one row per method with mean recall@10 as an exact integer
     ratio (hits / (10 * n_queries), single double division)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 97 == 0)
-    truth = SIM.brute_force_topk(qs, emb, k=10).select(
-        "query_id", "neighbor_id"
+    qs = emb.filter(F.col("vec_id") % 97 == 0).persist()
+    # the quadratic exact-scoring ground truth feeds BOTH method joins —
+    # persist so brute force runs once, release before returning
+    truth = (
+        SIM.brute_force_topk(qs, emb, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
     )
-    results = []
-    for method, df in (
-        ("lsh", SIM.lsh_topk(qs, emb, k=10, n_planes=6)),
-        ("ivf", SIM.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=4)),
-    ):
-        hits = (
-            df.select("query_id", "neighbor_id")
-            .join(truth, ["query_id", "neighbor_id"])
-            .agg(F.count("*").alias("n_hits"))
-            .select(F.lit(method).alias("method"), "n_hits")
-        )
-        results.append(hits)
-    nq = qs.count()
-    out = results[0].unionAll(results[1])
-    return out.select(
-        "method",
-        F.lit(nq).cast("bigint").alias("n_queries"),
-        "n_hits",
-        (F.col("n_hits").cast("double") / F.lit(float(10 * nq))).alias(
-            "mean_recall_at_10"
-        ),
+    try:
+        nq = qs.count()
+        rows = []
+        for method, df in (
+            ("lsh", SIM.lsh_topk(qs, emb, k=10, n_planes=6)),
+            ("ivf", SIM.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=4)),
+        ):
+            n_hits = (
+                df.select("query_id", "neighbor_id")
+                .join(truth, ["query_id", "neighbor_id"])
+                .count()
+            )
+            rows.append(
+                (method, nq, n_hits, round(n_hits / (10 * nq), 6) if nq else None)
+            )
+    finally:
+        qs.unpersist()
+        truth.unpersist()
+    return spark.createDataFrame(
+        rows,
+        "method string, n_queries bigint, n_hits bigint, mean_recall_at_10 double",
     )
 
 
@@ -7618,7 +7621,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
              cast(floor(epoch(hr)) AS bigint) AS a
       FROM hourly, thresh WHERE cast(n_err AS double) >= 2.0 * avg_err),
     marked AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        IS NULL
                     OR epoch_us(ts)
@@ -7629,7 +7632,7 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events),
     numbered AS (
       SELECT user_id, ts,
-             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                AS session_id
       FROM marked),
@@ -7693,6 +7696,7 @@ def incident_session_overlap_events(spark: SparkSession, sf_dir: str) -> DataFra
     marked = with_us.select(
         "user_id",
         "ts",
+        "event_id",
         F.when(
             F.lag("ts_us").over(w).isNull()
             | (F.col("ts_us") - F.lag("ts_us").over(w) > 1800000000),
@@ -7701,7 +7705,9 @@ def incident_session_overlap_events(spark: SparkSession, sf_dir: str) -> DataFra
         .otherwise(0)
         .alias("is_new"),
     )
-    wn = Window.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # session numbering must share the marking window's TOTAL order —
+    # a ts tie-break difference would assign tied rows engine-dependently
+    wn = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         Window.unboundedPreceding, 0
     )
     numbered = marked.select(
@@ -8700,16 +8706,22 @@ def minhash_precision_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     and within-source recall, all exact-integer ratios."""
     d = _t(spark, sf_dir, "documents")
     sigs = DD.minhash_signature(d, n_hashes=32, shingle_k=3)
-    cands = DD.lsh_candidate_pairs(sigs, n_bands=8)
-    n_cand = cands.count()
-    n_tp = (
-        DD.jaccard_pairs(d, cands, shingle_k=3, threshold=0.7).count()
+    # the candidate and truth relations each feed multiple counts/joins —
+    # persist so the signature/jaccard stages run once, release on exit
+    cands = DD.lsh_candidate_pairs(sigs, n_bands=8).persist()
+    truth = (
+        DD.jaccard_pairs(d, None, shingle_k=3, threshold=0.7, block_by="source")
+        .select("id_a", "id_b")
+        .persist()
     )
-    truth = DD.jaccard_pairs(
-        d, None, shingle_k=3, threshold=0.7, block_by="source"
-    ).select("id_a", "id_b")
-    n_truth = truth.count()
-    found = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
+    try:
+        n_cand = cands.count()
+        n_tp = DD.jaccard_pairs(d, cands, shingle_k=3, threshold=0.7).count()
+        n_truth = truth.count()
+        found = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
+    finally:
+        cands.unpersist()
+        truth.unpersist()
     return spark.createDataFrame(
         [
             (
@@ -8726,9 +8738,9 @@ def minhash_precision_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-#: Static schema snapshot for the catalog-wide null profile (kept in sync
-#: with TESTDATA.md; a schema change fails the oracle, which is the point
-#: of a profiling audit).
+#: Static schema snapshot for the catalog-wide null profile, mirroring the
+#: generated parquet schemas under /root/testdata (a schema change fails
+#: the oracle loudly, which is the point of a profiling audit).
 _PROFILE_COLUMNS: dict[str, tuple[str, ...]] = {
     "region": ("r_regionkey", "r_name"),
     "nation": ("n_nationkey", "n_name", "n_regionkey"),

@@ -53,9 +53,12 @@ def _sessionizer(gap_seconds: int):
             start_us = last_us = None
             n_events, sum_value = 0, 0.0
         closed = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values("ts")
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        # concat-then-sort: multi-chunk batches must be ordered globally
+        # before the order-sensitive gap walk (same rule as _ewma_updater)
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, value in zip(batch["ts"], batch["value"]):
                 ts_us = int(ts.value // 1000)  # pandas ns -> µs
                 if last_us is not None and ts_us - last_us > gap_seconds * 1_000_000:
                     closed.append((user_id, start_us, last_us, n_events, round(sum_value, 6)))
@@ -238,9 +241,13 @@ def _ewma_updater(alpha: float):
             last_us, ewma, n_events = state.get
         else:
             last_us, ewma, n_events = None, None, 0
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            for ts, value in zip(pdf["ts"], pdf["value"]):
+        # a group's batch can arrive as MULTIPLE Arrow chunks in arbitrary
+        # relative order — the order-sensitive recurrence must sort the
+        # whole batch once, not each chunk independently
+        chunks = list(pdfs)
+        if chunks:
+            batch = pd.concat(chunks).sort_values(["ts", "event_id"])
+            for ts, value in zip(batch["ts"], batch["value"]):
                 x = float(value)
                 ewma = x if ewma is None else alpha * x + (1.0 - alpha) * ewma
                 last_us = int(ts.value // 1000)

@@ -6,7 +6,6 @@ ANN recall bounds."""
 import hashlib
 import math
 
-import duckdb
 import pytest
 from pyspark.sql import functions as F
 
