@@ -614,3 +614,34 @@ def test_bpe_encode_query_fertility_bounds(spark):
         # merges only ever shrink: chars/word >= fertility >= 1
         assert 1.0 <= r["fertility"]
         assert r["n_subword_tokens"] >= r["n_words"]
+
+
+# --------------------------------------------------- audit registry
+
+def test_audit_registry_builds_and_gates(spark):
+    """The governance audits run as registry models with dbt-style data
+    tests: a clean warehouse builds green; a test written to catch the
+    generator's known PK defect fails the build loudly."""
+    from local_data_pipeline_spark.models.audits import (
+        build_audit_registry,
+        no_rows_where,
+    )
+
+    reg = build_audit_registry(SF_DIR)
+    results = reg.build(spark)
+    assert {r.model for r in results} == {
+        "audit_fk_integrity",
+        "audit_expectations",
+        "audit_null_profile",
+    }
+    assert all(v == 0 for r in results for v in r.test_failures.values())
+    # the materialized views are queryable
+    assert spark.table("audit_fk_integrity").count() == 5
+
+    # a strict test that refuses the known duplicate-PK defect must gate
+    strict = build_audit_registry(SF_DIR)
+    strict._models["audit_expectations"].tests = (
+        no_rows_where("expectations_pass_strict", "NOT pass"),
+    )
+    with pytest.raises(Exception, match="expectations_pass_strict"):
+        strict.build(spark)
