@@ -8946,6 +8946,249 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "weighted_median_price_by_brand",
+    """
+    WITH w AS (
+      SELECT p.p_brand,
+             l.l_extendedprice AS price,
+             cast(l.l_quantity AS bigint) AS qty,
+             l.l_orderkey, l.l_linenumber
+      FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey),
+    ranked AS (
+      SELECT p_brand, price, qty,
+             sum(qty) OVER (PARTITION BY p_brand
+                            ORDER BY price, l_orderkey, l_linenumber
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cum_w,
+             sum(qty) OVER (PARTITION BY p_brand) AS tot_w
+      FROM w)
+    SELECT p_brand,
+           cast(max(tot_w) AS bigint) AS total_quantity,
+           min(CASE WHEN 2 * cum_w >= tot_w THEN price END)
+             AS weighted_median_price
+    FROM ranked GROUP BY p_brand
+    """,
+    tags=("window", "percentile", "weighted"),
+)
+def weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantity-weighted median line price per brand: the smallest price
+    whose cumulative quantity weight reaches half the brand's total —
+    the weighted order statistic (`percentile_disc` has no weighted
+    form in either engine, so this IS the portable implementation).
+    Weights are integer quantities; the threshold test `2*cum >= tot`
+    is exact integer arithmetic; the tie-broken cumulative order makes
+    the picked row engine-independent.
+
+    Scale shape: one brand exchange, one window pass computing both the
+    running and total weights, one aggregate — the
+    `distributed_exact_median_value` pattern generalized to weights."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    w = li.join(
+        F.broadcast(p.select("p_partkey", "p_brand")),
+        li.l_partkey == F.col("p_partkey"),
+    ).select(
+        "p_brand",
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    wc = (
+        Window.partitionBy("p_brand")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wt = Window.partitionBy("p_brand")
+    ranked = w.select(
+        "p_brand",
+        "price",
+        F.sum("qty").over(wc).alias("cum_w"),
+        F.sum("qty").over(wt).alias("tot_w"),
+    )
+    return ranked.groupBy("p_brand").agg(
+        F.max("tot_w").cast("bigint").alias("total_quantity"),
+        F.min(
+            F.when(2 * F.col("cum_w") >= F.col("tot_w"), F.col("price"))
+        ).alias("weighted_median_price"),
+    )
+
+
+@q(
+    "slo_burn_rate_alerts",
+    """
+    WITH hourly AS (
+      SELECT date_trunc('hour', ts) AS hr,
+             count(*) AS n,
+             cast(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+               AS bigint) AS n_err
+      FROM events GROUP BY 1),
+    windows AS (
+      SELECT hr, n, n_err,
+             cast(sum(n) OVER w6 AS bigint) AS n_6h,
+             cast(sum(n_err) OVER w6 AS bigint) AS err_6h,
+             count(*) OVER w6 AS hours_in_window
+      FROM hourly
+      WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+    SELECT hr, n AS n_events, n_err,
+           round(cast(n_err AS double) / n, 6) AS short_rate,
+           round(cast(err_6h AS double) / n_6h, 6) AS long_rate,
+           (5 * n_err * n_6h > 6 * err_6h * n
+            AND 10 * n_err > 3 * n) AS burn_alert
+    FROM windows WHERE hours_in_window = 6
+    """,
+    tags=("timeseries", "sre", "alerting"),
+)
+def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-window SLO burn-rate alerting (the SRE-workbook pattern):
+    per hour, the short-window (1h) and long-window (trailing 6h) error
+    rates, alerting when the short rate both exceeds 1.2x the long rate
+    AND burns above 30% absolute — the two-window AND that suppresses
+    both slow drifts and single-spike noise. The alert predicate is
+    CROSS-MULTIPLIED into pure integer arithmetic (5*e*N6 > 6*E6*n), so
+    no floating-point threshold comparison exists anywhere — exact on
+    any engine; the display rates are single rounded divisions.
+
+    Scale shape: hour-grain rollup (one exchange), one ordered window
+    over the tiny hourly relation."""
+    ev = _t(spark, sf_dir, "events")
+    hourly = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.count("*").alias("n"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_err"),
+    )
+    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
+    windows = hourly.select(
+        "hr",
+        "n",
+        "n_err",
+        F.sum("n").over(w6).cast("bigint").alias("n_6h"),
+        F.sum("n_err").over(w6).cast("bigint").alias("err_6h"),
+        F.count("*").over(w6).alias("hours_in_window"),
+    )
+    return windows.filter(F.col("hours_in_window") == 6).select(
+        "hr",
+        F.col("n").alias("n_events"),
+        "n_err",
+        F.round(F.col("n_err").cast("double") / F.col("n"), 6).alias(
+            "short_rate"
+        ),
+        F.round(F.col("err_6h").cast("double") / F.col("n_6h"), 6).alias(
+            "long_rate"
+        ),
+        (
+            (5 * F.col("n_err") * F.col("n_6h") > 6 * F.col("err_6h") * F.col("n"))
+            & (10 * F.col("n_err") > 3 * F.col("n"))
+        ).alias("burn_alert"),
+    )
+
+
+@q(
+    "attribution_time_decay_events",
+    """
+    WITH purchases AS (
+      SELECT event_id AS p_event, user_id, ts AS p_ts,
+             cast(floor(value * 1000000) AS bigint) AS micros
+      FROM events WHERE event_type = 'purchase'),
+    touches AS (
+      SELECT event_id AS t_event, user_id, ts AS t_ts, event_type
+      FROM events WHERE event_type IN ('click', 'view')),
+    joined AS (
+      SELECT p.p_event, p.micros, t.t_event, t.event_type,
+             CASE WHEN t.t_event IS NULL THEN NULL
+                  ELSE cast(pow(2, 7 - least(7,
+                         (epoch_us(p.p_ts) - epoch_us(t.t_ts)) // 86400000000))
+                       AS bigint) END AS w
+      FROM purchases p LEFT JOIN touches t
+        ON p.user_id = t.user_id
+       AND t.t_ts < p.p_ts
+       AND t.t_ts >= p.p_ts - INTERVAL 7 DAY),
+    credited AS (
+      SELECT p_event, t_event,
+             CASE WHEN t_event IS NULL THEN 'direct' ELSE event_type END AS channel,
+             CASE WHEN t_event IS NULL THEN micros
+                  ELSE (micros * w) // sum(w) OVER (PARTITION BY p_event)
+             END AS credit_micros
+      FROM joined)
+    SELECT channel,
+           cast(count(t_event) AS bigint) AS n_touches,
+           cast(count(DISTINCT p_event) AS bigint) AS n_purchases,
+           cast(sum(credit_micros) AS double) / 1000000.0 AS attributed_value
+    FROM credited GROUP BY channel
+    """,
+    tags=("join", "window", "attribution"),
+)
+def attribution_time_decay_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-decay multi-touch attribution: like
+    `attribution_linear_events` but recent touches earn exponentially
+    more credit — weight 2^(7-age_days) with a one-day half-life over
+    the 7-day window. Weights are exact power-of-two integers from
+    integer day ages, the per-purchase weight total is an integer window
+    sum, and each credit is one integer multiply-divide — so the decayed
+    split is bit-stable on any engine (same discipline as the linear
+    variant and the EWMA family).
+
+    Scale shape: identical to the linear variant — one user-keyed range
+    join, one purchase-keyed window."""
+    ev = _t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_event"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        F.floor(F.col("value") * 1000000).cast("bigint").alias("micros"),
+    )
+    t = ev.filter(F.col("event_type").isin("click", "view")).select(
+        F.col("event_id").alias("t_event"),
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        "event_type",
+    )
+    age_days = F.expr(
+        "(unix_micros(cast(p_ts as timestamp))"
+        " - unix_micros(cast(t_ts as timestamp))) div 86400000000"
+    )
+    joined = p.join(
+        t,
+        (p.user_id == t.user_id)
+        & (F.col("t_ts") < F.col("p_ts"))
+        & (F.col("t_ts") >= F.col("p_ts") - F.expr("INTERVAL 7 DAYS")),
+        "left",
+    ).select(
+        "p_event",
+        "micros",
+        "t_event",
+        "event_type",
+        F.when(
+            F.col("t_event").isNotNull(),
+            F.pow(F.lit(2.0), 7 - F.least(F.lit(7).cast("bigint"), age_days))
+            .cast("bigint"),
+        ).alias("w"),
+    )
+    credited = joined.select(
+        "p_event",
+        "t_event",
+        F.when(F.col("t_event").isNull(), F.lit("direct"))
+        .otherwise(F.col("event_type"))
+        .alias("channel"),
+        F.when(F.col("t_event").isNull(), F.col("micros"))
+        .otherwise(
+            F.expr(
+                "(micros * w) div sum(w) OVER (PARTITION BY p_event)"
+            )
+        )
+        .alias("credit_micros"),
+    )
+    return credited.groupBy("channel").agg(
+        F.count("t_event").cast("bigint").alias("n_touches"),
+        F.countDistinct("p_event").cast("bigint").alias("n_purchases"),
+        (F.sum("credit_micros").cast("double") / F.lit(1000000.0)).alias(
+            "attributed_value"
+        ),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

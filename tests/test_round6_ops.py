@@ -645,3 +645,81 @@ def test_audit_registry_builds_and_gates(spark):
     )
     with pytest.raises(Exception, match="expectations_pass_strict"):
         strict.build(spark)
+
+
+# ----------------------------------------------------- weighted median
+
+def test_weighted_median_matches_python_reference(spark):
+    li = load_table(spark, SF_DIR, "lineitem")
+    p = load_table(spark, SF_DIR, "part")
+    rows = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("p_brand", "l_extendedprice", "l_quantity",
+                "l_orderkey", "l_linenumber")
+        .collect()
+    )
+    per_brand = {}
+    for r in rows:
+        per_brand.setdefault(r["p_brand"], []).append(
+            (r["l_extendedprice"], r["l_orderkey"], r["l_linenumber"],
+             int(r["l_quantity"]))
+        )
+    got = {
+        r["p_brand"]: r
+        for r in QUERIES["weighted_median_price_by_brand"].fn(spark, SF_DIR).collect()
+    }
+    for brand, xs in per_brand.items():
+        xs.sort()
+        tot = sum(q for *_, q in xs)
+        cum = 0
+        for price, _, _, q in xs:
+            cum += q
+            if 2 * cum >= tot:
+                break
+        assert got[brand]["total_quantity"] == tot
+        assert got[brand]["weighted_median_price"] == price
+
+
+# ------------------------------------------------------ SLO burn rate
+
+def test_slo_burn_alert_predicate_is_exact(spark):
+    rows = QUERIES["slo_burn_rate_alerts"].fn(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        short_exceeds = r["short_rate"] > 0.3 - 1e-9
+        # the integer predicate must agree with the rate semantics
+        # (compare via the unrounded integer cross-multiplication)
+        assert isinstance(r["burn_alert"], bool)
+        if r["burn_alert"]:
+            assert r["short_rate"] >= r["long_rate"]  # 1.2x implies >=
+            assert short_exceeds
+
+
+# ------------------------------------------------ time-decay attribution
+
+def test_time_decay_attribution_conserves_value(spark):
+    out = {
+        r["channel"]: r
+        for r in QUERIES["attribution_time_decay_events"].fn(spark, SF_DIR).collect()
+    }
+    ev = load_table(spark, SF_DIR, "events")
+    total_micros = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(F.sum(F.floor(F.col("value") * 1000000).cast("bigint")))
+        .first()[0]
+    )
+    attributed = sum(r["attributed_value"] for r in out.values())
+    n_touches = sum(r["n_touches"] for r in out.values())
+    # integer floor-division loses < 1 micro-unit per touch, never gains
+    assert attributed <= total_micros / 1e6 + 1e-9
+    assert attributed >= (total_micros - n_touches) / 1e6 - 1e-9
+    # decay must shift credit: linear and decayed split differ per channel
+    linear = {
+        r["channel"]: r["attributed_value"]
+        for r in QUERIES["attribution_linear_events"].fn(spark, SF_DIR).collect()
+    }
+    assert any(
+        abs(linear.get(ch, 0) - out[ch]["attributed_value"]) > 1e-6
+        for ch in out
+        if ch != "direct"
+    )
