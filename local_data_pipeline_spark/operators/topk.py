@@ -72,3 +72,34 @@ def salted_top1(
     )
     phase1 = top_k_per_group(salted, [*partition_by, "__salt"], order_by, k=1)
     return top_k_per_group(phase1.drop("__salt"), partition_by, order_by, k=1)
+
+
+def pareto_frontier(
+    df: DataFrame,
+    maximize: str,
+    minimize: str,
+) -> DataFrame:
+    """Skyline: rows not dominated on (``minimize`` lower-or-equal,
+    ``maximize`` higher-or-equal, strict in one). O(n log n) distributed
+    rewrite of the O(n^2) dominance self-join: collapse to one row per
+    ``minimize`` level, running-max the ``maximize`` over strictly
+    cheaper levels, keep rows beating it. Equal (minimize, maximize)
+    ties are all kept — neither dominates the other.
+
+    Used by the `pareto_frontier_parts` query; property-tested against
+    brute-force dominance on ties-heavy generated data."""
+    per_level = df.groupBy(minimize).agg(F.max(maximize).alias("__max_val"))
+    w = Window.orderBy(minimize).rowsBetween(Window.unboundedPreceding, -1)
+    lvl = per_level.withColumn("__best_cheaper", F.max("__max_val").over(w))
+    out = (
+        df.join(F.broadcast(lvl), minimize)
+        .filter(
+            (F.col(maximize) == F.col("__max_val"))
+            & (
+                F.col("__best_cheaper").isNull()
+                | (F.col(maximize) > F.col("__best_cheaper"))
+            )
+        )
+        .drop("__max_val", "__best_cheaper")
+    )
+    return out

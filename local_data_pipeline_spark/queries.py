@@ -6972,25 +6972,9 @@ def pareto_frontier_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     `p_size = max_size`; a cheaper equal-size part eliminates via the
     strict `> best_cheaper`."""
     part = _t(spark, sf_dir, "part")
-    per_price = part.groupBy("p_retailprice").agg(
-        F.max("p_size").alias("max_size")
-    )
-    w = (
-        Window.orderBy("p_retailprice")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    lvl = per_price.withColumn("best_cheaper", F.max("max_size").over(w))
-    return (
-        part.join(F.broadcast(lvl), "p_retailprice")
-        .filter(
-            (F.col("p_size") == F.col("max_size"))
-            & (
-                F.col("best_cheaper").isNull()
-                | (F.col("p_size") > F.col("best_cheaper"))
-            )
-        )
-        .select("p_partkey", "p_name", "p_size", "p_retailprice")
-    )
+    return TK.pareto_frontier(
+        part, maximize="p_size", minimize="p_retailprice"
+    ).select("p_partkey", "p_name", "p_size", "p_retailprice")
 
 
 @q(

@@ -182,3 +182,35 @@ def test_dedup_clusters_equal_union_find(spark, edges):
     )
     got = {r.doc_id: r.cluster_id for r in dedup_clusters(pairs).collect()}
     assert got == expected
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # maximize (heavy ties)
+            st.integers(min_value=0, max_value=3),  # minimize (heavy ties)
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_pareto_frontier_equals_brute_force(spark, pts):
+    """The O(n log n) level-sweep skyline must equal brute-force dominance
+    on arbitrary ties-heavy data, including all-equal degenerate input."""
+    from local_data_pipeline_spark.operators.topk import pareto_frontier
+
+    rows = [(i, v, c) for i, (v, c) in enumerate(pts)]
+    df = spark.createDataFrame(rows, "id int, val int, cost int")
+    got = {r.id for r in pareto_frontier(df, "val", "cost").collect()}
+
+    def dominated(me):
+        i, v, c = me
+        return any(
+            oc <= c and ov >= v and (oc < c or ov > v)
+            for oi, ov, oc in rows
+            if oi != i
+        )
+
+    want = {i for i, v, c in rows if not dominated((i, v, c))}
+    assert got == want
