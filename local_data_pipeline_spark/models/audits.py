@@ -84,3 +84,14 @@ def build_audit_registry(sf_dir: str) -> Registry:
         return QUERIES["null_profile_all_tables"].fn(spark, sf_dir)
 
     return reg
+
+
+def nightly_audit_job(sf_dir: str, cron: str = "0 2 * * *"):
+    """The governance audits as a scheduled job (≙ the reference's
+    `define_asset_job` + `ScheduleDefinition`, `schedules.py:10-23`) —
+    nightly at 02:00 by default, after the 00:00/01:00 ingest/transform
+    schedules the reference stages, so audits always see the fresh
+    build."""
+    from ..scheduler import Job
+
+    return Job(name="nightly_audits", registry=build_audit_registry(sf_dir), cron=cron)

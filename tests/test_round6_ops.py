@@ -723,3 +723,21 @@ def test_time_decay_attribution_conserves_value(spark):
         for ch in out
         if ch != "direct"
     )
+
+
+def test_nightly_audit_job_runs_on_schedule(spark):
+    """The audit DAG runs as a scheduled job: due at its cron time, green
+    build, all gates pass."""
+    import datetime
+
+    from local_data_pipeline_spark.models.audits import nightly_audit_job
+    from local_data_pipeline_spark.scheduler import Scheduler, next_fire
+
+    job = nightly_audit_job(SF_DIR)
+    fire = next_fire(job.cron, datetime.datetime(2026, 8, 14, 0, 0))
+    assert (fire.hour, fire.minute) == (2, 0)
+    sched = Scheduler([job])
+    ran = sched.run_due(spark, now=fire)
+    assert set(ran) == {"nightly_audits"}
+    results = ran["nightly_audits"]
+    assert all(v == 0 for r in results for v in r.test_failures.values())
