@@ -15,18 +15,8 @@ like a failing dbt test."""
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from ..registry import DataTest, Registry, not_null
-
-
-def no_rows_where(name: str, condition: str) -> DataTest:
-    """A dbt-style singular test: violation count = rows matching
-    ``condition`` (SQL boolean expression over the model's columns)."""
-    return DataTest(
-        name=name,
-        check=lambda df: df.filter(F.expr(condition)).limit(1).count(),
-    )
+from ..registry import Registry, no_rows_where, not_null
 
 
 def build_audit_registry(sf_dir: str) -> Registry:
@@ -47,7 +37,7 @@ def build_audit_registry(sf_dir: str) -> Registry:
 
     @reg.model(
         "audit_fk_integrity",
-        materialization="view",
+        materialization="table",
         group="governance",
         description="Orphan counts for every FK edge in the star schema",
         tests=(no_rows_where("fk_no_orphans", "NOT ok"),),
@@ -57,7 +47,7 @@ def build_audit_registry(sf_dir: str) -> Registry:
 
     @reg.model(
         "audit_expectations",
-        materialization="view",
+        materialization="table",
         group="governance",
         description="Range/domain/null/uniqueness expectation suite over lineitem",
         tests=(
@@ -72,7 +62,7 @@ def build_audit_registry(sf_dir: str) -> Registry:
 
     @reg.model(
         "audit_null_profile",
-        materialization="view",
+        materialization="table",
         group="governance",
         description="Null fraction for every (table, column) in the catalog",
         tests=(

@@ -86,8 +86,13 @@ def pareto_frontier(
     cheaper levels, keep rows beating it. Equal (minimize, maximize)
     ties are all kept — neither dominates the other.
 
+    Rows with a NULL in either dimension are EXCLUDED up front (a null
+    cost/value has no place in the dominance order; dropping explicitly
+    beats the silent join-and-filter loss a naive formulation gives).
+
     Used by the `pareto_frontier_parts` query; property-tested against
     brute-force dominance on ties-heavy generated data."""
+    df = df.filter(F.col(maximize).isNotNull() & F.col(minimize).isNotNull())
     per_level = df.groupBy(minimize).agg(F.max(maximize).alias("__max_val"))
     w = Window.orderBy(minimize).rowsBetween(Window.unboundedPreceding, -1)
     lvl = per_level.withColumn("__best_cheaper", F.max("__max_val").over(w))

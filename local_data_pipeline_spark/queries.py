@@ -9012,15 +9012,16 @@ def weighted_median_price_by_brand(spark: SparkSession, sf_dir: str) -> DataFram
       SELECT hr, n, n_err,
              cast(sum(n) OVER w6 AS bigint) AS n_6h,
              cast(sum(n_err) OVER w6 AS bigint) AS err_6h,
-             count(*) OVER w6 AS hours_in_window
+             min(hr) OVER () AS first_hr
       FROM hourly
-      WINDOW w6 AS (ORDER BY hr ROWS BETWEEN 5 PRECEDING AND CURRENT ROW))
+      WINDOW w6 AS (ORDER BY hr
+                    RANGE BETWEEN INTERVAL 5 HOUR PRECEDING AND CURRENT ROW))
     SELECT hr, n AS n_events, n_err,
            round(cast(n_err AS double) / n, 6) AS short_rate,
            round(cast(err_6h AS double) / n_6h, 6) AS long_rate,
            (5 * n_err * n_6h > 6 * err_6h * n
             AND 10 * n_err > 3 * n) AS burn_alert
-    FROM windows WHERE hours_in_window = 6
+    FROM windows WHERE hr >= first_hr + INTERVAL 5 HOUR
     """,
     tags=("timeseries", "sre", "alerting"),
 )
@@ -9043,16 +9044,25 @@ def slo_burn_rate_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_err"),
     )
-    w6 = Window.orderBy("hr").rowsBetween(-5, 0)
-    windows = hourly.select(
+    # RANGE over event-time, not ROWS: with sparse hours a 6-ROW frame
+    # silently widens to arbitrary wall-clock spans (189/720 hours are
+    # empty in the sf0.001 fixture); the interval frame is always
+    # exactly the trailing 6 wall-clock hours. Hours with ZERO events
+    # produce no row — that is the availability alert's job, not the
+    # error-rate burn alert's.
+    windows = hourly.selectExpr(
         "hr",
         "n",
         "n_err",
-        F.sum("n").over(w6).cast("bigint").alias("n_6h"),
-        F.sum("n_err").over(w6).cast("bigint").alias("err_6h"),
-        F.count("*").over(w6).alias("hours_in_window"),
+        "cast(sum(n) OVER (ORDER BY hr RANGE BETWEEN INTERVAL 5 HOUR"
+        " PRECEDING AND CURRENT ROW) AS bigint) AS n_6h",
+        "cast(sum(n_err) OVER (ORDER BY hr RANGE BETWEEN INTERVAL 5 HOUR"
+        " PRECEDING AND CURRENT ROW) AS bigint) AS err_6h",
+        "min(hr) OVER () AS first_hr",
     )
-    return windows.filter(F.col("hours_in_window") == 6).select(
+    return windows.filter(
+        F.col("hr") >= F.col("first_hr") + F.expr("INTERVAL 5 HOURS")
+    ).select(
         "hr",
         F.col("n").alias("n_events"),
         "n_err",

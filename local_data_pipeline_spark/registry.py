@@ -37,7 +37,11 @@ from pyspark.sql import functions as F
 # ---------------------------------------------------------------- data tests
 @dataclass(frozen=True)
 class DataTest:
-    """A dbt-style data test; ``check`` returns #violations (0 = pass)."""
+    """A dbt-style data test; ``check`` returns a violation signal
+    (0 = pass, >0 = fail). Built-in checks cap the reported count at 1 —
+    they exist to GATE the build cheaply (limit(1) short-circuits the
+    scan), not to tally violations; run the model's query directly when
+    an exact count is wanted."""
 
     name: str
     check: Callable[[DataFrame], int]
@@ -73,6 +77,37 @@ def accepted_values(column: str, values: list) -> DataTest:
             .count()
         ),
     )
+
+
+def no_rows_where(name: str, condition: str) -> DataTest:
+    """A dbt-style singular test: fails when any row matches ``condition``
+    (SQL boolean expression over the model's columns); count capped at 1
+    like the other built-ins."""
+    return DataTest(
+        name=name,
+        check=lambda df: df.filter(F.expr(condition)).limit(1).count(),
+    )
+
+
+def relationships(column: str, parent, parent_column: str) -> DataTest:
+    """≙ dbt ``relationships``: every non-null ``column`` value must exist
+    in ``parent``'s ``parent_column``. ``parent`` is a DataFrame or a
+    zero-arg callable returning one (evaluated at check time, so it can
+    close over a registry ref). The probe is a broadcast anti join —
+    dimension-sized parents never shuffle the child."""
+
+    def check(df: DataFrame) -> int:
+        pdf = parent() if callable(parent) else parent
+        keys = pdf.select(F.col(parent_column).alias(column)).distinct()
+        return (
+            df.filter(F.col(column).isNotNull())
+            .select(column)
+            .join(F.broadcast(keys), column, "left_anti")
+            .limit(1)
+            .count()
+        )
+
+    return DataTest(name=f"relationships({column}->{parent_column})", check=check)
 
 
 # -------------------------------------------------------------------- models
@@ -279,6 +314,10 @@ class Registry:
                 df.createOrReplaceTempView(name)
             elif m.materialization == "table":
                 target = f"{database}.{name}" if database else name
+                # a temp view left by a PREVIOUS build of this model
+                # shadows the table name — ALTER TABLE/refresh would
+                # resolve to the view and fail on a same-session rebuild
+                spark.catalog.dropTempView(name)
                 # the row count rides the write job itself (Observation),
                 # not a second full scan of the written table — at scale
                 # that re-scan is a whole extra pass
@@ -305,6 +344,7 @@ class Registry:
                 persisted.createOrReplaceTempView(name)
             elif m.materialization == "incremental":
                 target = f"{database}.{name}" if database else name
+                spark.catalog.dropTempView(name)
                 wcol = m.incremental_col
                 if spark.catalog.tableExists(target):
                     prev_max = spark.table(target).agg(F.max(wcol)).collect()[0][0]

@@ -741,3 +741,32 @@ def test_nightly_audit_job_runs_on_schedule(spark):
     assert set(ran) == {"nightly_audits"}
     results = ran["nightly_audits"]
     assert all(v == 0 for r in results for v in r.test_failures.values())
+
+
+def test_relationships_data_test_detects_orphans(spark):
+    """The dbt-style relationships test passes on intact FKs and fails
+    once an orphan child value appears; NULL children are ignored."""
+    from local_data_pipeline_spark.registry import relationships
+
+    parent = spark.createDataFrame([(1,), (2,)], "pk int")
+    clean = spark.createDataFrame([(1,), (2,), (None,)], "fk int")
+    dirty = spark.createDataFrame([(1,), (99,)], "fk int")
+    t = relationships("fk", parent, "pk")
+    assert t.run(clean) == 0
+    assert t.run(dirty) > 0
+    # callable parent evaluated at check time
+    t2 = relationships("fk", lambda: parent, "pk")
+    assert t2.run(dirty) > 0
+
+
+def test_pareto_frontier_drops_null_dimensions(spark):
+    from local_data_pipeline_spark.operators.topk import pareto_frontier
+
+    df = spark.createDataFrame(
+        [(1, 5, 2), (2, None, 1), (3, 9, None), (4, 1, 1)],
+        "id int, val int, cost int",
+    )
+    got = {r.id for r in pareto_frontier(df, "val", "cost").collect()}
+    # null-dimension rows (2, 3) are excluded; 4 dominates-on-cost but
+    # 1 has higher val: frontier over the non-null rows only
+    assert got == {1, 4}
