@@ -91,8 +91,16 @@ def main() -> None:
         # ~150 queries in the block manager + heap pressure inflates
         # later queries 2-4x. Queries are independent — drop everything.
         spark.catalog.clearCache()
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+        # localCheckpoint blocks are RDD-level, invisible to the SQL cache
+        # manager — clearCache() alone leaves them resident. The only
+        # enumeration API is the JVM-side getPersistentRDDs; it's a
+        # private py4j handle, so guard it — on a PySpark that drops it,
+        # the bench degrades to slower late queries instead of crashing.
+        try:
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+        except Exception as exc:  # pragma: no cover - version drift guard
+            print(f"WARN: persistent-RDD sweep unavailable: {exc}", file=sys.stderr)
 
     full, line = format_bench_output(times, _sf_label(SF_DIR))
     with open(
@@ -100,8 +108,14 @@ def main() -> None:
         "w",
     ) as fh:
         json.dump(full, fh)
-    print(line)
+    # The driver JSON-parses the stdout tail: emit the result as the very
+    # LAST stdout line, after stopping Spark (py4j shutdown can WARN onto
+    # stdout on some versions), and flush both streams around it so log
+    # noise can't interleave into the JSON line.
     spark.stop()
+    sys.stderr.flush()
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 #: The driver records only the LAST ~2000 chars of stdout and JSON-parses

@@ -13,8 +13,29 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+#: An ordering key: a column name (ascending) or ``(name, "desc")``.
+OrderSpec = "str | tuple[str, str]"
+
+
+def _order_exprs(order_cols: Sequence[str | tuple[str, str]]) -> list[Column]:
+    """SortOrder expressions for both ``repartitionByRange`` and
+    ``Window.orderBy`` — the two MUST agree, or shard ids stop being
+    contiguous under the window's order and the offset math breaks."""
+    out: list[Column] = []
+    for spec in order_cols:
+        if isinstance(spec, str):
+            out.append(F.col(spec).asc())
+        else:
+            name, direction = spec
+            if direction not in ("asc", "desc"):
+                raise ValueError(f"order direction must be asc|desc: {spec!r}")
+            out.append(
+                F.col(name).desc() if direction == "desc" else F.col(name).asc()
+            )
+    return out
 
 
 def distributed_cumsum(
@@ -53,7 +74,16 @@ def _distributed_cumsum_with_total(
     """distributed_cumsum body; also returns the grand total (already on
     the driver from the shard-totals collect — callers that need n, like
     distributed_ntile, get it without an extra count job)."""
-    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
+    def _is_single_spec(x: object) -> bool:
+        return isinstance(x, str) or (
+            isinstance(x, tuple)
+            and len(x) == 2
+            and all(isinstance(e, str) for e in x)
+            and x[1] in ("asc", "desc")
+        )
+
+    order_cols = [order_col] if _is_single_spec(order_col) else list(order_col)
+    sort_exprs = _order_exprs(order_cols)
     if n_partitions is None:
         # Size shards from the session's configured shuffle width — the
         # same knob every other exchange in the job uses (clusters set it
@@ -63,12 +93,12 @@ def _distributed_cumsum_with_total(
         n_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions")
         )
-    ranged = df.repartitionByRange(
-        n_partitions, *[F.col(c) for c in order_cols]
-    ).withColumn("__shard", F.spark_partition_id())
+    ranged = df.repartitionByRange(n_partitions, *sort_exprs).withColumn(
+        "__shard", F.spark_partition_id()
+    )
     w_in = (
         Window.partitionBy("__shard")
-        .orderBy(*order_cols)
+        .orderBy(*sort_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # Materialize once: the totals collect and the final join are two
@@ -157,3 +187,64 @@ def distributed_ntile(
             r <= rem * big, F.expr(f"1 + (__r - 1) DIV {big}")
         ).otherwise(F.expr(f"{rem + 1} + (__r - 1 - {rem * big}) DIV {q}"))
     return ranked.withColumn(out_col, bucket.cast("bigint")).drop("__r")
+
+
+def distributed_lead(
+    df: DataFrame,
+    order_col: str,
+    value_col: str | None = None,
+    out_col: str = "next",
+    n_partitions: int | None = None,
+) -> DataFrame:
+    """``lead(value_col) OVER (ORDER BY order_col)`` without the
+    single-task global window.
+
+    Range-partition on ``order_col`` (must be a total order — dedupe
+    first), lead within each shard, then patch each shard's LAST row —
+    the only one whose successor lives in the next shard — from a K-row
+    driver-side table of per-shard first values (K = shard count, a few
+    bytes; empty shards are naturally absent from the aggregate, and the
+    next-present-shard lookup skips them). The global maximum keeps a
+    NULL lead, exactly like the native window."""
+    if value_col is None:
+        value_col = order_col
+    if n_partitions is None:
+        n_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+    ranged = df.repartitionByRange(n_partitions, F.col(order_col)).withColumn(
+        "__shard", F.spark_partition_id()
+    )
+    w = Window.partitionBy("__shard").orderBy(order_col)
+    # Materialize once (range boundaries come from sampling): the firsts
+    # collect and the final join must see the same shard assignment.
+    led = ranged.withColumn(out_col, F.lead(value_col).over(w)).localCheckpoint(
+        eager=False
+    )
+    firsts = (
+        led.groupBy("__shard")
+        .agg(F.min_by(value_col, F.col(order_col)).alias("__first"))
+        .orderBy("__shard")
+        .collect()
+    )
+    value_type = led.schema[value_col].dataType
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    rows = []
+    for i, r in enumerate(firsts):
+        nxt = firsts[i + 1]["__first"] if i + 1 < len(firsts) else None
+        rows.append((r["__shard"], nxt))
+    boundary = df.sparkSession.createDataFrame(
+        rows,
+        StructType(
+            [
+                StructField("__shard", IntegerType(), False),
+                StructField("__next_first", value_type, True),
+            ]
+        ),
+    )
+    return (
+        led.join(F.broadcast(boundary), "__shard", "left")
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("__next_first")))
+        .drop("__shard", "__next_first")
+    )

@@ -90,8 +90,21 @@ def pareto_frontier(
     cost/value has no place in the dominance order; dropping explicitly
     beats the silent join-and-filter loss a naive formulation gives).
 
-    Used by the `pareto_frontier_parts` query; property-tested against
-    brute-force dominance on ties-heavy generated data."""
+    CARDINALITY CONTRACT: ``minimize`` must have bounded distinct
+    cardinality (a price grid, a discrete level — anything comfortably
+    collect-sized), because the running max over strictly-cheaper levels
+    is an unpartitioned window over the per-level relation: one task
+    sorting #levels rows, and the level relation is broadcast into the
+    join back. With a near-unique continuous ``minimize`` (e.g. raw
+    float cost), #levels ≈ n and this degenerates to a single-partition
+    global sort — bucket/round the measure first, or route the running
+    max through a range-partitioned prefix pass
+    (``packing.distributed_cumsum`` with max-combine) before using this.
+
+    Used by the `pareto_frontier_parts` query (p_retailprice: a
+    generator-bounded price grid; ~#distinct prices << n rows);
+    property-tested against brute-force dominance on ties-heavy
+    generated data."""
     df = df.filter(F.col(maximize).isNotNull() & F.col(minimize).isNotNull())
     per_level = df.groupBy(minimize).agg(F.max(maximize).alias("__max_val"))
     w = Window.orderBy(minimize).rowsBetween(Window.unboundedPreceding, -1)

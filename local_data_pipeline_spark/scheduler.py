@@ -16,8 +16,9 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass
-from datetime import datetime, timedelta
+from datetime import datetime, timedelta, timezone
 from typing import Callable
+from zoneinfo import ZoneInfo
 
 from pyspark.sql import SparkSession
 
@@ -25,6 +26,13 @@ from .registry import BuildResult, Registry
 
 #: ≙ NIGHTLY_CRON / SCHEDULE_TZ env overrides (schedules.py:6-7).
 DEFAULT_CRON = os.environ.get("NIGHTLY_CRON", "0 0 * * *")
+
+
+def _schedule_tz() -> str | None:
+    """≙ the reference's `SCHEDULE_TZ` / `DBT_SCHEDULE_TZ` env override
+    (schedules.py:7, dbt_defs.py:11 → Dagster's execution_timezone).
+    None = naive/UTC ticks, the pre-override default."""
+    return os.environ.get("SCHEDULE_TZ") or None
 
 
 @dataclass(frozen=True)
@@ -35,6 +43,8 @@ class Job:
     registry: Registry
     cron: str = DEFAULT_CRON
     select: tuple[str, ...] | None = None
+    #: wall-clock zone for the cron fields (None → SCHEDULE_TZ env → UTC)
+    tz: str | None = None
 
     def run(self, spark: SparkSession) -> list[BuildResult]:
         return self.registry.build(
@@ -57,18 +67,43 @@ def _parse_field(field: str, lo: int, hi: int) -> set[int]:
     return vals
 
 
-def next_fire(cron: str, after: datetime) -> datetime:
+def next_fire(cron: str, after: datetime, tz: str | None = None) -> datetime:
     """Next ``minute hour dom month dow`` tick strictly after ``after``
     (standard 5-field cron, OR-semantics quirk of dom/dow not needed for
-    the reference's simple schedules)."""
+    the reference's simple schedules).
+
+    ``tz`` (default: the ``SCHEDULE_TZ`` env var, ≙ Dagster's
+    ``execution_timezone`` at reference schedules.py:17-23): cron fields
+    are matched against the WALL CLOCK of that zone, so a nightly
+    "0 0 * * *" in America/Los_Angeles fires at 08:00 UTC in winter and
+    07:00 UTC in summer — the operator's midnight, not UTC's. A naive
+    ``after`` is interpreted as UTC (the engine's session convention);
+    the returned tick is zone-aware. DST edges follow cron convention:
+    wall times skipped by spring-forward don't match (the next matching
+    wall time fires instead); ambiguous fall-back times fire on the
+    first (pre-transition, fold=0) occurrence only. With no tz, naive
+    datetimes pass through unchanged (UTC ticks, the old contract)."""
     minute, hour, dom, month, dow = cron.split()
     minutes = _parse_field(minute, 0, 59)
     hours = _parse_field(hour, 0, 23)
     doms = _parse_field(dom, 1, 31)
     months = _parse_field(month, 1, 12)
     dows = _parse_field(dow, 0, 6)  # 0 = Sunday
-    t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
-    for _ in range(366 * 24 * 60):  # bounded scan, ≤1 year
+    tz = tz if tz is not None else _schedule_tz()
+    zone = ZoneInfo(tz) if tz else None
+    if zone is not None:
+        aware = (
+            after.replace(tzinfo=timezone.utc)
+            if after.tzinfo is None
+            else after
+        )
+        # scan in naive wall time of the zone; convert back per candidate
+        t = aware.astimezone(zone).replace(
+            second=0, microsecond=0, tzinfo=None
+        ) + timedelta(minutes=1)
+    else:
+        t = after.replace(second=0, microsecond=0) + timedelta(minutes=1)
+    for _ in range(366 * 24 * 60):  # bounded scan, ≤1 year of minutes
         if (
             t.minute in minutes
             and t.hour in hours
@@ -76,7 +111,15 @@ def next_fire(cron: str, after: datetime) -> datetime:
             and t.month in months
             and (t.weekday() + 1) % 7 in dows
         ):
-            return t
+            if zone is None:
+                return t
+            cand = t.replace(tzinfo=zone)  # fold=0: first occurrence
+            # Spring-forward gap: a wall time the zone skips doesn't
+            # round-trip (02:30 PDT-day normalizes to 03:30). Skip it —
+            # the next matching REAL wall time fires, cron convention.
+            rt = cand.astimezone(timezone.utc).astimezone(zone)
+            if (rt.hour, rt.minute, rt.day) == (t.hour, t.minute, t.day):
+                return cand
         t += timedelta(minutes=1)
     raise ValueError(f"no fire time within a year for cron {cron!r}")
 
@@ -94,7 +137,12 @@ class Scheduler:
         out = []
         for job in self.jobs.values():
             anchor = self.last_run.get(job.name, now - timedelta(days=1))
-            if next_fire(job.cron, anchor) <= now:
+            tick = next_fire(job.cron, anchor, tz=job.tz)
+            ref = now
+            if tick.tzinfo is not None and ref.tzinfo is None:
+                # naive `now` follows the engine convention: it IS UTC
+                ref = ref.replace(tzinfo=timezone.utc)
+            if tick <= ref:
                 out.append(job)
         return out
 

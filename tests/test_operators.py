@@ -361,3 +361,62 @@ def test_ngrams_udtf_matches_explode_shape(spark):
         ).alias("pos", "ngram"),
     )
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_distributed_ntile_descending_order_matches_native(spark):
+    """Descending order specs ((col, 'desc') tuples) must reproduce
+    native ntile over the same DESC window — the RFM f/m quartile shape."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.operators.packing import distributed_ntile
+    from local_data_pipeline_spark.session import load_table
+
+    c = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        "c_custkey", "c_acctbal"
+    )
+    got = {
+        r.c_custkey: r.b
+        for r in distributed_ntile(
+            c,
+            [("c_acctbal", "desc"), ("c_custkey", "asc")],
+            4,
+            out_col="b",
+            n_partitions=5,
+        ).collect()
+    }
+    w = Window.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    want = {
+        r.c_custkey: r.b
+        for r in c.withColumn("b", F.ntile(4).over(w).cast("bigint")).collect()
+    }
+    assert got == want
+
+
+def test_distributed_lead_equals_global_window(spark):
+    """Sharded lead + boundary patch must equal the single-task global
+    lead exactly, including the NULL on the global maximum."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.operators.packing import distributed_lead
+    from local_data_pipeline_spark.session import load_table
+
+    ids = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id")
+        .distinct()
+    )
+    got = {
+        r.event_id: r.nxt
+        for r in distributed_lead(
+            ids, "event_id", out_col="nxt", n_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("event_id")
+    want = {
+        r.event_id: r.nxt
+        for r in ids.withColumn("nxt", F.lead("event_id").over(w)).collect()
+    }
+    assert got == want
+    assert sum(1 for v in got.values() if v is None) == 1  # only the max

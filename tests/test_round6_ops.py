@@ -250,12 +250,20 @@ def test_ann_recall_bounds_and_brute_force_floor(spark):
         r["method"]: r
         for r in QUERIES["ann_recall_eval"].fn(spark, SF_DIR).collect()
     }
-    assert set(rows) == {"lsh", "ivf"}
+    assert set(rows) == {"lsh", "lsh_multiprobe", "ivf"}
     for r in rows.values():
         assert 0.0 <= r["mean_recall_at_10"] <= 1.0
         assert r["n_hits"] <= 10 * r["n_queries"]
     # IVF probing 4/16 cells should recover a meaningful share
     assert rows["ivf"]["mean_recall_at_10"] > 0.2
+    # Hamming-1 probing must not lose recall vs the exact bucket (on the
+    # structure-free synthetic vectors it merely scans more candidates;
+    # the >=0.95 clustered-data guarantee is pinned in
+    # test_dedup_similarity.py::test_lsh_multiprobe_recall_bound_...)
+    assert (
+        rows["lsh_multiprobe"]["mean_recall_at_10"]
+        >= rows["lsh"]["mean_recall_at_10"]
+    )
 
 
 # ----------------------------------------------------- incident overlap

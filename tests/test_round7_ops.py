@@ -1,0 +1,71 @@
+"""Round-7 additions: information metrics, survivorship dedup, sketch
+accuracy — properties the DuckDB oracle can't express."""
+
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def test_hll_error_within_advertised_rsd(spark):
+    """approx_count_distinct must land within ~3x its advertised relative
+    standard deviation of the exact count at both precisions (3 sigma —
+    the bound a rollup owner would size alerting by), and the finer
+    sketch must not be WORSE on aggregate."""
+    rows = QUERIES["hll_distinct_error_eval"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.rel_err_rsd05 <= 0.15, r
+        assert r.rel_err_rsd01 <= 0.03, r
+    mean05 = sum(r.rel_err_rsd05 for r in rows) / len(rows)
+    mean01 = sum(r.rel_err_rsd01 for r in rows) / len(rows)
+    assert mean01 <= mean05 + 1e-9
+
+
+def test_kl_divergence_nonnegative_and_finite(spark):
+    """Gibbs' inequality: KL(P_s || P_corpus) >= 0 for every source (up
+    to the term-rounding epsilon), and finite — every source token is in
+    the corpus by construction so no term divides by zero."""
+    rows = QUERIES["kl_divergence_source_tokens"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.kl_nats is not None and r.kl_nats >= -1e-4, r
+
+
+def test_entropy_bounds_and_dominant_share(spark):
+    """0 <= H <= ln(n_langs); dominant share in (0, 1]; a single-language
+    source would pin H = 0 and share = 1."""
+    import math
+
+    rows = QUERIES["entropy_source_lang_mix"].fn(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert -1e-9 <= r.lang_entropy_nats <= math.log(r.n_langs) + 1e-6, r
+        assert 0 < r.dominant_share <= 1
+
+
+def test_survivor_policy_keeps_longest_variant(spark):
+    """Planted truncation variants: three docs sharing a 16-token head
+    with different lengths — the survivor must be the longest, not the
+    lowest doc_id, and the group flags policy_changed_pick."""
+    import os
+    import tempfile
+
+    head = " ".join(f"w{i}" for i in range(16))
+    rows = [
+        (1, head + " tail", "s1", len(head) + 5),
+        (2, head + " much longer tail text here", "s1", len(head) + 27),
+        (3, head, "s2", len(head)),
+        (4, "completely unrelated document text " * 3, "s1", 105),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, n_chars bigint"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = QUERIES["dedup_survivor_quality"].fn(spark, td).collect()
+    assert len(out) == 1
+    g = out[0]
+    assert g.n_dups == 3
+    assert g.survivor_doc_id == 2  # longest, NOT min doc_id
+    assert bool(g.policy_changed_pick) is True

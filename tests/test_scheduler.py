@@ -83,3 +83,74 @@ def test_backfill_partitions_idempotent_and_scoped(spark, tmp_path):
     assert after.count() == total0  # idempotent: no duplicate rows
     for f, mtime in untouched.items():
         assert os.path.getmtime(f) == mtime  # other partitions untouched
+
+
+def test_next_fire_schedule_tz_follows_wall_clock_across_dst():
+    """SCHEDULE_TZ semantics (≙ Dagster execution_timezone, reference
+    schedules.py:17-23): a nightly cron in America/Los_Angeles fires at
+    the operator's midnight — 08:00 UTC under PST, 07:00 UTC under PDT —
+    so the UTC firing instant shifts by an hour across spring-forward."""
+    from datetime import timezone
+
+    # 2026-03-07 is PST (UTC-8); next midnight LA = 08:00 UTC
+    before = next_fire(
+        "0 0 * * *",
+        datetime(2026, 3, 7, 12, 0),  # naive = UTC convention
+        tz="America/Los_Angeles",
+    )
+    assert before.astimezone(timezone.utc).replace(tzinfo=None) == datetime(
+        2026, 3, 8, 8, 0
+    )
+    # 2026-03-08 02:00 PST jumps to 03:00 PDT; the NEXT midnight after
+    # that morning is 2026-03-09 00:00 PDT = 07:00 UTC — one UTC hour
+    # earlier than the previous tick's offset
+    after = next_fire(
+        "0 0 * * *", datetime(2026, 3, 8, 12, 0), tz="America/Los_Angeles"
+    )
+    assert after.astimezone(timezone.utc).replace(tzinfo=None) == datetime(
+        2026, 3, 9, 7, 0
+    )
+
+
+def test_next_fire_skips_spring_forward_gap():
+    """A 02:30 schedule on the spring-forward day (02:00→03:00 LA,
+    2026-03-08): 02:30 does not exist — cron convention fires the next
+    REAL matching wall time (02:30 the following day), never a phantom."""
+    tick = next_fire(
+        "30 2 * * *", datetime(2026, 3, 8, 8, 0), tz="America/Los_Angeles"
+    )
+    # after = 00:00 LA on Mar 8; 02:30 LA that day is skipped by DST
+    assert (tick.month, tick.day, tick.hour, tick.minute) == (3, 9, 2, 30)
+
+
+def test_next_fire_env_var_default(monkeypatch):
+    """SCHEDULE_TZ env var is honored when no explicit tz is passed
+    (≙ the reference's env-overridable execution timezone)."""
+    monkeypatch.setenv("SCHEDULE_TZ", "America/Los_Angeles")
+    tick = next_fire("0 0 * * *", datetime(2026, 1, 10, 12, 0))
+    from datetime import timezone
+
+    assert tick.tzinfo is not None
+    assert tick.astimezone(timezone.utc).replace(tzinfo=None) == datetime(
+        2026, 1, 11, 8, 0
+    )
+    monkeypatch.delenv("SCHEDULE_TZ")
+    naive = next_fire("0 0 * * *", datetime(2026, 1, 10, 12, 0))
+    assert naive.tzinfo is None and naive == datetime(2026, 1, 11, 0, 0)
+
+
+def test_scheduler_due_with_tz_job():
+    """A tz-carrying Job fires on its wall-clock midnight when compared
+    against a naive-UTC `now`."""
+    from local_data_pipeline_spark.scheduler import Scheduler
+
+    job = Job(name="la_nightly", registry=None, cron="0 0 * * *",
+              tz="America/Los_Angeles")
+    sched = Scheduler([job])
+    sched.last_run["la_nightly"] = datetime(2026, 1, 10, 9, 0)  # UTC
+    # 07:59 UTC Jan 11 = 23:59 LA Jan 10 — not yet due
+    assert sched.due(datetime(2026, 1, 11, 7, 59)) == []
+    # 08:01 UTC = 00:01 LA — due
+    assert [j.name for j in sched.due(datetime(2026, 1, 11, 8, 1))] == [
+        "la_nightly"
+    ]
