@@ -9448,6 +9448,160 @@ def dedup_survivor_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "psi_length_drift_sources",
+    """
+    WITH binned AS (
+      SELECT source, least(n_chars // 200, 19) AS bin
+      FROM documents),
+    sb AS (
+      SELECT source, bin, count(*) AS c_sb FROM binned GROUP BY source, bin),
+    per_src AS (
+      SELECT source, cast(sum(c_sb) AS bigint) AS n_s FROM sb GROUP BY source),
+    per_bin AS (
+      SELECT bin, cast(sum(c_sb) AS bigint) AS c_b FROM sb GROUP BY bin),
+    tot AS (SELECT cast(sum(c_b) AS bigint) AS n FROM per_bin),
+    grid AS (
+      SELECT s.source, s.n_s, b.bin, b.c_b, t.n,
+             coalesce(x.c_sb, 0) AS c_sb
+      FROM per_src s CROSS JOIN per_bin b CROSS JOIN tot t
+      LEFT JOIN sb x ON x.source = s.source AND x.bin = b.bin),
+    terms AS (
+      SELECT source,
+             round((greatest(c_sb / cast(n_s AS double), 0.000001)
+                    - greatest(c_b / cast(n AS double), 0.000001))
+                   * ln(greatest(c_sb / cast(n_s AS double), 0.000001)
+                        / greatest(c_b / cast(n AS double), 0.000001)), 9)
+               AS term
+      FROM grid)
+    SELECT source,
+           round(cast(cast(sum(cast(term AS decimal(25,9))) AS string) AS double), 6)
+             AS psi
+    FROM terms GROUP BY source
+    """,
+    tags=("governance", "drift", "curation"),
+)
+def psi_length_drift_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution against the whole corpus — the drift score data
+    pipelines alert on (PSI > 0.2 = significant shift) before a skewed
+    source silently changes the training mix. Lengths bucket into fixed
+    200-char bins capped at 20 (integer division — engine-identical);
+    zero-count cells clamp to 1e-6 (the standard PSI smoothing) on the
+    full source x bin grid so one-sided gaps still contribute.
+
+    Determinism: round-9 log terms summed as exact decimals (the repo's
+    float-reduction rule). Scale: one scan to (source, bin) counts —
+    map-side combinable; the grid is #sources x 20 rows; marginals
+    broadcast."""
+    d = _t(spark, sf_dir, "documents")
+    binned = d.select(
+        "source", F.least(F.expr("n_chars DIV 200"), F.lit(19)).alias("bin")
+    )
+    sb = binned.groupBy("source", "bin").agg(F.count("*").alias("c_sb"))
+    per_src = sb.groupBy("source").agg(F.sum("c_sb").cast("bigint").alias("n_s"))
+    per_bin = sb.groupBy("bin").agg(F.sum("c_sb").cast("bigint").alias("c_b"))
+    tot = per_bin.agg(F.sum("c_b").cast("bigint").alias("n"))
+    # The bin axis is the LITERAL 0..19 domain (a 20-row local table —
+    # bounded by construction, which the plan linter can see), not the
+    # observed-bins aggregate: bins absent from BOTH a source and the
+    # corpus contribute (eps - eps) * ln(1) = 0, so the grid shape is
+    # result-neutral while the cross join's build side stays provably
+    # constant-sized.
+    bins = spark.range(20).select(F.col("id").alias("bin"))
+    grid = (
+        per_src.crossJoin(F.broadcast(bins))
+        .join(F.broadcast(per_bin), "bin", "left")
+        .withColumn("c_b", F.coalesce("c_b", F.lit(0)))
+        .crossJoin(F.broadcast(tot))
+        .join(F.broadcast(sb), ["source", "bin"], "left")
+        .withColumn("c_sb", F.coalesce("c_sb", F.lit(0)))
+    )
+    eps = F.lit(0.000001)
+    p_s = F.greatest(F.col("c_sb") / F.col("n_s").cast("double"), eps)
+    p_c = F.greatest(F.col("c_b") / F.col("n").cast("double"), eps)
+    terms = grid.select(
+        "source", F.round((p_s - p_c) * F.log(p_s / p_c), 9).alias("term")
+    )
+    return terms.groupBy("source").agg(
+        F.round(
+            F.sum(F.col("term").cast("decimal(25,9)")).cast("double"), 6
+        ).alias("psi")
+    )
+
+
+@q(
+    "pack_boundary_split_report",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+               AS n_tokens
+      FROM documents),
+    offsets AS (
+      SELECT doc_id, source, n_tokens,
+             cast(sum(n_tokens) OVER (ORDER BY doc_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  - n_tokens AS bigint) AS start_offset
+      FROM toks),
+    splits AS (
+      SELECT source, n_tokens,
+             CASE WHEN n_tokens = 0 THEN 0
+                  ELSE cast((start_offset % 2048 + n_tokens - 1) // 2048 AS bigint)
+             END AS n_splits
+      FROM offsets)
+    SELECT source,
+           count(*) AS n_docs,
+           cast(sum(CASE WHEN n_splits > 0 THEN 1 ELSE 0 END) AS bigint)
+             AS n_split_docs,
+           cast(sum(n_splits) AS bigint) AS total_splits,
+           round(sum(CASE WHEN n_splits > 0 THEN 1 ELSE 0 END)
+                 / cast(count(*) AS double), 6) AS split_rate
+    FROM splits GROUP BY source
+    """,
+    tags=("text", "packing", "curation"),
+)
+def pack_boundary_split_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-quality report for the concat-and-chunk layout of
+    `pack_training_sequences`: per source, how many documents straddle a
+    2048-token sequence boundary (each straddle = one attention-window
+    truncation a trainer pays for) — the metric that decides between
+    plain concat packing and doc-boundary-respecting bin packing.
+    n_splits = boundaries crossed = (start mod 2048 + n - 1) div 2048.
+
+    Scale: the offsets come from the same `distributed_cumsum` as the
+    packing query (range shards + offset broadcast, no single-task
+    stage); the report is one map-side-combinable rollup on source."""
+    from .operators import packing as PK
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "source",
+        F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens"),
+    )
+    offsets = PK.distributed_cumsum(
+        toks, "doc_id", "n_tokens", out_col="start_offset"
+    )
+    n_splits = F.when(F.col("n_tokens") == 0, F.lit(0).cast("bigint")).otherwise(
+        F.expr("(start_offset % 2048 + n_tokens - 1) DIV 2048")
+    )
+    splits = offsets.select("source", "n_tokens", n_splits.alias("n_splits"))
+    return splits.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.when(F.col("n_splits") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_split_docs"),
+        F.sum("n_splits").cast("bigint").alias("total_splits"),
+        F.round(
+            F.sum(F.when(F.col("n_splits") > 0, 1).otherwise(0))
+            / F.count("*").cast("double"),
+            6,
+        ).alias("split_rate"),
+    )
+
+
 @q("hll_distinct_error_eval", None, tags=("sketch", "eval", "agg"))
 def hll_distinct_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy evaluation: per event type, the exact distinct

@@ -69,3 +69,75 @@ def test_survivor_policy_keeps_longest_variant(spark):
     assert g.n_dups == 3
     assert g.survivor_doc_id == 2  # longest, NOT min doc_id
     assert bool(g.policy_changed_pick) is True
+
+
+def test_psi_zero_for_corpus_identical_source(spark):
+    """A source whose length distribution IS the corpus distribution has
+    PSI ~ 0; a shifted source scores strictly higher. Planted: two
+    sources with identical bin histograms, one source concentrated in a
+    different length band."""
+    import os
+    import tempfile
+
+    rows = []
+    did = 0
+    # sources a and b: 50/50 mix of short (bin 0) and mid (bin 2) docs;
+    # source c shares the SAME support but shifted to 90/10 — shared
+    # support keeps the 1e-6 zero-bin clamp out of play, so the scores
+    # are pure proportion-shift PSI (expected: a=b~0.073, c~0.44)
+    for src in ("a", "b"):
+        for _ in range(20):
+            rows.append((did, "x " * 50, src, 100)); did += 1
+            rows.append((did, "y " * 225, src, 450)); did += 1
+    for _ in range(36):
+        rows.append((did, "x " * 50, "c", 100)); did += 1
+    for _ in range(4):
+        rows.append((did, "y " * 225, "c", 450)); did += 1
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, n_chars bigint"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.source: r.psi
+            for r in QUERIES["psi_length_drift_sources"].fn(spark, td).collect()
+        }
+    assert got["a"] == got["b"]       # identical dists, identical score
+    assert got["c"] > 0.2             # the shifted source crosses alert level
+    assert got["a"] < 0.2             # in-distribution sources stay below it
+    assert got["c"] > got["a"]
+
+
+def test_pack_split_report_consistent_with_offsets(spark):
+    """The split counts must equal a direct recomputation from the
+    packing offsets: sum over docs of boundaries crossed, and every doc
+    shorter than the window can split at most once per 2048 tokens."""
+    from local_data_pipeline_spark.queries import QUERIES as Q
+
+    rep = {
+        r.source: r for r in Q["pack_boundary_split_report"].fn(spark, SF).collect()
+    }
+    packed = Q["pack_training_sequences"].fn(spark, SF).collect()
+    docs = {
+        r.doc_id: r for r in packed
+    }
+    # recompute from the oracle-checked packing offsets
+    from collections import defaultdict
+    import math
+
+    src_of = {
+        r.doc_id: r.source
+        for r in spark.read.parquet(f"{SF}/documents.parquet")
+        .select("doc_id", "source")
+        .collect()
+    }
+    want = defaultdict(lambda: [0, 0, 0])  # n_docs, n_split, total
+    for d in docs.values():
+        ns = 0 if d.n_tokens == 0 else (d.start_offset % 2048 + d.n_tokens - 1) // 2048
+        w = want[src_of[d.doc_id]]
+        w[0] += 1
+        w[1] += 1 if ns > 0 else 0
+        w[2] += ns
+    assert set(rep) == set(want)
+    for s, r in rep.items():
+        assert [r.n_docs, r.n_split_docs, r.total_splits] == want[s], s
+        assert math.isclose(r.split_rate, round(want[s][1] / want[s][0], 6))

@@ -154,6 +154,12 @@ _BOUNDED_OPS = (
     "LocalLimit",
     "CollectLimit",
     "WindowGroupLimit",
+    # literal in-plan tables are bounded by construction — the data was
+    # declared in the program text / materialized on the driver. NOTE:
+    # "Scan ExistingRDD" is deliberately NOT here: localCheckpoint scans
+    # compile to it and those are data-proportional.
+    "LocalTableScan",
+    "Range",
 )
 
 
