@@ -248,3 +248,72 @@ def distributed_lead(
         .withColumn(out_col, F.coalesce(F.col(out_col), F.col("__next_first")))
         .drop("__shard", "__next_first")
     )
+
+
+def bin_pack_nfd(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    capacity: int,
+    n_shards: int = 64,
+) -> DataFrame:
+    """Boundary-respecting bin packing: every item goes WHOLE into a bin
+    of ``capacity`` (no document ever straddles a training-sequence
+    boundary — the alternative layout to concat-and-chunk
+    ``pack_training_sequences``, whose truncation cost
+    ``pack_boundary_split_report`` measures).
+
+    Greedy packing is inherently sequential, so the scale shape is
+    shard-then-pack: a deterministic md5 hash of ``id_col`` (the same
+    engine-stable hash as ``dedup.hash_split``) splits items into
+    ``n_shards`` independent shards; each shard is packed by
+    next-fit-decreasing (items sorted by weight desc then id; an item
+    joins the one open bin if it fits, else opens a new bin; items over
+    capacity get a dedicated bin) inside ONE Arrow-batched
+    ``applyInPandas`` task. Parallelism = n_shards, per-task memory =
+    one shard; at 100 TB pick n_shards ~ n_items / items_per_task and
+    bins stay shard-local (bin ids are (shard, bin_idx) pairs).
+    Decreasing order makes next-fit competitive with first-fit (every
+    later item is no larger than the one that closed the bin) while
+    keeping the recurrence single-state — which is also what makes the
+    packing verifiable row-for-row by a SQL recursive CTE.
+
+    Returns one row per item: (shard, id, weight, bin_idx) with
+    ``bin_idx`` starting at 1 per shard. Deterministic: pure function of
+    the ids and weights, independent of partitioning."""
+    if capacity <= 0 or n_shards <= 0:
+        raise ValueError("capacity and n_shards must be positive")
+    import pandas as pd
+
+    shard = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10
+        ).cast("bigint"),
+        F.lit(n_shards),
+    )
+    items = df.select(
+        shard.alias("shard"),
+        F.col(id_col).cast("bigint").alias(id_col),
+        F.col(weight_col).cast("bigint").alias(weight_col),
+    )
+    schema = f"shard bigint, {id_col} bigint, {weight_col} bigint, bin_idx bigint"
+
+    def pack(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(
+            [weight_col, id_col], ascending=[False, True]
+        ).reset_index(drop=True)
+        bins: list[int] = []
+        bin_idx, remaining = 0, -1  # first item always opens bin 1
+        for w in pdf[weight_col]:
+            w = int(w)
+            if bin_idx > 0 and w <= remaining:
+                remaining -= w
+            else:
+                bin_idx += 1
+                remaining = 0 if w >= capacity else capacity - w
+            bins.append(bin_idx)
+        return pdf.assign(bin_idx=bins)[[
+            "shard", id_col, weight_col, "bin_idx"
+        ]]
+
+    return items.groupBy("shard").applyInPandas(pack, schema)

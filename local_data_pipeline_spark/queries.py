@@ -9637,6 +9637,238 @@ def hll_distinct_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "q12_shipband_priority",
+    """
+    WITH lagged AS (
+      SELECT date_diff('day', o.o_orderdate, l.l_shipdate) AS lag_days,
+             o.o_orderpriority
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l.l_shipdate < TIMESTAMP '1997-01-01')
+    SELECT CASE WHEN lag_days <= 15 THEN 'FAST'
+                WHEN lag_days <= 45 THEN 'REGULAR'
+                ELSE 'SLOW' END AS ship_band,
+           cast(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS bigint) AS high_line_count,
+           cast(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+                         THEN 1 ELSE 0 END) AS bigint) AS low_line_count
+    FROM lagged GROUP BY 1
+    """,
+    tags=("tpch", "join", "agg"),
+)
+def q12_shipband_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape (shipping modes vs order priority — the last of
+    the 22 classic shapes): the synthetic schema has no
+    l_shipmode/l_commitdate/l_receiptdate, so "mode" is the ship-lag
+    band of each 1996-shipped line (FAST ≤15d, REGULAR ≤45d, SLOW) —
+    same join + dual conditional count as the spec query (the q4
+    adaptation precedent).
+
+    Scale: the year filter pushes into the lineitem scan; orders is
+    projected to 3 columns before the join; the fact-fact join shuffles
+    on the order key (AQE broadcasts at small SF); the final aggregate
+    has 3 groups behind a map-side combine."""
+    l = (
+        _t(spark, sf_dir, "lineitem")
+        .filter(
+            (
+                F.col("l_shipdate")
+                >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz")
+            )
+            & (
+                F.col("l_shipdate")
+                < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz")
+            )
+        )
+        .select("l_orderkey", "l_shipdate")
+    )
+    o = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    j = l.join(o, l["l_orderkey"] == o["o_orderkey"])
+    lag = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+    band = (
+        F.when(lag <= 15, "FAST").when(lag <= 45, "REGULAR").otherwise("SLOW")
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        j.select(band.alias("ship_band"), hi.alias("hi"))
+        .groupBy("ship_band")
+        .agg(
+            F.sum(F.when(F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("high_line_count"),
+            F.sum(F.when(~F.col("hi"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("low_line_count"),
+        )
+    )
+
+
+@q(
+    "epoch_mixture_plan_sources",
+    f"""
+    WITH toks AS (
+      SELECT source,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+               AS n_tokens
+      FROM documents),
+    per_src AS (
+      SELECT source, cast(sum(n_tokens) AS bigint) AS n_s
+      FROM toks GROUP BY source),
+    tot AS (SELECT cast(sum(n_s) AS bigint) AS n FROM per_src),
+    sq AS (
+      SELECT source, n_s, round(sqrt(cast(n_s AS double)), 6) AS s_sqrt
+      FROM per_src),
+    denom AS (
+      SELECT {dsum_sql("s_sqrt")} AS denom FROM sq),
+    planned AS (
+      SELECT source, n_s, n,
+             round(s_sqrt / denom, 6) AS weight
+      FROM sq CROSS JOIN tot CROSS JOIN denom)
+    SELECT source, n_s AS n_tokens, weight,
+           round(weight * n / n_s, 6) AS epochs_raw,
+           round(least(weight * n / n_s, 4.0), 6) AS epochs,
+           (weight * n / n_s > 4.0) AS capped
+    FROM planned
+    """,
+    tags=("curation", "mixing", "agg"),
+)
+def epoch_mixture_plan_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled epoch mixing plan (the multinomial
+    alpha-sampling of multilingual/multi-source LLM training recipes,
+    alpha = 0.5): each source's sampling weight ∝ sqrt(its token count),
+    renormalized — boosting small sources without letting any one
+    dominate — then converted to effective epochs over the source at an
+    equal-total token budget, capped at 4 passes (the standard
+    repetition-harm ceiling) with the cap surfaced as a flag.
+
+    Determinism: sqrt is IEEE-correctly-rounded on both engines and
+    rounded to 6dp before the weight normalization; the normalizer is an
+    exact decimal sum (dsum); everything downstream is a fixed-order
+    chain of IEEE ops on already-rounded inputs, so Spark and DuckDB
+    agree bitwise. Scale: one tokenize scan to per-source sums
+    (map-side combinable); the plan itself is #sources rows with two
+    broadcast scalars."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    per_src = toks.groupBy("source").agg(
+        F.sum("n_tokens").cast("bigint").alias("n_s")
+    )
+    sq = per_src.withColumn(
+        "s_sqrt", F.round(F.sqrt(F.col("n_s").cast("double")), 6)
+    )
+    tot = per_src.agg(F.sum("n_s").cast("bigint").alias("n"))
+    denom = sq.agg(dsum("s_sqrt").alias("denom"))
+    planned = (
+        sq.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(denom))
+        .withColumn("weight", F.round(F.col("s_sqrt") / F.col("denom"), 6))
+    )
+    epochs_raw = F.col("weight") * F.col("n") / F.col("n_s")
+    return planned.select(
+        "source",
+        F.col("n_s").alias("n_tokens"),
+        "weight",
+        F.round(epochs_raw, 6).alias("epochs_raw"),
+        F.round(F.least(epochs_raw, F.lit(4.0)), 6).alias("epochs"),
+        (epochs_raw > 4.0).alias("capped"),
+    )
+
+
+@q(
+    "bin_pack_report_documents",
+    """
+    WITH RECURSIVE toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+               AS n_tokens,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 64
+               AS shard
+      FROM documents),
+    numbered AS (
+      SELECT shard, doc_id, n_tokens,
+             row_number() OVER (PARTITION BY shard
+                                ORDER BY n_tokens DESC, doc_id) AS rn
+      FROM toks),
+    pack AS (
+      SELECT shard, rn, n_tokens, cast(1 AS bigint) AS bin_idx,
+             CASE WHEN n_tokens >= 2048 THEN 0
+                  ELSE 2048 - n_tokens END AS remaining
+      FROM numbered WHERE rn = 1
+      UNION ALL
+      SELECT n.shard, n.rn, n.n_tokens,
+             CASE WHEN n.n_tokens <= p.remaining THEN p.bin_idx
+                  ELSE p.bin_idx + 1 END,
+             CASE WHEN n.n_tokens <= p.remaining
+                    THEN p.remaining - n.n_tokens
+                  WHEN n.n_tokens >= 2048 THEN 0
+                  ELSE 2048 - n.n_tokens END
+      FROM pack p JOIN numbered n ON n.shard = p.shard AND n.rn = p.rn + 1),
+    report AS (
+      SELECT shard, count(*) AS n_docs, max(bin_idx) AS n_bins,
+             cast(sum(n_tokens) AS bigint) AS total_tokens,
+             cast(sum(CASE WHEN n_tokens > 2048 THEN 1 ELSE 0 END) AS bigint)
+               AS oversize_docs
+      FROM pack GROUP BY shard)
+    SELECT shard, n_docs, n_bins,
+           cast((total_tokens + 2047) // 2048 AS bigint) AS lower_bound_bins,
+           total_tokens, oversize_docs,
+           round(total_tokens / (n_bins * 2048.0), 6) AS fill_rate
+    FROM report
+    """,
+    tags=("text", "packing", "curation"),
+)
+def bin_pack_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary-respecting packing layout: documents go WHOLE into
+    2048-token bins via sharded next-fit-decreasing
+    (``operators/packing.py bin_pack_nfd``) — the zero-truncation
+    alternative whose cost/benefit against concat-and-chunk packing is
+    exactly what ``pack_boundary_split_report`` vs this report's
+    fill_rate quantifies (bins_used vs the ceil(total/2048) lower
+    bound). The oracle replays the identical greedy recurrence as a
+    recursive CTE, so every per-shard bin count is verified
+    row-for-row, not just plausible.
+
+    Scale: packing is sequential ONLY within a shard (md5-hash of
+    doc_id, engine-stable); shards pack in parallel Arrow tasks and at
+    100 TB n_shards grows with the corpus so per-task memory stays
+    flat. The report is one rollup over doc-level assignments."""
+    from .operators import packing as PK
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    packed = PK.bin_pack_nfd(
+        toks, "doc_id", "n_tokens", capacity=2048, n_shards=64
+    )
+    rep = packed.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.max("bin_idx").cast("bigint").alias("n_bins"),
+        F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+        F.sum(F.when(F.col("n_tokens") > 2048, 1).otherwise(0))
+        .cast("bigint")
+        .alias("oversize_docs"),
+    )
+    return rep.select(
+        "shard",
+        "n_docs",
+        "n_bins",
+        F.expr("(total_tokens + 2047) DIV 2048").alias("lower_bound_bins"),
+        "total_tokens",
+        "oversize_docs",
+        F.round(
+            F.col("total_tokens") / (F.col("n_bins") * F.lit(2048.0)), 6
+        ).alias("fill_rate"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

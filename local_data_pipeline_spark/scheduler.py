@@ -15,7 +15,7 @@ costs only the new data).
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 from datetime import datetime, timedelta, timezone
 from typing import Callable
 from zoneinfo import ZoneInfo
@@ -124,14 +124,79 @@ def next_fire(cron: str, after: datetime, tz: str | None = None) -> datetime:
     raise ValueError(f"no fire time within a year for cron {cron!r}")
 
 
+@dataclass(frozen=True)
+class RunRequest:
+    """One sensor-requested run. ``run_key`` is the idempotency token
+    (≙ Dagster's RunRequest.run_key): the scheduler executes at most one
+    run per (sensor, run_key), so a sensor that keeps reporting the same
+    state ("newest file is X") triggers exactly once until X changes."""
+
+    job_name: str
+    run_key: str | None = None
+
+
+@dataclass(frozen=True)
+class Sensor:
+    """Poll-driven trigger (≙ Dagster's ``@sensor``; the reference's
+    ``Definitions`` wires a ``sensors`` slot at definitions.py:12 — it
+    defines none, so this completes the API shape with working
+    semantics). ``evaluate()`` inspects the world (files, tables, a
+    clock) and returns the runs it wants; the scheduler dedupes on
+    ``run_key`` and routes each request to the named job."""
+
+    name: str
+    evaluate: Callable[[], list[RunRequest]]
+
+
+def new_files_sensor(name: str, path: str, job_name: str) -> Sensor:
+    """Sensor that requests one run of ``job_name`` whenever new data
+    files land under ``path`` (run_key = newest mtime+count snapshot, so
+    each distinct arrival state triggers exactly once — the standard
+    "kick the pipeline when the upstream drop completes" trigger)."""
+
+    def _evaluate() -> list[RunRequest]:
+        if not os.path.exists(path):
+            return []
+        newest, count = 0.0, 0
+        for root, _dirs, files in os.walk(path):
+            for f in files:
+                if f.startswith((".", "_")):
+                    continue
+                count += 1
+                newest = max(newest, os.path.getmtime(os.path.join(root, f)))
+        if count == 0:
+            return []
+        return [RunRequest(job_name=job_name, run_key=f"{newest:.6f}:{count}")]
+
+    return Sensor(name=name, evaluate=_evaluate)
+
+
 class Scheduler:
     """Tracks last-run per job; ``run_due`` fires everything whose next
-    tick has passed. State is in-memory by design — persistence belongs
-    to the external cron runner."""
+    tick has passed, ``poll_sensors`` fires sensor-requested runs (at
+    most once per run_key). State is in-memory by design — persistence
+    belongs to the external cron runner."""
 
-    def __init__(self, jobs: list[Job]):
+    def __init__(self, jobs: list[Job], sensors: list[Sensor] | None = None):
         self.jobs = {j.name: j for j in jobs}
+        self.sensors = {s.name: s for s in (sensors or [])}
         self.last_run: dict[str, datetime] = {}
+        self._seen_run_keys: set[tuple[str, str | None]] = set()
+
+    def poll_sensors(self, spark: SparkSession) -> dict[str, list[BuildResult]]:
+        """Evaluate every sensor; run each requested job whose
+        (sensor, run_key) has not run before. Unknown job names raise —
+        a mis-wired sensor is a deployment bug, not a skippable tick."""
+        results: dict[str, list[BuildResult]] = {}
+        for sensor in self.sensors.values():
+            for req in sensor.evaluate():
+                key = (sensor.name, req.run_key)
+                if req.run_key is not None and key in self._seen_run_keys:
+                    continue
+                job = self.jobs[req.job_name]
+                results[f"{sensor.name}:{req.run_key}"] = job.run(spark)
+                self._seen_run_keys.add(key)
+        return results
 
     def due(self, now: datetime) -> list[Job]:
         out = []
@@ -155,6 +220,29 @@ class Scheduler:
             results[job.name] = job.run(spark)
             self.last_run[job.name] = now
         return results
+
+
+@dataclass(frozen=True)
+class Definitions:
+    """One assembled deployment object (≙ the reference's
+    ``Definitions(assets, schedules=…, sensors=…, jobs=…, resources=…)``
+    at definitions.py:7-18 / defs/__init__.py:1-8): everything an
+    operator deploys as a unit. ``schedules`` are the cron-bearing jobs
+    (a ``Job`` carries its own cron, so the slot is a selection, not a
+    separate type); ``build_scheduler()`` wires jobs + sensors into the
+    runnable scheduler the external timer drives."""
+
+    registry: Registry
+    jobs: tuple[Job, ...] = ()
+    sensors: tuple[Sensor, ...] = ()
+    resources: dict[str, object] = field(default_factory=dict)
+
+    @property
+    def schedules(self) -> tuple[Job, ...]:
+        return tuple(j for j in self.jobs if j.cron)
+
+    def build_scheduler(self) -> Scheduler:
+        return Scheduler(list(self.jobs), sensors=list(self.sensors))
 
 
 @dataclass

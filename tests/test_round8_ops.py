@@ -1,0 +1,152 @@
+"""Round-8 operator tests: boundary-respecting bin packing, epoch
+mixture planning, and the q12 ship-band adaptation's band edges."""
+
+import math
+
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.operators.packing import bin_pack_nfd
+from local_data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+CAP = 2048
+
+
+def test_bin_pack_invariants_on_corpus(spark):
+    """Every document lands in exactly one bin; no bin exceeds capacity
+    unless it is a dedicated oversize bin (single doc over capacity);
+    bin indices are contiguous from 1 within each shard."""
+    from local_data_pipeline_spark.functions import text as TX
+    from local_data_pipeline_spark.session import load_table
+
+    d = load_table(spark, SF, "documents").select(
+        "doc_id", F.size(TX.tokens(F.col("text"))).cast("bigint").alias("w")
+    )
+    n_docs = d.count()
+    packed = bin_pack_nfd(d, "doc_id", "w", capacity=CAP, n_shards=8).collect()
+    assert len(packed) == n_docs
+    assert len({r.doc_id for r in packed}) == n_docs
+    from collections import defaultdict
+
+    fills = defaultdict(list)
+    for r in packed:
+        fills[(r.shard, r.bin_idx)].append(r.w)
+    for (_shard, _bin), ws in fills.items():
+        if sum(ws) > CAP:
+            assert len(ws) == 1 and ws[0] > CAP  # dedicated oversize bin
+    shard_bins = defaultdict(set)
+    for r in packed:
+        shard_bins[r.shard].add(r.bin_idx)
+    for s, bins in shard_bins.items():
+        assert bins == set(range(1, max(bins) + 1)), s
+
+
+def test_bin_pack_planted_nfd_order(spark):
+    """Deterministic next-fit-decreasing on a hand-checkable shard:
+    weights [1000, 900, 600, 500, 100] at capacity 2048 pack as
+    {1000,900} then {600,500,100}; an oversize item gets its own bin
+    and closes it (remaining 0)."""
+    rows = [(i, w) for i, w in enumerate([1000, 900, 600, 500, 100, 5000])]
+    df = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    got = {
+        r.doc_id: r.bin_idx
+        for r in bin_pack_nfd(df, "doc_id", "w", capacity=CAP, n_shards=1).collect()
+    }
+    # NFD order: 5000, 1000, 900, 600, 500, 100
+    # 5000 -> bin 1 (oversize, remaining 0); 1000 -> bin 2; 900 joins
+    # (rem 148); 600 -> bin 3; 500 joins (rem 948); 100 joins (rem 848)
+    assert got == {5: 1, 0: 2, 1: 2, 2: 3, 3: 3, 4: 3}
+
+
+def test_bin_pack_partitioning_insensitive(spark):
+    """The packing is a pure function of ids and weights — identical
+    under a different input partitioning."""
+    rows = [(i, (i * 37) % 900 + 10) for i in range(500)]
+    a = spark.createDataFrame(rows, "doc_id bigint, w bigint")
+    b = a.repartition(13, "w")
+    pack = lambda df: sorted(
+        (r.doc_id, r.shard, r.bin_idx)
+        for r in bin_pack_nfd(df, "doc_id", "w", capacity=CAP, n_shards=4).collect()
+    )
+    assert pack(a) == pack(b)
+
+
+def test_epoch_mixture_balanced_and_capped(spark):
+    """Equal sources get weight 1/k and exactly 1.0 epochs; a tiny
+    source is sqrt-upweighted, hits the 4-pass ceiling, and is flagged
+    capped while a large source stays under 1 epoch."""
+    import os
+    import tempfile
+
+    rows = []
+    did = 0
+    for _ in range(100):
+        rows.append((did, "tok " * 400, "big", "en")); did += 1
+    for _ in range(2):
+        rows.append((did, "tok " * 2, "tiny", "en")); did += 1
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, lang string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.source: r
+            for r in QUERIES["epoch_mixture_plan_sources"].fn(spark, td).collect()
+        }
+    big, tiny = got["big"], got["tiny"]
+    assert big.n_tokens == 40000 and tiny.n_tokens == 4
+    # sqrt weights: 200 vs 2 -> tiny gets ~1% of the budget = ~99 epochs
+    assert tiny.capped and tiny.epochs == 4.0 and tiny.epochs_raw > 50
+    assert not big.capped and big.epochs < 1.0
+    assert math.isclose(big.weight + tiny.weight, 1.0, abs_tol=2e-6)
+
+
+def test_epoch_mixture_equal_sources(spark):
+    import os
+    import tempfile
+
+    rows = []
+    did = 0
+    for src in ("a", "b", "c", "d"):
+        for _ in range(10):
+            rows.append((did, "x " * 100, src, "en")); did += 1
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id bigint, text string, source string, lang string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        out = QUERIES["epoch_mixture_plan_sources"].fn(spark, td).collect()
+    assert len(out) == 4
+    for r in out:
+        assert r.weight == 0.25 and r.epochs == 1.0 and not r.capped
+
+
+def test_q12_band_edges(spark):
+    """Band boundaries are inclusive at 15 and 45 days (<=), matching
+    the oracle's CASE."""
+    import os
+    import tempfile
+
+    import datetime as dt
+
+    base = dt.datetime(1996, 3, 1)
+    orders = [
+        (1, "1-URGENT", base),
+        (2, "5-LOW", base),
+        (3, "2-HIGH", base),
+    ]
+    lines = [
+        (1, base + dt.timedelta(days=15)),  # FAST edge
+        (2, base + dt.timedelta(days=45)),  # REGULAR edge
+        (3, base + dt.timedelta(days=46)),  # SLOW
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            orders, "o_orderkey bigint, o_orderpriority string, o_orderdate timestamp_ntz"
+        ).write.parquet(os.path.join(td, "orders.parquet"))
+        spark.createDataFrame(
+            lines, "l_orderkey bigint, l_shipdate timestamp_ntz"
+        ).write.parquet(os.path.join(td, "lineitem.parquet"))
+        got = {
+            r.ship_band: (r.high_line_count, r.low_line_count)
+            for r in QUERIES["q12_shipband_priority"].fn(spark, td).collect()
+        }
+    assert got == {"FAST": (1, 0), "REGULAR": (0, 1), "SLOW": (1, 0)}

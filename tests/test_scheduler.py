@@ -154,3 +154,62 @@ def test_scheduler_due_with_tz_job():
     assert [j.name for j in sched.due(datetime(2026, 1, 11, 8, 1))] == [
         "la_nightly"
     ]
+
+
+def test_sensor_fires_once_per_run_key(spark, tmp_path):
+    """new_files_sensor: triggers on a fresh data drop, dedupes on the
+    run_key until the drop changes, re-triggers on the next arrival."""
+    from local_data_pipeline_spark.scheduler import (
+        Definitions,
+        Job,
+        new_files_sensor,
+    )
+
+    reg = build_registry(lambda s: synthesize_raw_swell(s))
+    job = Job(name="on_drop", registry=reg, cron="0 0 * * *")
+    drop = tmp_path / "landing"
+    defs = Definitions(
+        registry=reg,
+        jobs=(job,),
+        sensors=(new_files_sensor("landing_watch", str(drop), "on_drop"),),
+    )
+    assert defs.schedules == (job,)  # cron-bearing jobs fill the slot
+    sched = defs.build_scheduler()
+
+    # empty landing zone: no requests, no runs
+    assert sched.poll_sensors(spark) == {}
+    drop.mkdir()
+    (drop / "_SUCCESS").write_text("")  # marker files are not data
+    assert sched.poll_sensors(spark) == {}
+
+    (drop / "part-000.json").write_text("{}")
+    first = sched.poll_sensors(spark)
+    assert len(first) == 1
+    (runs,) = first.values()
+    assert any(r.model == "pres_daily_max_swell" for r in runs)
+    # same state: the run_key has been seen, nothing fires
+    assert sched.poll_sensors(spark) == {}
+
+    # a new file arrives -> new run_key -> exactly one more run
+    import os
+    import time
+
+    (drop / "part-001.json").write_text("{}")
+    os.utime(drop / "part-001.json", (time.time() + 2, time.time() + 2))
+    again = sched.poll_sensors(spark)
+    assert len(again) == 1
+    assert sched.poll_sensors(spark) == {}
+
+
+def test_sensor_unknown_job_raises(spark, tmp_path):
+    from local_data_pipeline_spark.scheduler import (
+        RunRequest,
+        Scheduler,
+        Sensor,
+    )
+    import pytest
+
+    bad = Sensor(name="bad", evaluate=lambda: [RunRequest(job_name="nope")])
+    sched = Scheduler([], sensors=[bad])
+    with pytest.raises(KeyError):
+        sched.poll_sensors(spark)
