@@ -5076,6 +5076,51 @@ def rolling_median_daily_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _bm25_doc_scores(d: DataFrame, terms: list[str]) -> DataFrame:
+    """Per-document Okapi BM25 (k1=1.2, b=0.75, Lucene idf) for a fixed
+    term set: one tokenize pass, postings built only for query terms,
+    corpus stats and document frequencies broadcast; per-term partial
+    scores rounded to 6 decimals and summed in exact decimal so the
+    total is order-insensitive and engine-identical. Returns
+    (doc_id, bm25) for documents matching at least one term — shared by
+    ``bm25_search_documents`` (top-k) and
+    ``hybrid_rrf_search_documents`` (rank fusion)."""
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    dl = toks.select("doc_id", F.size("t").alias("dl"))
+    stats = F.broadcast(
+        dl.agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            F.sum("dl").cast("bigint").alias("sum_dl"),
+        )
+    )
+    tf = (
+        toks.select("doc_id", F.explode("t").alias("w"))
+        .filter(F.col("w").isin(terms))
+        .groupBy("doc_id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfc = F.broadcast(tf.groupBy("w").agg(F.count("*").alias("df")))
+    avgdl = F.col("sum_dl") / F.col("n_docs").cast("double")
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    ts = F.round(
+        idf
+        * (F.col("tf") * 2.2)
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
+        6,
+    )
+    scored = (
+        tf.join(dfc, "w")
+        .join(dl, "doc_id")
+        .crossJoin(stats)
+        .select("doc_id", ts.alias("ts"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.round(dsum("ts"), 6).alias("bm25")
+    )
+
+
 @q(
     "bm25_search_documents",
     """
@@ -5128,41 +5173,8 @@ def bm25_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape (score-then-rank), not an index build — pair it with
     inverted_index_tokens for the index-side story."""
     d = _t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
-    dl = toks.select("doc_id", F.size("t").alias("dl"))
-    stats = F.broadcast(
-        dl.agg(
-            F.count("*").cast("bigint").alias("n_docs"),
-            F.sum("dl").cast("bigint").alias("sum_dl"),
-        )
-    )
-    terms = ["spark", "join", "fast"]
-    tf = (
-        toks.select("doc_id", F.explode("t").alias("w"))
-        .filter(F.col("w").isin(terms))
-        .groupBy("doc_id", "w")
-        .agg(F.count("*").alias("tf"))
-    )
-    df = F.broadcast(tf.groupBy("w").agg(F.count("*").alias("df")))
-    avgdl = F.col("sum_dl") / F.col("n_docs").cast("double")
-    idf = F.log(
-        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    ts = F.round(
-        idf
-        * (F.col("tf") * 2.2)
-        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl)),
-        6,
-    )
-    scored = (
-        tf.join(df, "w")
-        .join(dl, "doc_id")
-        .crossJoin(stats)
-        .select("doc_id", ts.alias("ts"))
-    )
     return (
-        scored.groupBy("doc_id")
-        .agg(F.round(dsum("ts"), 6).alias("bm25"))
+        _bm25_doc_scores(d, ["spark", "join", "fast"])
         .orderBy(F.desc("bm25"), F.asc("doc_id"))
         .limit(20)
     )
@@ -9866,6 +9878,170 @@ def bin_pack_report_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("total_tokens") / (F.col("n_bins") * F.lit(2048.0)), 6
         ).alias("fill_rate"),
+    )
+
+
+@q(
+    "tokenizer_fertility_by_lang",
+    """
+    WITH t AS (
+      SELECT lang,
+             CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+               AS n_ws,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]'))
+               AS n_bpe,
+             length(text) AS n_chars
+      FROM documents)
+    SELECT lang,
+           cast(sum(n_ws) AS bigint) AS ws_tokens,
+           cast(sum(n_bpe) AS bigint) AS bpe_tokens,
+           round(sum(n_bpe) / cast(sum(n_ws) AS double), 6) AS fertility,
+           round(sum(n_chars) / cast(sum(n_bpe) AS double), 6)
+             AS chars_per_token
+    FROM t GROUP BY lang
+    """,
+    tags=("text", "tokenizer", "eval"),
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per language: BPE-ish subword tokens
+    per whitespace word and characters per subword token — THE standard
+    cross-lingual tokenizer-quality report (a language with high
+    fertility pays more sequence length per sentence, skewing both cost
+    and mixing weights; run before fixing an epoch mixture). Uses the
+    corpus's two established token counters (functions/text.py
+    tokens / bpe_ish_token_count).
+
+    Scale: a single scan computing three integers per document, then a
+    map-side-combinable rollup over #langs groups; ratios of exact
+    bigint sums are engine-deterministic with no decimal machinery."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "lang",
+        F.size(TX.tokens(F.col("text"))).alias("n_ws"),
+        TX.bpe_ish_token_count(F.col("text")).alias("n_bpe"),
+        F.length("text").alias("n_chars"),
+    )
+    return t.groupBy("lang").agg(
+        F.sum("n_ws").cast("bigint").alias("ws_tokens"),
+        F.sum("n_bpe").cast("bigint").alias("bpe_tokens"),
+        F.round(
+            F.sum("n_bpe") / F.sum("n_ws").cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") / F.sum("n_bpe").cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+@q(
+    "hybrid_rrf_search_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    dl AS (SELECT doc_id, len(t) AS dl FROM toks),
+    stats AS (
+      SELECT cast(count(*) AS bigint) AS n_docs,
+             cast(sum(dl) AS bigint) AS sum_dl
+      FROM dl),
+    tf AS (
+      SELECT doc_id, unnest(t) AS w FROM toks),
+    tfc AS (
+      SELECT doc_id, w, count(*) AS tf FROM tf
+      WHERE w IN ('spark', 'join', 'fast') GROUP BY doc_id, w),
+    dfc AS (SELECT w, count(*) AS df FROM tfc GROUP BY w),
+    term_scores AS (
+      SELECT tfc.doc_id,
+             round(ln(1.0 + (s.n_docs - dfc.df + 0.5) / (dfc.df + 0.5))
+                   * (tfc.tf * 2.2)
+                   / (tfc.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                      / (s.sum_dl / cast(s.n_docs AS double)))),
+                   6) AS ts
+      FROM tfc
+      JOIN dfc ON tfc.w = dfc.w
+      JOIN dl ON tfc.doc_id = dl.doc_id
+      CROSS JOIN stats s),
+    bm25 AS (
+      SELECT doc_id,
+             round(cast(cast(sum(cast(ts AS decimal(25,6))) AS string)
+                        AS double), 6) AS bm25
+      FROM term_scores GROUP BY doc_id),
+    sparse AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY bm25 DESC, doc_id) AS r_sparse
+      FROM bm25),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    dense0 AS (
+      SELECT e.vec_id AS doc_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          e.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM embeddings e CROSS JOIN qv q),
+    dense AS (
+      SELECT doc_id,
+             row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS r_dense
+      FROM dense0),
+    fused AS (
+      SELECT d.doc_id,
+             coalesce(cast(1 AS double) / (60 + s.r_sparse), 0.0)
+               + cast(1 AS double) / (60 + d.r_dense) AS rrf,
+             s.r_sparse, d.r_dense
+      FROM dense d LEFT JOIN sparse s ON d.doc_id = s.doc_id)
+    SELECT doc_id, round(rrf, 9) AS rrf_score, r_dense, r_sparse
+    FROM fused ORDER BY rrf_score DESC, doc_id LIMIT 20
+    """,
+    tags=("text", "search", "similarity", "ranking"),
+)
+def hybrid_rrf_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal Rank Fusion (k=60, the Cormack
+    et al. constant): the lexical leg ranks every document matching the
+    BM25 query {spark, join, fast} (shared scorer ``_bm25_doc_scores``),
+    the dense leg ranks the whole corpus by cosine similarity to a query
+    embedding (vec 0, broadcast), and each document's fused score is
+    Σ 1/(60+rank) over the legs that retrieved it — the standard
+    sparse+dense search combiner, top-20.
+
+    Scale: both global rankings go through ``distributed_rank`` (range
+    shards + offset broadcast — no single-task window over the corpus);
+    the dense scoring is one broadcast-join scan with JVM higher-order
+    functions; the fusion join is rank-table sized; the final top-20 is
+    a TakeOrderedAndProject."""
+    from .operators import packing as PK
+
+    d = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    sparse = PK.distributed_rank(
+        _bm25_doc_scores(d, ["spark", "join", "fast"]),
+        [("bm25", "desc"), "doc_id"],
+        out_col="r_sparse",
+    ).select("doc_id", "r_sparse")
+    qv = F.broadcast(
+        emb.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("q_emb")
+        )
+    )
+    dense0 = emb.crossJoin(qv).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+    )
+    dense = PK.distributed_rank(
+        dense0, [("cos_sim", "desc"), "doc_id"], out_col="r_dense"
+    ).select("doc_id", "r_dense")
+    fused = dense.join(sparse, "doc_id", "left")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("r_sparse")), F.lit(0.0)
+    ) + F.lit(1.0) / (F.lit(60) + F.col("r_dense"))
+    return (
+        fused.select(
+            "doc_id",
+            F.round(rrf, 9).alias("rrf_score"),
+            "r_dense",
+            "r_sparse",
+        )
+        .orderBy(F.desc("rrf_score"), F.asc("doc_id"))
+        .limit(20)
     )
 
 

@@ -150,3 +150,63 @@ def test_q12_band_edges(spark):
             for r in QUERIES["q12_shipband_priority"].fn(spark, td).collect()
         }
     assert got == {"FAST": (1, 0), "REGULAR": (0, 1), "SLOW": (1, 0)}
+
+
+def test_rrf_dual_leg_beats_single_leg(spark):
+    """A document retrieved by BOTH legs (lexical match + nearest dense
+    neighbor) outranks one retrieved by the dense leg alone; documents
+    outside the lexical posting list carry a null sparse rank."""
+    import os
+    import tempfile
+
+    docs = [
+        (0, "the query anchor document", "a", "en"),
+        (1, "spark join fast spark", "a", "en"),      # lexical + dense hit
+        (2, "nothing relevant here at all", "a", "en"),  # dense-only
+        (3, "spark appears once", "a", "en"),          # lexical, dense-far
+    ]
+    vecs = [
+        (0, [1.0, 0.0, 0.0]),
+        (1, [0.99, 0.1, 0.0]),   # nearest to the query vector
+        (2, [0.9, 0.2, 0.1]),    # second-nearest
+        (3, [0.0, 0.0, 1.0]),    # orthogonal
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, source string, lang string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        spark.createDataFrame(
+            vecs, "vec_id bigint, embedding array<float>"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        rows = {
+            r.doc_id: r
+            for r in QUERIES["hybrid_rrf_search_documents"].fn(spark, td).collect()
+        }
+    assert rows[1].r_sparse is not None and rows[2].r_sparse is None
+    assert rows[1].rrf_score > rows[2].rrf_score
+    # every corpus doc appears (dense leg ranks the whole corpus)
+    assert set(rows) == {0, 1, 2, 3}
+    # dense ranks are a permutation of 1..4
+    assert sorted(r.r_dense for r in rows.values()) == [1, 2, 3, 4]
+
+
+def test_tokenizer_fertility_planted(spark):
+    import os
+    import tempfile
+
+    docs = [
+        (0, "ab cd", "x", "en"),   # 2 words, 2 subwords, 5 chars
+        (1, "a,b", "x", "fr"),     # 1 word, 3 subwords ('a' ',' 'b')
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, source string, lang string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        got = {
+            r.lang: r
+            for r in QUERIES["tokenizer_fertility_by_lang"].fn(spark, td).collect()
+        }
+    assert got["en"].ws_tokens == 2 and got["en"].bpe_tokens == 2
+    assert got["en"].fertility == 1.0 and got["en"].chars_per_token == 2.5
+    assert got["fr"].ws_tokens == 1 and got["fr"].bpe_tokens == 3
+    assert got["fr"].fertility == 3.0
