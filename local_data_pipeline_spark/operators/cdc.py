@@ -1,0 +1,68 @@
+"""Changelog application (CDC apply / MERGE): turn a snapshot plus a
+batch of row changes into the next snapshot, entirely as DataFrame ops.
+
+The reference's pipeline rebuilds tables wholesale; production pipelines
+ingest Debezium/CDC-style changelogs. The scalable shape is: compact the
+changelog to the LATEST change per key (one shuffle, `max_by`), then one
+full-outer join against the snapshot applying upsert/delete semantics —
+no driver-side row handling at any size. At 100 TB, bucket or
+co-partition both sides on the key and the join is exchange-free on the
+snapshot side; the changelog is usually orders of magnitude smaller and
+AQE broadcast-joins it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: Changelog op codes: ``U`` = upsert (update an existing key or insert a
+#: new one), ``D`` = delete. The Debezium c/u ops both map to U; r
+#: (snapshot read) rows should be filtered before apply.
+OPS = ("U", "D")
+
+
+def compact_changelog(
+    changes: DataFrame, key: str, seq_col: str, op_col: str = "op"
+) -> DataFrame:
+    """Latest change per key: ``max_by(col, seq)`` for every payload
+    column in one map-side-combinable aggregate. ``seq_col`` must be
+    unique per key (a change LSN / offset); ties would make the result
+    nondeterministic, so upstream must guarantee uniqueness."""
+    payload = [c for c in changes.columns if c != key]
+    return changes.groupBy(key).agg(
+        *[F.max_by(c, F.col(seq_col)).alias(c) for c in payload]
+    )
+
+
+def apply_changes(
+    target: DataFrame, changes: DataFrame, key: str, op_col: str = "op"
+) -> DataFrame:
+    """Apply a compacted changelog (at most one row per key — run
+    :func:`compact_changelog` first) to a snapshot:
+
+    - op ``U`` and the key exists  -> row replaced by the change payload
+    - op ``U`` and the key is new  -> row inserted
+    - op ``D``                     -> row removed
+    - key untouched by the batch   -> row kept as-is
+
+    ``changes`` must carry the target's payload columns (same names)
+    plus ``op_col``. One full-outer shuffle join on the key; the output
+    schema is exactly the target's."""
+    payload = [c for c in target.columns if c != key]
+    missing = [c for c in payload if c not in changes.columns]
+    if missing:
+        raise ValueError(f"changes missing target columns: {missing}")
+    t, c = target.alias("__t"), changes.alias("__c")
+    op = F.col(f"__c.{op_col}")
+    joined = t.join(
+        c, F.col(f"__t.{key}") == F.col(f"__c.{key}"), "full_outer"
+    )
+    out = [F.coalesce(F.col(f"__t.{key}"), F.col(f"__c.{key}")).alias(key)]
+    for col in payload:
+        out.append(
+            F.when(op == "U", F.col(f"__c.{col}"))
+            .otherwise(F.col(f"__t.{col}"))
+            .alias(col)
+        )
+    return joined.filter(op.isNull() | (op != "D")).select(*out)

@@ -10045,6 +10045,162 @@ def hybrid_rrf_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cdc_apply_orders",
+    f"""
+    WITH src AS (
+      SELECT o_orderkey, 'U' AS op, o_totalprice * 1.1 AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey % 100 < 10
+      UNION ALL
+      SELECT o_orderkey, 'D', NULL, NULL
+      FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 20
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 'U', 100.0, 'O'
+      FROM orders WHERE o_orderkey % 100 = 20),
+    merged AS (
+      SELECT CASE WHEN s.op = 'U' THEN s.price
+                  ELSE t.o_totalprice END AS price,
+             CASE WHEN s.op = 'U' THEN s.status
+                  ELSE t.o_orderstatus END AS status
+      FROM orders t FULL JOIN src s ON t.o_orderkey = s.o_orderkey
+      WHERE s.op IS NULL OR s.op <> 'D')
+    SELECT status AS o_orderstatus, cast(count(*) AS bigint) AS n_orders,
+           round({dsum_sql('price')}, 6) AS total_price
+    FROM merged GROUP BY status
+    """,
+    tags=("cdc", "join", "maintenance"),
+)
+def cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Changelog application end-to-end (``operators/cdc.py``): a
+    deterministic Debezium-shaped batch against orders — two update
+    versions per touched key (seq 1 then seq 2, so the compaction's
+    latest-wins is exercised, not assumed), a delete band, and a batch
+    of brand-new keys — compacted via ``compact_changelog`` (max_by) and
+    applied via ``apply_changes`` (one full-outer join: U replaces or
+    inserts, D removes, untouched rows pass through). The oracle encodes
+    the post-merge state directly, so a wrong op precedence or a lost
+    delete changes the aggregate and fails the hash.
+
+    Scale: one shuffle to compact (map-side combinable), one key join to
+    apply; no driver-side row handling. Bucket both sides on the key at
+    scale and the snapshot side is exchange-free."""
+    from .operators import cdc as CDC
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    upd1 = (
+        o.filter(k % 100 < 10)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.05)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    upd2 = (
+        o.filter(k % 100 < 10)
+        .withColumn("o_totalprice", F.col("o_totalprice") * 1.1)
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(2))
+    )
+    dels = (
+        o.filter((k % 100 >= 10) & (k % 100 < 20))
+        .withColumn("op", F.lit("D"))
+        .withColumn("seq", F.lit(1))
+    )
+    ins = (
+        o.filter(k % 100 == 20)
+        .withColumn("o_orderkey", k + F.lit(1000000000))
+        .withColumn("o_orderstatus", F.lit("O"))
+        .withColumn("o_totalprice", F.lit(100.0))
+        .withColumn("o_orderpriority", F.lit("3-MEDIUM"))
+        .withColumn("op", F.lit("U"))
+        .withColumn("seq", F.lit(1))
+    )
+    changes = upd1.unionByName(upd2).unionByName(dels).unionByName(ins)
+    merged = CDC.apply_changes(
+        o, CDC.compact_changelog(changes, "o_orderkey", "seq"), "o_orderkey"
+    )
+    return merged.groupBy("o_orderstatus").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.round(dsum("o_totalprice"), 6).alias("total_price"),
+    )
+
+
+@q(
+    "split_leakage_audit",
+    """
+    WITH tagged AS (
+      SELECT md5(trim(lower(text))) AS h,
+             CASE WHEN ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT
+                         % 100 < 80 THEN 'train'
+                  WHEN ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT
+                         % 100 < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM documents),
+    grp AS (
+      SELECT h, count(*) AS n,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS tr,
+             max(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS va,
+             max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS te
+      FROM tagged GROUP BY h)
+    SELECT cast(count(*) AS bigint) AS content_groups,
+           cast(sum(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS bigint) AS dup_groups,
+           cast(sum(CASE WHEN tr = 1 AND te = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS train_test_leaks,
+           cast(sum(CASE WHEN tr = 1 AND va = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS train_valid_leaks,
+           cast(sum(CASE WHEN va = 1 AND te = 1 THEN 1 ELSE 0 END) AS bigint)
+             AS valid_test_leaks,
+           cast(sum(CASE WHEN tr + va + te > 1 THEN n ELSE 0 END) AS bigint)
+             AS leaked_docs
+    FROM grp
+    """,
+    tags=("governance", "split", "dedup"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test leakage audit: the id-hash split (hash_split_documents)
+    is content-blind, so byte-identical documents with different ids can
+    land on both sides of the holdout — the leak that silently inflates
+    eval scores. Groups documents by normalized-content hash and counts
+    groups (and member docs) spanning each split pair; run after exact
+    dedup to prove the number is zero, or before to size the problem.
+
+    Scale: one shuffle on the content hash (uniform 128-bit keys), then
+    a scalar rollup of bounded flag aggregates — the same shape as
+    exact dedup."""
+    d = _t(spark, sf_dir, "documents")
+    tagged = DD.hash_split(d).select(
+        F.md5(F.trim(F.lower(F.col("text")))).alias("h"), "split"
+    )
+    flag = lambda s: F.max(
+        F.when(F.col("split") == s, 1).otherwise(0)
+    )
+    grp = tagged.groupBy("h").agg(
+        F.count("*").alias("n"),
+        flag("train").alias("tr"),
+        flag("valid").alias("va"),
+        flag("test").alias("te"),
+    )
+    leak = lambda a, b: F.sum(
+        F.when((F.col(a) == 1) & (F.col(b) == 1), 1).otherwise(0)
+    ).cast("bigint")
+    return grp.agg(
+        F.count("*").cast("bigint").alias("content_groups"),
+        F.sum(F.when(F.col("n") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("dup_groups"),
+        leak("tr", "te").alias("train_test_leaks"),
+        leak("tr", "va").alias("train_valid_leaks"),
+        leak("va", "te").alias("valid_test_leaks"),
+        F.sum(
+            F.when(F.col("tr") + F.col("va") + F.col("te") > 1, F.col("n")).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("leaked_docs"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -210,3 +210,75 @@ def test_tokenizer_fertility_planted(spark):
     assert got["en"].fertility == 1.0 and got["en"].chars_per_token == 2.5
     assert got["fr"].ws_tokens == 1 and got["fr"].bpe_tokens == 3
     assert got["fr"].fertility == 3.0
+
+
+def test_cdc_compact_and_apply_planted(spark):
+    """Latest change per key wins regardless of arrival order; U inserts
+    or replaces, D deletes, untouched keys pass through unchanged."""
+    from local_data_pipeline_spark.operators.cdc import (
+        apply_changes,
+        compact_changelog,
+    )
+
+    target = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "k bigint, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [
+            (2, "b2", 21.0, "U", 5),   # later version, listed first
+            (2, "b1", 20.5, "U", 1),
+            (3, None, None, "D", 1),
+            (9, "new", 90.0, "U", 1),
+            (9, None, None, "D", 0),   # stale delete loses to the upsert
+        ],
+        "k bigint, name string, v double, op string, seq bigint",
+    )
+    merged = apply_changes(
+        target, compact_changelog(changes, "k", "seq"), "k"
+    )
+    got = {r.k: (r.name, r.v) for r in merged.collect()}
+    assert got == {1: ("a", 10.0), 2: ("b2", 21.0), 9: ("new", 90.0)}
+    assert merged.columns == target.columns
+
+
+def test_cdc_apply_rejects_missing_columns(spark):
+    from local_data_pipeline_spark.operators.cdc import apply_changes
+    import pytest
+
+    target = spark.createDataFrame([(1, "a")], "k bigint, name string")
+    changes = spark.createDataFrame([(1, "U")], "k bigint, op string")
+    with pytest.raises(ValueError, match="name"):
+        apply_changes(target, changes, "k")
+
+
+def test_split_leakage_detects_planted_cross_split_dup(spark):
+    """Identical text under doc_ids hashing to train and test shows up
+    as one train-test leak group with both docs counted."""
+    import hashlib
+    import os
+    import tempfile
+
+    bucket = lambda i: int(
+        hashlib.md5(str(i).encode()).hexdigest()[:8], 16
+    ) % 100
+    train_id = next(i for i in range(1000) if bucket(i) < 80)
+    test_id = next(i for i in range(1000) if bucket(i) >= 90)
+    lone_id = next(
+        i for i in range(1000) if bucket(i) < 80 and i != train_id
+    )
+    docs = [
+        (train_id, "the shared leaked document", "a", "en"),
+        (test_id, "the shared leaked document", "a", "en"),
+        (lone_id, "a unique document", "a", "en"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, source string, lang string"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        (row,) = QUERIES["split_leakage_audit"].fn(spark, td).collect()
+    assert row.content_groups == 2
+    assert row.dup_groups == 1
+    assert row.train_test_leaks == 1
+    assert row.train_valid_leaks == 0 and row.valid_test_leaks == 0
+    assert row.leaked_docs == 2
