@@ -10201,6 +10201,215 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "label_balance_embeddings",
+    f"""
+    WITH c AS (
+      SELECT label, cast(count(*) AS bigint) AS n
+      FROM embeddings GROUP BY label),
+    tot AS (
+      SELECT cast(sum(n) AS bigint) AS total, cast(count(*) AS bigint) AS k,
+             cast(max(n) AS bigint) AS max_n, cast(min(n) AS bigint) AS min_n
+      FROM c),
+    terms AS (
+      SELECT round((n / cast(t.total AS double))
+                   * ln(n / cast(t.total AS double)), 9) AS term
+      FROM c CROSS JOIN tot t)
+    SELECT t.k AS n_labels, t.total AS n_vectors, t.max_n, t.min_n,
+           round(t.max_n / cast(t.min_n AS double), 6) AS imbalance_ratio,
+           CASE WHEN t.k > 1
+                THEN round(-{dsum_sql("term", 9)} / ln(cast(t.k AS double)), 6)
+                ELSE NULL END AS entropy_norm
+    FROM terms CROSS JOIN tot t
+    GROUP BY t.k, t.total, t.max_n, t.min_n
+    """,
+    tags=("governance", "ml", "agg"),
+)
+def label_balance_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance report for the labeled embedding set: label count,
+    max/min class sizes, imbalance ratio, and normalized Shannon entropy
+    (1.0 = perfectly balanced) — the first check before training or
+    evaluating a classifier on the labels, and the per-dataset-card
+    companion to ``entropy_source_lang_mix``.
+
+    Determinism: per-label share log terms rounded to 9dp then
+    decimal-summed (the repo's float-reduction rule). Scale: one
+    map-side-combinable count by label; everything else is #labels
+    rows and broadcast scalars."""
+    emb = _t(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    tot = F.broadcast(
+        c.agg(
+            F.sum("n").cast("bigint").alias("total"),
+            F.count("*").cast("bigint").alias("k"),
+            F.max("n").cast("bigint").alias("max_n"),
+            F.min("n").cast("bigint").alias("min_n"),
+        )
+    )
+    share = F.col("n") / F.col("total").cast("double")
+    terms = c.crossJoin(tot).select(
+        "k",
+        "total",
+        "max_n",
+        "min_n",
+        F.round(share * F.log(share), 9).alias("term"),
+    )
+    return terms.groupBy("k", "total", "max_n", "min_n").agg(
+        F.round(
+            F.col("max_n") / F.col("min_n").cast("double"), 6
+        ).alias("imbalance_ratio"),
+        F.when(
+            F.col("k") > 1,
+            F.round(-dsum("term", 9) / F.log(F.col("k").cast("double")), 6),
+        ).alias("entropy_norm"),
+    ).select(
+        F.col("k").alias("n_labels"),
+        F.col("total").alias("n_vectors"),
+        "max_n",
+        "min_n",
+        "imbalance_ratio",
+        "entropy_norm",
+    )
+
+
+@q(
+    "source_fair_quality_cutoffs",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source,
+             len(t) * 1.0 AS tc,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]'))
+                       * 1.0 / length(text) END AS pr,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE len(list_filter(t, x -> x IN ('the','and','of','to',
+                       'is','in','that','it','for','with'))) * 1.0 / len(t)
+                  END AS sr
+      FROM toks),
+    scored AS (
+      SELECT doc_id, source,
+             round(0.4 * least(tc / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(pr * 5, 1.0))
+                 + 0.3 * least(sr * 4, 1.0), 6) AS quality
+      FROM feats),
+    ranked AS (
+      SELECT source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS rn,
+             count(*) OVER (PARTITION BY source) AS n
+      FROM scored)
+    SELECT source, cast(n AS bigint) AS n_docs, quality AS cutoff
+    FROM ranked WHERE rn = (2 * n + 4) // 5
+    """,
+    tags=("text", "quality", "curation"),
+)
+def source_fair_quality_cutoffs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-fair quality filtering thresholds: the exact 40th-
+    percentile quality score per source (the cutoff that keeps each
+    source's top 60%) — per-source calibration instead of one global
+    threshold, so a systematically lower-scoring source (different
+    register, language, boilerplate profile) is not wiped out by a
+    corpus-wide bar. The percentile is the order statistic at rank
+    ceil(0.4 n) computed as (2n+4) DIV 5 in exact integers on both
+    engines; scores reuse the committed composite
+    (``quality_score_documents`` formula via TX.quality_score).
+
+    Scale: one shuffle on source; the rank and count share the same
+    partitioned window (bounded per-source partitions are the natural
+    key here — per-source skew is bounded by the biggest source, and a
+    skewed source would use the distributed_rank path instead)."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = scored.select(
+        "source",
+        "quality",
+        F.row_number().over(w).alias("rn"),
+        F.count("*").over(Window.partitionBy("source")).alias("n"),
+    )
+    return ranked.filter(
+        F.col("rn") == F.expr("(2 * n + 4) DIV 5")
+    ).select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("quality").alias("cutoff"),
+    )
+
+
+@q(
+    "text_embedding_norm_corr",
+    f"""
+    WITH j AS (
+      SELECT d.label,
+             cast(x.n_chars AS double) AS x,
+             round(sqrt(list_dot_product(d.embedding::DOUBLE[],
+                                         d.embedding::DOUBLE[])), 6) AS y
+      FROM embeddings d JOIN documents x ON d.vec_id = x.doc_id),
+    s AS (
+      SELECT label, cast(count(*) AS bigint) AS n,
+             {dsum_sql("x")} AS sx, {dsum_sql("y")} AS sy,
+             {dsum_sql("x * y")} AS sxy,
+             {dsum_sql("x * x")} AS sxx, {dsum_sql("y * y")} AS syy
+      FROM j GROUP BY label)
+    SELECT label, n,
+           CASE WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                THEN round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6)
+                ELSE NULL END AS corr_chars_norm
+    FROM s
+    """,
+    tags=("similarity", "join", "stats"),
+)
+def text_embedding_norm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal sanity check: Pearson correlation (per label) between
+    a document's character length and its embedding's L2 norm over the
+    doc_id = vec_id join — the drift probe that catches an embedding
+    pipeline leaking trivial length information (or a mis-aligned
+    id join: a shuffled join drives the correlation to ~0 uniformly).
+
+    Determinism: norms rounded to 6dp at the source, all five moment
+    sums accumulated in exact decimal (dsum), and the final correlation
+    is a fixed-order IEEE expression over those exact sums. Scale: one
+    key join (both sides uniform on the id) into per-label sufficient
+    statistics — a single map-side-combinable pass, #labels output
+    rows."""
+    emb = _t(spark, sf_dir, "embeddings")
+    d = _t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    j = emb.join(d, emb["vec_id"] == d["doc_id"]).select(
+        "label",
+        F.col("n_chars").cast("double").alias("x"),
+        F.round(l2_norm(F.col("embedding")), 6).alias("y"),
+    )
+    s = j.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        dsum("x").alias("sx"),
+        dsum("y").alias("sy"),
+        dsum(F.col("x") * F.col("y")).alias("sxy"),
+        dsum(F.col("x") * F.col("x")).alias("sxx"),
+        dsum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    var_x = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    var_y = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return s.select(
+        "label",
+        "n",
+        F.when(
+            var_x * var_y > 0, F.round(cov / F.sqrt(var_x * var_y), 6)
+        ).alias("corr_chars_norm"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

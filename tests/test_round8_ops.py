@@ -282,3 +282,76 @@ def test_split_leakage_detects_planted_cross_split_dup(spark):
     assert row.train_test_leaks == 1
     assert row.train_valid_leaks == 0 and row.valid_test_leaks == 0
     assert row.leaked_docs == 2
+
+
+def test_label_balance_planted(spark):
+    """75/25 two-label split: imbalance 3.0, normalized entropy
+    -(0.75 ln 0.75 + 0.25 ln 0.25)/ln 2 ~ 0.811278."""
+    import os
+    import tempfile
+
+    rows = [(i, [1.0, 0.0], 0) for i in range(75)] + [
+        (75 + i, [0.0, 1.0], 1) for i in range(25)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label bigint"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        (row,) = QUERIES["label_balance_embeddings"].fn(spark, td).collect()
+    assert row.n_labels == 2 and row.n_vectors == 100
+    assert row.max_n == 75 and row.min_n == 25
+    assert row.imbalance_ratio == 3.0
+    assert abs(row.entropy_norm - 0.811278) < 1e-6
+
+
+def test_source_fair_cutoff_order_statistic(spark):
+    """Per source, the cutoff is the quality value at rank ceil(0.4 n):
+    strictly-below count stays under the rank, at-or-below reaches it."""
+    from local_data_pipeline_spark.functions import text as TX
+    from local_data_pipeline_spark.session import load_table
+
+    cuts = {
+        r.source: r
+        for r in QUERIES["source_fair_quality_cutoffs"].fn(spark, SF).collect()
+    }
+    scored = (
+        load_table(spark, SF, "documents")
+        .select("source", TX.quality_score(F.col("text")).alias("q"))
+        .collect()
+    )
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for r in scored:
+        by_src[r.source].append(r.q)
+    assert set(cuts) == set(by_src)
+    for s, qs in by_src.items():
+        n, cut = cuts[s].n_docs, cuts[s].cutoff
+        assert n == len(qs)
+        r_star = (2 * n + 4) // 5  # ceil(0.4 n)
+        assert sum(1 for q in qs if q < cut) < r_star
+        assert sum(1 for q in qs if q <= cut) >= r_star
+
+
+def test_text_embedding_norm_corr_planted(spark):
+    """Norm proportional to n_chars -> corr 1.0; constant norm -> NULL
+    (zero variance guard)."""
+    import os
+    import tempfile
+
+    docs = [(i, "x", "a", 100 + i * 10) for i in range(10)]
+    prop = [(i, [float(100 + i * 10), 0.0], 0) for i in range(5)]
+    const = [(i, [2.0, 0.0], 1) for i in range(5, 10)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            docs, "doc_id bigint, text string, source string, n_chars bigint"
+        ).write.parquet(os.path.join(td, "documents.parquet"))
+        spark.createDataFrame(
+            prop + const, "vec_id bigint, embedding array<float>, label bigint"
+        ).write.parquet(os.path.join(td, "embeddings.parquet"))
+        got = {
+            r.label: r.corr_chars_norm
+            for r in QUERIES["text_embedding_norm_corr"].fn(spark, td).collect()
+        }
+    assert got[0] == 1.0
+    assert got[1] is None
