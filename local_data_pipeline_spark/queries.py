@@ -10410,6 +10410,46 @@ def text_embedding_norm_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("percentile_sketch_error_eval", None, tags=("sketch", "eval", "agg"))
+def percentile_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy evaluation for percentiles (the quantile twin of
+    ``hll_distinct_error_eval``): per event type, exact p50/p95 next to
+    ``approx_percentile`` at accuracy 1000, plus each approximation's
+    REALIZED rank fraction (share of values ≤ the approximate answer) —
+    the number the sketch actually guarantees (|realized − q| ≤
+    1/accuracy), as opposed to the value error, which no quantile sketch
+    bounds. Rows-only: sketch internals are engine-specific by nature;
+    the rank guarantee is pinned in tests/test_round8_ops.py.
+
+    Scale: the exact side sorts per (small) group inside one aggregate —
+    the expensive baseline this report exists to retire; the sketch side
+    is a constant-memory mergeable partial, and the realized-rank pass
+    is one broadcast join + conditional count."""
+    ev = _t(spark, sf_dir, "events").select("event_type", "value")
+    agg = ev.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.expr("percentile(value, 0.5)").alias("exact_p50"),
+        F.expr("percentile(value, 0.95)").alias("exact_p95"),
+        F.expr("approx_percentile(value, 0.5, 1000)").alias("approx_p50"),
+        F.expr("approx_percentile(value, 0.95, 1000)").alias("approx_p95"),
+    )
+    j = ev.join(F.broadcast(agg), "event_type")
+    frac = lambda target: F.round(
+        F.sum(F.when(F.col("value") <= F.col(target), 1).otherwise(0))
+        / F.max("n").cast("double"),
+        6,
+    )
+    return j.groupBy("event_type").agg(
+        F.max("n").alias("n"),
+        F.round(F.max("exact_p50"), 6).alias("exact_p50"),
+        F.round(F.max("approx_p50"), 6).alias("approx_p50"),
+        frac("approx_p50").alias("realized_frac_p50"),
+        F.round(F.max("exact_p95"), 6).alias("exact_p95"),
+        F.round(F.max("approx_p95"), 6).alias("approx_p95"),
+        frac("approx_p95").alias("realized_frac_p95"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
