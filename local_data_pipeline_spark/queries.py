@@ -10450,6 +10450,89 @@ def percentile_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cep_click_purchase_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN lag(ts) OVER w IS NULL
+                       OR ts > lag(ts) OVER w + INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sessioned AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p'
+                  WHEN 'error' THEN 'e' WHEN 'signup' THEN 's'
+                  ELSE 'v' END AS ch,
+             cast(sum(new_session) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS bigint)
+               AS session_id
+      FROM flagged),
+    strings AS (
+      SELECT user_id, session_id,
+             string_agg(ch, '' ORDER BY ts, event_id) AS s
+      FROM sessioned GROUP BY user_id, session_id),
+    matched AS (
+      SELECT cast(len(regexp_extract_all(s, 'c[sv]*p')) AS bigint) AS n_matches
+      FROM strings)
+    SELECT n_matches, cast(count(*) AS bigint) AS n_sessions
+    FROM matched GROUP BY n_matches
+    """,
+    tags=("window", "sequence", "cep"),
+)
+def cep_click_purchase_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing over sessions (MATCH_RECOGNIZE-lite):
+    each 30-min session becomes an ordered event-type string and the
+    pattern ``c[sv]*p`` — a click leading to a purchase with only
+    views/signups between (an error breaks the run) — is counted per
+    session with non-overlapping regex semantics; output is the
+    sessions-by-match-count histogram. The funnel query counts unique
+    converting users; this counts pattern OCCURRENCES with an
+    exclusion alphabet, the shape MATCH_RECOGNIZE engines sell.
+
+    Scale: sessionization is the pinned one-shuffle lag + running-sum
+    window on user_id; the session string is an in-group sort of struct
+    arrays (bounded by session length); the regex runs once per session
+    and the histogram is a tiny map-side-combinable rollup."""
+    ev = _t(spark, sf_dir, "events")
+    sess = WIN.sessionize(ev, ts="ts", entity="user_id", gap="30 MINUTE")
+    ch = (
+        F.when(F.col("event_type") == "click", "c")
+        .when(F.col("event_type") == "purchase", "p")
+        .when(F.col("event_type") == "error", "e")
+        .when(F.col("event_type") == "signup", "s")
+        .otherwise("v")
+    )
+    strings = (
+        sess.select(
+            "user_id",
+            "session_id",
+            F.struct(F.col("ts"), F.col("event_id"), ch.alias("ch")).alias(
+                "rec"
+            ),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("rec")), lambda r: r["ch"]
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    matched = strings.select(
+        F.size(F.regexp_extract_all(F.col("s"), F.lit("c[sv]*p"), 0))
+        .cast("bigint")
+        .alias("n_matches")
+    )
+    return matched.groupBy("n_matches").agg(
+        F.count("*").cast("bigint").alias("n_sessions")
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -370,3 +370,39 @@ def test_percentile_sketch_rank_guarantee(spark):
         # the approximate answers bracket sanely against the exact ones
         assert r.approx_p50 <= r.exact_p95
         assert r.approx_p95 >= r.exact_p50
+
+
+def test_cep_pattern_planted_sessions(spark):
+    """Planted sessions pin the pattern semantics: an error breaks the
+    click->purchase run, views/signups don't, matches don't overlap, and
+    a >30-min gap splits the session (killing a would-be match)."""
+    import datetime as dt
+    import os
+    import tempfile
+
+    t0 = dt.datetime(2026, 1, 1, 12, 0)
+    m = lambda k: t0 + dt.timedelta(minutes=k)
+
+    def ev(eid, uid, ts, typ):
+        return (eid, ts, uid, typ, 1.0)
+
+    rows = [
+        # user 1, one session: c v p c e p c s p  -> matches: cvp, csp = 2
+        ev(1, 1, m(0), "click"), ev(2, 1, m(1), "view"), ev(3, 1, m(2), "purchase"),
+        ev(4, 1, m(3), "click"), ev(5, 1, m(4), "error"), ev(6, 1, m(5), "purchase"),
+        ev(7, 1, m(6), "click"), ev(8, 1, m(7), "signup"), ev(9, 1, m(8), "purchase"),
+        # user 2: click ... 40-min gap ... purchase -> two sessions, 0 matches
+        ev(10, 2, m(0), "click"), ev(11, 2, m(40), "purchase"),
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows,
+            "event_id bigint, ts timestamp_ntz, user_id bigint, "
+            "event_type string, value double",
+        ).write.parquet(os.path.join(td, "events.parquet"))
+        got = {
+            r.n_matches: r.n_sessions
+            for r in QUERIES["cep_click_purchase_sessions"].fn(spark, td).collect()
+        }
+    # user 1: one session with 2 matches; user 2: two sessions with 0
+    assert got == {2: 1, 0: 2}
