@@ -10533,6 +10533,79 @@ def cep_click_purchase_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "quality_threshold_sweep",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source,
+             len(t) * 1.0 AS tc,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]'))
+                       * 1.0 / length(text) END AS pr,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE len(list_filter(t, x -> x IN ('the','and','of','to',
+                       'is','in','that','it','for','with'))) * 1.0 / len(t)
+                  END AS sr
+      FROM toks),
+    scored AS (
+      SELECT source,
+             round(0.4 * least(tc / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(pr * 5, 1.0))
+                 + 0.3 * least(sr * 4, 1.0), 6) AS quality
+      FROM feats),
+    grid AS (SELECT unnest([0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]::DOUBLE[])
+               AS thr)
+    SELECT g.thr, s.source,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(CASE WHEN s.quality >= g.thr THEN 1 ELSE 0 END) AS bigint)
+             AS kept_docs,
+           round(sum(CASE WHEN s.quality >= g.thr THEN 1 ELSE 0 END)
+                 / cast(count(*) AS double), 6) AS kept_frac
+    FROM scored s CROSS JOIN grid g
+    GROUP BY g.thr, s.source
+    """,
+    tags=("text", "quality", "curation"),
+)
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-tuning what-if: per (threshold, source), how many documents
+    a quality cutoff keeps — the sweep run BEFORE fixing a corpus filter,
+    making the cost of each candidate bar visible per source (the
+    companion to ``source_fair_quality_cutoffs``, which inverts the
+    question). Thresholds are a 7-value literal grid.
+
+    Scale: one scoring scan; the cross join's build side is a literal
+    7-row table (broadcast, bounded by construction); one
+    map-side-combinable rollup over 7 x #sources groups."""
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "source", TX.quality_score(F.col("text")).alias("quality")
+    )
+    # literal in-plan grid (Range + explode of a literal array — bounded
+    # by construction, unlike createDataFrame's ExistingRDD scan)
+    grid = spark.range(1).select(
+        F.explode(
+            F.array(*[F.lit(t) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)])
+        ).alias("thr")
+    )
+    kept = F.sum(
+        F.when(F.col("quality") >= F.col("thr"), 1).otherwise(0)
+    )
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("thr", "source")
+        .agg(
+            F.count("*").cast("bigint").alias("n_docs"),
+            kept.cast("bigint").alias("kept_docs"),
+            F.round(kept / F.count("*").cast("double"), 6).alias("kept_frac"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

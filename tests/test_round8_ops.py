@@ -406,3 +406,28 @@ def test_cep_pattern_planted_sessions(spark):
         }
     # user 1: one session with 2 matches; user 2: two sessions with 0
     assert got == {2: 1, 0: 2}
+
+
+def test_quality_threshold_sweep_monotone(spark):
+    """Within a source, kept_docs is non-increasing in the threshold and
+    consistent with the per-source p40 cutoff query: at any threshold at
+    or below the cutoff, at least 60% of docs survive."""
+    sweep = QUERIES["quality_threshold_sweep"].fn(spark, SF).collect()
+    cuts = {
+        r.source: r.cutoff
+        for r in QUERIES["source_fair_quality_cutoffs"].fn(spark, SF).collect()
+    }
+    from collections import defaultdict
+
+    by_src = defaultdict(dict)
+    for r in sweep:
+        by_src[r.source][r.thr] = r
+    for src, rows in by_src.items():
+        thrs = sorted(rows)
+        assert len(thrs) == 7
+        for a, b in zip(thrs, thrs[1:]):
+            assert rows[a].kept_docs >= rows[b].kept_docs
+            assert rows[a].n_docs == rows[b].n_docs
+        for t in thrs:
+            if t <= cuts[src]:
+                assert rows[t].kept_frac >= 0.6 - 1e-9, (src, t)
