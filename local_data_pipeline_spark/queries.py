@@ -10606,6 +10606,126 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "label_separability_embeddings",
+    f"""
+    WITH idx AS (
+      SELECT vec_id, label, embedding,
+             unnest(generate_series(1, len(embedding))) AS dim
+      FROM embeddings),
+    e AS (
+      SELECT vec_id, label, dim, embedding[dim]::DOUBLE AS val FROM idx),
+    cent AS (
+      SELECT label, dim, round({dsum_sql('val')} / count(*), 6) AS c
+      FROM e GROUP BY label, dim),
+    devs AS (
+      SELECT e.vec_id, e.label,
+             round((e.val - c.c) * (e.val - c.c), 9) AS d2
+      FROM e JOIN cent c ON e.label = c.label AND e.dim = c.dim),
+    vec_d AS (
+      SELECT vec_id, label, round(sqrt({dsum_sql('d2', 9)}), 6) AS dist
+      FROM devs GROUP BY vec_id, label),
+    intra AS (
+      SELECT label, cast(count(*) AS bigint) AS n,
+             round({dsum_sql('dist')} / count(*), 6) AS intra_mean
+      FROM vec_d GROUP BY label),
+    cpairs AS (
+      SELECT a.label AS la, b.label AS lb,
+             round(sqrt(cast(cast(sum(cast(round((a.c - b.c) * (a.c - b.c), 9)
+                                        AS decimal(25,9))) AS string) AS double)),
+                   6) AS cd
+      FROM cent a JOIN cent b ON a.dim = b.dim AND a.label <> b.label
+      GROUP BY a.label, b.label),
+    nearest AS (
+      SELECT la AS label, min(cd) AS nearest_centroid FROM cpairs GROUP BY la)
+    SELECT i.label, i.n, i.intra_mean, ne.nearest_centroid,
+           CASE WHEN i.intra_mean > 0
+                THEN round(ne.nearest_centroid / i.intra_mean, 6)
+                ELSE NULL END AS separability
+    FROM intra i JOIN nearest ne ON i.label = ne.label
+    """,
+    tags=("ml", "similarity", "eval"),
+)
+def label_separability_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label separability in embedding space (Fisher-style): per label,
+    the mean distance of member vectors to their label centroid
+    (intra-class spread) against the distance to the NEAREST other
+    centroid, and their ratio — >1 means the nearest foreign centroid
+    sits outside the class's own spread. The geometric companion to
+    ``knn_label_consistency`` (which votes; this measures), and the
+    go/no-go check before trusting labels for semantic dedup blocks.
+
+    Determinism: per-dim centroid means, squared deviations, and
+    distances all follow the round-then-decimal-sum rule, so both
+    engines agree bitwise. Scale: one posexplode pass to (label, dim)
+    sufficient sums (map-side combinable; k x d centroid table
+    broadcasts back), one join for deviations; the centroid-pair matrix
+    is k^2 x d — trivial for any real label count."""
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select(
+        "vec_id",
+        "label",
+        F.posexplode("embedding").alias("pos", "fval"),
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos") + 1).alias("dim"),
+        F.col("fval").cast("double").alias("val"),
+    )
+    cent = F.broadcast(
+        e.groupBy("label", "dim").agg(
+            F.round(dsum("val") / F.count("*"), 6).alias("c")
+        )
+    )
+    devs = e.join(cent, ["label", "dim"]).select(
+        "vec_id",
+        "label",
+        F.round((F.col("val") - F.col("c")) * (F.col("val") - F.col("c")), 9).alias(
+            "d2"
+        ),
+    )
+    vec_d = devs.groupBy("vec_id", "label").agg(
+        F.round(F.sqrt(dsum("d2", 9)), 6).alias("dist")
+    )
+    intra = vec_d.groupBy("label").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.round(dsum("dist") / F.count("*"), 6).alias("intra_mean"),
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    diff = F.col("a.c") - F.col("b.c")
+    cpairs = (
+        a.join(
+            b,
+            (F.col("a.dim") == F.col("b.dim"))
+            & (F.col("a.label") != F.col("b.label")),
+        )
+        .groupBy(F.col("a.label").alias("la"), F.col("b.label").alias("lb"))
+        .agg(
+            F.round(
+                F.sqrt(
+                    F.sum(
+                        F.round(diff * diff, 9).cast("decimal(25,9)")
+                    ).cast("double")
+                ),
+                6,
+            ).alias("cd")
+        )
+    )
+    nearest = cpairs.groupBy(F.col("la").alias("label")).agg(
+        F.min("cd").alias("nearest_centroid")
+    )
+    return intra.join(nearest, "label").select(
+        "label",
+        "n",
+        "intra_mean",
+        "nearest_centroid",
+        F.when(
+            F.col("intra_mean") > 0,
+            F.round(F.col("nearest_centroid") / F.col("intra_mean"), 6),
+        ).alias("separability"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -431,3 +431,43 @@ def test_quality_threshold_sweep_monotone(spark):
         for t in thrs:
             if t <= cuts[src]:
                 assert rows[t].kept_frac >= 0.6 - 1e-9, (src, t)
+
+
+def test_label_separability_planted_clusters(spark):
+    """Two tight, far-apart planted clusters separate cleanly
+    (separability >> 1); interleaving the labels on the same points
+    destroys it (separability < 1)."""
+    import os
+    import tempfile
+
+    def write(td, rows):
+        spark.createDataFrame(
+            rows, "vec_id bigint, embedding array<float>, label bigint"
+        ).write.mode("overwrite").parquet(os.path.join(td, "embeddings.parquet"))
+
+    # cluster 0 around (0,0), cluster 1 around (10,10); jitter 0.1
+    tight = [
+        (i, [0.0 + (i % 3) * 0.1, 0.0 + (i % 2) * 0.1], 0) for i in range(6)
+    ] + [
+        (6 + i, [10.0 + (i % 3) * 0.1, 10.0 + (i % 2) * 0.1], 1)
+        for i in range(6)
+    ]
+    with tempfile.TemporaryDirectory() as td:
+        write(td, tight)
+        good = {
+            r.label: r
+            for r in QUERIES["label_separability_embeddings"].fn(spark, td).collect()
+        }
+        # labels assigned at random across BOTH blobs: centroids collide
+        mixed = [
+            (i, vec, i % 2) for i, (vid, vec, lab) in enumerate(tight)
+        ]
+        write(td, mixed)
+        bad = {
+            r.label: r
+            for r in QUERIES["label_separability_embeddings"].fn(spark, td).collect()
+        }
+    for lab in (0, 1):
+        assert good[lab].separability > 10
+        assert bad[lab].separability < 1
+        assert good[lab].n == 6 and bad[lab].n == 6
