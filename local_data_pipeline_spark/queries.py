@@ -10726,6 +10726,77 @@ def label_separability_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@q(
+    "shingle_novelty_curve",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    tri AS (
+      SELECT doc_id,
+             concat_ws(' ', t[i], t[i+1], t[i+2]) AS sh
+      FROM toks, unnest(generate_series(1, greatest(len(t) - 2, 1))) u(i)),
+    first_seen AS (
+      SELECT sh, min(doc_id) AS fd FROM tri GROUP BY sh),
+    mx AS (SELECT max(doc_id) + 1 AS m FROM documents),
+    bucketed AS (
+      SELECT least(fd * 10 // m, 9) AS bucket,
+             count(*) AS new_shingles
+      FROM first_seen CROSS JOIN mx GROUP BY 1)
+    SELECT cast(bucket AS bigint) AS bucket,
+           cast(new_shingles AS bigint) AS new_shingles,
+           cast(sum(new_shingles) OVER (ORDER BY bucket
+                                        ROWS UNBOUNDED PRECEDING) AS bigint)
+             AS cum_shingles
+    FROM bucketed
+    """,
+    tags=("text", "vocab", "curve", "dedup"),
+)
+def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content novelty over corpus position (Heaps'-law view at the
+    3-gram shingle level — the unit the dedup family already uses, and
+    the right one here because this corpus's WORD vocabulary saturates
+    in the first dozen documents): per corpus decile, how many shingles
+    appear for the FIRST time, plus the cumulative count. A flattening
+    curve before the data runs out means new documents are recombining
+    old content — the dedup/staleness smell checked before paying for
+    more of the same source.
+
+    Scale: shingling is the dedup family's tested expression
+    (``TX.shingles_from_tokens`` — partial shingle for short docs,
+    engine-mirrored); first-occurrence is one map-side-combinable min
+    per shingle (the word-count shuffle shape); the curve itself is a
+    10-row bounded window over aggregated input. Bucket math is exact
+    integers ((fd*10) DIV (max_id+1)) on both engines."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    tri = toks.select(
+        "doc_id",
+        F.explode(TX.shingles_from_tokens(F.col("t"))).alias("sh"),
+    )
+    first_seen = tri.groupBy("sh").agg(F.min("doc_id").alias("fd"))
+    mx = F.broadcast(d.agg((F.max("doc_id") + 1).alias("m")))
+    bucketed = (
+        first_seen.crossJoin(mx)
+        .select(
+            F.least(F.expr("fd * 10 DIV m"), F.lit(9)).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("new_shingles"))
+    )
+    w = (
+        Window.orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return bucketed.select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("new_shingles").cast("bigint").alias("new_shingles"),
+        F.sum("new_shingles").over(w).cast("bigint").alias("cum_shingles"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -471,3 +471,35 @@ def test_label_separability_planted_clusters(spark):
         assert good[lab].separability > 10
         assert bad[lab].separability < 1
         assert good[lab].n == 6 and bad[lab].n == 6
+
+
+def test_shingle_novelty_curve_planted(spark):
+    """A corpus whose second half repeats the first half flattens after
+    bucket 4; a corpus of all-new content keeps adding shingles in every
+    bucket. Cumulative count ends at the distinct-shingle total."""
+    import os
+    import tempfile
+
+    def doc(i, words):
+        return (i, " ".join(words), "a", "en")
+
+    # 10 docs, ids 0..9 -> bucket = doc_id (m=10). Each doc has 5 tokens
+    # (3 shingles + boundary partials are full here).
+    fresh = [doc(i, [f"w{i}_{j}" for j in range(5)]) for i in range(10)]
+    stale = [doc(i, [f"w{i % 5}_{j}" for j in range(5)]) for i in range(10)]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "documents.parquet")
+        spark.createDataFrame(
+            fresh, "doc_id bigint, text string, source string, lang string"
+        ).write.mode("overwrite").parquet(p)
+        f = {r.bucket: r for r in QUERIES["shingle_novelty_curve"].fn(spark, td).collect()}
+        spark.createDataFrame(
+            stale, "doc_id bigint, text string, source string, lang string"
+        ).write.mode("overwrite").parquet(p)
+        s = {r.bucket: r for r in QUERIES["shingle_novelty_curve"].fn(spark, td).collect()}
+    assert set(f) == set(range(10))          # novelty in every decile
+    per_doc = f[0].new_shingles
+    assert all(f[b].new_shingles == per_doc for b in f)
+    assert f[9].cum_shingles == 10 * per_doc
+    assert set(s) == set(range(5))           # flat after the repeat point
+    assert s[4].cum_shingles == 5 * per_doc
