@@ -10797,6 +10797,176 @@ def shingle_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "kmv_join_overlap_estimate",
+    """
+    WITH tall AS (
+      SELECT 'lineitem_orders' AS edge, l_orderkey AS key, 1 AS il, 0 AS ir
+      FROM lineitem WHERE l_orderkey IS NOT NULL
+      UNION ALL SELECT 'lineitem_orders', o_orderkey, 0, 1
+      FROM orders WHERE o_orderkey IS NOT NULL
+      UNION ALL SELECT 'orders_customer', o_custkey, 1, 0
+      FROM orders WHERE o_custkey IS NOT NULL
+      UNION ALL SELECT 'orders_customer', c_custkey, 0, 1
+      FROM customer WHERE c_custkey IS NOT NULL
+      UNION ALL SELECT 'events_customer', user_id, 1, 0
+      FROM events WHERE user_id IS NOT NULL
+      UNION ALL SELECT 'events_customer', c_custkey, 0, 1
+      FROM customer WHERE c_custkey IS NOT NULL),
+    keyed AS (
+      SELECT edge, key, max(il) AS il, max(ir) AS ir,
+             ('0x' || substr(md5(cast(key AS varchar)), 1, 8))::BIGINT AS h
+      FROM tall GROUP BY edge, key),
+    exact AS (
+      SELECT edge, cast(sum(il) AS bigint) AS exact_left,
+             cast(sum(ir) AS bigint) AS exact_right,
+             cast(sum(il * ir) AS bigint) AS exact_overlap
+      FROM keyed GROUP BY edge),
+    lsk AS (
+      SELECT edge, count(*) AS cnt, max(h) AS kth
+      FROM (SELECT edge, h, key,
+                   row_number() OVER (PARTITION BY edge ORDER BY h, key) AS rn
+            FROM keyed WHERE il = 1) WHERE rn <= 256 GROUP BY edge),
+    rsk AS (
+      SELECT edge, count(*) AS cnt, max(h) AS kth
+      FROM (SELECT edge, h, key,
+                   row_number() OVER (PARTITION BY edge ORDER BY h, key) AS rn
+            FROM keyed WHERE ir = 1) WHERE rn <= 256 GROUP BY edge),
+    usk AS (
+      SELECT edge, count(*) AS cnt, max(h) AS kth, sum(il * ir) AS c
+      FROM (SELECT edge, h, key, il, ir,
+                   row_number() OVER (PARTITION BY edge ORDER BY h, key) AS rn
+            FROM keyed) WHERE rn <= 256 GROUP BY edge),
+    est AS (
+      SELECT e.edge, e.exact_left, e.exact_right, e.exact_overlap,
+             CASE WHEN l.cnt < 256 THEN cast(l.cnt AS double)
+                  ELSE round((256 - 1) * 4294967296.0 / l.kth, 6) END AS est_left,
+             CASE WHEN r.cnt < 256 THEN cast(r.cnt AS double)
+                  ELSE round((256 - 1) * 4294967296.0 / r.kth, 6) END AS est_right,
+             CASE WHEN u.cnt < 256 THEN cast(u.c AS double)
+                  ELSE round((u.c / 256.0)
+                             * ((256 - 1) * 4294967296.0 / u.kth), 6)
+             END AS est_overlap
+      FROM exact e
+      JOIN lsk l ON l.edge = e.edge
+      JOIN rsk r ON r.edge = e.edge
+      JOIN usk u ON u.edge = e.edge)
+    SELECT edge, exact_left, exact_right, exact_overlap,
+           est_left, est_right, est_overlap,
+           CASE WHEN exact_overlap > 0
+                THEN round(abs(est_overlap - exact_overlap) / exact_overlap, 6)
+           END AS err_overlap
+    FROM est
+    """,
+    tags=("sketch", "join", "eval"),
+)
+def kmv_join_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) join-key overlap estimation — the sketch a
+    distributed optimizer uses to size a join BEFORE running it. For three
+    join edges (lineitem↔orders, orders↔customer, events↔customer) it
+    builds 256-minimum-hash sketches of each key set plus their union,
+    estimates distinct keys per side (D̂ = (k-1)/U_(k)) and the key
+    intersection (|A∩B| ≈ c/k · D̂_union, Beyer et al., SIGMOD'07), and
+    reports estimates next to the exact values with relative error.
+
+    Cross-engine deterministic BY CONSTRUCTION: the "uniform hash" is the
+    repo's engine-identical md5-substr-8-hex integer, so both engines keep
+    the same 256 minima and the arithmetic is single IEEE ops rounded to 6.
+
+    Scale shape: one shuffle groups (edge,key) once and feeds everything —
+    exact counts are map-side-combinable sums, each sketch is a
+    row_number ≤ k filter (WindowGroupLimit prunes to k per map partition
+    per edge, so the per-edge window task sees k·n_map_partitions rows,
+    not the key set). No driver collect; the sketch relations are k-row."""
+    li = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    ev = _t(spark, sf_dir, "events")
+    K = 256
+
+    def side(df: DataFrame, col: str, edge: str, il: int, ir: int) -> DataFrame:
+        return df.filter(F.col(col).isNotNull()).select(
+            F.lit(edge).alias("edge"),
+            F.col(col).cast("bigint").alias("key"),
+            F.lit(il).alias("il"),
+            F.lit(ir).alias("ir"),
+        )
+
+    tall = (
+        side(li, "l_orderkey", "lineitem_orders", 1, 0)
+        .unionAll(side(o, "o_orderkey", "lineitem_orders", 0, 1))
+        .unionAll(side(o, "o_custkey", "orders_customer", 1, 0))
+        .unionAll(side(c, "c_custkey", "orders_customer", 0, 1))
+        .unionAll(side(ev, "user_id", "events_customer", 1, 0))
+        .unionAll(side(c, "c_custkey", "events_customer", 0, 1))
+    )
+    keyed = (
+        tall.groupBy("edge", "key")
+        .agg(F.max("il").alias("il"), F.max("ir").alias("ir"))
+        .withColumn(
+            "h",
+            F.conv(
+                F.substring(F.md5(F.col("key").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+        )
+    )
+    exact = keyed.groupBy("edge").agg(
+        F.sum("il").cast("bigint").alias("exact_left"),
+        F.sum("ir").cast("bigint").alias("exact_right"),
+        F.sum(F.col("il") * F.col("ir")).cast("bigint").alias("exact_overlap"),
+    )
+    w = Window.partitionBy("edge").orderBy("h", "key")
+
+    def sketch(src: DataFrame, prefix: str, with_c: bool) -> DataFrame:
+        rn = src.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= K)
+        aggs = [
+            F.count("*").alias(f"{prefix}cnt"),
+            F.max("h").alias(f"{prefix}kth"),
+        ]
+        if with_c:
+            aggs.append(F.sum(F.col("il") * F.col("ir")).alias(f"{prefix}c"))
+        return rn.groupBy("edge").agg(*aggs)
+
+    lsk = sketch(keyed.filter(F.col("il") == 1), "l", False)
+    rsk = sketch(keyed.filter(F.col("ir") == 1), "r", False)
+    usk = sketch(keyed, "u", True)
+    est = (
+        exact.join(lsk, "edge")
+        .join(rsk, "edge")
+        .join(usk, "edge")
+        .select(
+            "edge",
+            "exact_left",
+            "exact_right",
+            "exact_overlap",
+            # 4294967296.0 must be a DOUBLE literal: Spark parses bare
+            # decimal literals as DECIMAL (DuckDB parses them as DOUBLE),
+            # and the decimal division silently loses the low digits.
+            F.expr(
+                f"CASE WHEN lcnt < {K} THEN cast(lcnt AS double)"
+                f" ELSE round(({K} - 1) * 4294967296.0D / lkth, 6) END"
+            ).alias("est_left"),
+            F.expr(
+                f"CASE WHEN rcnt < {K} THEN cast(rcnt AS double)"
+                f" ELSE round(({K} - 1) * 4294967296.0D / rkth, 6) END"
+            ).alias("est_right"),
+            F.expr(
+                f"CASE WHEN ucnt < {K} THEN cast(uc AS double)"
+                f" ELSE round((uc / cast({K} AS double))"
+                f" * (({K} - 1) * 4294967296.0D / ukth), 6) END"
+            ).alias("est_overlap"),
+        )
+    )
+    return est.withColumn(
+        "err_overlap",
+        F.expr(
+            "CASE WHEN exact_overlap > 0"
+            " THEN round(abs(est_overlap - exact_overlap) / exact_overlap, 6)"
+            " END"
+        ),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
