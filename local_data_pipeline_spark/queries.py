@@ -10967,6 +10967,90 @@ def kmv_join_overlap_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "source_cap_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, text,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    feats AS (
+      SELECT doc_id, source,
+             len(t) * 1.0 AS tc,
+             CASE WHEN length(text) = 0 THEN 0.0
+                  ELSE len(regexp_extract_all(text, '[.,;:!?''"()\\[\\]-]')) * 1.0 / length(text) END AS pr,
+             CASE WHEN len(t) = 0 THEN 0.0
+                  ELSE len(list_filter(t, x -> x IN ('the','and','of','to','is','in','that','it','for','with'))) * 1.0 / len(t) END AS sr
+      FROM toks),
+    scored AS (
+      SELECT doc_id, source, tc,
+             round(0.4 * least(tc / 100.0, 1.0)
+                 + 0.3 * (1.0 - least(pr * 5, 1.0))
+                 + 0.3 * least(sr * 4, 1.0), 6) AS quality
+      FROM feats),
+    ranked AS (
+      SELECT source, tc, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id ASC) AS rn
+      FROM scored)
+    SELECT source,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(CASE WHEN rn <= 10 THEN 1 ELSE 0 END) AS bigint) AS n_kept,
+           cast(sum(CASE WHEN rn > 10 THEN 1 ELSE 0 END) AS bigint) AS n_dropped,
+           CASE WHEN sum(tc) > 0
+                THEN round(sum(CASE WHEN rn <= 10 THEN tc ELSE 0.0 END)
+                           / sum(tc), 6) END AS kept_token_share,
+           min(CASE WHEN rn <= 10 THEN quality END) AS min_kept_quality
+    FROM ranked GROUP BY source
+    """,
+    tags=("text", "curation", "sampling"),
+)
+def source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the Common-Crawl-style "domain cap" that
+    stops any one source from dominating the training mix: within each
+    source keep only the top-C documents by quality (tie-broken on
+    doc_id), and report the per-source funnel — docs kept/dropped, the
+    retained token share, and the quality cutoff the cap induced.
+
+    Ranking uses the ROUNDED quality (the engine-identical round-6 value
+    the quality family already hash-matches), so the order and cutoff are
+    cross-engine exact.
+
+    Scale shape: quality is pure Catalyst expressions; the rank is one
+    per-source window (the cap filter rn<=C lets WindowGroupLimit prune
+    each map partition to C rows per source before the shuffle); the
+    funnel is a map-side-combinable groupBy on the same source key —
+    sources are the natural partition and caps keep the hot ones bounded."""
+    cap = 10
+    d = _t(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "source",
+        TX.token_count(F.col("text")).cast("double").alias("tc"),
+        TX.quality_score(F.col("text")).alias("quality"),
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    kept = F.col("rn") <= cap
+    return ranked.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(kept, 1).otherwise(0)).cast("bigint").alias("n_kept"),
+        F.sum(F.when(kept, 0).otherwise(1)).cast("bigint").alias("n_dropped"),
+        F.when(
+            F.sum("tc") > 0,
+            F.round(
+                F.sum(F.when(kept, F.col("tc")).otherwise(F.lit(0.0)))
+                / F.sum("tc"),
+                6,
+            ),
+        ).alias("kept_token_share"),
+        F.min(F.when(kept, F.col("quality"))).alias("min_kept_quality"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
