@@ -11051,6 +11051,127 @@ def source_cap_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "zone_map_pruning_report",
+    """
+    WITH laid AS (
+      SELECT l_shipdate,
+             CASE WHEN l_shipdate >= timestamp '1998-06-01 00:00:00'
+                   AND l_shipdate <  timestamp '1998-09-01 00:00:00'
+                  THEN 1 ELSE 0 END AS hit,
+             l_orderkey // 1024 AS ins_file,
+             year(l_shipdate) * 12 + (month(l_shipdate) - 1) AS dat_file
+      FROM lineitem),
+    tall AS (
+      SELECT 'insertion' AS layout, ins_file AS file_id, l_shipdate, hit FROM laid
+      UNION ALL
+      SELECT 'date_partitioned', dat_file, l_shipdate, hit FROM laid),
+    zones AS (
+      SELECT layout, file_id, count(*) AS n_rows,
+             min(l_shipdate) AS lo, max(l_shipdate) AS hi,
+             sum(hit) AS n_hit
+      FROM tall GROUP BY layout, file_id),
+    flagged AS (
+      SELECT layout, n_rows, n_hit,
+             CASE WHEN lo < timestamp '1998-09-01 00:00:00'
+                   AND hi >= timestamp '1998-06-01 00:00:00'
+                  THEN 1 ELSE 0 END AS scanned
+      FROM zones)
+    SELECT layout,
+           cast(count(*) AS bigint) AS n_files,
+           cast(sum(scanned) AS bigint) AS files_scanned,
+           cast(sum(n_rows) AS bigint) AS rows_total,
+           cast(sum(CASE WHEN scanned = 1 THEN n_rows ELSE 0 END) AS bigint)
+             AS rows_scanned,
+           cast(sum(n_hit) AS bigint) AS rows_matched,
+           round(sum(CASE WHEN scanned = 1 THEN n_rows ELSE 0 END)
+                 / greatest(cast(sum(n_hit) AS double), 1.0), 6)
+             AS read_amplification,
+           round(1.0 - sum(scanned) / cast(count(*) AS double), 6)
+             AS file_skip_rate
+    FROM flagged GROUP BY layout
+    """,
+    tags=("layout", "scale", "eval"),
+)
+def zone_map_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zone-map (min/max data-skipping) what-if: simulate two physical
+    layouts of lineitem — `insertion` (files are arrival-order orderkey
+    ranges) and `date_partitioned` (files are ship months) — build each
+    file's min/max zone map on l_shipdate, and report how a 3-month range
+    predicate prunes: files scanned, rows scanned vs matched, read
+    amplification, file-skip rate. This is the quantitative case for
+    sorting/partitioning on the predicate column before writing (Delta /
+    Iceberg file statistics; parquet row-group min/max) — the insertion
+    layout scans ~everything because every file's date range spans the
+    predicate, the date layout scans exactly the matching months.
+
+    Scale shape: one scan of lineitem feeds both simulated layouts via a
+    union; zone maps are one map-side-combinable groupBy on (layout,
+    file_id) — the same aggregation a table optimizer's stats collector
+    runs; the report is a per-layout rollup of file-count-sized input.
+    All arithmetic is exact integers and timestamps; doubles only in the
+    final rounded ratios."""
+    li = _t(spark, sf_dir, "lineitem")
+    lo = F.lit("1998-06-01 00:00:00").cast("timestamp_ntz")
+    hi = F.lit("1998-09-01 00:00:00").cast("timestamp_ntz")
+    laid = li.select(
+        "l_shipdate",
+        F.when(
+            (F.col("l_shipdate") >= lo) & (F.col("l_shipdate") < hi), 1
+        )
+        .otherwise(0)
+        .alias("hit"),
+        F.expr("l_orderkey div 1024").alias("ins_file"),
+        (F.year("l_shipdate") * 12 + (F.month("l_shipdate") - 1)).alias(
+            "dat_file"
+        ),
+    )
+    tall = laid.select(
+        F.lit("insertion").alias("layout"),
+        F.col("ins_file").alias("file_id"),
+        "l_shipdate",
+        "hit",
+    ).unionAll(
+        laid.select(
+            F.lit("date_partitioned").alias("layout"),
+            F.col("dat_file").alias("file_id"),
+            "l_shipdate",
+            "hit",
+        )
+    )
+    zones = tall.groupBy("layout", "file_id").agg(
+        F.count("*").alias("n_rows"),
+        F.min("l_shipdate").alias("zlo"),
+        F.max("l_shipdate").alias("zhi"),
+        F.sum("hit").alias("n_hit"),
+    )
+    flagged = zones.select(
+        "layout",
+        "n_rows",
+        "n_hit",
+        F.when((F.col("zlo") < hi) & (F.col("zhi") >= lo), 1)
+        .otherwise(0)
+        .alias("scanned"),
+    )
+    return flagged.groupBy("layout").agg(
+        F.count("*").cast("bigint").alias("n_files"),
+        F.sum("scanned").cast("bigint").alias("files_scanned"),
+        F.sum("n_rows").cast("bigint").alias("rows_total"),
+        F.sum(F.when(F.col("scanned") == 1, F.col("n_rows")).otherwise(0))
+        .cast("bigint")
+        .alias("rows_scanned"),
+        F.sum("n_hit").cast("bigint").alias("rows_matched"),
+        F.round(
+            F.sum(F.when(F.col("scanned") == 1, F.col("n_rows")).otherwise(0))
+            / F.greatest(F.sum("n_hit").cast("double"), F.lit(1.0)),
+            6,
+        ).alias("read_amplification"),
+        F.round(
+            F.lit(1.0) - F.sum("scanned") / F.count("*").cast("double"), 6
+        ).alias("file_skip_rate"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
