@@ -11172,6 +11172,161 @@ def zone_map_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "histogram_selectivity_eval",
+    """
+    WITH stats AS (
+      SELECT min(l_extendedprice) AS mn, max(l_extendedprice) AS mx
+      FROM lineitem),
+    hist AS (
+      SELECT least(cast(floor((l_extendedprice - mn)
+                              / ((mx - mn) / 32.0)) AS bigint), 31) AS bucket,
+             count(*) AS n
+      FROM lineitem CROSS JOIN stats GROUP BY 1),
+    preds(pid, plo, phi) AS (VALUES
+      ('narrow_low',  1000.0,  2000.0),
+      ('mid_band',   10000.0, 20000.0),
+      ('high_band',  50000.0, 60000.0),
+      ('full_range',   900.0, 105000.0)),
+    contrib AS (
+      SELECT p.pid, p.plo, p.phi,
+             greatest(0.0, least(mn + (h.bucket + 1) * ((mx - mn) / 32.0), p.phi)
+                         - greatest(mn + h.bucket * ((mx - mn) / 32.0), p.plo))
+               / ((mx - mn) / 32.0) * h.n AS est_part
+      FROM hist h CROSS JOIN stats CROSS JOIN preds p),
+    est AS (
+      SELECT pid, plo, phi,
+             round(cast(sum(cast(round(est_part, 9) AS decimal(25,9)))
+                        AS double), 6) AS est_rows
+      FROM contrib GROUP BY pid, plo, phi),
+    actual AS (
+      SELECT p.pid, count(*) FILTER (l_extendedprice >= p.plo
+                                     AND l_extendedprice < p.phi) AS actual_rows
+      FROM lineitem CROSS JOIN preds p GROUP BY p.pid)
+    SELECT e.pid AS predicate, e.plo AS lo, e.phi AS hi,
+           e.est_rows, cast(a.actual_rows AS bigint) AS actual_rows,
+           CASE WHEN a.actual_rows > 0
+                THEN round(abs(e.est_rows - a.actual_rows) / a.actual_rows, 6)
+           END AS rel_err
+    FROM est e JOIN actual a ON a.pid = e.pid
+    """,
+    tags=("stats", "eval", "histogram"),
+)
+def histogram_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Optimizer-statistics evaluation: build a 32-bucket equi-width
+    histogram on l_extendedprice (the stats a cost-based optimizer keeps
+    per column), estimate four range predicates' cardinalities by
+    uniform-within-bucket interpolation, and report estimate vs actual
+    with relative error — the measured case for how good (or bad) the
+    uniformity assumption is on this column.
+
+    Cross-engine determinism: bucket boundaries derive from the exact
+    global min/max doubles with identical expression shape; per-bucket
+    contributions are rounded to 9 decimals and summed as decimals (the
+    repo's order-insensitive float-sum pattern), then rounded to 6.
+
+    Scale shape: the histogram is ONE map-side-combinable pass (the same
+    shape ANALYZE TABLE runs); min/max is a 1-row broadcast into the
+    bucketing scan — no driver collect; estimates run on the 32-row
+    histogram crossed with a 4-row literal predicate table; actuals are
+    conditional counts in the same single scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    stats = li.agg(
+        F.min("l_extendedprice").alias("mn"),
+        F.max("l_extendedprice").alias("mx"),
+    )
+    width = (F.col("mx") - F.col("mn")) / F.lit(32.0)
+    hist = (
+        li.crossJoin(F.broadcast(stats))
+        .select(
+            F.least(
+                F.floor((F.col("l_extendedprice") - F.col("mn")) / width).cast(
+                    "bigint"
+                ),
+                F.lit(31),
+            ).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(F.count("*").alias("n"))
+    )
+    pred_rows = [
+        ("narrow_low", 1000.0, 2000.0),
+        ("mid_band", 10000.0, 20000.0),
+        ("high_band", 50000.0, 60000.0),
+        ("full_range", 900.0, 105000.0),
+    ]
+    preds = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(pid).alias("pid"),
+                    F.lit(plo).alias("plo"),
+                    F.lit(phi).alias("phi"),
+                )
+                for pid, plo, phi in pred_rows
+            ]
+        )
+    )
+    pred_df = stats.select(preds.alias("p")).select("p.pid", "p.plo", "p.phi")
+    b_lo = F.col("mn") + F.col("bucket") * width
+    b_hi = F.col("mn") + (F.col("bucket") + 1) * width
+    contrib = (
+        hist.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(pred_df))
+        .select(
+            "pid",
+            "plo",
+            "phi",
+            (
+                F.greatest(
+                    F.lit(0.0),
+                    F.least(b_hi, F.col("phi")) - F.greatest(b_lo, F.col("plo")),
+                )
+                / width
+                * F.col("n")
+            ).alias("est_part"),
+        )
+    )
+    est = contrib.groupBy("pid", "plo", "phi").agg(
+        F.round(
+            F.sum(F.round("est_part", 9).cast("decimal(25,9)")).cast("double"), 6
+        ).alias("est_rows")
+    )
+    actual = (
+        li.crossJoin(F.broadcast(pred_df))
+        .groupBy("pid")
+        .agg(
+            F.count(
+                F.when(
+                    (F.col("l_extendedprice") >= F.col("plo"))
+                    & (F.col("l_extendedprice") < F.col("phi")),
+                    True,
+                )
+            )
+            .cast("bigint")
+            .alias("actual_rows")
+        )
+    )
+    return (
+        est.join(actual, "pid")
+        .select(
+            F.col("pid").alias("predicate"),
+            F.col("plo").alias("lo"),
+            F.col("phi").alias("hi"),
+            "est_rows",
+            "actual_rows",
+            F.when(
+                F.col("actual_rows") > 0,
+                F.round(
+                    F.abs(F.col("est_rows") - F.col("actual_rows"))
+                    / F.col("actual_rows"),
+                    6,
+                ),
+            ).alias("rel_err"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
