@@ -11327,6 +11327,116 @@ def histogram_selectivity_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cms_count_error_eval",
+    """
+    WITH toks AS (
+      SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                         ELSE string_split_regex(trim(lower(text)), '\\s+')
+                    END) AS token
+      FROM documents),
+    seeds(s) AS (VALUES (0), (1), (2), (3)),
+    hashed AS (
+      SELECT t.token, sd.s,
+             ('0x' || substr(md5(cast(sd.s AS varchar) || ':' || t.token), 1, 8))
+               ::BIGINT % 16 AS bucket
+      FROM toks t CROSS JOIN seeds sd),
+    cells AS (
+      SELECT s, bucket, count(*) AS cell FROM hashed GROUP BY s, bucket),
+    exact AS (
+      SELECT token, count(*) AS exact_cnt FROM toks GROUP BY token
+      ORDER BY exact_cnt DESC, token ASC LIMIT 20),
+    probes AS (
+      SELECT e.token, e.exact_cnt, sd.s,
+             ('0x' || substr(md5(cast(sd.s AS varchar) || ':' || e.token), 1, 8))
+               ::BIGINT % 16 AS bucket
+      FROM exact e CROSS JOIN seeds sd),
+    est AS (
+      SELECT p.token, p.exact_cnt, min(c.cell) AS est_cnt
+      FROM probes p JOIN cells c ON c.s = p.s AND c.bucket = p.bucket
+      GROUP BY p.token, p.exact_cnt)
+    SELECT token, cast(exact_cnt AS bigint) AS exact_cnt,
+           cast(est_cnt AS bigint) AS est_cnt,
+           cast(est_cnt - exact_cnt AS bigint) AS overcount,
+           round((est_cnt - exact_cnt) / cast(exact_cnt AS double), 6) AS rel_err
+    FROM est
+    """,
+    tags=("sketch", "eval", "text"),
+)
+def cms_count_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch error evaluation (the frequency twin of the HLL /
+    percentile sketch evals): build a deliberately tiny d=4 × w=16 CMS
+    over the token stream — small enough that hash collisions are
+    guaranteed, so the one-sided overcount is visible — then report, for
+    the 20 most frequent tokens, the sketch estimate (min over the 4
+    rows) against the exact count and the relative overestimate.
+
+    Deterministic by construction: the row hashes are the engine-identical
+    md5-substr integers seeded by row index, so both engines build the
+    same cells; counts are exact integers throughout.
+
+    Scale shape: the sketch is ONE map-side-combinable groupBy on (row,
+    bucket) — 64 cells total regardless of corpus size (this is why CMS
+    is the streaming frequency structure); exact top-20 is a
+    TakeOrderedAndProject; the probe join is 80 rows against 64 cells."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    seeds = F.array(*[F.lit(s) for s in range(4)])
+    hashed = toks.select(
+        "token", F.explode(seeds).alias("s")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("s").cast("string"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16,
+    )
+    cells = hashed.groupBy("s", "bucket").agg(F.count("*").alias("cell"))
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").alias("exact_cnt"))
+        .orderBy(F.desc("exact_cnt"), F.asc("token"))
+        .limit(20)
+    )
+    probes = exact.select(
+        "token", "exact_cnt", F.explode(seeds).alias("s")
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("s").cast("string"), F.col("token"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 16,
+    )
+    est = (
+        probes.join(F.broadcast(cells), ["s", "bucket"])
+        .groupBy("token", "exact_cnt")
+        .agg(F.min("cell").alias("est_cnt"))
+    )
+    return est.select(
+        "token",
+        F.col("exact_cnt").cast("bigint").alias("exact_cnt"),
+        F.col("est_cnt").cast("bigint").alias("est_cnt"),
+        (F.col("est_cnt") - F.col("exact_cnt")).cast("bigint").alias("overcount"),
+        F.round(
+            (F.col("est_cnt") - F.col("exact_cnt"))
+            / F.col("exact_cnt").cast("double"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
