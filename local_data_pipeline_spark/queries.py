@@ -11437,6 +11437,56 @@ def cms_count_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "salted_join_event_spend",
+    f"""
+    SELECT c.c_mktsegment AS segment,
+           cast(count(*) AS bigint) AS n_events,
+           round({dsum_sql('e.value')}, 6) AS total_value
+    FROM events e JOIN customer c ON c.c_custkey = e.user_id
+    GROUP BY 1
+    """,
+    tags=("join", "skew", "scale"),
+)
+def salted_join_event_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manually salted shuffle join — the hot-key mitigation for when BOTH
+    join sides are too big to broadcast and the key distribution skews
+    (one user owning 1% of a 100 TB event stream puts 1 TB in one task).
+    The fact side gets a deterministic per-row salt (md5(event_id) mod 8);
+    the dim side is replicated once per salt value; joining on
+    (key, salt) splits every hot key across 8 tasks. The result is
+    provably identical to the unsalted join — the oracle runs the plain
+    join — and the `shuffle_hash` hint keeps Spark from broadcasting the
+    small demo dim so the salted exchange is the plan actually executed.
+    (AQE skew-join handles this adaptively when splits are detectable at
+    runtime; explicit salting is the deterministic fallback a pipeline
+    pins when it KNOWS its hot keys.)"""
+    n_salt = 8
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    c = _t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_ev = ev.withColumn(
+        "esalt",
+        (
+            F.conv(
+                F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint")
+            % n_salt
+        ).cast("int"),
+    )
+    salted_dim = c.withColumn(
+        "dsalt", F.explode(F.array(*[F.lit(s) for s in range(n_salt)]))
+    )
+    joined = salted_ev.join(
+        salted_dim.hint("shuffle_hash"),
+        (F.col("user_id") == F.col("c_custkey"))
+        & (F.col("esalt") == F.col("dsalt")),
+    )
+    return joined.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.round(dsum("value"), 6).alias("total_value"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
