@@ -11487,6 +11487,129 @@ def salted_join_event_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: DCG position gains 1/log2(i+1) for i=1..10 and their prefix sums
+#: (ideal DCG for k relevant docs), pre-rounded to 9 decimals and shared
+#: as LITERALS by the Spark query and the DuckDB oracle — neither engine's
+#: libm log2 is consulted, so the metric is exact decimal arithmetic.
+_DCG_GAINS = (
+    "1.000000000", "0.630929754", "0.500000000", "0.430676558",
+    "0.386852807", "0.356207187", "0.333333333", "0.315464877",
+    "0.301029996", "0.289064826",
+)
+_IDCG = (
+    "0.000000000", "1.000000000", "1.630929754", "2.130929754",
+    "2.561606312", "2.948459119", "3.304666306", "3.637999639",
+    "3.953464516", "4.254494512", "4.543559338",
+)
+
+
+@q(
+    "ndcg_retrieval_eval",
+    f"""
+    WITH gains(rn, gain) AS (VALUES
+      {', '.join(f'({i + 1}, {g}::decimal(25,9))' for i, g in enumerate(_DCG_GAINS))}),
+    ideal(k, idcg) AS (VALUES
+      {', '.join(f'({k}, {v}::decimal(25,9))' for k, v in enumerate(_IDCG))}),
+    q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id < 20),
+    label_counts AS (SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    scored AS (
+      SELECT q.vec_id AS query_id, q.label AS qlabel, c.vec_id AS neighbor_id,
+             CASE WHEN c.label = q.label THEN 1 ELSE 0 END AS rel,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN embeddings c ON q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT query_id, qlabel, rel,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos_sim DESC, neighbor_id ASC) AS rn
+      FROM scored),
+    per_q AS (
+      SELECT r.query_id, r.qlabel,
+             cast(sum(r.rel) AS bigint) AS hits10,
+             sum(r.rel * g.gain) AS dcg
+      FROM ranked r JOIN gains g ON g.rn = r.rn
+      WHERE r.rn <= 10 GROUP BY r.query_id, r.qlabel)
+    SELECT p.query_id, p.qlabel AS label,
+           cast(lc.n - 1 AS bigint) AS n_relevant,
+           p.hits10,
+           round(p.hits10 / 10.0, 6) AS precision_at_10,
+           CASE WHEN i.idcg > 0
+                THEN round(cast(cast(p.dcg AS string) AS double)
+                           / cast(cast(i.idcg AS string) AS double), 6)
+                ELSE 0.0 END AS ndcg_at_10
+    FROM per_q p
+    JOIN label_counts lc ON lc.label = p.qlabel
+    JOIN ideal i ON i.k = least(lc.n - 1, 10)
+    """,
+    tags=("similarity", "eval", "retrieval"),
+)
+def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality metric: nDCG@10 and precision@10 of exact cosine
+    retrieval, using label agreement as the relevance judgment — the
+    metric that tells you whether the embedding space actually ranks
+    same-class items first (complements `ann_recall_eval`, which scores
+    the INDEX against exact retrieval; this scores RETRIEVAL itself
+    against labels).
+
+    The position-discount table (1/log2(i+1)) and its prefix sums are
+    shared literals pre-rounded to 9 decimals, so DCG/IDCG is exact
+    decimal arithmetic on both engines — no libm in the metric. Ranking
+    uses the rounded cosine with neighbor-id tie-break (the repo's
+    cross-engine ranking contract). Ideal DCG uses min(R,10) where R is
+    the query's same-label corpus count (exclusive of itself), computed
+    from per-label counts — no second pair join.
+
+    Scale shape: one broadcast of the 20-query panel, corpus streamed
+    once (`brute_force_topk`, map-side WindowGroupLimit on the rank);
+    label counts are a map-side-combinable aggregate; everything after
+    is 20-row arithmetic against 10/11-row literal tables."""
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 20)
+    topk = SIM.brute_force_topk(qs, emb, k=10, label_col="label")
+    gains = spark.createDataFrame(
+        [(i + 1, g) for i, g in enumerate(_DCG_GAINS)], "rn INT, gain STRING"
+    ).select("rn", F.col("gain").cast("decimal(25,9)").alias("gain"))
+    ideal = spark.createDataFrame(
+        [(k, v) for k, v in enumerate(_IDCG)], "k INT, idcg STRING"
+    ).select("k", F.col("idcg").cast("decimal(25,9)").alias("idcg"))
+    label_counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    per_q = (
+        topk.withColumn(
+            "rel", F.when(F.col("own_label") == F.col("nb_label"), 1).otherwise(0)
+        )
+        .join(F.broadcast(gains), F.col("rank") == F.col("rn"))
+        .groupBy(F.col("query_id"), F.col("own_label").alias("qlabel"))
+        .agg(
+            F.sum("rel").cast("bigint").alias("hits10"),
+            F.sum(F.col("rel") * F.col("gain")).alias("dcg"),
+        )
+    )
+    return (
+        per_q.join(F.broadcast(label_counts), per_q.qlabel == label_counts.label)
+        .join(
+            F.broadcast(ideal),
+            F.col("k") == F.least(F.col("n") - 1, F.lit(10)),
+        )
+        .select(
+            "query_id",
+            F.col("qlabel").alias("label"),
+            (F.col("n") - 1).cast("bigint").alias("n_relevant"),
+            "hits10",
+            F.round(F.col("hits10") / F.lit(10.0), 6).alias("precision_at_10"),
+            F.when(
+                F.col("idcg") > 0,
+                F.round(
+                    F.col("dcg").cast("string").cast("double")
+                    / F.col("idcg").cast("string").cast("double"),
+                    6,
+                ),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("ndcg_at_10"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

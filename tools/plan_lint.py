@@ -63,6 +63,11 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "broadcast side, corpus streams; LSH/IVF are the unbounded-query "
         "path."
     ),
+    ("ndcg_retrieval_eval", "S2"): (
+        "same brute_force_topk contract: the 20-query eval panel is the "
+        "broadcast side, corpus streams once; the metric stages after the "
+        "top-k are 20-row arithmetic against literal gain tables."
+    ),
     ("source_mixing_weights", "S1"): (
         "window input is one row per SOURCE (a closed census of corpora "
         "in the blend, dozens at most) — domain-bounded, not "
