@@ -11610,6 +11610,145 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "substring_dedup_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, i, array_to_string(t[i:i+7], ' ') AS gram
+      FROM toks, unnest(generate_series(1, len(t) - 7)) u(i)
+      WHERE len(t) >= 8),
+    dup AS (
+      SELECT gram FROM g GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+    occ AS (
+      SELECT g.doc_id, g.i, g.i + 7 AS e FROM g JOIN dup USING (gram)),
+    marked AS (
+      SELECT doc_id, i, e,
+             max(e) OVER (PARTITION BY doc_id ORDER BY i
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS pm
+      FROM occ),
+    islands AS (
+      SELECT doc_id, i, e,
+             sum(CASE WHEN pm IS NULL OR i > pm + 1 THEN 1 ELSE 0 END)
+               OVER (PARTITION BY doc_id ORDER BY i
+                     ROWS UNBOUNDED PRECEDING) AS isl
+      FROM marked),
+    spans AS (
+      SELECT doc_id, isl, min(i) AS s, max(e) AS e
+      FROM islands GROUP BY doc_id, isl),
+    per_doc AS (
+      SELECT doc_id,
+             cast(sum(e - s + 1) AS bigint) AS dup_tokens,
+             cast(count(*) AS bigint) AS dup_spans
+      FROM spans GROUP BY doc_id)
+    SELECT t.doc_id,
+           cast(len(t.t) AS bigint) AS n_tokens,
+           coalesce(p.dup_tokens, 0) AS dup_tokens,
+           coalesce(p.dup_spans, 0) AS dup_spans,
+           cast(CASE WHEN len(t.t) > 0
+                     THEN (coalesce(p.dup_tokens, 0) * 1000000) // len(t.t)
+                     ELSE 0 END AS bigint) AS dup_share_ppm
+    FROM toks t LEFT JOIN per_doc p USING (doc_id)
+    """,
+    tags=("dedup", "text", "curation"),
+)
+def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring (token-span) dedup report: a token position is
+    duplicated when it lies inside any 8-token gram that also appears in
+    at least one OTHER document; overlapping duplicated grams are merged
+    into maximal spans (interval union) and each doc reports its
+    duplicated-token count, span count, and duplicated share. This is
+    the span-level pass of Lee et al.'s "Deduplicating Training Data
+    Makes Language Models Better" — the semantics their suffix-array
+    ExactSubstr finds (shared passages BETWEEN documents that neither
+    document-level nor fixed-segment dedup can see, because segment
+    boundaries need not align), expressed with positional k-gram
+    fingerprints instead of a monolithic suffix array, which is the
+    shape that distributes.
+
+    Scale shape: gram generation is one narrow explode (no shuffle);
+    the duplicated-gram set is one hash exchange on the gram with a
+    partial count-distinct; marking is an equi-join back on the gram
+    (same exchange key, AQE-planned); the interval union runs under
+    windows PARTITIONED BY doc_id — per-doc state only, no global
+    window anywhere. At 100 TB, hash each gram to a 128-bit fingerprint
+    before the exchange so shuffle rows are fixed-width
+    (operators/dedup.py exact_dedup does this for whole docs).
+    Share is exact integer micro-units ((dup*1e6) div n) on both
+    engines — no float division in the compared columns."""
+    k = 8
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", TX.tokens(F.col("text")).alias("t"))
+    grams = (
+        toks.filter(F.size("t") >= k)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (k - 1)),
+                    lambda i: F.struct(
+                        i.alias("i"),
+                        F.concat_ws(
+                            " ", *[F.element_at(F.col("t"), i + j) for j in range(k)]
+                        ).alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+    )
+    dup = (
+        grams.groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("gram")
+    )
+    occ = grams.join(dup, "gram").select(
+        "doc_id", "i", (F.col("i") + (k - 1)).alias("e")
+    )
+    w = Window.partitionBy("doc_id").orderBy("i")
+    marked = occ.withColumn(
+        "pm", F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    )
+    islands = marked.withColumn(
+        "isl",
+        F.sum(
+            F.when(F.col("pm").isNull() | (F.col("i") > F.col("pm") + 1), 1).otherwise(
+                0
+            )
+        ).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spans = islands.groupBy("doc_id", "isl").agg(
+        F.min("i").alias("s"), F.max("e").alias("e")
+    )
+    per_doc = spans.groupBy("doc_id").agg(
+        F.sum(F.col("e") - F.col("s") + 1).cast("bigint").alias("dup_tokens"),
+        F.count("*").cast("bigint").alias("dup_spans"),
+    )
+    return (
+        toks.select("doc_id", F.size("t").cast("bigint").alias("n_tokens"))
+        .join(per_doc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_tokens",
+            F.coalesce("dup_tokens", F.lit(0)).cast("bigint").alias("dup_tokens"),
+            F.coalesce("dup_spans", F.lit(0)).cast("bigint").alias("dup_spans"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr("coalesce(dup_tokens, 0) * 1000000 div n_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("bigint")
+            .alias("dup_share_ppm"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
