@@ -11749,6 +11749,96 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "cogroup_asof_purchase_click",
+    """
+    WITH p AS (
+      SELECT user_id, event_id, ts, value FROM events
+      WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, ts AS click_ts, event_id AS click_event_id FROM events
+      WHERE event_type = 'click'),
+    ranked AS (
+      SELECT p.user_id, p.event_id, p.ts, p.value,
+             c.click_ts, c.click_event_id,
+             row_number() OVER (PARTITION BY p.event_id
+                                ORDER BY c.click_ts DESC,
+                                         c.click_event_id DESC) AS rn
+      FROM p LEFT JOIN c
+        ON c.user_id = p.user_id AND c.click_ts <= p.ts)
+    SELECT user_id, event_id, ts, value, click_ts, click_event_id
+    FROM ranked WHERE rn = 1
+    """,
+    tags=("join", "asof", "pandas", "cogroup"),
+)
+def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join expressed through the COGROUP Pandas API
+    (``groupBy().cogroup().applyInPandas`` — the one Arrow-batched
+    surface the catalog's other Python-path queries don't exercise):
+    purchases and clicks are co-partitioned on user_id and each
+    user's pair of frames is merged with ``pandas.merge_asof``
+    (backward, exact matches allowed, ties broken by max click
+    event_id). Same answer as the JVM-side union-tag as-of operator
+    (`asof_purchase_last_click`, operators/joins.py) with a
+    deterministic tie-break, so the two queries pin the two
+    implementations against one oracle family.
+
+    Scale shape: cogroup is ONE co-partitioning shuffle on user_id for
+    both inputs; each task sees only its users' rows (per-user frames,
+    Arrow-batched both directions; per-group state is the user's own
+    click history, never the corpus). The JVM operator remains the
+    default path — this exists to pin the cogroup API surface with an
+    oracle-exact result."""
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_event_id"),
+    )
+    cols = ["user_id", "event_id", "ts", "value", "click_ts", "click_event_id"]
+
+    def merge(left: "pd.DataFrame", right: "pd.DataFrame") -> "pd.DataFrame":
+        if left.empty:
+            out = left.copy()
+            out["click_ts"] = pd.Series([], dtype="datetime64[ns]")
+            out["click_event_id"] = pd.Series([], dtype="Int64")
+            return out[cols]
+        left = left.sort_values("ts", kind="mergesort")
+        if right.empty:
+            out = left.copy()
+            out["click_ts"] = pd.NaT
+            out["click_event_id"] = pd.array([pd.NA] * len(out), dtype="Int64")
+            return out[cols]
+        right = right.drop(columns=["user_id"]).sort_values(
+            ["click_ts", "click_event_id"], kind="mergesort"
+        )
+        out = pd.merge_asof(
+            left,
+            right,
+            left_on="ts",
+            right_on="click_ts",
+            direction="backward",
+            allow_exact_matches=True,
+        )
+        out["click_event_id"] = out["click_event_id"].astype("Int64")
+        return out[cols]
+
+    schema = (
+        "user_id bigint, event_id bigint, ts timestamp_ntz, value double, "
+        "click_ts timestamp_ntz, click_event_id bigint"
+    )
+    return (
+        purchases.groupBy("user_id")
+        .cogroup(clicks.groupBy("user_id"))
+        .applyInPandas(merge, schema)
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
