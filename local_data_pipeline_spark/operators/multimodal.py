@@ -203,3 +203,127 @@ def media_stats(media: DataFrame) -> DataFrame:
         F.max("meta.width").alias("max_width"),
         F.max("meta.duration_ms").alias("max_duration_ms"),
     )
+
+
+N_PHASH_BITS = 64
+
+
+def _phash_planes(
+    dim: int = FEATURE_DIM, n_bits: int = N_PHASH_BITS, seed: int = 0x9E3779B9
+) -> "list[list[float]]":
+    """Deterministic hyperplane matrix (n_bits × dim) with md5-seeded
+    weights in [-1, 1) — same derivation style as ``_fake_features`` so
+    the hash is stable across runs/machines with no RNG state."""
+    planes: list[list[float]] = []
+    for b in range(n_bits):
+        row: list[float] = []
+        counter = 0
+        while len(row) < dim:
+            h = hashlib.md5(
+                seed.to_bytes(8, "big") + b.to_bytes(4, "big") + counter.to_bytes(4, "big")
+            ).digest()
+            for i in range(0, len(h), 4):
+                if len(row) >= dim:
+                    break
+                v = int.from_bytes(h[i : i + 4], "big") / 2**31 - 1.0
+                row.append(float(v))
+            counter += 1
+        planes.append(row)
+    return planes
+
+
+def phash64(
+    features: DataFrame,
+    feature_col: str = "features",
+    id_col: str = "media_id",
+    seed: int = 0x9E3779B9,
+) -> DataFrame:
+    """64-bit perceptual-hash stand-in over a decoded feature vector: bit b
+    is the sign of the feature's projection onto deterministic hyperplane b
+    (features centered at 0.5, the mean of the fake decoder's uniform
+    output — the role the median DCT coefficient plays in classic pHash).
+    Nearby feature vectors flip few hyperplane signs, so Hamming distance
+    on the hash tracks perceptual distance — the property the planted-pair
+    tests pin. Replace ``decode_image_features``'s fake decoder with a real
+    one and this hash becomes a real pHash pipeline unchanged.
+
+    Shape: one Arrow-batched ``mapInPandas`` pass (numpy matmul per batch,
+    n×dim @ dim×64), emitting (id, phash long) — fixed-width rows for any
+    downstream exchange. The 64×dim plane matrix is process-local
+    (re-derived per worker from the seed; nothing is broadcast)."""
+    import pandas as pd
+
+    planes = _phash_planes(seed=seed)
+
+    def hashes(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import numpy as np
+
+        w = np.asarray(planes, dtype=np.float64).T  # dim × 64
+        weights = (np.uint64(1) << np.arange(64, dtype=np.uint64))  # bit packers
+        for pdf in batches:
+            x = np.asarray(list(pdf[feature_col]), dtype=np.float64) - 0.5
+            bits = (x @ w) > 0.0  # n × 64 sign bits
+            packed = (bits.astype(np.uint64) * weights).sum(axis=1, dtype=np.uint64)
+            yield pd.DataFrame(
+                {id_col: pdf[id_col], "phash": packed.view(np.int64)}
+            )
+
+    return features.select(id_col, feature_col).mapInPandas(
+        hashes, f"{id_col} long, phash long"
+    )
+
+
+def phash_near_dups(
+    features: DataFrame,
+    feature_col: str = "features",
+    id_col: str = "media_id",
+    n_bands: int = 4,
+    max_hamming: int = 6,
+    seed: int = 0x9E3779B9,
+) -> DataFrame:
+    """Near-duplicate media pairs by banded perceptual hash: band the
+    64-bit phash into ``n_bands`` chunks, candidate pairs share a chunk,
+    verify exact Hamming ≤ ``max_hamming`` — the SimHash banding shape
+    (operators/dedup.py simhash_near_dups) applied to the media family.
+
+    Scale: all-pairs work is confined to equal-chunk buckets (one
+    exchange on (band, chunk)); candidates carry only two 8-byte hashes,
+    so verification never revisits the blobs or the feature vectors."""
+    from .dedup import hamming64
+
+    bits_per = N_PHASH_BITS // n_bands
+    mask = (1 << bits_per) - 1
+    ph = phash64(features, feature_col, id_col, seed).localCheckpoint(eager=False)
+    banded = ph.select(
+        id_col,
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftrightunsigned("phash", b * bits_per)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("chunk"),
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("bc"),
+    ).select(id_col, "phash", "bc.band", "bc.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

@@ -11839,6 +11839,41 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("phash_near_dup_media", None, tags=("multimodal", "dedup", "approx"))
+def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-dup over the media surface: blob → Arrow
+    feature decode (stubbed deterministic decoder,
+    operators/multimodal.py) → 64-bit hyperplane-sign pHash → banded
+    Hamming pairs (4×16-bit bands, verify ≤ 6). The media table is the
+    documents' bytes plus a planted "re-upload" twin for every 50th doc
+    (identical bytes under media_id + 10_000_000 — the fixture corpus
+    has no byte-identical documents at small SFs), so the expected
+    matches are exactly the planted twins at hamming 0. The
+    near-but-not-identical behavior (perturbed media landing at small
+    nonzero Hamming distance) is pinned in tests with directly
+    constructed feature vectors, since the fake decoder maps any byte
+    change to an unrelated feature vector. Deterministic seeded
+    pipeline but not SQL-expressible → rows-only."""
+    from .operators.multimodal import decode_image_features, phash_near_dups
+
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(
+        F.col("doc_id").alias("media_id"),
+        F.lit("image").alias("modality"),
+        F.encode("text", "UTF-8").alias("content"),
+    )
+    twins = (
+        d.filter(F.col("doc_id") % 50 == 0)
+        .select(
+            (F.col("doc_id") + 10_000_000).alias("media_id"),
+            F.lit("image").alias("modality"),
+            F.encode("text", "UTF-8").alias("content"),
+        )
+    )
+    feats = decode_image_features(base.unionAll(twins))
+    return phash_near_dups(feats).orderBy("id_a", "id_b")
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

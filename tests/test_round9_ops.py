@@ -1,0 +1,126 @@
+"""Round-9 operator tests: perceptual-hash (pHash) media near-dup and the
+span-level exact-substring dedup's interval-union arithmetic."""
+
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.operators.multimodal import (
+    FEATURE_DIM,
+    _phash_planes,
+    phash64,
+    phash_near_dups,
+)
+from local_data_pipeline_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+#: A fixed feature vector (no runtime RNG — literal, like the planted
+#: dedup fixtures elsewhere) plus a tiny perturbation of it and one
+#: unrelated vector.
+BASE = [0.91, 0.12, 0.55, 0.33, 0.78, 0.04, 0.62, 0.47,
+        0.29, 0.85, 0.17, 0.70, 0.41, 0.96, 0.08, 0.53]
+NEAR = [v + d for v, d in zip(BASE, [0.004, -0.003, 0.002, 0.001, -0.004,
+                                     0.003, -0.002, 0.004, -0.001, 0.002,
+                                     0.003, -0.004, 0.001, -0.002, 0.004,
+                                     -0.003])]
+FAR = [0.05, 0.93, 0.21, 0.88, 0.10, 0.76, 0.34, 0.02,
+       0.67, 0.15, 0.99, 0.28, 0.81, 0.07, 0.59, 0.44]
+
+
+def _features_df(spark):
+    rows = [(1, BASE), (2, NEAR), (3, FAR)]
+    return spark.createDataFrame(
+        rows, "media_id long, features array<float>"
+    )
+
+
+def test_phash_planes_are_deterministic_and_well_shaped():
+    p1 = _phash_planes()
+    p2 = _phash_planes()
+    assert p1 == p2
+    assert len(p1) == 64 and all(len(r) == FEATURE_DIM for r in p1)
+    flat = [v for r in p1 for v in r]
+    assert all(-1.0 <= v < 1.0 for v in flat)
+    # signs actually vary — the planes are not degenerate
+    assert any(v < 0 for v in flat) and any(v > 0 for v in flat)
+
+
+def test_phash_hamming_tracks_feature_distance(spark):
+    h = {
+        r.media_id: r.phash
+        for r in phash64(_features_df(spark)).collect()
+    }
+    assert set(h) == {1, 2, 3}
+
+    def ham(a, b):
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    near = ham(h[1], h[2])
+    far_12 = ham(h[1], h[3])
+    far_23 = ham(h[2], h[3])
+    # a 0.4%-scale perturbation flips only a handful of hyperplane signs;
+    # an unrelated vector sits near the 32-bit expectation
+    assert near <= 6, near
+    assert far_12 >= 16 and far_23 >= 16, (far_12, far_23)
+
+
+def test_phash_near_dups_catches_planted_pair_only(spark):
+    pairs = phash_near_dups(_features_df(spark), max_hamming=6).collect()
+    assert [(r.id_a, r.id_b) for r in pairs] == [(1, 2)]
+    assert pairs[0].hamming <= 6
+
+
+def test_phash_is_stable_across_runs(spark):
+    df = _features_df(spark)
+    a = sorted((r.media_id, r.phash) for r in phash64(df).collect())
+    b = sorted((r.media_id, r.phash) for r in phash64(df).collect())
+    assert a == b
+
+
+def test_phash_near_dup_media_query_finds_planted_twins(spark):
+    """With the fake (content-hash) decoder, near-dup pairs are exactly
+    the planted byte-identical re-upload twins (every 50th doc, shifted
+    id) at hamming 0 — the fixture corpus itself has no duplicate texts
+    at this SF."""
+    out = QUERIES["phash_near_dup_media"].fn(spark, SF).collect()
+    assert out, "planted twins must surface as pairs"
+    assert all(r.hamming == 0 for r in out)
+    from local_data_pipeline_spark.session import load_table
+
+    d = load_table(spark, SF, "documents")
+    expected = {
+        (r.doc_id, r.doc_id + 10_000_000)
+        for r in d.filter(F.col("doc_id") % 50 == 0).collect()
+    }
+    assert {(r.id_a, r.id_b) for r in out} == expected
+
+
+def test_substring_dedup_interval_union_math(spark, tmp_path):
+    """Planted corpus: doc 1 and doc 2 share one 10-token passage (two
+    overlapping duplicated 8-grams each → ONE merged span of 10 tokens);
+    doc 3 shares nothing. Verifies span merging, counts, and ppm."""
+    shared = "a b c d e f g h i j"  # 10 tokens
+    docs = [
+        (1, f"{shared} unique1 tail1 tail2 tail3"),
+        (2, f"lead1 lead2 {shared} other2"),
+        (3, "completely different words with no overlap at all here ok"),
+    ]
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    spark.createDataFrame(
+        [(i, t, "en", "src0", len(t)) for i, t in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["substring_dedup_documents"].fn(spark, sf).collect()
+    }
+    assert rows[1].n_tokens == 14 and rows[2].n_tokens == 13
+    for d in (1, 2):
+        assert rows[d].dup_tokens == 10, rows[d]
+        assert rows[d].dup_spans == 1
+    assert rows[1].dup_share_ppm == 10 * 1_000_000 // 14
+    assert rows[2].dup_share_ppm == 10 * 1_000_000 // 13
+    assert rows[3].dup_tokens == 0 and rows[3].dup_spans == 0
+    assert rows[3].dup_share_ppm == 0
