@@ -39,3 +39,50 @@ def l2_normalize(a: Column) -> Column:
     """Unit-normalize an embedding (propagates null for zero vectors)."""
     n = l2_norm(a)
     return F.when(n != 0, F.transform(a, lambda x: x.cast("double") / n))
+
+
+def arrow_unnest_vectors(df, id_col: str = "vec_id", vec_col: str = "embedding"):
+    """Columnar unnest of an ``array<float>`` column via ``mapInArrow`` —
+    (id, vec) rows become (id, dim, val double) rows entirely at the
+    pyarrow RecordBatch level: list offsets drive a vectorized repeat, the
+    flat value buffer is cast float32→float64 (exact widening, so results
+    are bit-identical to ``posexplode(cast(array<double>))``), and no
+    per-row Python executes. The mapInArrow twin of the Catalyst unnest —
+    exists to pin the RecordBatch-level UDF surface; rows with NULL
+    vectors are dropped (posexplode drops them too).
+
+    Scale shape: a narrow map-only pass (no shuffle); batches arrive and
+    leave as Arrow buffers, so the Python cost is O(batches), not O(rows).
+    """
+
+    def unnest(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            tbl = pa.table(batch)
+            la = tbl.column(vec_col).combine_chunks()
+            ids = tbl.column(id_col).combine_chunks().to_numpy(zero_copy_only=False)
+            if la.null_count:
+                keep = la.is_valid().to_numpy(zero_copy_only=False)
+                la = la.filter(pa.array(keep))
+                ids = ids[keep]
+            import pyarrow.compute as pc
+
+            lengths = pc.list_value_length(la).to_numpy(zero_copy_only=False)
+            lengths = lengths.astype("int64")
+            vals = la.flatten().to_numpy(zero_copy_only=False).astype("float64")
+            rep_ids = np.repeat(ids, lengths)
+            starts = np.cumsum(lengths) - lengths
+            dims = (
+                np.arange(int(lengths.sum()), dtype="int64")
+                - np.repeat(starts, lengths)
+            ).astype("int32")
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(rep_ids), pa.array(dims), pa.array(vals)],
+                [id_col, "dim", "val"],
+            )
+
+    return df.select(id_col, vec_col).mapInArrow(
+        unnest, f"{id_col} long, dim int, val double"
+    )

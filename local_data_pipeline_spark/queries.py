@@ -6519,6 +6519,13 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id",
         F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "val"),
     )
+    return _quantize_report(un)
+
+
+def _quantize_report(un: DataFrame) -> DataFrame:
+    """Per-dimension int8 quantization report over unnested
+    (vec_id, dim, val) rows — shared by the posexplode and mapInArrow
+    unnest paths so both pin against one oracle."""
     scales = un.groupBy("dim").agg(
         F.greatest(F.max(F.abs("val")), F.lit(1e-12)).alias("max_abs")
     )
@@ -6547,6 +6554,27 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("max_abs", 6).alias("scale"),
         F.round(F.col("abs_err_sum") / F.col("n"), 9).alias("mean_abs_err"),
     )
+
+
+@q(
+    "quantize_embeddings_arrow",
+    # oracle shared verbatim with quantize_embeddings_int8 (same semantics,
+    # different unnest machinery) — declared above, so the spec exists here
+    QUERIES["quantize_embeddings_int8"].oracle,
+    tags=("vector", "quantization", "arrow"),
+)
+def quantize_embeddings_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`quantize_embeddings_int8` with the unnest swapped for a
+    ``mapInArrow`` columnar pass (functions/vectors.py
+    arrow_unnest_vectors — RecordBatch-level, vectorized offsets math,
+    exact float32→float64 widening): the one Arrow UDF surface the
+    catalog's Pandas-path queries don't reach. Downstream expressions
+    are the SAME code object (`_quantize_report`), so both paths pin
+    against one oracle and must hash-match each other."""
+    from .functions.vectors import arrow_unnest_vectors
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return _quantize_report(arrow_unnest_vectors(emb))
 
 
 @q(
