@@ -11902,6 +11902,51 @@ def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     return phash_near_dups(feats).orderBy("id_a", "id_b")
 
 
+@q(
+    "pipe_syntax_nation_revenue",
+    f"""
+    SELECT n.n_name AS nation, count(*) AS n_items,
+           {dsum_sql('l.l_extendedprice * (1 - l.l_discount)')} AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    WHERE l.l_shipdate >= DATE '1996-01-01'
+      AND l.l_shipdate < DATE '1997-01-01'
+    GROUP BY nation
+    """,
+    tags=("sql", "pipe-syntax", "join", "agg"),
+)
+def pipe_syntax_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation supplier revenue written in Spark 4's SQL PIPE syntax
+    (`FROM ... |> WHERE |> EXTEND |> JOIN |> AGGREGATE |> SELECT`) — the
+    linear query dialect Spark 4.0 added; each `|>` stage maps onto the
+    same logical operators as the ANSI formulation, so Catalyst produces
+    the identical broadcast-dim star-join plan and the DuckDB oracle is
+    plain ANSI SQL. Pins that the pipe dialect parses, plans, and
+    matches value-for-value (exact-decimal revenue via the dsum
+    pattern).
+
+    Scale shape: filter pushed to the lineitem scan, supplier/nation
+    broadcast, one map-side-combinable aggregate on n_name."""
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("__pipe_li")
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("__pipe_supp")
+    _t(spark, sf_dir, "nation").createOrReplaceTempView("__pipe_nation")
+    return spark.sql(
+        """
+        FROM __pipe_li
+        |> WHERE l_shipdate >= DATE '1996-01-01'
+           AND l_shipdate < DATE '1997-01-01'
+        |> EXTEND l_extendedprice * (1 - l_discount) AS rev
+        |> JOIN __pipe_supp ON l_suppkey = s_suppkey
+        |> JOIN __pipe_nation ON s_nationkey = n_nationkey
+        |> AGGREGATE count(*) AS n_items,
+                     cast(sum(cast(rev AS decimal(25,6))) AS double) AS revenue
+           GROUP BY n_name
+        |> SELECT n_name AS nation, n_items, revenue
+        """
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

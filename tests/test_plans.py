@@ -421,6 +421,15 @@ def test_q22_scalar_subquery_stays_in_plan(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_pipe_syntax_plans_like_ansi_star_join(spark):
+    """The SQL pipe dialect must lower to the same physical shapes as the
+    ANSI formulation: shipdate filter pushed to the lineitem scan, both
+    dimension joins broadcast."""
+    df = _df(spark, "pipe_syntax_nation_revenue")
+    assert has_pushed_filter(df, "l_shipdate")
+    assert broadcast_join_count(df) >= 2  # supplier + nation
+
+
 def test_plan_linter_catalog_clean(spark):
     """Whole-catalog plan lint (the generalization of the round-3 judge's
     hand audit): every declared query's physical plan is free of
