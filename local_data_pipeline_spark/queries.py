@@ -11947,6 +11947,94 @@ def pipe_syntax_nation_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "xml_payload_roundtrip_orders",
+    f"""
+    SELECT cast(year(o_orderdate) AS int) AS yr,
+           count(*) AS n_orders,
+           {dsum_sql('cast(o_totalprice as decimal(15,2))')} AS total_price
+    FROM orders GROUP BY yr
+    """,
+    tags=("xml", "source", "parse"),
+)
+def xml_payload_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML ingestion surface (Spark 4's native XML support): orders are
+    serialized to `<o><k>…</k><p>…</p><y>…</y></o>` payload strings and
+    parsed back with ``from_xml`` into typed columns (BIGINT / exact
+    DECIMAL(15,2) / INT) before aggregating — the XML twin of the JSON
+    ingestion path (§2.B3), proving a lossless parse: the oracle
+    aggregates the ORIGINAL columns, so any round-trip corruption
+    breaks the hash. Prices travel as exact 2-decimal text (doubles in
+    the fixture are 2-decimal values, so the decimal cast is exact on
+    both engines) and sum through the dsum decimal pattern.
+
+    Scale shape: serialize + parse are per-row expressions fused into
+    the scan stage (no Python, no shuffle); the aggregate is map-side
+    combinable on ~7 year keys."""
+    o = _t(spark, sf_dir, "orders")
+    payload = o.select(
+        F.concat(
+            F.lit("<o><k>"),
+            F.col("o_orderkey"),
+            F.lit("</k><p>"),
+            F.col("o_totalprice").cast("decimal(15,2)").cast("string"),
+            F.lit("</p><y>"),
+            F.year("o_orderdate"),
+            F.lit("</y></o>"),
+        ).alias("xml")
+    )
+    parsed = payload.select(
+        F.from_xml("xml", "k BIGINT, p DECIMAL(15,2), y INT").alias("r")
+    )
+    return parsed.groupBy(F.col("r.y").alias("yr")).agg(
+        F.count("*").alias("n_orders"),
+        dsum(F.col("r.p")).alias("total_price"),
+    )
+
+
+@q(
+    "collated_brand_case_grouping",
+    """
+    WITH variants AS (
+      SELECT p_brand AS b FROM part
+      UNION ALL
+      SELECT upper(p_brand) FROM part)
+    SELECT lower(b) AS brand,
+           count(*) AS n_rows,
+           cast(count(DISTINCT b) AS bigint) AS n_case_variants
+    FROM variants GROUP BY lower(b)
+    """,
+    tags=("sql", "collation", "text"),
+)
+def collated_brand_case_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Case-insensitive grouping via Spark 4 string COLLATIONS
+    (UTF8_LCASE) instead of lower() normalization: the corpus is each
+    brand plus an upper-cased case-variant; grouping on the COLLATED
+    column must merge the variants exactly as the oracle's lower()
+    grouping does, while count(DISTINCT raw) still sees the binary
+    variants. Pins that collation-aware grouping semantics match ANSI
+    case-folding for this data — the entity-resolution primitive
+    (`'Acme' == 'ACME'`) done by the engine's comparator rather than by
+    rewriting every expression.
+
+    Scale: one exchange on the collation key (hash of the collation
+    sort key — same shuffle shape as any group-by)."""
+    p = _t(spark, sf_dir, "part")
+    variants = p.select(F.col("p_brand").alias("b")).unionAll(
+        p.select(F.upper("p_brand").alias("b"))
+    )
+    variants.createOrReplaceTempView("__collate_brand")
+    return spark.sql(
+        """
+        SELECT cast(lower(cb) AS string) AS brand,
+               count(*) AS n_rows,
+               cast(count(DISTINCT b) AS bigint) AS n_case_variants
+        FROM (SELECT b, collate(b, 'UTF8_LCASE') AS cb FROM __collate_brand)
+        GROUP BY cb
+        """
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
