@@ -12035,6 +12035,89 @@ def collated_brand_case_grouping(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "dsir_importance_weights",
+    f"""
+    WITH toks AS (
+      SELECT doc_id, source, unnest(
+               CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS w
+      FROM documents),
+    freq AS (
+      SELECT w, count(*) AS c_r,
+             sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS c_t
+      FROM toks GROUP BY w),
+    tot AS (
+      SELECT sum(c_r) AS n_r, sum(c_t) AS n_t, count(*) AS v FROM freq),
+    scored AS (
+      SELECT t.doc_id,
+             cast(round(ln(((f.c_t + 1) * (tot.n_r + tot.v)) * 1.0
+                           / ((f.c_r + 1) * (tot.n_t + tot.v)))
+                        * 1000000) AS bigint) AS lp_micro
+      FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_toks,
+           cast(sum(lp_micro) AS bigint) AS dsir_weight_sum_micro
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("curation", "lm", "mixing", "importance"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR (Data Selection via Importance Resampling, Xie et al. 2023)
+    importance weights: per-document mean log-ratio of an add-1-smoothed
+    unigram LM of the TARGET domain (source 'src0' stands in for the
+    high-quality target corpus) against the RAW corpus LM — the weight
+    whose softmax drives importance resampling of pre-training data
+    toward a target distribution. Positive = looks like the target
+    domain, negative = looks like everything else.
+
+    Determinism/scale shape: both LMs come from ONE token-frequency
+    aggregate (c_raw and a filtered c_target in the same pass); corpus
+    totals and vocab size are a 1-row aggregate joined back in-plan via
+    broadcast cross join (no driver collect). The log argument is a
+    ratio of exact integer products (< 2^53, so the double is exact on
+    both engines); each token's log-ratio is quantized to INTEGER
+    micro-units (round(ln·1e6) of the identical double — engines agree
+    including at .5, both round half away from zero) and the per-doc
+    weight is the exact bigint SUM of those micros — no float division
+    or float re-rounding downstream, so the result is bit-identical at
+    any parallelism (a round(avg,6) formulation diverged at sf1 on a
+    half-boundary; micro-units is the repo's standard fix). Consumers
+    divide by 1e6·n_toks for the mean log-ratio. The token stream
+    shuffles once for its scoring join on the vocabulary table."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", "source", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    freq = toks.groupBy("w").agg(
+        F.count("*").alias("c_r"),
+        F.sum(F.when(F.col("source") == "src0", 1).otherwise(0)).alias("c_t"),
+    )
+    tot = freq.agg(
+        F.sum("c_r").alias("n_r"), F.sum("c_t").alias("n_t"), F.count("*").alias("v")
+    )
+    scored = (
+        toks.join(freq, "w")
+        .crossJoin(F.broadcast(tot))
+        .withColumn(
+            "lp_micro",
+            F.round(
+                F.log(
+                    ((F.col("c_t") + 1) * (F.col("n_r") + F.col("v"))).cast("double")
+                    / ((F.col("c_r") + 1) * (F.col("n_t") + F.col("v"))).cast(
+                        "double"
+                    )
+                )
+                * 1_000_000,
+                0,
+            ).cast("bigint"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.sum("lp_micro").cast("bigint").alias("dsir_weight_sum_micro"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
