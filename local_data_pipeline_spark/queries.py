@@ -11700,13 +11700,16 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape that distributes.
 
     Scale shape: gram generation is one narrow explode (no shuffle);
-    the duplicated-gram set is one hash exchange on the gram with a
-    partial count-distinct; marking is an equi-join back on the gram
-    (same exchange key, AQE-planned); the interval union runs under
-    windows PARTITIONED BY doc_id — per-doc state only, no global
-    window anywhere. At 100 TB, hash each gram to a 128-bit fingerprint
-    before the exchange so shuffle rows are fixed-width
-    (operators/dedup.py exact_dedup does this for whole docs).
+    each gram is hashed to a 128-bit md5 fingerprint AT CREATION so the
+    exchange moves fixed 16-byte keys, never gram text (the
+    operators/dedup.py exact_dedup rule); the duplicated-fingerprint
+    set is one hash exchange with a partial count-distinct; marking is
+    an equi-join back on the fingerprint (same exchange key,
+    AQE-planned); the interval union runs under windows PARTITIONED BY
+    doc_id — per-doc state only, no global window anywhere. The oracle
+    compares on raw gram text — a fingerprint collision would break the
+    hash match, so the gate also certifies collision-freeness at test
+    scales.
     Share is exact integer micro-units ((dup*1e6) div n) on both
     engines — no float division in the compared columns."""
     k = 8
@@ -11721,22 +11724,33 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sequence(F.lit(1), F.size("t") - (k - 1)),
                     lambda i: F.struct(
                         i.alias("i"),
-                        F.concat_ws(
-                            " ", *[F.element_at(F.col("t"), i + j) for j in range(k)]
-                        ).alias("gram"),
+                        # fixed-width 128-bit fingerprint BEFORE the
+                        # exchange — shuffle rows carry 16 bytes, not the
+                        # gram text (the exact_dedup fingerprint rule)
+                        F.unhex(
+                            F.md5(
+                                F.concat_ws(
+                                    " ",
+                                    *[
+                                        F.element_at(F.col("t"), i + j)
+                                        for j in range(k)
+                                    ],
+                                )
+                            )
+                        ).alias("fp"),
                     ),
                 )
             ).alias("g"),
         )
-        .select("doc_id", F.col("g.i").alias("i"), F.col("g.gram").alias("gram"))
+        .select("doc_id", F.col("g.i").alias("i"), F.col("g.fp").alias("fp"))
     )
     dup = (
-        grams.groupBy("gram")
+        grams.groupBy("fp")
         .agg(F.countDistinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 2)
-        .select("gram")
+        .select("fp")
     )
-    occ = grams.join(dup, "gram").select(
+    occ = grams.join(dup, "fp").select(
         "doc_id", "i", (F.col("i") + (k - 1)).alias("e")
     )
     w = Window.partitionBy("doc_id").orderBy("i")
