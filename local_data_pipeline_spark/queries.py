@@ -11817,27 +11817,36 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join expressed through the COGROUP Pandas API
     (``groupBy().cogroup().applyInPandas`` — the one Arrow-batched
     surface the catalog's other Python-path queries don't exercise):
-    purchases and clicks are co-partitioned on user_id and each
-    user's pair of frames is merged with ``pandas.merge_asof``
-    (backward, exact matches allowed, ties broken by max click
-    event_id). Same answer as the JVM-side union-tag as-of operator
+    purchases and clicks are co-partitioned on a SHARD of user_id
+    (user_id % 64) and each shard's pair of frames is merged with ONE
+    vectorized ``pandas.merge_asof(by="user_id")`` call (backward,
+    exact matches allowed, ties broken by max click event_id).
+    Cogrouping on raw user_id invoked Python once per user (~10×
+    slower, measured); the shard key amortizes the per-group overhead
+    to #shards calls while `by=` keeps the per-user as-of semantics
+    exact. Same answer as the JVM-side union-tag as-of operator
     (`asof_purchase_last_click`, operators/joins.py) with a
     deterministic tie-break, so the two queries pin the two
     implementations against one oracle family.
 
-    Scale shape: cogroup is ONE co-partitioning shuffle on user_id for
-    both inputs; each task sees only its users' rows (per-user frames,
-    Arrow-batched both directions; per-group state is the user's own
-    click history, never the corpus). The JVM operator remains the
-    default path — this exists to pin the cogroup API surface with an
-    oracle-exact result."""
+    Scale shape: cogroup is ONE co-partitioning shuffle on the shard
+    key for both inputs; per-task state is its shard's rows, bounded by
+    choosing #shards ∝ corpus/users (the bin-pack sharding rule). The
+    JVM operator remains the default path — this exists to pin the
+    cogroup API surface with an oracle-exact result."""
     import pandas as pd
 
+    n_shards = 64
     ev = _t(spark, sf_dir, "events")
     purchases = ev.filter(F.col("event_type") == "purchase").select(
-        "user_id", "event_id", "ts", "value"
+        (F.col("user_id") % n_shards).alias("shard"),
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
     )
     clicks = ev.filter(F.col("event_type") == "click").select(
+        (F.col("user_id") % n_shards).alias("shard"),
         "user_id",
         F.col("ts").alias("click_ts"),
         F.col("event_id").alias("click_event_id"),
@@ -11856,7 +11865,7 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             out["click_ts"] = pd.NaT
             out["click_event_id"] = pd.array([pd.NA] * len(out), dtype="Int64")
             return out[cols]
-        right = right.drop(columns=["user_id"]).sort_values(
+        right = right.drop(columns=["shard"]).sort_values(
             ["click_ts", "click_event_id"], kind="mergesort"
         )
         out = pd.merge_asof(
@@ -11864,6 +11873,7 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             right,
             left_on="ts",
             right_on="click_ts",
+            by="user_id",
             direction="backward",
             allow_exact_matches=True,
         )
@@ -11875,8 +11885,8 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         "click_ts timestamp_ntz, click_event_id bigint"
     )
     return (
-        purchases.groupBy("user_id")
-        .cogroup(clicks.groupBy("user_id"))
+        purchases.groupBy("shard")
+        .cogroup(clicks.groupBy("shard"))
         .applyInPandas(merge, schema)
     )
 
