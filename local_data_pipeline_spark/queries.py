@@ -12142,86 +12142,96 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "holt_winters_daily_forecast",
-    f"""
+def _hw_oracle(key: str | None) -> str:
+    """DuckDB recursive-CTE twin of ``operators/forecast.hw_additive``,
+    optionally partitioned per ``key`` series (each series runs its own
+    recursion, joined on (key, i)). The float expressions mirror the
+    pandas loop operation-for-operation — see forecast.py's lockstep
+    contract."""
+    k = f"{key}, " if key else ""
+    wk = f"w.{key} = o.{key} AND " if key else ""
+    wm = f"w.{key} = m.{key} AND " if key else ""
+    part = f"PARTITION BY {key} " if key else ""
+    sel = f"{key} AS series, " if key else ""
+    fsel = f"f.{key} AS series, " if key else ""
+    week1 = "(((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0)"
+    week2 = "(((((((y8+y9)+y10)+y11)+y12)+y13)+y14) / 7.0)"
+    l_new = "0.3 * (o.y - w.s1) + 0.7 * (w.l + w.b)"
+    yv_cols = ", ".join(
+        f"max(CASE WHEN i = {j} THEN y END) AS y{j}" for j in range(1, 15)
+    )
+    s_cols = ",\n             ".join(
+        f"y{j} - {week1} AS s{j}" for j in range(1, 8)
+    )
+    return f"""
     WITH RECURSIVE daily AS (
-      SELECT cast(ts AS date) AS day, {dsum_sql('value')} AS y
-      FROM events GROUP BY day),
-    ord AS (SELECT row_number() OVER (ORDER BY day) AS i, day, y FROM daily),
+      SELECT {k}cast(ts AS date) AS day, {dsum_sql('value')} AS y
+      FROM events GROUP BY {k}day),
+    ord AS (
+      SELECT {k}row_number() OVER ({part}ORDER BY day) AS i, day, y
+      FROM daily),
     yv AS (
-      SELECT {', '.join(f'max(CASE WHEN i = {j} THEN y END) AS y{j}' for j in range(1, 15))}
-      FROM ord WHERE i <= 14),
+      SELECT {k}{yv_cols}
+      FROM ord WHERE i <= 14{' GROUP BY ' + key if key else ''}),
     init AS (
-      SELECT (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS l0,
-             (((((((((y8+y9)+y10)+y11)+y12)+y13)+y14) / 7.0)
-               - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0)) / 7.0) AS b0,
-             y1 - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS s1,
-             y2 - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS s2,
-             y3 - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS s3,
-             y4 - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS s4,
-             y5 - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS s5,
-             y6 - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS s6,
-             y7 - (((((((y1+y2)+y3)+y4)+y5)+y6)+y7) / 7.0) AS s7
+      SELECT {k}{week1} AS l0,
+             (({week2} - {week1}) / 7.0) AS b0,
+             {s_cols}
       FROM yv),
-    walk(i, day, y, fitted, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
-      SELECT 7, NULL::date, NULL::double, NULL::double,
+    walk({k}i, day, y, fitted, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
+      SELECT {k}7, NULL::date, NULL::double, NULL::double,
              l0, b0, s1, s2, s3, s4, s5, s6, s7
       FROM init
       UNION ALL
-      SELECT o.i, o.day, o.y,
+      SELECT {'w.' + key + ', ' if key else ''}o.i, o.day, o.y,
              (w.l + w.b) + w.s1,
-             0.3 * (o.y - w.s1) + 0.7 * (w.l + w.b),
-             0.1 * ((0.3 * (o.y - w.s1) + 0.7 * (w.l + w.b)) - w.l)
-               + 0.9 * w.b,
+             {l_new},
+             0.1 * (({l_new}) - w.l) + 0.9 * w.b,
              w.s2, w.s3, w.s4, w.s5, w.s6, w.s7,
-             0.2 * (o.y - (0.3 * (o.y - w.s1) + 0.7 * (w.l + w.b)))
-               + 0.8 * w.s1
-      FROM walk w JOIN ord o ON o.i = w.i + 1),
+             0.2 * (o.y - ({l_new})) + 0.8 * w.s1
+      FROM walk w JOIN ord o ON {wk}o.i = w.i + 1),
     fitted AS (
-      SELECT day, 0 AS h, y AS actual, fitted AS yhat
+      SELECT {sel}day, 0 AS h, y AS actual, fitted AS yhat
       FROM walk WHERE i >= 8),
+    maxi AS (SELECT {k}max(i) AS mi FROM ord{' GROUP BY ' + key if key else ''}),
     final_state AS (
-      SELECT * FROM walk WHERE i = (SELECT max(i) FROM ord)),
+      SELECT w.* FROM walk w JOIN maxi m ON {wm}w.i = m.mi),
     forecast AS (
-      SELECT cast(f.day + to_days(cast(h AS int)) AS date) AS day, h,
+      SELECT {fsel}cast(f.day + to_days(cast(h AS int)) AS date) AS day, h,
              NULL::double AS actual,
              (f.l + h * f.b) + CASE h WHEN 1 THEN f.s1 WHEN 2 THEN f.s2
                                       WHEN 3 THEN f.s3 WHEN 4 THEN f.s4
                                       WHEN 5 THEN f.s5 WHEN 6 THEN f.s6
                                       ELSE f.s7 END AS yhat
       FROM final_state f, unnest(generate_series(1, 7)) u(h))
-    SELECT day, cast(h AS int) AS h, actual, yhat FROM fitted
+    SELECT {'series, ' if key else ''}day, cast(h AS int) AS h, actual, yhat
+    FROM fitted
     UNION ALL
-    SELECT day, cast(h AS int) AS h, actual, yhat FROM forecast
-    """,
+    SELECT {'series, ' if key else ''}day, cast(h AS int) AS h, actual, yhat
+    FROM forecast
+    """
+
+
+@q(
+    "holt_winters_daily_forecast",
+    _hw_oracle(None),
     tags=("timeseries", "forecast", "recursive-cte"),
 )
 def holt_winters_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Additive Holt-Winters (level + trend + weekly seasonality,
-    α=0.3 β=0.1 γ=0.2) over the daily event-value series: one-step-ahead
-    fitted values for every day past the two-week initialization window,
-    plus a 7-day-ahead forecast from the final state — the forecasting
-    family member the catalog's EWMA/STL/changepoint queries stop short
-    of. Initialization is the textbook scheme (level = week-1 mean,
-    trend = (week-2 mean − week-1 mean)/7, seasonals = week-1 residuals);
-    seasonality is observation-indexed (densify gaps upstream with
-    `densify_hourly_event_grid`'s pattern if calendar alignment matters).
-
-    Determinism: the recurrence is SEQUENTIAL IEEE double arithmetic with
-    literal coefficients, mirrored operation-for-operation between the
-    pandas loop (Spark) and the DuckDB recursive CTE — identical inputs
-    (exact-decimal daily sums) through identical fp operation order give
-    bit-identical outputs with NO rounding anywhere (the gates verify).
-
-    Scale shape: the data-proportional work is the one map-side
-    combinable day-grain aggregate; the recurrence runs over the
-    CALENDAR-BOUNDED day series (~365 rows/year regardless of volume)
-    inside a single applyInPandas group — the same calendar-bounded
-    single-task exemption the other day-grain analytics carry. Forecast
-    horizon and season length are literals; at many-series scale the
-    same code cogroups per series key instead of one global group."""
+    alpha=0.3 beta=0.1 gamma=0.2) over the daily event-value series:
+    one-step-ahead fitted values for every day past the two-week
+    initialization window, plus a 7-day-ahead forecast from the final
+    state — the forecasting family member the catalog's EWMA/STL/
+    changepoint queries stop short of. The recurrence lives in
+    ``operators/forecast.hw_additive``; determinism and the 100 TB shape
+    are documented there (sequential IEEE mirrored by the recursive-CTE
+    oracle — bit-identical doubles, NO rounding; data-proportional work
+    is only the day-grain aggregate). The per-series fleet version is
+    `holt_winters_by_type`."""
     import pandas as pd
+
+    from .operators.forecast import hw_additive
 
     ev = _t(spark, sf_dir, "events")
     daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
@@ -12230,38 +12240,8 @@ def holt_winters_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
         pdf = pdf.sort_values("day").reset_index(drop=True)
-        days = list(pdf["day"])
-        ys = [float(v) for v in pdf["y"]]
-        if len(ys) < 15:
-            return pd.DataFrame(
-                {"day": [], "h": [], "actual": [], "yhat": []}
-            ).astype({"day": "object", "h": "int32", "actual": "float64",
-                      "yhat": "float64"})
-        week1 = ((((((ys[0] + ys[1]) + ys[2]) + ys[3]) + ys[4]) + ys[5]) + ys[6])
-        week2 = (
-            (((((ys[7] + ys[8]) + ys[9]) + ys[10]) + ys[11]) + ys[12]) + ys[13]
-        )
-        l = week1 / 7.0
-        b = (week2 / 7.0 - week1 / 7.0) / 7.0
-        q = [ys[j] - week1 / 7.0 for j in range(7)]
-        out = []
-        for t in range(7, len(ys)):
-            y = ys[t]
-            s_old = q.pop(0)
-            fitted = (l + b) + s_old
-            l_new = 0.3 * (y - s_old) + 0.7 * (l + b)
-            b_new = 0.1 * (l_new - l) + 0.9 * b
-            s_new = 0.2 * (y - l_new) + 0.8 * s_old
-            q.append(s_new)
-            l, b = l_new, b_new
-            out.append((days[t], 0, y, fitted))
-        last = days[-1]
-        for h in range(1, 8):
-            out.append(
-                (last + pd.Timedelta(days=h), h, None, (l + h * b) + q[h - 1])
-            )
-        res = pd.DataFrame(out, columns=["day", "h", "actual", "yhat"])
-        return res
+        rows = hw_additive(list(pdf["day"]), [float(v) for v in pdf["y"]])
+        return pd.DataFrame(rows, columns=["day", "h", "actual", "yhat"])
 
     schema = "day date, h int, actual double, yhat double"
     return (
@@ -12269,6 +12249,41 @@ def holt_winters_daily_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("_g")
         .applyInPandas(lambda pdf: hw(pdf.drop(columns=["_g"])), schema)
     )
+
+
+@q(
+    "holt_winters_by_type",
+    _hw_oracle("event_type"),
+    tags=("timeseries", "forecast", "recursive-cte", "fleet"),
+)
+def holt_winters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Holt-Winters FLEET: one independent additive forecast per
+    event_type series, produced by the identical recurrence cogrouped on
+    the series key — the claim `holt_winters_daily_forecast` makes about
+    many-series scale, demonstrated and oracle-verified (the DuckDB twin
+    runs a PARTITIONED recursion, one walk per series joined on
+    (series, i)). Parallelism = #series, per-task state = one series'
+    calendar-bounded vector; the data-proportional stage is the one
+    (type, day) map-side-combinable aggregate."""
+    import pandas as pd
+
+    from .operators.forecast import hw_additive
+
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(dsum(F.col("value")).alias("y"))
+
+    def hw(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        rows = hw_additive(list(pdf["day"]), [float(v) for v in pdf["y"]])
+        series = pdf["event_type"].iloc[0] if len(pdf) else None
+        out = pd.DataFrame(rows, columns=["day", "h", "actual", "yhat"])
+        out.insert(0, "series", series)
+        return out
+
+    schema = "series string, day date, h int, actual double, yhat double"
+    return daily.groupBy("event_type").applyInPandas(hw, schema)
 
 
 # =====================================================================
