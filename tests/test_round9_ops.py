@@ -124,3 +124,43 @@ def test_substring_dedup_interval_union_math(spark, tmp_path):
     assert rows[2].dup_share_ppm == 10 * 1_000_000 // 13
     assert rows[3].dup_tokens == 0 and rows[3].dup_spans == 0
     assert rows[3].dup_share_ppm == 0
+
+
+def test_holt_winters_recovers_planted_trend_and_season():
+    """Deterministic planted series: linear trend + exact weekly pattern,
+    no noise. The additive model fits it exactly in the limit; with
+    alpha/beta/gamma smoothing the one-step-ahead error must shrink and
+    the 7-day forecast must extrapolate the trend direction."""
+    import datetime
+
+    from local_data_pipeline_spark.operators.forecast import HORIZON, hw_additive
+
+    d0 = datetime.date(2024, 1, 1)
+    season = [0.0, 10.0, 20.0, 5.0, -5.0, 15.0, 30.0]
+    days = [d0 + datetime.timedelta(days=i) for i in range(28)]
+    ys = [100.0 + 3.0 * i + season[i % 7] for i in range(28)]
+    rows = hw_additive(days, ys)
+    fitted = [r for r in rows if r[1] == 0]
+    fc = [r for r in rows if r[1] > 0]
+    assert len(fitted) == 21 and len(fc) == HORIZON
+    # error shrinks: last week's mean abs error < first week's
+    err = [abs(r[2] - r[3]) for r in fitted]
+    assert sum(err[-7:]) < sum(err[:7])
+    # forecast continues the +3/day trend within smoothing tolerance
+    week_ahead = [r[3] for r in fc]
+    actual_would_be = [100.0 + 3.0 * (28 + h) + season[(28 + h) % 7] for h in range(7)]
+    for got, want in zip(week_ahead, actual_would_be):
+        # beta=0.1 trend smoothing lags a fresh +3/day ramp by a few units
+        assert abs(got - want) < 8.0, (got, want)
+    # forecast days are consecutive after the last observation
+    assert [r[0] for r in fc] == [days[-1] + datetime.timedelta(days=h) for h in range(1, 8)]
+
+
+def test_holt_winters_short_series_yields_no_rows():
+    import datetime
+
+    from local_data_pipeline_spark.operators.forecast import hw_additive
+
+    d0 = datetime.date(2024, 1, 1)
+    days = [d0 + datetime.timedelta(days=i) for i in range(14)]
+    assert hw_additive(days, [float(i) for i in range(14)]) == []
