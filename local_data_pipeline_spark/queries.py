@@ -12286,6 +12286,47 @@ def holt_winters_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.groupBy("event_type").applyInPandas(hw, schema)
 
 
+@q(
+    "holt_winters_backtest_by_type",
+    f"""
+    SELECT series,
+           count(*) AS n_fitted,
+           {dsum_sql('abs(actual - yhat)')} AS sae,
+           {dsum_sql('abs(actual) + abs(yhat)')} AS sad,
+           2.0 * ({dsum_sql('abs(actual - yhat)')})
+             / ({dsum_sql('abs(actual) + abs(yhat)')}) AS wsmape
+    FROM ({{fleet}}) hw
+    WHERE h = 0
+    GROUP BY series
+    """.replace("{fleet}", _hw_oracle("event_type")),
+    tags=("timeseries", "forecast", "eval"),
+)
+def holt_winters_backtest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast backtest: per-series one-step-ahead error of the
+    Holt-Winters fleet — sum of absolute errors, sum of absolute
+    magnitudes, and weighted SMAPE (2·Σ|y−ŷ| / Σ(|y|+|ŷ|)) over the
+    fitted window. The accept/reject metric for shipping a forecast per
+    series, computed WITHOUT any rounding: the fitted values are
+    bit-identical across engines (forecast.py's lockstep contract), the
+    error sums go through exact decimal accumulation, and the final
+    ratio divides two identical doubles.
+
+    Scale: the fleet's per-series pandas pass plus one
+    map-side-combinable aggregate on the series key — #series output
+    rows regardless of volume."""
+    hw = holt_winters_by_type(spark, sf_dir).filter(F.col("h") == 0)
+    return hw.groupBy("series").agg(
+        F.count("*").alias("n_fitted"),
+        dsum(F.abs(F.col("actual") - F.col("yhat"))).alias("sae"),
+        dsum(F.abs(F.col("actual")) + F.abs(F.col("yhat"))).alias("sad"),
+        (
+            F.lit(2.0)
+            * dsum(F.abs(F.col("actual") - F.col("yhat")))
+            / dsum(F.abs(F.col("actual")) + F.abs(F.col("yhat")))
+        ).alias("wsmape"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
