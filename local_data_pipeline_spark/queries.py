@@ -12327,6 +12327,68 @@ def holt_winters_backtest_by_type(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+@q(
+    "feature_hashing_collisions",
+    """
+    WITH vocab AS (
+      SELECT DISTINCT unnest(
+               CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS w
+      FROM documents),
+    bucketed AS (
+      SELECT w, ('0x' || substr(md5(w), 1, 8))::BIGINT % 1024 AS bucket
+      FROM vocab),
+    per_bucket AS (
+      SELECT bucket, count(*) AS load FROM bucketed GROUP BY bucket),
+    hist AS (
+      SELECT load, count(*) AS n_buckets FROM per_bucket GROUP BY load
+      UNION ALL
+      SELECT 0, 1024 - (SELECT count(*) FROM per_bucket))
+    SELECT cast(load AS bigint) AS load, cast(n_buckets AS bigint) AS n_buckets
+    FROM hist WHERE n_buckets > 0
+    """,
+    tags=("ml", "featurization", "hashing"),
+)
+def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick's collision audit: hash the corpus vocabulary
+    into 1024 fixed feature buckets (the engine-identical md5-substr
+    hash the split/shard family uses) and report the bucket-load
+    histogram, including empty buckets — the fidelity/size trade the
+    hashed featurizer (fastText-style bag-of-hashed-ngrams, linear
+    probers) makes explicit before training. With |V| terms into m
+    buckets the expected load is Poisson(|V|/m); a histogram far off
+    that curve means the hash or tokenizer is broken.
+
+    Scale shape: vocabulary distinct is the one exchange (map-side
+    partial distinct); everything after operates on ≤1024 buckets. The
+    hash is a pure function of the term — stable across engines,
+    partitionings, and cluster sizes, so the SAME bucket ids fall out
+    of the featurizer at training and serving time."""
+    d = _t(spark, sf_dir, "documents")
+    vocab = d.select(
+        F.explode(TX.tokens(F.col("text"))).alias("w")
+    ).distinct()
+    bucketed = vocab.select(
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("w")), 1, 8), 16, 10).cast("bigint"),
+            F.lit(1024),
+        ).alias("bucket")
+    )
+    per_bucket = bucketed.groupBy("bucket").agg(F.count("*").alias("load"))
+    hist = per_bucket.groupBy("load").agg(F.count("*").alias("n_buckets"))
+    empty = per_bucket.agg(
+        F.lit(0).cast("bigint").alias("load"),
+        (F.lit(1024) - F.count("*")).cast("bigint").alias("n_buckets"),
+    )
+    return (
+        hist.select(
+            F.col("load").cast("bigint"), F.col("n_buckets").cast("bigint")
+        )
+        .unionAll(empty)
+        .filter(F.col("n_buckets") > 0)
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
