@@ -12389,6 +12389,101 @@ def feature_hashing_collisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "heldout_logprob_documents",
+    """
+    WITH split AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents),
+    toks AS (
+      SELECT doc_id, bucket, unnest(
+               CASE WHEN trim(lower(text)) = '' THEN []
+                    ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS w
+      FROM split),
+    train_freq AS (
+      SELECT w, count(*) AS c FROM toks WHERE bucket < 80 GROUP BY w),
+    tot AS (
+      SELECT (SELECT sum(c) FROM train_freq) AS n,
+             (SELECT count(*) FROM train_freq) AS v),
+    valid AS (SELECT doc_id, w FROM toks WHERE bucket >= 80),
+    scored AS (
+      SELECT valid.doc_id,
+             cast(round(ln((coalesce(f.c, 0) + 1) * 1.0 / (tot.n + tot.v + 1))
+                        * 1000000) AS bigint) AS lp_micro,
+             CASE WHEN f.w IS NULL THEN 1 ELSE 0 END AS oov
+      FROM valid LEFT JOIN train_freq f ON valid.w = f.w CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_toks,
+           cast(sum(oov) AS bigint) AS n_oov,
+           cast(sum(lp_micro) AS bigint) AS logprob_sum_micro
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "lm", "eval", "split"),
+)
+def heldout_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out language-model scoring with proper train/valid
+    separation: an add-1-smoothed unigram LM is estimated on the TRAIN
+    split (the engine-identical md5 80/20 split the split family uses)
+    and scores every VALID-split document it never saw — token count,
+    out-of-vocabulary count, and the total log-probability in integer
+    micro-units. This is the eval `lm_score_documents` is NOT: that
+    query scores the corpus under its own statistics (a quality signal);
+    this one measures generalization, the number that justifies a
+    tokenizer or corpus change. p(w) = (c_train(w)+1)/(N_train+V+1) —
+    unseen words share one smoothed probability (the +1 vocabulary slot).
+
+    Determinism/scale: one token-frequency aggregate on the train side;
+    totals in-plan via a broadcast 1-row cross join; valid tokens LEFT
+    JOIN the vocabulary (one shuffle, OOV = null); per-token log values
+    quantized to integer micros (same double on both engines) and
+    bigint-summed — bit-identical at any parallelism (the dsir rule)."""
+    d = _t(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id",
+        "text",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(100),
+        ).alias("bucket"),
+    )
+    toks = split.select(
+        "doc_id", "bucket", F.explode(TX.tokens(F.col("text"))).alias("w")
+    )
+    train_freq = (
+        toks.filter(F.col("bucket") < 80).groupBy("w").agg(F.count("*").alias("c"))
+    )
+    tot = train_freq.agg(
+        F.sum("c").alias("n"), F.count("*").alias("v")
+    )
+    valid = toks.filter(F.col("bucket") >= 80).select("doc_id", "w")
+    scored = (
+        valid.join(train_freq, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (F.col("n") + F.col("v") + 1).cast("double")
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("oov"),
+        )
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_toks"),
+        F.sum("oov").cast("bigint").alias("n_oov"),
+        F.sum("lp_micro").cast("bigint").alias("logprob_sum_micro"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
