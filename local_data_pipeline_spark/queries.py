@@ -12484,6 +12484,92 @@ def heldout_logprob_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "zipf_slope_tokens",
+    """
+    WITH freq AS (
+      SELECT w, count(*) AS c FROM (
+        SELECT unnest(
+                 CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS w
+        FROM documents) GROUP BY w),
+    ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rnk FROM freq),
+    top AS (SELECT rnk, c FROM ranked WHERE rnk <= 500),
+    pts AS (
+      SELECT cast(round(ln(rnk) * 1000) AS bigint) AS x,
+             cast(round(ln(c) * 1000) AS bigint) AS y
+      FROM top),
+    stats AS (
+      SELECT cast(count(*) AS bigint) AS n,
+             cast(sum(x) AS bigint) AS sx, cast(sum(y) AS bigint) AS sy,
+             cast(sum(x * y) AS bigint) AS sxy,
+             cast(sum(x * x) AS bigint) AS sxx
+      FROM pts)
+    SELECT n AS n_terms,
+           (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) AS zipf_slope,
+           ((sy - ((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx)) * sx)
+             / n) / 1000.0 AS intercept_ln
+    FROM stats
+    """,
+    tags=("text", "vocab", "stats"),
+)
+def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-500 token frequencies: the OLS slope
+    of ln(freq) against ln(rank) — healthy natural-language corpora sit
+    near −1; a flat slope means templated/duplicated text, a cliff means
+    a vocabulary hole. The corpus-health scalar next to
+    `vocab_coverage_curve` and `shingle_novelty_curve`.
+
+    Determinism/scale: word-count with map-side combine, top-500 by the
+    total order (freq desc, token asc) — the same rank≤k shape as
+    `vocabulary_top_tokens` (no single-partition window over unbounded
+    input; the window input is the keyed count aggregate and the rank
+    filter rewrites to a bounded top-k). Log points are quantized to
+    integer MILLI-units (same double → same round on both engines) so
+    every OLS sufficient statistic is exact bigint arithmetic
+    (|n·Sxy| ≤ ~2e13, far inside bigint); the final slope divides two
+    exactly-representable integers — bit-identical, no rounding."""
+    d = _t(spark, sf_dir, "documents")
+    freq = (
+        d.select(F.explode(TX.tokens(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("w"))
+    top = (
+        freq.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 500)
+    )
+    pts = top.select(
+        F.round(F.log(F.col("rnk").cast("double")) * 1000, 0)
+        .cast("bigint")
+        .alias("x"),
+        F.round(F.log(F.col("c").cast("double")) * 1000, 0)
+        .cast("bigint")
+        .alias("y"),
+    )
+    stats = pts.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope = num.cast("double") / den.cast("double")
+    return stats.select(
+        F.col("n").alias("n_terms"),
+        slope.alias("zipf_slope"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+            / F.lit(1000.0)
+        ).alias("intercept_ln"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
