@@ -12570,6 +12570,76 @@ def zipf_slope_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "eval_set_allocation_embeddings",
+    """
+    WITH counts AS (
+      SELECT label, count(*) AS n FROM embeddings GROUP BY label),
+    tot AS (SELECT sum(n) AS total FROM counts),
+    base AS (
+      SELECT c.label, c.n,
+             (c.n * 100) // tot.total AS base_alloc,
+             (c.n * 100) % tot.total AS remainder
+      FROM counts c CROSS JOIN tot),
+    leftover AS (SELECT 100 - sum(base_alloc) AS seats FROM base),
+    ranked AS (
+      SELECT label, n, base_alloc,
+             row_number() OVER (ORDER BY remainder DESC, label ASC) AS rr
+      FROM base)
+    SELECT r.label, cast(r.n AS bigint) AS n_vecs,
+           cast(r.base_alloc AS bigint) AS base_alloc,
+           cast(CASE WHEN r.rr <= l.seats THEN 1 ELSE 0 END AS bigint)
+             AS extra_seat,
+           cast(r.base_alloc
+                + CASE WHEN r.rr <= l.seats THEN 1 ELSE 0 END AS bigint)
+             AS final_alloc
+    FROM ranked r CROSS JOIN leftover l
+    """,
+    tags=("ml", "sampling", "eval"),
+)
+def eval_set_allocation_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Proportional eval-set seat allocation by the largest-remainder
+    (Hamilton) method: distribute a fixed 100-example eval budget across
+    labels so every label gets floor(n·100/N) seats and the leftover
+    seats go to the largest fractional remainders (label-id tie-break) —
+    the exact-sum stratified allocation a class-balanced eval set needs
+    (plain rounding over- or under-shoots the budget; this sums to
+    exactly 100 by construction).
+
+    Determinism/scale: per-label counts are one map-side-combinable
+    aggregate; ALL arithmetic is integer (non-negative, so Spark `div`
+    and DuckDB `//` agree); the remainder-ranking window runs over one
+    row per LABEL — a domain-bounded class census, not a
+    data-proportional relation."""
+    emb = _t(spark, sf_dir, "embeddings")
+    counts = emb.groupBy("label").agg(F.count("*").alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        F.expr("(n * 100) div total").alias("base_alloc"),
+        F.expr("(n * 100) % total").alias("remainder"),
+    )
+    leftover = base.agg((F.lit(100) - F.sum("base_alloc")).alias("seats"))
+    w = Window.orderBy(F.desc("remainder"), F.asc("label"))
+    ranked = base.withColumn("rr", F.row_number().over(w))
+    return ranked.crossJoin(F.broadcast(leftover)).select(
+        "label",
+        F.col("n").cast("bigint").alias("n_vecs"),
+        F.col("base_alloc").cast("bigint").alias("base_alloc"),
+        F.when(F.col("rr") <= F.col("seats"), 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("extra_seat"),
+        (
+            F.col("base_alloc")
+            + F.when(F.col("rr") <= F.col("seats"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("final_alloc"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
