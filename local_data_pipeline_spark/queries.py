@@ -12640,6 +12640,44 @@ def eval_set_allocation_embeddings(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@q(
+    "exemplar_sample_per_source",
+    """
+    WITH ranked AS (
+      SELECT doc_id, source, lang, n_chars,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY md5(cast(doc_id AS varchar)), doc_id) AS rk
+      FROM documents)
+    SELECT source, cast(rk AS bigint) AS rk, doc_id, lang, n_chars
+    FROM ranked WHERE rk <= 5
+    """,
+    tags=("sampling", "curation"),
+)
+def exemplar_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k exemplars per source (k=5), selected by md5-hash rank —
+    the deterministic 'show me a few examples from every corpus slice'
+    sample that inspection dashboards and manual-review queues need.
+    Unlike `stratified_sample_documents` (percentage-based), this
+    guarantees a fixed count per group; unlike DataFrame.sample, the
+    pick is a pure function of the ids — stable across runs, engines,
+    partitionings, and data ORDER (hash rank, not insertion rank).
+
+    Scale: one exchange on source; rank ≤ k applies the map-side
+    WindowGroupLimit before the shuffle (the flagship top-k shape), so
+    only ~k rows per source ever move."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "source", "lang", "n_chars")
+        .withColumn("rk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rk") <= 5)
+        .select("source", "rk", "doc_id", "lang", "n_chars")
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
