@@ -164,3 +164,47 @@ def test_holt_winters_short_series_yields_no_rows():
     d0 = datetime.date(2024, 1, 1)
     days = [d0 + datetime.timedelta(days=i) for i in range(14)]
     assert hw_additive(days, [float(i) for i in range(14)]) == []
+
+
+def test_eval_allocation_sums_to_budget_exactly(spark):
+    rows = QUERIES["eval_set_allocation_embeddings"].fn(spark, SF).collect()
+    assert sum(r.final_alloc for r in rows) == 100
+    assert all(r.final_alloc >= r.base_alloc for r in rows)
+    assert all(r.extra_seat in (0, 1) for r in rows)
+    # proportionality: no label deviates from its exact quota by >= 1 seat
+    total = sum(r.n_vecs for r in rows)
+    for r in rows:
+        assert abs(r.final_alloc - 100 * r.n_vecs / total) < 1.0, r
+
+
+def test_zipf_slope_is_negative_and_sane(spark):
+    (row,) = QUERIES["zipf_slope_tokens"].fn(spark, SF).collect()
+    # frequency must decay with rank; the synthetic corpus has a tiny,
+    # flat vocabulary (31 terms at sf0.001) so the fit is far from the
+    # natural-text -1, but it must still be a clear decay
+    assert row.n_terms > 20
+    assert -3.0 < row.zipf_slope < -0.05, row.zipf_slope
+
+
+def test_heldout_scoring_covers_only_valid_split_and_flags_oov(spark):
+    from local_data_pipeline_spark.session import load_table
+
+    rows = QUERIES["heldout_logprob_documents"].fn(spark, SF).collect()
+    d = load_table(spark, SF, "documents").select("doc_id")
+    n_docs = d.count()
+    # ~20% of docs land in the valid split; every scored doc has tokens
+    assert 0 < len(rows) < n_docs
+    assert all(r.n_toks > 0 for r in rows)
+    assert all(0 <= r.n_oov <= r.n_toks for r in rows)
+    # log-probs are negative: the micro-sum must be strictly negative
+    assert all(r.logprob_sum_micro < 0 for r in rows)
+
+
+def test_exemplar_sample_is_exactly_k_and_stable(spark):
+    a = QUERIES["exemplar_sample_per_source"].fn(spark, SF).collect()
+    b = QUERIES["exemplar_sample_per_source"].fn(spark, SF).collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    from collections import Counter
+
+    per_source = Counter(r.source for r in a)
+    assert all(v == 5 for v in per_source.values()), per_source
