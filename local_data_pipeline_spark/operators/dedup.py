@@ -508,29 +508,43 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_dups(
-    df: DataFrame,
-    text_col: str = "text",
+def banded_hamming_pairs(
+    hashed: DataFrame,
+    hash_col: str,
     id_col: str = "doc_id",
     n_bands: int = 4,
     max_hamming: int = 6,
 ) -> DataFrame:
-    """SimHash near-dup: band the 64-bit hash into 16-bit chunks; pairs
-    sharing a chunk are candidates; verify Hamming distance ≤ max_hamming."""
+    """Near-dup pairs from any 64-bit hash column by LSH banding: split
+    the hash into ``n_bands`` equal chunks, pairs sharing any chunk are
+    candidates, verify exact Hamming ≤ ``max_hamming``. Shared by the
+    SimHash (text) and pHash (media) families.
+
+    RECALL CONTRACT: banding guarantees capture only for pairs differing
+    in FEWER bits than ``n_bands`` (pigeonhole: ≤ n_bands−1 flipped bits
+    cannot touch every band). With the defaults (4 bands, max_hamming 6)
+    a qualifying pair whose 4-6 flipped bits straddle all four bands is
+    missed — the standard LSH recall trade, tagged "approx" on every
+    declared query. For GUARANTEED capture at Hamming ≤ h, use
+    n_bands ≥ h+1 (more bands = bigger candidate sets).
+
+    Scale shape: explode to n_bands rows/id → one exchange on
+    (band, chunk) → all-pairs work confined to equal-chunk buckets;
+    candidates carry two 8-byte hashes, so verification is free.
+
+    The input should be cheap to recompute or checkpointed by the
+    caller — the self-join evaluates it on both sides."""
     bits_per = 64 // n_bands
-    # checkpoint: the banded self-join would otherwise compute the 64-bit
-    # vote aggregation once per side
-    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     mask = (1 << bits_per) - 1
-    banded = sh.select(
+    banded = hashed.select(
         id_col,
-        "simhash",
+        hash_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.shiftrightunsigned("simhash", b * bits_per)
+                        F.shiftrightunsigned(hash_col, b * bits_per)
                         .bitwiseAND(F.lit(mask))
                         .alias("chunk"),
                     )
@@ -538,7 +552,7 @@ def simhash_near_dups(
                 ]
             )
         ).alias("bc"),
-    ).select(id_col, "simhash", "bc.band", "bc.chunk")
+    ).select(id_col, hash_col, "bc.band", "bc.chunk")
     a, b = banded.alias("a"), banded.alias("b")
     return (
         a.join(
@@ -550,8 +564,26 @@ def simhash_near_dups(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+            hamming64(F.col(f"a.{hash_col}"), F.col(f"b.{hash_col}")).alias(
+                "hamming"
+            ),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dups(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_bands: int = 4,
+    max_hamming: int = 6,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit hash into 16-bit chunks; pairs
+    sharing a chunk are candidates; verify Hamming distance ≤ max_hamming
+    (recall contract documented on ``banded_hamming_pairs``)."""
+    # checkpoint: the banded self-join would otherwise compute the 64-bit
+    # vote aggregation once per side
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    return banded_hamming_pairs(sh, "simhash", id_col, n_bands, max_hamming)

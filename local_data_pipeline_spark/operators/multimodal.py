@@ -281,49 +281,17 @@ def phash_near_dups(
     max_hamming: int = 6,
     seed: int = 0x9E3779B9,
 ) -> DataFrame:
-    """Near-duplicate media pairs by banded perceptual hash: band the
-    64-bit phash into ``n_bands`` chunks, candidate pairs share a chunk,
-    verify exact Hamming ≤ ``max_hamming`` — the SimHash banding shape
-    (operators/dedup.py simhash_near_dups) applied to the media family.
+    """Near-duplicate media pairs by banded perceptual hash — the shared
+    LSH banding operator (``operators/dedup.banded_hamming_pairs``)
+    applied to the 64-bit pHash. APPROXIMATE by the banding recall
+    contract documented there: with 4 bands, pairs at Hamming 4-6 whose
+    flipped bits straddle every band are missed; pass ``n_bands ≥
+    max_hamming + 1`` for guaranteed capture.
 
     Scale: all-pairs work is confined to equal-chunk buckets (one
     exchange on (band, chunk)); candidates carry only two 8-byte hashes,
     so verification never revisits the blobs or the feature vectors."""
-    from .dedup import hamming64
+    from .dedup import banded_hamming_pairs
 
-    bits_per = N_PHASH_BITS // n_bands
-    mask = (1 << bits_per) - 1
     ph = phash64(features, feature_col, id_col, seed).localCheckpoint(eager=False)
-    banded = ph.select(
-        id_col,
-        "phash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftrightunsigned("phash", b * bits_per)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("chunk"),
-                    )
-                    for b in range(n_bands)
-                ]
-            )
-        ).alias("bc"),
-    ).select(id_col, "phash", "bc.band", "bc.chunk")
-    a, b = banded.alias("a"), banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            hamming64(F.col("a.phash"), F.col("b.phash")).alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
-    )
+    return banded_hamming_pairs(ph, "phash", id_col, n_bands, max_hamming)

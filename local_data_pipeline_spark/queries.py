@@ -11743,6 +11743,10 @@ def substring_dedup_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("g"),
         )
         .select("doc_id", F.col("g.i").alias("i"), F.col("g.fp").alias("fp"))
+        # checkpoint: the dup-set aggregate and the join-back both consume
+        # this frame, and the map-side partial agg prevents exchange reuse —
+        # without it the corpus-wide per-gram md5 pass runs twice
+        .localCheckpoint(eager=False)
     )
     dup = (
         grams.groupBy("fp")
@@ -12170,14 +12174,16 @@ def _hw_oracle(key: str | None) -> str:
     ord AS (
       SELECT {k}row_number() OVER ({part}ORDER BY day) AS i, day, y
       FROM daily),
+    maxi AS (SELECT {k}max(i) AS mi FROM ord{' GROUP BY ' + key if key else ''}),
     yv AS (
       SELECT {k}{yv_cols}
       FROM ord WHERE i <= 14{' GROUP BY ' + key if key else ''}),
     init AS (
-      SELECT {k}{week1} AS l0,
+      SELECT {'yv.' + key + ', ' if key else ''}{week1} AS l0,
              (({week2} - {week1}) / 7.0) AS b0,
              {s_cols}
-      FROM yv),
+      FROM yv {'JOIN maxi ON yv.' + key + ' = maxi.' + key if key else 'CROSS JOIN maxi'}
+      WHERE maxi.mi >= 15),
     walk({k}i, day, y, fitted, l, b, s1, s2, s3, s4, s5, s6, s7) AS (
       SELECT {k}7, NULL::date, NULL::double, NULL::double,
              l0, b0, s1, s2, s3, s4, s5, s6, s7
@@ -12193,7 +12199,6 @@ def _hw_oracle(key: str | None) -> str:
     fitted AS (
       SELECT {sel}day, 0 AS h, y AS actual, fitted AS yhat
       FROM walk WHERE i >= 8),
-    maxi AS (SELECT {k}max(i) AS mi FROM ord{' GROUP BY ' + key if key else ''}),
     final_state AS (
       SELECT w.* FROM walk w JOIN maxi m ON {wm}w.i = m.mi),
     forecast AS (

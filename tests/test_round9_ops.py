@@ -208,3 +208,41 @@ def test_exemplar_sample_is_exactly_k_and_stable(spark):
 
     per_source = Counter(r.source for r in a)
     assert all(v == 5 for v in per_source.values()), per_source
+
+
+def test_holt_winters_short_series_parity_with_oracle(spark, tmp_path):
+    """Regression (review finding): the oracle must apply the same
+    >= 15-observation guard as hw_additive. A 14-day series and a 16-day
+    series in one corpus: both engines emit rows ONLY for the long one."""
+    import duckdb
+
+    sf = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(sf, exist_ok=True)
+    rows = [(d, float(d), "short14") for d in range(1, 15)]
+    rows += [(d, float(d) * 2, "long16") for d in range(1, 17)]
+    spark.createDataFrame(
+        [
+            (i, f"2024-01-{d:02d} 00:00:00", 1, t, v, "{}")
+            for i, (d, v, t) in enumerate(rows)
+        ],
+        "event_id long, ts_s string, user_id long, event_type string,"
+        " value double, props string",
+    ).selectExpr(
+        "event_id", "cast(ts_s as timestamp_ntz) as ts", "user_id",
+        "event_type", "value", "props"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{sf}/events.parquet")
+
+    out = QUERIES["holt_winters_by_type"].fn(spark, sf).collect()
+    assert {r.series for r in out} == {"long16"}
+    assert len(out) == (16 - 7) + 7
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{sf}/events.parquet/*.parquet')"
+    )
+    oracle = con.execute(QUERIES["holt_winters_by_type"].oracle).fetchall()
+    assert {r[0] for r in oracle} == {"long16"}
+    assert len(oracle) == len(out)
