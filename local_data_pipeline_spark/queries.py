@@ -12683,6 +12683,57 @@ def exemplar_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "calendar_rollup_events",
+    f"""
+    SELECT cast(year(ts) AS int) AS yr,
+           cast(month(ts) AS int) AS mo,
+           cast(day(ts) AS int) AS dy,
+           cast(grouping(cast(year(ts) AS int)) AS int) AS g_yr,
+           cast(grouping(cast(month(ts) AS int)) AS int) AS g_mo,
+           cast(grouping(cast(day(ts) AS int)) AS int) AS g_dy,
+           count(*) AS n_events,
+           {dsum_sql('value')} AS total_value
+    FROM events
+    GROUP BY ROLLUP (cast(year(ts) AS int), cast(month(ts) AS int),
+                     cast(day(ts) AS int))
+    """,
+    tags=("agg", "rollup", "timeseries"),
+)
+def calendar_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP: event counts and exact-decimal value
+    totals at day, month, year, and grand-total grains in ONE pass —
+    the time-dimension cousin of `rollup_lineitem` (flag hierarchy) and
+    the query every reporting layer materializes as its date spine.
+    GROUPING() indicators disambiguate subtotal rows from genuine NULL
+    key values, exactly as the ANSI oracle does.
+
+    Scale shape: Spark expands rollup grouping sets BEFORE the
+    exchange, so all four grains partial-aggregate map-side and move
+    through one shuffle keyed on (keys, grouping-id); output is
+    calendar-bounded (~366·|years| + 12·|years| + |years| + 1 rows)
+    regardless of input volume."""
+    ev = _t(spark, sf_dir, "events").select(
+        F.year("ts").cast("int").alias("yr"),
+        F.month("ts").cast("int").alias("mo"),
+        F.dayofmonth("ts").cast("int").alias("dy"),
+        "value",
+    )
+    return (
+        ev.rollup("yr", "mo", "dy")
+        .agg(
+            F.grouping("yr").cast("int").alias("g_yr"),
+            F.grouping("mo").cast("int").alias("g_mo"),
+            F.grouping("dy").cast("int").alias("g_dy"),
+            F.count("*").alias("n_events"),
+            dsum(F.col("value")).alias("total_value"),
+        )
+        .select(
+            "yr", "mo", "dy", "g_yr", "g_mo", "g_dy", "n_events", "total_value"
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
