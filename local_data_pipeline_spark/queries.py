@@ -12734,6 +12734,76 @@ def calendar_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "padding_efficiency_report",
+    """
+    WITH lens AS (
+      SELECT CASE WHEN trim(lower(text)) = '' THEN 0
+                  ELSE len(string_split_regex(trim(lower(text)), '\\s+')) END
+               AS n_toks
+      FROM documents),
+    grid AS (SELECT unnest([32, 64, 128, 256]) AS bucket_w),
+    padded AS (
+      SELECT g.bucket_w, l.n_toks,
+             ((l.n_toks + g.bucket_w - 1) // g.bucket_w) * g.bucket_w
+               AS padded_len
+      FROM lens l CROSS JOIN grid g)
+    SELECT cast(bucket_w AS int) AS bucket_w,
+           count(*) AS n_docs,
+           cast(sum(n_toks) AS bigint) AS total_tokens,
+           cast(sum(padded_len) AS bigint) AS total_padded,
+           cast(CASE WHEN sum(padded_len) > 0
+                     THEN ((sum(padded_len) - sum(n_toks)) * 1000000)
+                            // sum(padded_len)
+                     ELSE 0 END AS bigint) AS waste_ppm
+    FROM padded GROUP BY bucket_w
+    """,
+    tags=("ml", "packing", "efficiency"),
+)
+def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batching waste: for each candidate bucket width,
+    every document pads up to its bucket ceiling and the report gives
+    the corpus-wide padded-token overhead (waste ppm) — the number that
+    picks the bucket width for PADDED batching, the alternative to
+    `pack_training_sequences`' concat packing when example boundaries
+    must survive (SFT, contrastive pairs). Wider buckets = fewer
+    distinct shapes (better compile caching) but more padding; this
+    makes the trade a measurement instead of a guess.
+
+    Scale shape: one tokenize scan; the 4-width grid is an in-plan
+    literal cross join (bounded build side, the threshold-sweep shape);
+    one map-side-combinable aggregate per width. All arithmetic is
+    exact integers (non-negative, so `div`/`//` agree)."""
+    d = _t(spark, sf_dir, "documents")
+    lens = d.select(TX.token_count(F.col("text")).alias("n_toks"))
+    # literal in-plan grid (Range + explode of a literal array — bounded
+    # build side the plan linter recognizes; a LocalRelation is not)
+    grid = spark.range(1).select(
+        F.explode(F.array(*[F.lit(w) for w in (32, 64, 128, 256)])).alias(
+            "bucket_w"
+        )
+    )
+    padded = lens.crossJoin(F.broadcast(grid)).withColumn(
+        "padded_len",
+        F.expr("((n_toks + bucket_w - 1) div bucket_w) * bucket_w"),
+    )
+    return padded.groupBy("bucket_w").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("padded_len").cast("bigint").alias("total_padded"),
+        F.when(
+            F.sum("padded_len") > 0,
+            F.expr(
+                "((sum(padded_len) - sum(n_toks)) * 1000000)"
+                " div sum(padded_len)"
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("bigint")
+        .alias("waste_ppm"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
