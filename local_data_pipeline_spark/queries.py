@@ -65,6 +65,16 @@ def _extract(field: str):
     return lambda x: x[field]
 
 
+def _literal_grid(spark: SparkSession, name: str, values) -> DataFrame:
+    """Literal in-plan grid: Range(1) + explode of a literal array — the
+    bounded build-side shape the plan linter recognizes (a
+    ``createDataFrame`` LocalRelation is treated as unbounded). Used by
+    the sweep-style queries (threshold sweep, padding report)."""
+    return spark.range(1).select(
+        F.explode(F.array(*[F.lit(v) for v in values])).alias(name)
+    )
+
+
 # =====================================================================
 # Reference parity (SURVEY §2.B/§2.C)
 # =====================================================================
@@ -10613,13 +10623,7 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = d.select(
         "source", TX.quality_score(F.col("text")).alias("quality")
     )
-    # literal in-plan grid (Range + explode of a literal array — bounded
-    # by construction, unlike createDataFrame's ExistingRDD scan)
-    grid = spark.range(1).select(
-        F.explode(
-            F.array(*[F.lit(t) for t in (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8)])
-        ).alias("thr")
-    )
+    grid = _literal_grid(spark, "thr", (0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8))
     kept = F.sum(
         F.when(F.col("quality") >= F.col("thr"), 1).otherwise(0)
     )
@@ -12776,13 +12780,7 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact integers (non-negative, so `div`/`//` agree)."""
     d = _t(spark, sf_dir, "documents")
     lens = d.select(TX.token_count(F.col("text")).alias("n_toks"))
-    # literal in-plan grid (Range + explode of a literal array — bounded
-    # build side the plan linter recognizes; a LocalRelation is not)
-    grid = spark.range(1).select(
-        F.explode(F.array(*[F.lit(w) for w in (32, 64, 128, 256)])).alias(
-            "bucket_w"
-        )
-    )
+    grid = _literal_grid(spark, "bucket_w", (32, 64, 128, 256))
     padded = lens.crossJoin(F.broadcast(grid)).withColumn(
         "padded_len",
         F.expr("((n_toks + bucket_w - 1) div bucket_w) * bucket_w"),
@@ -12793,9 +12791,14 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("padded_len").cast("bigint").alias("total_padded"),
         F.when(
             F.sum("padded_len") > 0,
+            # DECIMAL(38,0) arithmetic: the ×1e6 numerator would wrap
+            # Spark's bigint at ~9.2e12 waste tokens (100 TB corpora);
+            # DuckDB's hugeint sums are exact, so the decimal route keeps
+            # both engines exact at any reachable scale
             F.expr(
-                "((sum(padded_len) - sum(n_toks)) * 1000000)"
-                " div sum(padded_len)"
+                "((CAST(sum(padded_len) AS DECIMAL(38,0))"
+                "  - CAST(sum(n_toks) AS DECIMAL(38,0))) * 1000000)"
+                " div CAST(sum(padded_len) AS DECIMAL(38,0))"
             ),
         )
         .otherwise(F.lit(0))
