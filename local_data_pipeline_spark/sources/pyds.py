@@ -31,8 +31,10 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
+    WriterCommitMessage,
 )
 
 #: Default fan-out (≙ reference LOCATIONS, ordered — the set-literal quirk
@@ -120,5 +122,81 @@ class SwellSynthDataSource(DataSource):
         return SwellSynthStreamReader(self.options)
 
 
+class _JsonlCommit(WriterCommitMessage):
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+class JsonlSinkWriter(DataSourceWriter):
+    """Per-task executor-side write: each partition lands one
+    ``part-<uuid>.jsonl`` file under ``path``; the driver's ``commit``
+    writes a ``_SUCCESS`` manifest listing every committed file+rowcount
+    (so readers can detect partial output), ``abort`` removes the files
+    this attempt produced. The write itself is distributed — no rows
+    ever pass through the driver."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages) -> None:
+        import json
+        import os
+
+        manifest = {
+            "files": [
+                {"path": m.path, "rows": m.rows} for m in messages if m
+            ],
+            "total_rows": sum(m.rows for m in messages if m),
+        }
+        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+            json.dump(manifest, fh)
+
+    def abort(self, messages) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
+class JsonlSinkDataSource(DataSource):
+    """Python DataSource WRITER (the write half of SPARK-44076):
+    ``df.write.format("jsonl_sink").option("path", d).mode("append")``
+    — completes the Python DSv2 surface next to the batch and streaming
+    READERS above. Local filesystem here; at scale the same class wraps
+    an object-store client, one upload per task."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_sink"
+
+    def schema(self) -> str:  # pragma: no cover - writer-only source
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> DataSourceWriter:
+        return JsonlSinkWriter(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(SwellSynthDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)

@@ -379,3 +379,29 @@ def test_streaming_agg_mv_incremental_and_replay_safe(spark, tmp_path):
     ledger = mv + "._applied_batches.json"
     assert os.path.exists(ledger)
     assert json.load(open(ledger))["max_batch_id"] >= 1
+
+
+def test_python_datasource_writer_jsonl_sink(spark, tmp_path):
+    """The write half of the Python DataSource surface: per-task jsonl
+    files (distributed, no driver row path), driver commit writes a
+    _SUCCESS manifest whose file rowcounts sum to the input."""
+    import glob
+    import json as _json
+
+    from local_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    d = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("id", "concat('v', id) AS v").repartition(4)
+    df.write.format("jsonl_sink").option("path", d).mode("append").save()
+
+    files = sorted(glob.glob(d + "/part-*.jsonl"))
+    assert len(files) == 4  # one file per task
+    rows = [_json.loads(line) for f in files for line in open(f)]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert {r["v"] for r in rows} == {f"v{i}" for i in range(100)}
+
+    manifest = _json.load(open(d + "/_SUCCESS"))
+    assert manifest["total_rows"] == 100
+    assert sorted(m["path"] for m in manifest["files"]) == files
+    assert sum(m["rows"] for m in manifest["files"]) == 100
