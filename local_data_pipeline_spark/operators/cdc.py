@@ -29,6 +29,11 @@ def compact_changelog(
     column in one map-side-combinable aggregate. ``seq_col`` must be
     unique per key (a change LSN / offset); ties would make the result
     nondeterministic, so upstream must guarantee uniqueness."""
+    if op_col not in changes.columns:
+        raise ValueError(
+            f"changelog is missing op column {op_col!r} — apply_changes "
+            "needs it to survive compaction"
+        )
     payload = [c for c in changes.columns if c != key]
     return changes.groupBy(key).agg(
         *[F.max_by(c, F.col(seq_col)).alias(c) for c in payload]
@@ -48,13 +53,31 @@ def apply_changes(
 
     ``changes`` must carry the target's payload columns (same names)
     plus ``op_col``. One full-outer shuffle join on the key; the output
-    schema is exactly the target's."""
+    schema is exactly the target's. Op values outside :data:`OPS` (e.g.
+    an unfiltered Debezium ``r`` snapshot row) raise at execution via an
+    in-plan ``assert_true`` — silently treating them as non-deletes
+    would insert all-NULL payload rows for new keys."""
     payload = [c for c in target.columns if c != key]
     missing = [c for c in payload if c not in changes.columns]
     if missing:
         raise ValueError(f"changes missing target columns: {missing}")
     t, c = target.alias("__t"), changes.alias("__c")
-    op = F.col(f"__c.{op_col}")
+    op_raw = F.col(f"__c.{op_col}")
+    # assert_true returns NULL when the condition holds, so wrapping the
+    # op in when(assert.isNull(), op) keeps the value while forcing the
+    # check to evaluate on every row (a bare unused column would be
+    # pruned by Catalyst). op is NULL for target rows untouched by the
+    # batch — that's the full-outer non-match, not an invalid op.
+    op = F.when(
+        F.assert_true(
+            op_raw.isNull() | op_raw.isin(*OPS),
+            F.concat(
+                F.lit(f"invalid changelog op (expected one of {OPS}): "),
+                op_raw,
+            ),
+        ).isNull(),
+        op_raw,
+    )
     joined = t.join(
         c, F.col(f"__t.{key}") == F.col(f"__c.{key}"), "full_outer"
     )

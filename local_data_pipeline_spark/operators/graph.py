@@ -16,7 +16,8 @@ Scale: each iteration is one join (ranks x edges, shuffled on the
 edge source) plus one aggregate on the destination — the standard
 Pregel-as-joins shape. Ranks are localCheckpoint'd (lazy) each
 iteration to stop lineage growth; the dangling-mass term is a 1-row
-aggregate collected per iteration (a few bytes on the driver)."""
+aggregate broadcast-cross-joined IN-PLAN each iteration (no driver
+collect — see the `F.broadcast(dangling)` crossJoin below)."""
 
 from __future__ import annotations
 

@@ -2,10 +2,18 @@
 
 The Spark-side plumbing is real and tested — schema, partition-friendly
 layout, Arrow-batched ``mapInPandas`` UDF signatures, deterministic batch
-shapes. The actual media decoding is STUBBED (this container ships no
-image/audio libraries): ``decode_image_features`` computes deterministic
-fake features from the bytes, and raises ``NotImplementedError`` when
-``require_real_decoder=True`` documents where Pillow/ffmpeg would plug in.
+shapes. Decoding has TWO tiers:
+
+- REAL, dependency-free: uncompressed formats are parsed by pure
+  Python/numpy — binary PPM (P6) / PGM (P5) and uncompressed 24-bit BMP
+  (``_decode_uncompressed_image``) — yielding genuine pixel statistics
+  (dims, per-channel means/stds, luma range, gradient energy) as the
+  feature vector.
+- STUBBED: compressed codecs (JPEG/PNG/audio/video) need Pillow/ffmpeg,
+  which this container doesn't ship; those blobs get deterministic fake
+  features, and under ``require_real_decoder=True`` they raise
+  ``NotImplementedError`` at execution — the documented seam where the
+  real codec libraries plug in.
 
 Design (SURVEY §2.E5):
 - media rows: (media_id, modality, content binary, meta struct) — content
@@ -73,28 +81,158 @@ def _fake_features(content: bytes, dim: int = FEATURE_DIM) -> list[float]:
     return out
 
 
+def _parse_pnm(content: bytes):
+    """Parse binary PPM (P6, RGB) / PGM (P5, grayscale) → (h, w, 3)
+    float64 pixel array scaled to maxval, or None if not PNM. Pure
+    stdlib + numpy — no image libraries."""
+    import numpy as np
+
+    if len(content) < 2 or content[:2] not in (b"P5", b"P6"):
+        return None
+    channels = 3 if content[:2] == b"P6" else 1
+    # header: magic, width, height, maxval — whitespace-separated, with
+    # '#' comments; pixel data starts after the single whitespace byte
+    # following maxval
+    tokens: list[int] = []
+    i = 2
+    while len(tokens) < 3 and i < len(content):
+        c = content[i : i + 1]
+        if c == b"#":
+            while i < len(content) and content[i : i + 1] != b"\n":
+                i += 1
+        elif c.isspace():
+            i += 1
+        else:
+            j = i
+            while j < len(content) and not content[j : j + 1].isspace():
+                j += 1
+            tokens.append(int(content[i:j]))
+            i = j
+    if len(tokens) < 3:
+        return None
+    w, h, maxval = tokens
+    i += 1  # the single whitespace after maxval
+    need = w * h * channels
+    if maxval <= 0 or maxval > 255 or w <= 0 or h <= 0:
+        return None
+    if len(content) - i < need:
+        return None
+    px = np.frombuffer(content, dtype=np.uint8, count=need, offset=i)
+    px = px.reshape(h, w, channels).astype(np.float64)
+    if channels == 1:
+        px = np.repeat(px, 3, axis=2)
+    return px, maxval
+
+
+def _parse_bmp24(content: bytes):
+    """Parse uncompressed 24-bit BMP (BITMAPINFOHEADER, BI_RGB) →
+    (h, w, 3) float64 RGB array, or None if not such a BMP."""
+    import struct
+
+    import numpy as np
+
+    if len(content) < 54 or content[:2] != b"BM":
+        return None
+    data_off = struct.unpack_from("<I", content, 10)[0]
+    hdr_size = struct.unpack_from("<I", content, 14)[0]
+    if hdr_size < 40:
+        return None
+    w, h = struct.unpack_from("<ii", content, 18)
+    planes, bpp = struct.unpack_from("<HH", content, 26)
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if bpp != 24 or compression != 0 or w <= 0 or h == 0:
+        return None
+    bottom_up = h > 0
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3  # rows padded to 4 bytes
+    if len(content) - data_off < stride * h:
+        return None
+    rows = np.frombuffer(
+        content, dtype=np.uint8, count=stride * h, offset=data_off
+    ).reshape(h, stride)
+    px = rows[:, : w * 3].reshape(h, w, 3)[:, :, ::-1]  # BGR → RGB
+    if bottom_up:
+        px = px[::-1]
+    return px.astype(np.float64), 255
+
+
+def _real_pixel_features(content: bytes) -> "list[float] | None":
+    """REAL feature extraction for dependency-free uncompressed formats:
+    a FEATURE_DIM vector of genuine pixel statistics, or None when the
+    bytes are not a supported format. Layout (all float64-exact,
+    deterministic): [1.0 marker, width, height, channels-seen(3),
+    maxval, meanR, meanG, meanB, stdR, stdG, stdB, mean_luma, min_luma,
+    max_luma, mean |horizontal luma gradient|, frac pixels > mean_luma]."""
+    import numpy as np
+
+    parsed = _parse_pnm(content)
+    if parsed is None:
+        parsed = _parse_bmp24(content)
+    if parsed is None:
+        return None
+    px, maxval = parsed
+    h, w, _ = px.shape
+    means = px.mean(axis=(0, 1))
+    stds = px.std(axis=(0, 1))
+    luma = 0.299 * px[:, :, 0] + 0.587 * px[:, :, 1] + 0.114 * px[:, :, 2]
+    mean_luma = float(luma.mean())
+    grad = (
+        float(np.abs(np.diff(luma, axis=1)).mean()) if w > 1 else 0.0
+    )
+    return [
+        1.0,
+        float(w),
+        float(h),
+        3.0,
+        float(maxval),
+        float(means[0]),
+        float(means[1]),
+        float(means[2]),
+        float(stds[0]),
+        float(stds[1]),
+        float(stds[2]),
+        mean_luma,
+        float(luma.min()),
+        float(luma.max()),
+        grad,
+        float((luma > mean_luma).mean()),
+    ]
+
+
 def decode_image_features(
     media: DataFrame, require_real_decoder: bool = False
 ) -> DataFrame:
     """(media_id, modality, n_bytes, features array<float>) via an
     Arrow-batched mapInPandas pass over the binary column.
 
-    With ``require_real_decoder`` this raises NotImplementedError at plan
-    build — the marked seam where a real image decoder (Pillow →
-    pixel stats / CNN embedding) replaces ``_fake_features``."""
-    if require_real_decoder:
-        raise NotImplementedError(
-            "real media decoding needs Pillow/ffmpeg; not available in this "
-            "environment — _fake_features is the deterministic stand-in"
-        )
+    Per blob: uncompressed formats (P6 PPM / P5 PGM / 24-bit BMP) are
+    REALLY decoded — the features are genuine pixel statistics
+    (``_real_pixel_features``). Unrecognized bytes (JPEG/PNG/… need
+    Pillow, absent here) fall back to deterministic fake features —
+    or, with ``require_real_decoder=True``, raise ``NotImplementedError``
+    at execution: the marked seam where real codec libraries plug in."""
     import pandas as pd
 
     def extract(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for pdf in batches:
-            feats = [
-                _fake_features(bytes(c)) if c is not None else None
-                for c in pdf["content"]
-            ]
+            feats = []
+            for c in pdf["content"]:
+                if c is None:
+                    feats.append(None)
+                    continue
+                b = bytes(c)
+                real = _real_pixel_features(b)
+                if real is not None:
+                    feats.append(real)
+                elif require_real_decoder:
+                    raise NotImplementedError(
+                        "blob is not an uncompressed PPM/PGM/BMP; real "
+                        "decoding of compressed codecs needs Pillow/ffmpeg "
+                        "(absent in this environment) — this is the "
+                        "documented decoder seam"
+                    )
+                else:
+                    feats.append(_fake_features(b))
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],

@@ -218,8 +218,18 @@ def distributed_lead(
     w = Window.partitionBy("__shard").orderBy(order_col)
     # Materialize once (range boundaries come from sampling): the firsts
     # collect and the final join must see the same shard assignment.
-    led = ranged.withColumn(out_col, F.lead(value_col).over(w)).localCheckpoint(
-        eager=False
+    # __is_last flags each shard's TRUE last row (unique: order_col is a
+    # total order) — only that row gets boundary-patched, so a mid-shard
+    # row whose successor's value is genuinely NULL keeps its NULL lead,
+    # exactly like the native window (nullable value_col is safe).
+    led = (
+        ranged.withColumn(out_col, F.lead(value_col).over(w))
+        .withColumn(
+            "__is_last",
+            F.col(order_col)
+            == F.max(order_col).over(Window.partitionBy("__shard")),
+        )
+        .localCheckpoint(eager=False)
     )
     firsts = (
         led.groupBy("__shard")
@@ -245,8 +255,13 @@ def distributed_lead(
     )
     return (
         led.join(F.broadcast(boundary), "__shard", "left")
-        .withColumn(out_col, F.coalesce(F.col(out_col), F.col("__next_first")))
-        .drop("__shard", "__next_first")
+        .withColumn(
+            out_col,
+            F.when(F.col("__is_last"), F.col("__next_first")).otherwise(
+                F.col(out_col)
+            ),
+        )
+        .drop("__shard", "__next_first", "__is_last")
     )
 
 

@@ -207,6 +207,11 @@ class Scheduler:
             if tick.tzinfo is not None and ref.tzinfo is None:
                 # naive `now` follows the engine convention: it IS UTC
                 ref = ref.replace(tzinfo=timezone.utc)
+            elif tick.tzinfo is None and ref.tzinfo is not None:
+                # the symmetric case: a no-tz job polled with an aware
+                # clock — naive ticks ARE UTC, so promote the tick (a
+                # mixed fleet of tz and non-tz jobs must not TypeError)
+                tick = tick.replace(tzinfo=timezone.utc)
             if tick <= ref:
                 out.append(job)
         return out

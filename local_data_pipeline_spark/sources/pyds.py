@@ -134,10 +134,20 @@ class JsonlSinkWriter(DataSourceWriter):
     writes a ``_SUCCESS`` manifest listing every committed file+rowcount
     (so readers can detect partial output), ``abort`` removes the files
     this attempt produced. The write itself is distributed — no rows
-    ever pass through the driver."""
+    ever pass through the driver.
 
-    def __init__(self, options):
+    The ``_SUCCESS`` manifest is the AUTHORITATIVE corpus listing —
+    readers must consume via it, never by directory glob. ``commit``
+    enforces that: in overwrite mode the manifest lists only this
+    write's files; in append mode it MERGES the prior manifest's files
+    with this write's; and in both modes any ``part-*.jsonl`` file NOT
+    in the final manifest (stale overwritten data, orphans from failed
+    or speculative task attempts) is removed from the directory, so
+    manifest-readers and directory-glob readers see the same corpus."""
+
+    def __init__(self, options, overwrite: bool = False):
         self.path = options.get("path")
+        self.overwrite = overwrite
         if not self.path:
             raise ValueError("jsonl_sink requires option 'path'")
 
@@ -156,17 +166,33 @@ class JsonlSinkWriter(DataSourceWriter):
         return _JsonlCommit(fname, n)
 
     def commit(self, messages) -> None:
+        import glob
         import json
         import os
 
+        files = [{"path": m.path, "rows": m.rows} for m in messages if m]
+        success = os.path.join(self.path, "_SUCCESS")
+        if not self.overwrite and os.path.exists(success):
+            # append: the manifest accumulates — prior committed files
+            # stay part of the corpus
+            with open(success) as fh:
+                files = json.load(fh).get("files", []) + files
         manifest = {
-            "files": [
-                {"path": m.path, "rows": m.rows} for m in messages if m
-            ],
-            "total_rows": sum(m.rows for m in messages if m),
+            "files": files,
+            "total_rows": sum(f["rows"] for f in files),
         }
-        with open(os.path.join(self.path, "_SUCCESS"), "w") as fh:
+        with open(success, "w") as fh:
             json.dump(manifest, fh)
+        # sweep anything the manifest doesn't own: stale overwritten
+        # parts (overwrite mode) and orphans from failed/speculative
+        # attempts (both modes)
+        owned = {os.path.abspath(f["path"]) for f in files}
+        for p in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+            if os.path.abspath(p) not in owned:
+                try:
+                    os.remove(p)
+                except OSError:
+                    pass
 
     def abort(self, messages) -> None:
         import os
@@ -194,7 +220,7 @@ class JsonlSinkDataSource(DataSource):
         return "value string"
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
-        return JsonlSinkWriter(self.options)
+        return JsonlSinkWriter(self.options, overwrite)
 
 
 def register(spark) -> None:

@@ -136,8 +136,80 @@ def test_multimodal_feature_extraction_deterministic(spark, media):
 
 
 def test_multimodal_requires_real_decoder_seam(spark, media):
-    with pytest.raises(NotImplementedError):
-        decode_image_features(media, require_real_decoder=True)
+    """Round-5 semantics: compressed codecs (these blobs are fake
+    PNG/RIFF/MP3) hit the NotImplementedError seam at EXECUTION under
+    require_real_decoder — uncompressed formats now really decode."""
+    with pytest.raises(Exception, match="decoder seam|NotImplementedError"):
+        decode_image_features(media, require_real_decoder=True).collect()
+
+
+def _ppm_p6(w, h, pixels, maxval=255, comment=False):
+    hdr = b"P6\n"
+    if comment:
+        hdr += b"# planted comment\n"
+    hdr += f"{w} {h}\n{maxval}\n".encode()
+    return hdr + bytes(pixels)
+
+
+def test_multimodal_real_ppm_decode_known_pixels(spark):
+    """Round-5 addition: the dependency-free REAL decoder — a planted
+    2x2 P6 PPM with known pixels yields exact pixel statistics, under
+    require_real_decoder=True (no fake fallback involved)."""
+    # pixels: red, green, blue, white (row-major RGB)
+    px = [255, 0, 0, 0, 255, 0, 0, 0, 255, 255, 255, 255]
+    blob = _ppm_p6(2, 2, px, comment=True)
+    media = spark.createDataFrame(
+        [(1, "image", bytearray(blob), (2, 2, None, None, "image/x-ppm"))],
+        MEDIA_SCHEMA,
+    )
+    (row,) = decode_image_features(media, require_real_decoder=True).collect()
+    f = list(row.features)
+    assert f[0] == 1.0  # real-decode marker
+    assert (f[1], f[2], f[4]) == (2.0, 2.0, 255.0)
+    # channel means: each channel = (255 + 255)/4 = 127.5
+    assert f[5] == f[6] == f[7] == pytest.approx(127.5)
+    # luma of the 4 pixels: 0.299/0.587/0.114*255 and 255
+    lumas = [0.299 * 255, 0.587 * 255, 0.114 * 255, 255.0]
+    assert f[12] == pytest.approx(min(lumas), abs=1e-4)
+    assert f[13] == pytest.approx(max(lumas), abs=1e-4)
+
+
+def test_multimodal_real_bmp_and_pgm_decode(spark):
+    """24-bit BMP (bottom-up, BGR, padded rows) and P5 grayscale decode
+    to the same stats as the equivalent PPM."""
+    import struct
+
+    # 2x1 BMP: pixels left->right red, blue (stored BGR, row padded to 8)
+    row = bytes([0, 0, 255, 255, 0, 0]) + b"\x00\x00"
+    bmp = (
+        b"BM"
+        + struct.pack("<IHHI", 54 + len(row), 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, len(row), 0, 0, 0, 0)
+        + row
+    )
+    pgm = b"P5\n2 1\n255\n" + bytes([10, 200])
+    media = spark.createDataFrame(
+        [
+            (1, "image", bytearray(bmp), (2, 1, None, None, "image/bmp")),
+            (2, "image", bytearray(pgm), (2, 1, None, None, "image/x-pgm")),
+        ],
+        MEDIA_SCHEMA,
+    )
+    rows = {
+        r.media_id: list(r.features)
+        for r in decode_image_features(
+            media, require_real_decoder=True
+        ).collect()
+    }
+    # BMP: mean R = (255+0)/2, mean G = 0, mean B = (0+255)/2
+    assert rows[1][5] == pytest.approx(127.5)
+    assert rows[1][6] == 0.0
+    assert rows[1][7] == pytest.approx(127.5)
+    # PGM replicated to RGB: all channel means = (10+200)/2
+    assert rows[2][5] == rows[2][6] == rows[2][7] == pytest.approx(105.0)
+    # min/max luma equal the gray values exactly
+    assert rows[2][12] == pytest.approx(10.0, abs=1e-9)
+    assert rows[2][13] == pytest.approx(200.0, abs=1e-9)
 
 
 def test_frame_sample_plan_and_stats(spark, media):
@@ -420,3 +492,30 @@ def test_distributed_lead_equals_global_window(spark):
     }
     assert got == want
     assert sum(1 for v in got.values() if v is None) == 1  # only the max
+
+
+def test_distributed_lead_nullable_value_col(spark):
+    """Round-5 ADVICE fix: with a nullable value_col, a mid-shard row whose
+    successor's value is NULL must keep a NULL lead (the old coalesce patch
+    wrongly substituted the next shard's first value); only each shard's
+    true last row is boundary-patched."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from local_data_pipeline_spark.operators.packing import distributed_lead
+
+    # every 3rd value NULL, including values adjacent to shard boundaries
+    rows = [(i, None if i % 3 == 0 else f"v{i}") for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "ord int, val string")
+    got = {
+        r.ord: r.nxt
+        for r in distributed_lead(
+            df, "ord", value_col="val", out_col="nxt", n_partitions=7
+        ).collect()
+    }
+    w = Window.orderBy("ord")
+    want = {
+        r.ord: r.nxt
+        for r in df.withColumn("nxt", F.lead("val").over(w)).collect()
+    }
+    assert got == want

@@ -421,6 +421,29 @@ def test_q22_scalar_subquery_stays_in_plan(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_correlated_agg_scalar_stays_in_plan(spark):
+    """Round-5 fix pin: the global-average threshold is a broadcast 1-row
+    aggregate cross join (q22's pattern), not a driver-side collect — the
+    query is one job."""
+    df = _df(spark, "correlated_agg_subquery")
+    plan = physical_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q11_threshold_in_plan_with_exchange_reuse(spark):
+    """Round-5 fix pin: q11's 1%-of-total threshold broadcasts in-plan and —
+    because `vals` is the identical subtree on both sides of the cross
+    join — AQE's stage reuse scans/aggregates lineitem ONCE (ReusedExchange
+    in the final adaptive plan), where the old collect() ran two full jobs."""
+    # sf0.01, not the usual sf0.001: the NATION_5 slice is empty at
+    # sf0.001 and AQE collapses the whole plan to EmptyRelation, which
+    # (correctly) has no exchanges left to reuse
+    df = QUERIES["q11_important_part_stock"].fn(spark, "/root/testdata/sf0.01")
+    df.collect()  # AQE materializes ReusedExchange at runtime
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in plan
+
+
 def test_pipe_syntax_plans_like_ansi_star_join(spark):
     """The SQL pipe dialect must lower to the same physical shapes as the
     ANSI formulation: shipdate filter pushed to the lineitem scan, both
@@ -434,9 +457,10 @@ def test_plan_linter_catalog_clean(spark):
     """Whole-catalog plan lint (the generalization of the round-3 judge's
     hand audit): every declared query's physical plan is free of
     (S1) SinglePartition exchanges feeding Window/Sort over unbounded
-    input, (S2) cartesian/nested-loop joins with no bounded side, and
-    (S3) row-at-a-time Python UDFs — modulo the explicitly-justified
-    ALLOWLIST in tools/plan_lint.py."""
+    input, (S2) cartesian/nested-loop joins with no bounded side,
+    (S3) row-at-a-time Python UDFs, and (S4) construction-time
+    collect()/toPandas() — modulo the explicitly-justified
+    ALLOWLIST / S4_ALLOWLIST in tools/plan_lint.py."""
     import sys
 
     sys.path.insert(0, "/root/repo")
@@ -444,3 +468,39 @@ def test_plan_linter_catalog_clean(spark):
 
     bad = lint_queries()
     assert not bad, bad
+
+
+def test_s4_tracer_catches_planted_collect(spark, tmp_path):
+    """The S4 tracer must actually intercept (PySpark 4.x hands out
+    pyspark.sql.classic DataFrames whose own collect overrides the
+    abstract base — a base-only patch is a silent no-op, which is how
+    the rule shipped broken mid-round-5). Plant a package-namespace
+    helper that collects and assert it is flagged with its site."""
+    import os
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    from tools.plan_lint import trace_collects
+
+    probe = "/root/repo/local_data_pipeline_spark/_s4_probe.py"
+    with open(probe, "w") as fh:
+        fh.write("def bad_scalar(df):\n    return df.collect()[0][0]\n")
+    try:
+        import local_data_pipeline_spark._s4_probe as mod
+
+        with trace_collects() as findings:
+            mod.bad_scalar(spark.range(3).agg({"id": "max"}))
+        assert findings == [
+            (
+                "S4",
+                "construction-time collect at _s4_probe.py:2 in bad_scalar",
+            )
+        ]
+        # and the patch is fully unwound afterwards
+        with trace_collects() as f2:
+            pass
+        spark.range(1).collect()
+        assert f2 == []
+    finally:
+        os.remove(probe)
+        sys.modules.pop("local_data_pipeline_spark._s4_probe", None)

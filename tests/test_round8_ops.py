@@ -252,6 +252,40 @@ def test_cdc_apply_rejects_missing_columns(spark):
         apply_changes(target, changes, "k")
 
 
+def test_cdc_apply_rejects_invalid_op(spark):
+    """Round-5 ADVICE fix: an op outside OPS (e.g. an unfiltered Debezium
+    'r' snapshot row) raises at execution instead of silently inserting an
+    all-NULL payload row for a new key."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+
+    from local_data_pipeline_spark.operators.cdc import apply_changes
+
+    target = spark.createDataFrame([(1, "a")], "k bigint, name string")
+    changes = spark.createDataFrame(
+        [(9, "snap", "r")], "k bigint, name string, op string"
+    )
+    with pytest.raises(Exception, match="invalid changelog op") as ei:
+        apply_changes(target, changes, "k").collect()
+    assert isinstance(ei.value, Py4JJavaError) or "invalid changelog op" in str(
+        ei.value
+    )
+
+
+def test_cdc_compact_requires_op_column(spark):
+    """compact_changelog validates that the op column survives into the
+    compacted payload — apply_changes needs it downstream."""
+    import pytest
+
+    from local_data_pipeline_spark.operators.cdc import compact_changelog
+
+    changes = spark.createDataFrame(
+        [(1, "a", 1)], "k bigint, name string, seq bigint"
+    )
+    with pytest.raises(ValueError, match="op column"):
+        compact_changelog(changes, "k", "seq")
+
+
 def test_split_leakage_detects_planted_cross_split_dup(spark):
     """Identical text under doc_ids hashing to train and test shows up
     as one train-test leak group with both docs counted."""

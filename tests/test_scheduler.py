@@ -156,6 +156,29 @@ def test_scheduler_due_with_tz_job():
     ]
 
 
+def test_scheduler_due_mixed_tz_fleet_aware_clock():
+    """Round-5 ADVICE fix: a no-tz (naive-tick) job polled alongside a
+    tz job with an AWARE `now` must not TypeError — naive ticks are UTC
+    by engine convention, so they promote before comparison."""
+    from datetime import timezone
+
+    from local_data_pipeline_spark.scheduler import Scheduler
+
+    naive_job = Job(name="utc_nightly", registry=None, cron="0 0 * * *")
+    la_job = Job(name="la_nightly", registry=None, cron="0 0 * * *",
+                 tz="America/Los_Angeles")
+    sched = Scheduler([naive_job, la_job])
+    sched.last_run["utc_nightly"] = datetime(2026, 1, 10, 9, 0)
+    sched.last_run["la_nightly"] = datetime(2026, 1, 10, 9, 0)
+    aware = datetime(2026, 1, 11, 0, 1, tzinfo=timezone.utc)
+    # 00:01 UTC Jan 11: the UTC job's midnight has passed, LA's has not
+    assert [j.name for j in sched.due(aware)] == ["utc_nightly"]
+    aware_late = datetime(2026, 1, 11, 8, 1, tzinfo=timezone.utc)
+    assert {j.name for j in sched.due(aware_late)} == {
+        "utc_nightly", "la_nightly"
+    }
+
+
 def test_sensor_fires_once_per_run_key(spark, tmp_path):
     """new_files_sensor: triggers on a fresh data drop, dedupes on the
     run_key until the drop changes, re-triggers on the next arrival."""

@@ -405,3 +405,39 @@ def test_python_datasource_writer_jsonl_sink(spark, tmp_path):
     assert manifest["total_rows"] == 100
     assert sorted(m["path"] for m in manifest["files"]) == files
     assert sum(m["rows"] for m in manifest["files"]) == 100
+
+
+def test_jsonl_sink_overwrite_append_and_orphan_sweep(spark, tmp_path):
+    """Round-5 ADVICE fix: overwrite clears prior part files (no stale
+    corpus under a fresh manifest); append MERGES the manifest so it stays
+    the authoritative corpus listing; commit sweeps orphan part files not
+    owned by the manifest (failed/speculative attempts)."""
+    import glob
+    import json as _json
+
+    from local_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    d = str(tmp_path / "sink2")
+    w = spark.range(10).selectExpr("id", "concat('a', id) AS v").repartition(2)
+    w.write.format("jsonl_sink").option("path", d).mode("append").save()
+
+    # append: second write merges into the manifest — 4 files, 20 rows
+    w2 = spark.range(10, 20).selectExpr("id", "concat('b', id) AS v").repartition(2)
+    w2.write.format("jsonl_sink").option("path", d).mode("append").save()
+    manifest = _json.load(open(d + "/_SUCCESS"))
+    assert manifest["total_rows"] == 20 and len(manifest["files"]) == 4
+    assert len(glob.glob(d + "/part-*.jsonl")) == 4
+
+    # plant an orphan (a failed attempt's leftover) — overwrite must
+    # remove both it and all prior committed parts
+    orphan = d + "/part-deadbeef.jsonl"
+    open(orphan, "w").write('{"id": 999}\n')
+    w3 = spark.range(5).selectExpr("id", "concat('c', id) AS v").repartition(1)
+    w3.write.format("jsonl_sink").option("path", d).mode("overwrite").save()
+    manifest = _json.load(open(d + "/_SUCCESS"))
+    assert manifest["total_rows"] == 5 and len(manifest["files"]) == 1
+    files = glob.glob(d + "/part-*.jsonl")
+    assert len(files) == 1  # stale parts + orphan swept
+    rows = [_json.loads(line) for f in files for line in open(f)]
+    assert sorted(r["id"] for r in rows) == list(range(5))

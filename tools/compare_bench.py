@@ -8,6 +8,17 @@ PERF.md's two-regime analysis (fixed ~0.3-0.6 s Spark job floor on
 sub-100 ms queries vs algorithmic wins on the heavy ones).
 
 Usage: python tools/compare_bench.py [--md]
+       python tools/compare_bench.py --drift OLD.json NEW.json [--out FILE]
+
+The --drift mode automates the regression-vs-host-drift judgment the
+round-3/4 judges each did by hand: bench hosts drift uniformly between
+rounds (r03→r04 carry-overs moved ~1.2x across unrelated queries), so a
+raw per-query ratio can't distinguish "machine was slower" from "plan
+regressed". It computes each carry-over query's NEW/OLD ratio, divides
+by the MEDIAN ratio (the host-drift estimate — a plan regression in one
+query cannot move the median of the whole catalog), and flags only
+queries whose NORMALIZED ratio exceeds 1.5x as suspected regressions
+(<1/1.5x listed as improvements, informational).
 """
 
 from __future__ import annotations
@@ -28,7 +39,73 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BENCH_JSON = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "BENCH_local.json")
 
 
+def drift(old_path: str, new_path: str, out: str | None) -> int:
+    """Host-drift-normalized bench diff; returns 1 if any query regressed
+    >1.5x after normalization."""
+    import statistics
+
+    def _load(path):
+        with open(path) as f:
+            d = json.load(f)
+        # the driver's BENCH_r{N}.json wraps bench.py's line in "parsed"
+        if "queries" not in d and isinstance(d.get("parsed"), dict):
+            d = d["parsed"]
+        return d["queries"]
+
+    old = _load(old_path)
+    new = _load(new_path)
+    carry = sorted(set(old) & set(new))
+    if not carry:
+        print("no carry-over queries between the two bench files")
+        return 2
+    ratios = {n: new[n] / max(old[n], 1e-9) for n in carry}
+    med = statistics.median(ratios.values())
+    flagged = {n: r / med for n, r in ratios.items() if r / med > 1.5}
+    improved = {n: r / med for n, r in ratios.items() if r / med < 1 / 1.5}
+
+    lines = [
+        "# Bench drift report",
+        "",
+        f"`{os.path.basename(old_path)}` → `{os.path.basename(new_path)}`: "
+        f"{len(carry)} carry-over queries, median ratio **{med:.2f}x** "
+        "(= host-drift estimate; per-query ratios are divided by it).",
+        "",
+        f"**Suspected regressions (normalized > 1.5x): {len(flagged)}**",
+        "",
+    ]
+    if flagged:
+        lines += ["| query | old s | new s | raw | normalized |", "|---|---|---|---|---|"]
+        for n in sorted(flagged, key=flagged.get, reverse=True):
+            lines.append(
+                f"| {n} | {old[n]:.2f} | {new[n]:.2f} | {ratios[n]:.2f}x "
+                f"| {flagged[n]:.2f}x |"
+            )
+        lines.append("")
+    if improved:
+        lines.append(
+            f"Improvements (normalized < 0.67x, informational): "
+            + ", ".join(
+                f"{n} ({improved[n]:.2f}x)"
+                for n in sorted(improved, key=improved.get)
+            )
+        )
+    report = "\n".join(lines) + "\n"
+    print(report)
+    if out:
+        with open(out, "w") as f:
+            f.write(report)
+        print(f"wrote {out}")
+    return 1 if flagged else 0
+
+
 def main() -> None:
+    if "--drift" in sys.argv:
+        i = sys.argv.index("--drift")
+        old_path, new_path = sys.argv[i + 1], sys.argv[i + 2]
+        out = None
+        if "--out" in sys.argv:
+            out = sys.argv[sys.argv.index("--out") + 1]
+        raise SystemExit(drift(old_path, new_path, out))
     md = "--md" in sys.argv
     with open(BENCH_JSON) as f:
         spark_times = json.load(f)["queries"]

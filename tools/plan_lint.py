@@ -13,6 +13,13 @@ on the three plan shapes that are correct at test scale but die at 100x:
   S3  Row-at-a-time Python UDF (`BatchEvalPython`) anywhere in the plan.
       (Arrow-batched `ArrowEvalPython` / `MapInPandas` etc. are the
       sanctioned Python escape hatches and pass.)
+  S4  `.collect()` / `.toPandas()` reached while CONSTRUCTING a query's
+      DataFrame (runtime-traced, so collects buried inside operators are
+      caught too). A construction-time collect means extra driver-side
+      jobs and data movement the optimizer can't see — the in-plan
+      alternative is a broadcast 1-row cross join (q22's pattern).
+      Operator-internal k-row collects with a documented scale bound are
+      allowlisted per (module, function) in S4_ALLOWLIST.
 
 Run: python tools/plan_lint.py [query ...]     (default: all queries)
 Wired into pytest via tests/test_plans.py::test_plan_linter_catalog_clean.
@@ -84,6 +91,55 @@ ALLOWLIST: dict[tuple[str, str], str] = {
     ("seasonal_decompose_daily_value", "S1"): _CALENDAR_BOUNDED,
     ("compaction_plan_orders", "S1"): _CALENDAR_BOUNDED,
     ("slo_burn_rate_alerts", "S1"): _CALENDAR_BOUNDED,
+}
+
+#: S4: (module basename, function) -> why this operator-internal
+#: construction-time collect is scale-safe. Every entry must name a
+#: BOUND on the collected row count that is independent of data volume.
+S4_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("packing.py", "_distributed_cumsum_with_total"): (
+        "collects K per-shard partial sums (K = shard count, config-"
+        "bounded, a few bytes each) to build the offset broadcast — the "
+        "shared primitive behind distributed_cumsum / distributed_rank / "
+        "distributed_ntile that REPLACES the single-partition window."
+    ),
+    ("packing.py", "distributed_lead"): (
+        "collects K per-shard first values (K = shard count) for the "
+        "boundary patch; same contract as _distributed_cumsum_with_total."
+    ),
+    ("ml.py", "train_bpe_merges"): (
+        "per-merge argmax collect is ONE row per merge step (limit(1) "
+        "in-plan); merges = vocab size, a config constant independent of "
+        "corpus size."
+    ),
+    ("ml.py", "logistic_irls"): (
+        "per-IRLS-iteration collect is the (p+1)^2 gram/gradient "
+        "sufficient statistic (p = feature count, a model constant); the "
+        "data-proportional pass is the distributed outer-product "
+        "aggregate."
+    ),
+    ("ml.py", "embedding_scatter"): (
+        "collects the d*d scatter matrix + d-vector mean (d = embedding "
+        "dim, a model constant) for the driver-side eigendecomposition; "
+        "the corpus pass is one distributed aggregate."
+    ),
+    ("clustering.py", "kmeans_fit"): (
+        "collects k*d centroids per iteration (k, d model constants); "
+        "assignment/update passes stay distributed."
+    ),
+    ("clustering.py", "inertia"): (
+        "collects a single global (keyless) aggregate row — the "
+        "convergence metric."
+    ),
+    ("similarity.py", "brute_force_topk_arrow"): (
+        "collects the QUERY-side vectors under the operator's documented "
+        "small-side contract (they broadcast into the per-partition BLAS "
+        "matmul); unbounded query sets go through lsh_topk/ivf_topk."
+    ),
+    ("similarity.py", "ivf_topk"): (
+        "collects n_centroids seed vectors (a config constant) for the "
+        "broadcast IVF codebook; assignment and search stay distributed."
+    ),
 }
 
 
@@ -243,10 +299,74 @@ def lint_plan(plan: str) -> list[tuple[str, str]]:
     return findings
 
 
+import contextlib
+
+
+@contextlib.contextmanager
+def trace_collects():
+    """Patch DataFrame.collect/toPandas to record construction-time
+    driver-side materializations (rule S4), attributed to the innermost
+    repo frame so operator-internal collects resolve to their operator.
+
+    PySpark 4.x note: sessions hand out `pyspark.sql.classic.dataframe.
+    DataFrame`, whose OWN collect/toPandas overrides shadow the abstract
+    base (`pyspark.sql.DataFrame`) — so every class in the hierarchy that
+    defines the method in its __dict__ must be patched, not just the
+    base."""
+    import inspect
+
+    klasses = []
+    from pyspark.sql import DataFrame as _Base
+
+    klasses.append(_Base)
+    try:
+        from pyspark.sql.classic.dataframe import DataFrame as _Classic
+
+        klasses.append(_Classic)
+    except ImportError:  # pre-4.x layout
+        pass
+
+    findings: list[tuple[str, str]] = []
+
+    def _make(orig, label):
+        def wrapper(self, *a, **k):
+            site = None
+            allowed = False
+            for fr in inspect.stack()[1:]:
+                if "local_data_pipeline_spark" not in fr.filename:
+                    continue
+                key = (os.path.basename(fr.filename), fr.function)
+                if site is None:
+                    site = f"{key[0]}:{fr.lineno} in {key[1]}"
+                if key in S4_ALLOWLIST:
+                    allowed = True
+                    break
+            if site is not None and not allowed:
+                findings.append(
+                    ("S4", f"construction-time {label} at {site}")
+                )
+            return orig(self, *a, **k)
+
+        return wrapper
+
+    saved: list[tuple[type, str, object]] = []
+    for klass in klasses:
+        for name in ("collect", "toPandas"):
+            orig = klass.__dict__.get(name)
+            if orig is None:  # inherited — the defining class is patched
+                continue
+            saved.append((klass, name, orig))
+            setattr(klass, name, _make(orig, name))
+    try:
+        yield findings
+    finally:
+        for klass, name, orig in saved:
+            setattr(klass, name, orig)
+
+
 def lint_queries(names: list[str] | None = None) -> dict[str, list[tuple[str, str]]]:
     """Build + lint every (selected) query; returns only non-allowlisted
     findings, keyed by query name."""
-    import contextlib
     import io
 
     from local_data_pipeline_spark.queries import QUERIES
@@ -256,13 +376,14 @@ def lint_queries(names: list[str] | None = None) -> dict[str, list[tuple[str, st
     todo = names or list(QUERIES)
     bad: dict[str, list[tuple[str, str]]] = {}
     for name in todo:
-        df = QUERIES[name].fn(spark, SF_DIR)
+        with trace_collects() as s4_findings:
+            df = QUERIES[name].fn(spark, SF_DIR)
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         findings = [
             f
-            for f in lint_plan(buf.getvalue())
+            for f in lint_plan(buf.getvalue()) + s4_findings
             if (name, f[0]) not in ALLOWLIST
         ]
         if findings:
