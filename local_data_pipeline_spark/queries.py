@@ -1854,6 +1854,62 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
+@q("pq_encode_embeddings", None, tags=("similarity", "approx", "compression"))
+def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product quantization (Jégou et al., TPAMI 2011): train an m=8,
+    k=16 codebook on the corpus (deterministic smallest-id init, exact
+    decimal centroid sums), then encode every vector to 8 codes + its
+    reconstruction MSE — the 100 TB embedding-store compression (128x
+    for float64). One training frame drives all 8 subspace k-means at
+    once; encoding is a shuffle-free mapInPandas pass. Deterministic but
+    not SQL-expressible (iterative training) → rows-only; numpy parity
+    and planted-codebook exactness are pytest-pinned."""
+    from .operators.pq import pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    cb = pq_train(emb, m=8, k=16, n_iters=3)
+    return pq_encode(emb, cb).orderBy("vec_id")
+
+
+@q("pq_adc_recall_eval", None, tags=("similarity", "approx", "eval"))
+def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC top-10 recall against exact brute-force L2 truth, per query —
+    the measured-not-asserted accuracy contract every approximate
+    operator here carries (cf. ann_recall_eval for LSH/IVF). Queries are
+    the deterministic vec_id %% 97 == 0 sample; the eval reports recall
+    per query. Synthetic uniform vectors are the HARDEST case for PQ (no
+    cluster structure to exploit), so the pytest floor lives on planted
+    clustered vectors instead (≥90%% own-cluster containment; exact
+    equality when the codebook is lossless)."""
+    from .operators.pq import adc_topk, exact_l2_topk, pq_encode, pq_train
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    cb = pq_train(emb, m=8, k=16, n_iters=3)
+    codes = pq_encode(emb, cb).localCheckpoint(eager=False)
+    approx = adc_topk(qs, codes, cb, k=10)
+
+    # exact L2 truth via the same small-side-broadcast contract
+    exact = exact_l2_topk(qs, emb, k=10)
+    hits = approx.select("query_id", "neighbor_id").join(
+        exact.select("query_id", "neighbor_id"), ["query_id", "neighbor_id"]
+    )
+    hit_counts = hits.groupBy("query_id").agg(F.count("*").alias("n_hits"))
+    # left join from the query roster: a query whose ADC list shares
+    # nothing with the truth must report recall 0, not vanish
+    per_q = (
+        qs.select(F.col("vec_id").alias("query_id"))
+        .join(hit_counts, "query_id", "left")
+        .select(
+            "query_id",
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(10.0)).alias(
+                "recall_at_10"
+            ),
+        )
+    )
+    return per_q.orderBy("query_id")
+
+
 # =====================================================================
 # Classic TPC-H query shapes (Q6-Q19, adapted to the driver's schemas:
 # no partsupp table, no comment/shipmode/container columns — filters
@@ -12857,6 +12913,238 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0))
         .cast("bigint")
         .alias("waste_ppm"),
+    )
+
+
+# =====================================================================
+# Round-10 additions: Gopher quality rules, exact-integer weighted
+# sampling, sparse-cosine retrieval
+# =====================================================================
+
+@q(
+    "gopher_quality_rules_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, lang, source,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    m AS (
+      SELECT doc_id, lang, source,
+             len(t) AS n_words,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE (list_sum(list_transform(t, x -> len(x))) * 1000) // len(t)
+             END AS mean_word_len_milli,
+             CASE WHEN len(t) = 0 THEN 0
+                  ELSE (len(list_filter(t, x -> regexp_matches(x, '[a-z]'))) * 1000) // len(t)
+             END AS frac_alpha_milli,
+             len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','that'], x))) AS stop_hits
+      FROM toks)
+    SELECT doc_id, lang, source, n_words, mean_word_len_milli,
+           frac_alpha_milli, stop_hits,
+           (n_words BETWEEN 5 AND 100000) AS words_ok,
+           (mean_word_len_milli BETWEEN 1000 AND 10000) AS mean_len_ok,
+           (frac_alpha_milli >= 800) AS alpha_ok,
+           (stop_hits >= 1) AS stop_ok,
+           ((n_words BETWEEN 5 AND 100000)
+            AND (mean_word_len_milli BETWEEN 1000 AND 10000)
+            AND (frac_alpha_milli >= 800)
+            AND (stop_hits >= 1)) AS passes_gopher
+    FROM m
+    """,
+    tags=("text", "quality", "curation"),
+)
+def gopher_quality_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality rules (Rae et al., "Scaling Language
+    Models: ... Gopher", arXiv:2112.11446 §A1.1 — public paper): word
+    count bounds, mean word length window, alphabetic-word fraction,
+    stopword presence — each as a flag plus the combined pass verdict.
+    All metrics are EXACT-INTEGER (milli-units via integer division of
+    non-negative sums, the zipf_slope lesson), so the flags are
+    bit-identical on any engine at any scale. Pure Catalyst higher-order
+    functions — one scan, no shuffle, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks).cast("bigint")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    )
+    n_alpha = F.size(F.filter(toks, lambda x: x.rlike("[a-z]"))).cast("bigint")
+    stop_arr = F.array(
+        *[F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is", "that")]
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("bigint")
+    zero = F.lit(0).cast("bigint")
+    mean_milli = F.when(F.col("__n_words") == 0, zero).otherwise(
+        F.expr("(__sum_len * 1000) div __n_words")
+    )
+    alpha_milli = F.when(F.col("__n_words") == 0, zero).otherwise(
+        F.expr("(__n_alpha * 1000) div __n_words")
+    )
+    m = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        n_words.alias("__n_words"),
+        sum_len.alias("__sum_len"),
+        n_alpha.alias("__n_alpha"),
+        stop_hits.alias("stop_hits"),
+    ).select(
+        "doc_id",
+        "lang",
+        "source",
+        F.col("__n_words").alias("n_words"),
+        mean_milli.alias("mean_word_len_milli"),
+        alpha_milli.alias("frac_alpha_milli"),
+        "stop_hits",
+    )
+    words_ok = F.col("n_words").between(5, 100000)
+    mean_ok = F.col("mean_word_len_milli").between(1000, 10000)
+    alpha_ok = F.col("frac_alpha_milli") >= 800
+    stop_ok = F.col("stop_hits") >= 1
+    return m.select(
+        "*",
+        words_ok.alias("words_ok"),
+        mean_ok.alias("mean_len_ok"),
+        alpha_ok.alias("alpha_ok"),
+        stop_ok.alias("stop_ok"),
+        (words_ok & mean_ok & alpha_ok & stop_ok).alias("passes_gopher"),
+    )
+
+
+@q(
+    "weighted_sample_documents",
+    """
+    WITH pri AS (
+      SELECT doc_id, source, n_chars,
+             ((('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT + 1)
+              * 1000000) // greatest(n_chars, 1) AS priority
+      FROM documents),
+    ranked AS (
+      SELECT doc_id, source, n_chars, priority,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY priority ASC, doc_id ASC) AS rn
+      FROM pri)
+    SELECT doc_id, source, n_chars, priority FROM ranked WHERE rn <= 25
+    """,
+    tags=("sampling", "curation"),
+)
+def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement, 25 docs per source, by
+    sequential Poisson sampling (Ohlsson 1998, the estimator behind
+    PPS samples in official statistics): priority = u/w with u a
+    deterministic md5-derived uniform and w = n_chars; the lowest-k
+    priorities are the sample, so longer documents are proportionally
+    likelier. The priority is computed in EXACT int64 arithmetic —
+    u32 * 1e6 div w, max product 4.3e15 < 2^53 so NO double detour on
+    either engine (a DECIMAL // in DuckDB routes through double and
+    loses ulps past 2^53 — measured on this very query); both engines
+    rank the identical total order at any scale — the engine-exact
+    alternative to the classic ln(u)/w exponential keys. One partitioned
+    window per source; no global funnel."""
+    d = _t(spark, sf_dir, "documents")
+    u32 = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        + 1
+    )
+    pri = d.select("doc_id", "source", "n_chars", u32.alias("__u")).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.expr("(__u * 1000000) div greatest(n_chars, 1)").alias("priority"),
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("priority"), F.asc("doc_id"))
+    return (
+        pri.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 25)
+        .select("doc_id", "source", "n_chars", "priority")
+    )
+
+
+@q(
+    "sparse_cosine_topk_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM flat GROUP BY doc_id, token),
+    norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
+    anchors AS (SELECT doc_id AS a_id, token, tf AS a_tf FROM tf WHERE doc_id % 97 = 0),
+    dots AS (
+      SELECT a.a_id, b.doc_id AS b_id, sum(a.a_tf * b.tf) AS dot
+      FROM anchors a JOIN tf b ON b.token = a.token AND b.doc_id <> a.a_id
+      GROUP BY a.a_id, b.doc_id),
+    scored AS (
+      SELECT d.a_id, d.b_id,
+             round(d.dot / (na.nrm * nb.nrm), 6) AS cos_sim
+      FROM dots d
+      JOIN norms na ON na.doc_id = d.a_id
+      JOIN norms nb ON nb.doc_id = d.b_id),
+    ranked AS (
+      SELECT a_id, b_id, cos_sim,
+             row_number() OVER (PARTITION BY a_id
+                                ORDER BY cos_sim DESC, b_id ASC) AS rn
+      FROM scored)
+    SELECT a_id, b_id, cos_sim, rn FROM ranked WHERE rn <= 5
+    """,
+    tags=("text", "similarity", "retrieval"),
+)
+def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact sparse-vector (term-frequency) cosine top-5 per anchor doc —
+    the bag-of-words twin of the dense cosine_topk: dot products via the
+    shared-token postings join (only token-coincident pairs are ever
+    scored), norms from one tf aggregate. The anchor set is the
+    deterministic doc_id %% 97 sample, so candidate volume is
+    |anchors| x corpus — LINEAR in corpus size; full all-pairs mining is
+    the MinHash/LSH path (minhash_near_dups). Integer tf dots are exact;
+    norms are IEEE-exact sqrt of integers; ranking happens on the
+    round(6) value with a doc tie-break (both engines order the rounded
+    score — the hybrid_rrf lesson)."""
+    d = _t(spark, sf_dir, "documents")
+    flat = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
+    tf = flat.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    tf = tf.localCheckpoint(eager=False)  # shared by anchors/corpus/norms
+    norms = tf.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
+    )
+    anchors = tf.filter(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("a_id"), "token", F.col("tf").alias("a_tf")
+    )
+    dots = (
+        anchors.join(
+            tf.select(F.col("doc_id").alias("b_id"), "token", "tf"), "token"
+        )
+        .filter(F.col("b_id") != F.col("a_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("a_tf") * F.col("tf")).alias("dot"))
+    )
+    scored = (
+        dots.join(
+            F.broadcast(norms.select(F.col("doc_id").alias("a_id"),
+                                     F.col("nrm").alias("na"))),
+            "a_id",
+        )
+        .join(norms.select(F.col("doc_id").alias("b_id"),
+                           F.col("nrm").alias("nb")), "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6).alias(
+                "cos_sim"
+            ),
+        )
+    )
+    w = Window.partitionBy("a_id").orderBy(F.desc("cos_sim"), F.asc("b_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("a_id", "b_id", "cos_sim", "rn")
     )
 
 

@@ -16,6 +16,10 @@ Usage:
     python tools/gen_scaled_data.py 10 /tmp/sf1      # once per boot
     python tools/gen_sf1_gate.py                     # writes SF1_GATE.md
     python tools/gen_sf1_gate.py --sf-dir /tmp/sf1 --out SF1_GATE.md
+    python tools/gen_sf1_gate.py --only new_query_a new_query_b
+        # incremental: runs just those queries and MERGES their rows
+        # into the existing roster (for queries added mid-round, so a
+        # full 40-60 min re-sweep isn't needed twice per round)
 """
 
 from __future__ import annotations
@@ -59,6 +63,9 @@ def main() -> int:
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "SF1_GATE.md"))
+    ap.add_argument("--only", nargs="*", default=None,
+                    help="run just these queries and merge into the "
+                         "existing roster")
     args = ap.parse_args()
 
     if not os.path.exists(os.path.join(args.sf_dir, "lineitem.parquet")):
@@ -85,9 +92,18 @@ def main() -> int:
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
+    todo = qs if args.only is None else {
+        n: qs[n] for n in args.only if n in qs
+    }
+    if args.only is not None:
+        missing = [n for n in args.only if n not in qs]
+        if missing:
+            print(f"unknown queries: {missing}", file=sys.stderr)
+            return 2
+
     rows: list[tuple[str, str, float, str]] = []  # name, status, sec, note
     n = {"PASS": 0, "ROWS": 0, "FAIL": 0, "EXCLUDED": 0}
-    for name, fn in qs.items():
+    for name, fn in todo.items():
         if name in EXCLUDED:
             rows.append((name, "EXCLUDED", 0.0, EXCLUDED[name]))
             n["EXCLUDED"] += 1
@@ -127,6 +143,28 @@ def main() -> int:
                      msg if ok else msg.replace("\n", " ")[:160]))
         n["PASS" if ok else "FAIL"] += 1
         print(f"{'PASS' if ok else 'FAIL'}  {name} [{dt:.1f}s]")
+
+    if args.only is not None and os.path.exists(args.out):
+        # merge into the existing roster: parse its table rows, overlay
+        # the fresh results, and emit in current catalog order
+        import re
+
+        existing: dict[str, tuple[str, str, float, str]] = {}
+        for line in open(args.out):
+            m = re.match(
+                r"\| (\S+) \| (PASS|ROWS|FAIL|EXCLUDED) \| ([\d.]+) \| (.*) \|$",
+                line.strip(),
+            )
+            if m:
+                existing[m.group(1)] = (
+                    m.group(1), m.group(2), float(m.group(3)), m.group(4)
+                )
+        for r in rows:
+            existing[r[0]] = r
+        rows = [existing[name] for name in qs if name in existing]
+        n = {"PASS": 0, "ROWS": 0, "FAIL": 0, "EXCLUDED": 0}
+        for _, status, _, _ in rows:
+            n[status] += 1
 
     total = len(rows)
     with open(args.out, "w") as fh:

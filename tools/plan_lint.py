@@ -140,6 +140,20 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "collects n_centroids seed vectors (a config constant) for the "
         "broadcast IVF codebook; assignment and search stay distributed."
     ),
+    ("pq.py", "pq_train"): (
+        "collects k init vectors and, per Lloyd iteration, the "
+        "m*k*(d/m) codebook sufficient statistic (all model constants); "
+        "the corpus passes stay distributed."
+    ),
+    ("pq.py", "exact_l2_topk"): (
+        "collects the QUERY-side vectors (small-side contract, same as "
+        "brute_force_topk_arrow) to build the recall ground truth."
+    ),
+    ("pq.py", "adc_topk"): (
+        "collects the QUERY-side vectors to build the broadcast ADC "
+        "lookup tables (small-side contract, same as "
+        "brute_force_topk_arrow); the codes corpus streams."
+    ),
 }
 
 
