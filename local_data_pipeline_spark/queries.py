@@ -13148,6 +13148,142 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("ridge_length_model_documents", None, tags=("ml", "regression"))
+def ridge_length_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ridge regression (normal equations) predicting document length
+    from cheap text features — token count, mean word length, stopword
+    hits — via operators/ml.ridge_fit: ONE Arrow pass reduces each
+    partition to the (p+1)² XᵀX / Xᵀy sufficient statistics, the driver
+    solves the 4x4 system (λ=1, intercept unpenalized). The linear
+    sibling of the IRLS quality classifier, and the shape any learned
+    corpus-heuristic calibration takes at 100 TB: data crosses the wire
+    once, as p² doubles per partition. Rows-only (driver-side solve);
+    tests pin parity with the single-node normal-equations reference."""
+    from .operators import ml as ML
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    stop_arr = F.array(
+        *[F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is", "that")]
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double")
+    feats = d.select(
+        n_words.alias("n_words"),
+        F.when(n_words > 0, sum_len / n_words).otherwise(0.0).alias("mean_wlen"),
+        stop_hits.alias("stop_hits"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    beta = ML.ridge_fit(
+        feats, ["n_words", "mean_wlen", "stop_hits"], "n_chars", lam=1.0
+    )
+    names = ["intercept", "n_words", "mean_wlen", "stop_hits"]
+    rows = [(n, round(float(b), 6)) for n, b in zip(names, beta)]
+    return spark.createDataFrame(rows, "feature string, coef double")
+
+
+def _hits_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of graph.hits (fixed iterations, exact
+    decimal sums, sum-normalization broadcast as a cross join) over the
+    1996 customer→part bipartite graph, emitting top-20 per side."""
+    ctes = [
+        """edges AS (
+      SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
+        AND o.o_orderdate <  timestamp '1997-01-01 00:00:00')""",
+        """hub0 AS (
+      SELECT node, 1.0 / t AS score
+      FROM (SELECT DISTINCT src AS node FROM edges)
+      CROSS JOIN (SELECT count(*) AS t FROM (SELECT DISTINCT src FROM edges)))""",
+    ]
+    prev_h = "hub0"
+    for i in range(1, iterations + 1):
+        ctes += [
+            f"""a{i}_raw AS (
+      SELECT e.dst AS node, {dsum_sql('h.score', 18)} AS s
+      FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst)""",
+            f"""a{i}_tot AS (SELECT {dsum_sql('s', 18)} AS t FROM a{i}_raw)""",
+            f"""auth{i} AS (
+      SELECT node, s / t AS score FROM a{i}_raw CROSS JOIN a{i}_tot)""",
+            f"""h{i}_raw AS (
+      SELECT e.src AS node, {dsum_sql('a.score', 18)} AS s
+      FROM edges e JOIN auth{i} a ON a.node = e.dst GROUP BY e.src)""",
+            f"""h{i}_tot AS (SELECT {dsum_sql('s', 18)} AS t FROM h{i}_raw)""",
+            f"""hub{i} AS (
+      SELECT node, s / t AS score FROM h{i}_raw CROSS JOIN h{i}_tot)""",
+        ]
+        prev_h = f"hub{i}"
+    n = iterations
+    ctes.append(
+        f"""scored AS (
+      SELECT 'hub' AS side, node, round(score, 6) AS score FROM hub{n}
+      UNION ALL
+      SELECT 'auth' AS side, node, round(score, 6) AS score FROM auth{n})"""
+    )
+    ctes.append(
+        """ranked AS (
+      SELECT side, node, score,
+             row_number() OVER (PARTITION BY side
+                                ORDER BY score DESC, node ASC) AS rnk
+      FROM scored)"""
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + "\n    SELECT side, node, score, rnk FROM ranked WHERE rnk <= 20"
+    )
+
+
+@q(
+    "hits_customer_parts",
+    _hits_oracle_sql(4),
+    tags=("graph", "iterative"),
+)
+def hits_customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over the 1996
+    customer→part purchase graph: hub customers buy the authoritative
+    parts and vice versa — 4 fixed iterations of exact-decimal
+    sum-normalized updates (operators/graph.py hits), top-20 per side.
+    The ONLY iterative graph operator here with a full value-hash SQL
+    oracle: the DuckDB twin is the identical recurrence unrolled into
+    CTEs (generated by _hits_oracle_sql), possible because every
+    iteration is rational arithmetic over exact decimal sums — no sqrt,
+    no driver collect, both normalizer totals broadcast in-plan.
+    Ranking is on the round(6) score with a node tie-break on both
+    engines (the hybrid_rrf lesson)."""
+    from .operators.graph import hits
+
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    edges = (
+        o.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        .join(li, li["l_orderkey"] == o["o_orderkey"])
+        .select(F.col("o_custkey").alias("src"), F.col("l_partkey").alias("dst"))
+    )
+    h, a = hits(edges, iterations=4)
+    scored = h.select(
+        F.lit("hub").alias("side"), "node", F.round("score", 6).alias("score")
+    ).unionAll(
+        a.select(
+            F.lit("auth").alias("side"), "node", F.round("score", 6).alias("score")
+        )
+    )
+    w = Window.partitionBy("side").orderBy(F.desc("score"), F.asc("node"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 20)
+        .select("side", "node", "score", "rnk")
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -31,6 +31,7 @@ from collections.abc import Iterator
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceStreamWriter,
     DataSourceWriter,
     InputPartition,
     SimpleDataSourceStreamReader,
@@ -205,12 +206,82 @@ class JsonlSinkWriter(DataSourceWriter):
                     pass
 
 
+class JsonlStreamSinkWriter(DataSourceStreamWriter):
+    """STREAMING write half (SPARK-45269, ``df.writeStream.format(
+    "jsonl_sink")``): per micro-batch, each task writes one part file;
+    the driver's per-batch ``commit`` appends an idempotent entry to a
+    ``_LOG`` jsonl keyed by ``batchId`` — a replayed batch (Structured
+    Streaming's at-least-once commit retry) is detected by its id and
+    its files are dropped instead of double-counted, giving readers
+    exactly-once visibility via the log. ``abort`` removes this
+    attempt's files. Readers must consume via ``_LOG``, never by glob
+    (speculative attempts can leave orphans until the next commit)."""
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_sink requires option 'path'")
+
+    def write(self, iterator) -> "_JsonlCommit":
+        import json
+        import os
+        import uuid
+
+        os.makedirs(self.path, exist_ok=True)
+        fname = os.path.join(self.path, f"part-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(fname, "w") as fh:
+            for row in iterator:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _JsonlCommit(fname, n)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import os
+
+        log = os.path.join(self.path, "_LOG")
+        seen = set()
+        if os.path.exists(log):
+            with open(log) as fh:
+                seen = {json.loads(line)["batch"] for line in fh if line.strip()}
+        files = [{"path": m.path, "rows": m.rows} for m in messages if m]
+        if batchId in seen:
+            # replayed commit: the batch is already visible — drop the
+            # duplicate files rather than double-count
+            for f in files:
+                try:
+                    os.remove(f["path"])
+                except OSError:
+                    pass
+            return
+        entry = {
+            "batch": batchId,
+            "files": files,
+            "rows": sum(f["rows"] for f in files),
+        }
+        with open(log, "a") as fh:
+            fh.write(json.dumps(entry) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        import os
+
+        for m in messages:
+            if m is not None:
+                try:
+                    os.remove(m.path)
+                except OSError:
+                    pass
+
+
 class JsonlSinkDataSource(DataSource):
     """Python DataSource WRITER (the write half of SPARK-44076):
     ``df.write.format("jsonl_sink").option("path", d).mode("append")``
-    — completes the Python DSv2 surface next to the batch and streaming
-    READERS above. Local filesystem here; at scale the same class wraps
-    an object-store client, one upload per task."""
+    plus the STREAMING writer (``df.writeStream.format("jsonl_sink")``)
+    — completing the full Python DSv2 matrix next to the batch and
+    streaming READERS above (batch read / stream read / batch write /
+    stream write). Local filesystem here; at scale the same classes
+    wrap an object-store client, one upload per task."""
 
     @classmethod
     def name(cls) -> str:
@@ -221,6 +292,9 @@ class JsonlSinkDataSource(DataSource):
 
     def writer(self, schema, overwrite: bool) -> DataSourceWriter:
         return JsonlSinkWriter(self.options, overwrite)
+
+    def streamWriter(self, schema, overwrite: bool) -> DataSourceStreamWriter:
+        return JsonlStreamSinkWriter(self.options)
 
 
 def register(spark) -> None:

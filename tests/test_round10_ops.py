@@ -216,6 +216,26 @@ def test_weighted_sample_priority_is_exact_and_weight_monotone(spark):
     assert (u * 1_000_000) // 100 > (u * 1_000_000) // 1000
 
 
+def test_ridge_fit_matches_local_reference(spark):
+    """Distributed normal-equations ridge == single-node reference on
+    the same features (and the fit is sane: n_chars grows with tokens)."""
+    from local_data_pipeline_spark.operators.ml import ridge_fit, ridge_fit_local
+
+    d = load_table(spark, SF, "documents")
+    feats = d.select(
+        F.size(F.split(F.trim(F.lower("text")), r"\s+")).cast("double").alias("nw"),
+        F.length("text").cast("double").alias("nc"),
+    ).withColumn("label", F.col("nc"))
+    beta = ridge_fit(feats, ["nw"], "label", lam=1.0)
+
+    rows = feats.select("nw", "label").collect()
+    x = np.array([[r.nw] for r in rows])
+    y = np.array([r.label for r in rows])
+    want = ridge_fit_local(x, y, lam=1.0)
+    assert np.allclose(beta, want, rtol=1e-8)
+    assert beta[1] > 0  # more words -> more chars
+
+
 def test_adc_matches_exact_when_codebook_is_lossless(spark):
     """With one code per distinct sub-vector (k >= distinct sub-vectors),
     quantization is lossless and ADC == exact L2 ranking exactly."""

@@ -407,6 +407,80 @@ def test_python_datasource_writer_jsonl_sink(spark, tmp_path):
     assert sum(m["rows"] for m in manifest["files"]) == 100
 
 
+def test_python_datasource_stream_writer_jsonl_sink(spark, tmp_path):
+    """The STREAMING write half of the Python DSv2 matrix: swell_synth
+    stream (one micro-batch per ingest day) drains via AvailableNow into
+    the jsonl_sink streamWriter; the _LOG commit journal holds one entry
+    per batch whose rowcounts sum to the corpus; a checkpointed restart
+    with no new data appends nothing (exactly-once via batch-id
+    dedupe)."""
+    import glob
+    import json as _json
+
+    from local_data_pipeline_spark.sources.pyds import register
+
+    register(spark)
+    d = str(tmp_path / "stream_sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        q = (
+            spark.readStream.format("swell_synth")
+            .option("n_ingest_days", 3)
+            .load()
+            .writeStream.format("jsonl_sink")
+            .option("path", d)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # the simple stream reader advances one ingest day per AvailableNow
+    # run (same cadence the swell-to-parquet test pins) — drain thrice
+    for _ in range(3):
+        drain()
+    log = [
+        _json.loads(line) for line in open(d + "/_LOG") if line.strip()
+    ]
+    batches = [e["batch"] for e in log]
+    assert batches == sorted(set(batches))  # one entry per batch, ordered
+    total = sum(e["rows"] for e in log)
+    assert total == 9  # 3 days x 3 locations
+    logged_files = [f["path"] for e in log for f in e["files"]]
+    rows = [
+        _json.loads(line) for f in logged_files for line in open(f)
+    ]
+    assert len(rows) == 9
+    assert {r["location"] for r in rows} == {
+        "mavericks", "oceanside", "trestles"
+    }
+
+    # restart on the same checkpoint: stream is drained, nothing appends
+    drain()
+    log2 = [
+        _json.loads(line) for line in open(d + "/_LOG") if line.strip()
+    ]
+    assert sum(e["rows"] for e in log2) == 9
+
+    # replayed-batch idempotence: re-commit batch 0's id with fake files
+    from local_data_pipeline_spark.sources.pyds import (
+        JsonlStreamSinkWriter,
+        _JsonlCommit,
+    )
+
+    dup = d + "/part-replayed.jsonl"
+    open(dup, "w").write('{"x": 1}\n')
+    JsonlStreamSinkWriter({"path": d}).commit(
+        [_JsonlCommit(dup, 1)], batchId=log[0]["batch"]
+    )
+    log3 = [
+        _json.loads(line) for line in open(d + "/_LOG") if line.strip()
+    ]
+    assert sum(e["rows"] for e in log3) == 9  # no double-count
+    assert not glob.glob(dup)  # duplicate files removed
+
+
 def test_jsonl_sink_overwrite_append_and_orphan_sweep(spark, tmp_path):
     """Round-5 ADVICE fix: overwrite clears prior part files (no stale
     corpus under a fresh manifest); append MERGES the manifest so it stays

@@ -112,6 +112,11 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "in-plan); merges = vocab size, a config constant independent of "
         "corpus size."
     ),
+    ("ml.py", "ridge_fit"): (
+        "collects the (p+1)^2 normal-equation sufficient statistic "
+        "(p = feature count, a model constant) from ONE corpus pass; "
+        "the driver solves a p x p system."
+    ),
     ("ml.py", "logistic_irls"): (
         "per-IRLS-iteration collect is the (p+1)^2 gram/gradient "
         "sufficient statistic (p = feature count, a model constant); the "
