@@ -346,6 +346,131 @@ def ivf_topk(
     return _rank_topk(scored, k)
 
 
+def ivf_write_bucketed(
+    corpus: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> "list[list[float]]":
+    """Persist the corpus as an IVF index laid out for PARTITION-PRUNED
+    search: vectors are assigned to their nearest coarse centroid (the
+    same deterministic quantizer as :func:`ivf_topk`) and written as
+    parquet PARTITIONED BY cell, with the centroid codebook in a
+    ``_CENTROIDS.json`` sidecar. At 100 TB this is the difference
+    between an index and a scan: a search that probes 2 of 1024 cells
+    reads ~0.2% of the files, enforced by the storage layout itself —
+    no runtime shuffle, no re-assignment, partition pruning visible in
+    the scan's PartitionFilters. Returns the centroid matrix."""
+    import json
+    import os
+
+    import numpy as np
+
+    cent_rows = (
+        corpus.select(id_col, vec_col)
+        .orderBy(F.xxhash64(F.col(id_col)))
+        .limit(n_centroids)
+        .collect()
+    )
+    c_mat = np.array([r[1] for r in cent_rows], dtype=np.float64)
+    c_mat /= np.linalg.norm(c_mat, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bcent = sc.broadcast(c_mat)
+
+    def assign(batches):
+        import pandas as pd
+
+        cm = bcent.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            m = np.array(list(pdf[vec_col]), dtype=np.float64)
+            m_n = m / np.linalg.norm(m, axis=1, keepdims=True)
+            cells = np.argsort(-(m_n @ cm.T), axis=1, kind="stable")[:, 0]
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    vec_col: pdf[vec_col],
+                    "cell": cells.astype("int32"),
+                }
+            )
+
+    assigned = corpus.select(id_col, vec_col).mapInPandas(
+        assign, f"{id_col} long, {vec_col} array<float>, cell int"
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    with open(os.path.join(path, "_CENTROIDS.json"), "w") as fh:
+        json.dump(c_mat.tolist(), fh)
+    return c_mat.tolist()
+
+
+def ivf_search_bucketed(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 5,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_self: bool = True,
+) -> DataFrame:
+    """Search an :func:`ivf_write_bucketed` index: per query, the
+    ``n_probe`` nearest centroids from the sidecar codebook; the scan
+    carries ``cell IN (probed)`` so parquet PARTITION PRUNING skips every
+    unprobed cell directory (plan-pinned in tests) — the corpus is never
+    re-assigned or shuffled. Exact cosine within probed cells, same
+    ranking contract as ivf_topk."""
+    import json
+    import os
+
+    import numpy as np
+
+    with open(os.path.join(path, "_CENTROIDS.json")) as fh:
+        c_mat = np.array(json.load(fh), dtype=np.float64)
+    q_rows = queries.select(id_col, vec_col).collect()
+    probes: dict[int, list[int]] = {}
+    for r in q_rows:
+        v = np.array(r[1], dtype=np.float64)
+        v = v / np.linalg.norm(v)
+        cells = np.argsort(-(c_mat @ v), kind="stable")[:n_probe]
+        probes[r[0]] = [int(c) for c in cells]
+    probe_pairs = [
+        (qid, cell) for qid, cells in probes.items() for cell in cells
+    ]
+    probed_cells = sorted({c for _, c in probe_pairs})
+
+    corpus = spark.read.parquet(path).filter(F.col("cell").isin(probed_cells))
+    qdf = queries.sparkSession.createDataFrame(
+        probe_pairs, "query_id long, cell int"
+    ).join(
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            l2_norm(F.col(vec_col)).alias("q_norm"),
+        ),
+        "query_id",
+    )
+    cc = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+        "cell",
+    )
+    joined = cc.join(F.broadcast(qdf), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
+    ).distinct()
+    return _rank_topk(scored, k)
+
+
 def embedding_near_dups_arrow(
     df: DataFrame,
     threshold: float = 0.95,

@@ -216,6 +216,58 @@ def test_weighted_sample_priority_is_exact_and_weight_monotone(spark):
     assert (u * 1_000_000) // 100 > (u * 1_000_000) // 1000
 
 
+def test_ivf_bucketed_index_prunes_partitions_and_matches_ivf_topk(
+    spark, tmp_path
+):
+    """The persisted IVF layout: searching a cell-partitioned index
+    (1) partition-prunes the scan to the probed cells — visible as a
+    cell PartitionFilter and a pruned selected-partition count — and
+    (2) returns exactly what the in-memory ivf_topk computes with the
+    same quantizer/probes."""
+    from local_data_pipeline_spark.operators.similarity import (
+        ivf_search_bucketed,
+        ivf_topk,
+        ivf_write_bucketed,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 10)
+    path = str(tmp_path / "ivf_idx")
+    ivf_write_bucketed(emb, path, n_centroids=16)
+
+    got = ivf_search_bucketed(spark, path, qs, k=5, n_probe=2)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), plan[:500]
+
+    want = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=2).collect()
+    }
+    res = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cos_sim)
+        for r in got.collect()
+    }
+    assert res == want
+
+    # pruning is real: the filtered scan actually READS only the probed
+    # cell directories (input_file_name over the executed scan — the
+    # static inputFiles() listing ignores filters)
+    def files_read(df):
+        return {
+            r[0] for r in df.select(F.input_file_name()).distinct().collect()
+        }
+
+    full = files_read(spark.read.parquet(path))
+    probed = files_read(
+        spark.read.parquet(path).filter(F.col("cell").isin([0, 1]))
+    )
+    assert probed and len(probed) < len(full)
+    assert all("cell=0/" in f or "cell=1/" in f for f in probed)
+
+
 def test_ridge_fit_matches_local_reference(spark):
     """Distributed normal-equations ridge == single-node reference on
     the same features (and the fit is sane: n_chars grows with tokens)."""

@@ -145,6 +145,16 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "collects n_centroids seed vectors (a config constant) for the "
         "broadcast IVF codebook; assignment and search stay distributed."
     ),
+    ("similarity.py", "ivf_write_bucketed"): (
+        "collects n_centroids seed vectors (a config constant) for the "
+        "persisted codebook sidecar; assignment and the partitioned "
+        "write stay distributed."
+    ),
+    ("similarity.py", "ivf_search_bucketed"): (
+        "collects the QUERY-side vectors (small-side contract) to pick "
+        "probed cells; the corpus scan is partition-pruned to those "
+        "cells."
+    ),
     ("pq.py", "pq_train"): (
         "collects k init vectors and, per Lloyd iteration, the "
         "m*k*(d/m) codebook sufficient statistic (all model constants); "
