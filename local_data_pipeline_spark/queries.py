@@ -13015,7 +13015,7 @@ def gopher_quality_rules_documents(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @q(
-    "weighted_sample_documents",
+    "weighted_sample_per_source",
     """
     WITH pri AS (
       SELECT doc_id, source, n_chars,
@@ -13031,8 +13031,10 @@ def gopher_quality_rules_documents(spark: SparkSession, sf_dir: str) -> DataFram
     """,
     tags=("sampling", "curation"),
 )
-def weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Weighted sampling without replacement, 25 docs per source, by
+def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STRATIFIED weighted sampling without replacement, 25 docs per
+    source (the per-stratum sibling of the global A-ES
+    weighted_sample_documents above), by
     sequential Poisson sampling (Ohlsson 1998, the estimator behind
     PPS samples in official statistics): priority = u/w with u a
     deterministic md5-derived uniform and w = n_chars; the lowest-k

@@ -192,7 +192,7 @@ def test_gopher_rules_planted_flag_boundaries(spark, tmp_path):
 
 
 def test_weighted_sample_priority_is_exact_and_weight_monotone(spark):
-    """The sequential-Poisson priority matches a driver-side integer
+    """weighted_sample_per_source: the sequential-Poisson priority matches a driver-side integer
     reference exactly, and for a FIXED hash a larger weight strictly
     lowers the priority (longer docs likelier)."""
     import hashlib
@@ -201,7 +201,7 @@ def test_weighted_sample_priority_is_exact_and_weight_monotone(spark):
 
     got = {
         r.doc_id: r.priority
-        for r in QUERIES["weighted_sample_documents"]
+        for r in QUERIES["weighted_sample_per_source"]
         .fn(spark, SF)
         .collect()
     }
