@@ -46,6 +46,10 @@ QUERIES: dict[str, QuerySpec] = {}
 
 def q(name: str, oracle: str | None, tags: tuple[str, ...] = ()) -> Callable:
     def deco(fn: Callable) -> Callable:
+        if name in QUERIES:
+            # a second declaration would silently SHADOW the first in
+            # the dict (later wins) — caught the hard way in round 10
+            raise ValueError(f"duplicate query name: {name!r}")
         QUERIES[name] = QuerySpec(
             name=name, fn=fn, oracle=oracle, tags=tags, doc=(fn.__doc__ or "").strip()
         )
