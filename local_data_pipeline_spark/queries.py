@@ -13196,14 +13196,22 @@ def ridge_length_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _hits_oracle_sql(iterations: int = 4) -> str:
     """Unrolled-CTE DuckDB twin of graph.hits (fixed iterations, exact
     decimal sums, sum-normalization broadcast as a cross join) over the
-    1996 customer→part bipartite graph, emitting top-20 per side."""
+    1996 customer→part bipartite graph, emitting top-20 per side.
+
+    Every multiply-referenced CTE is AS MATERIALIZED: DuckDB inlines
+    plain CTEs, and each normalization level references the previous
+    one twice (raw + total), so an un-hinted chain re-computes the
+    whole prefix 2^(2·iterations) times — found the hard way as a
+    disk-filling spill at sf1 (930 s then ENOSPC). Materialization
+    makes the oracle linear in iterations, mirroring the Spark side's
+    per-iteration localCheckpoint."""
     ctes = [
-        """edges AS (
+        """edges AS MATERIALIZED (
       SELECT DISTINCT o.o_custkey AS src, l.l_partkey AS dst
       FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
       WHERE o.o_orderdate >= timestamp '1996-01-01 00:00:00'
         AND o.o_orderdate <  timestamp '1997-01-01 00:00:00')""",
-        """hub0 AS (
+        """hub0 AS MATERIALIZED (
       SELECT node, 1.0 / t AS score
       FROM (SELECT DISTINCT src AS node FROM edges)
       CROSS JOIN (SELECT count(*) AS t FROM (SELECT DISTINCT src FROM edges)))""",
@@ -13211,17 +13219,17 @@ def _hits_oracle_sql(iterations: int = 4) -> str:
     prev_h = "hub0"
     for i in range(1, iterations + 1):
         ctes += [
-            f"""a{i}_raw AS (
+            f"""a{i}_raw AS MATERIALIZED (
       SELECT e.dst AS node, {dsum_sql('h.score', 18)} AS s
       FROM edges e JOIN {prev_h} h ON h.node = e.src GROUP BY e.dst)""",
             f"""a{i}_tot AS (SELECT {dsum_sql('s', 18)} AS t FROM a{i}_raw)""",
-            f"""auth{i} AS (
+            f"""auth{i} AS MATERIALIZED (
       SELECT node, s / t AS score FROM a{i}_raw CROSS JOIN a{i}_tot)""",
-            f"""h{i}_raw AS (
+            f"""h{i}_raw AS MATERIALIZED (
       SELECT e.src AS node, {dsum_sql('a.score', 18)} AS s
       FROM edges e JOIN auth{i} a ON a.node = e.dst GROUP BY e.src)""",
             f"""h{i}_tot AS (SELECT {dsum_sql('s', 18)} AS t FROM h{i}_raw)""",
-            f"""hub{i} AS (
+            f"""hub{i} AS MATERIALIZED (
       SELECT node, s / t AS score FROM h{i}_raw CROSS JOIN h{i}_tot)""",
         ]
         prev_h = f"hub{i}"
