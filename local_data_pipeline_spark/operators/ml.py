@@ -441,3 +441,142 @@ def bpe_encode_local(
                 i += 1
         syms = out
     return syms
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    max_piece_len: int = 6,
+    vocab_size: int = 256,
+) -> "dict[str, float]":
+    """Unigram-LM vocabulary (the SentencePiece tokenizer family — Kudo,
+    ACL 2018, arXiv:1804.10959 — with the EM pruning simplified to a
+    frequency cut): the ``vocab_size`` most frequent word-substrings of
+    length 2..``max_piece_len`` PLUS every single character seen (the
+    coverage guarantee: any word can always segment), each with log-prob
+    ln(count/total) over the selected set.
+
+    Distributed shape: ONE pass — words exploded, then a JVM-side double
+    explode over (start, length) generates every substring; the count
+    aggregate is map-side combinable and only the vocab-sized top-K (+
+    alphabet) ever reaches the driver (S4-allowlisted). Ties at the cut
+    break lexicographically, so the vocabulary is deterministic at any
+    parallelism."""
+    words = docs.select(
+        F.explode(TX.tokens(F.col(text_col))).alias("w")
+    ).filter(F.length("w") > 0)
+    subs = (
+        words.select(
+            F.explode(
+                F.flatten(
+                    F.transform(
+                        F.sequence(F.lit(1), F.length("w")),
+                        lambda i: F.transform(
+                            F.sequence(
+                                F.lit(1),
+                                F.least(
+                                    F.lit(max_piece_len),
+                                    F.length("w") - i + 1,
+                                ),
+                            ),
+                            lambda l: F.substring(F.col("w"), i, l),
+                        ),
+                    )
+                )
+            ).alias("piece")
+        )
+        .groupBy("piece")
+        .agg(F.count("*").alias("c"))
+    )
+    chars = subs.filter(F.length("piece") == 1)
+    multi = (
+        subs.filter(F.length("piece") >= 2)
+        .orderBy(F.desc("c"), F.asc("piece"))
+        .limit(vocab_size)
+    )
+    rows = chars.unionAll(multi).collect()
+    total = sum(r["c"] for r in rows)
+    import math
+
+    return {r["piece"]: math.log(r["c"] / total) for r in rows}
+
+
+def viterbi_segment_local(word: str, vocab: "dict[str, float]") -> list[str]:
+    """Pure-python Viterbi max-log-prob segmentation (test oracle and the
+    executor-side kernel): best[i] = max over j of best[j] +
+    logp(word[j:i]). Ties prefer the LONGER final piece (smaller j);
+    characters absent from the vocabulary get logp(min)-10 as the UNK
+    penalty, so segmentation never fails."""
+    if not word:
+        return []
+    unk = min(vocab.values()) - 10.0
+    n = len(word)
+    best = [0.0] + [float("-inf")] * n
+    back = [0] * (n + 1)
+    max_len = max(len(p) for p in vocab)
+    for i in range(1, n + 1):
+        for j in range(max(0, i - max_len), i):
+            piece = word[j:i]
+            lp = vocab.get(piece)
+            if lp is None:
+                if i - j == 1:
+                    lp = unk
+                else:
+                    continue
+            score = best[j] + lp
+            # strict > keeps the SMALLEST j seen first? iterate j
+            # ascending: smaller j = longer piece wins ties via >=
+            if score > best[i] or (score == best[i] and j < back[i]):
+                best[i] = score
+                back[i] = j
+    out = []
+    i = n
+    while i > 0:
+        j = back[i]
+        out.append(word[j:i])
+        i = j
+    return out[::-1]
+
+
+def unigram_viterbi_encode(
+    docs: DataFrame,
+    vocab: "dict[str, float]",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """(id, n_words, n_pieces, pieces) via one Arrow-batched mapInPandas
+    pass: every whitespace word Viterbi-segmented against the broadcast
+    vocabulary — no shuffle, parallelism = input partitions. The
+    vocabulary is model-constant (a few KB broadcast); per-row work is
+    O(len·max_piece_len)."""
+    import pandas as pd
+
+    sc = docs.sparkSession.sparkContext
+    bvocab = sc.broadcast(vocab)
+
+    tokens_col = TX.tokens(F.col(text_col)).alias("__words")
+
+    def encode(batches):
+        v = bvocab.value
+        for pdf in batches:
+            n_words, n_pieces, pieces = [], [], []
+            for words in pdf["__words"]:
+                ps: list[str] = []
+                for w in words:
+                    ps.extend(viterbi_segment_local(w, v))
+                n_words.append(len(words))
+                n_pieces.append(len(ps))
+                pieces.append(ps)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_words": n_words,
+                    "n_pieces": n_pieces,
+                    "pieces": pieces,
+                }
+            )
+
+    return docs.select(id_col, tokens_col).mapInPandas(
+        encode,
+        f"{id_col} long, n_words int, n_pieces int, pieces array<string>",
+    )

@@ -13154,6 +13154,72 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("unigram_tokenize_documents", None, tags=("ml", "tokenizer"))
+def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM tokenization (the SentencePiece family — Kudo 2018 —
+    beside the BPE trainer): vocabulary = every character + the 128 most
+    frequent word-substrings (one JVM-side double-explode pass, only the
+    vocab-sized top-K reaches the driver), then each document's words
+    are Viterbi-segmented to the max-log-prob piece sequence in one
+    broadcast-vocab mapInPandas pass. Reports per-doc piece counts and
+    fertility (pieces per word, integer milli-units). Rows-only
+    (iterative-free but driver-built vocab); pytest pins Viterbi parity
+    and planted segmentations."""
+    from .operators.ml import unigram_viterbi_encode, unigram_vocab
+
+    d = _t(spark, sf_dir, "documents")
+    vocab = unigram_vocab(d, vocab_size=128, max_piece_len=6)
+    enc = unigram_viterbi_encode(d, vocab)
+    return enc.select(
+        "doc_id",
+        "n_words",
+        "n_pieces",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr("(n_pieces * 1000) div n_words"),
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("fertility_milli"),
+        F.slice("pieces", 1, 5).alias("first_pieces"),
+    ).orderBy("doc_id")
+
+
+@q("hll_daily_to_monthly_users", None, tags=("sketch", "approx", "agg"))
+def hll_daily_to_monthly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGEABLE sketch algebra — the 100 TB pattern for distinct counts
+    over rollup hierarchies: build one Datasketches HLL per (day,
+    event_type) (``hll_sketch_agg``), then UNION the day sketches up to
+    (month, event_type) (``hll_union_agg``) and estimate — the monthly
+    uniques come from the day-level sketches WITHOUT rescanning any
+    events. At scale the day sketches are a stored artifact (bytes
+    column, a few KB each); backfills touch one day and every rollup
+    above it is a cheap re-union. Rows-only (sketch estimates are
+    engine-specific); pytest bounds the estimate against the exact
+    distinct count within HLL's rsd."""
+    e = _t(spark, sf_dir, "events")
+    daily = (
+        e.select(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            F.col("ts").cast("date").alias("dt"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("month", "dt", "event_type")
+        .agg(F.hll_sketch_agg("user_id", F.lit(14)).alias("sketch"))
+    )
+    return (
+        daily.groupBy("month", "event_type")
+        .agg(
+            F.count("*").alias("n_day_sketches"),
+            F.hll_sketch_estimate(F.hll_union_agg("sketch")).alias(
+                "approx_monthly_users"
+            ),
+        )
+        .orderBy("month", "event_type")
+    )
+
+
 @q("ridge_length_model_documents", None, tags=("ml", "regression"))
 def ridge_length_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ridge regression (normal equations) predicting document length

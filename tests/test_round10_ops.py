@@ -268,6 +268,87 @@ def test_ivf_bucketed_index_prunes_partitions_and_matches_ivf_topk(
     assert all("cell=0/" in f or "cell=1/" in f for f in probed)
 
 
+def test_viterbi_segmentation_planted_vocab():
+    """Viterbi picks the max-log-prob segmentation, prefers the longer
+    final piece on ties, and falls back to UNK single chars."""
+    import math
+
+    from local_data_pipeline_spark.operators.ml import viterbi_segment_local
+
+    vocab = {
+        "a": math.log(0.1),
+        "b": math.log(0.1),
+        "ab": math.log(0.3),
+        "abc": math.log(0.4),
+        "c": math.log(0.1),
+    }
+    # 'abc' as one piece (0.4) beats ab+c (0.03) and a+b+c (0.001)
+    assert viterbi_segment_local("abc", vocab) == ["abc"]
+    # 'abab': ab+ab = 0.09 beats a+b+ab etc.
+    assert viterbi_segment_local("abab", vocab) == ["ab", "ab"]
+    # unknown char 'z' segments as UNK without failing
+    assert viterbi_segment_local("azb", vocab) == ["a", "z", "b"]
+    assert viterbi_segment_local("", vocab) == []
+    # tie preference: with p(ab)=p(a)*p(b), the LONGER piece wins
+    v2 = {"a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.04)}
+    assert viterbi_segment_local("ab", v2) == ["ab"]
+
+
+def test_unigram_encode_matches_local_viterbi(spark):
+    """Distributed encode == per-word local Viterbi under the same
+    trained vocabulary, and the vocabulary covers every character."""
+    from local_data_pipeline_spark.operators.ml import (
+        unigram_viterbi_encode,
+        unigram_vocab,
+        viterbi_segment_local,
+    )
+
+    d = load_table(spark, SF, "documents")
+    vocab = unigram_vocab(d, vocab_size=64, max_piece_len=5)
+    assert all(len(p) <= 5 for p in vocab)
+    got = {
+        r.doc_id: (r.n_words, r.n_pieces, list(r.pieces))
+        for r in unigram_viterbi_encode(d.limit(30), vocab).collect()
+    }
+    rows = d.limit(30).select("doc_id", "text").collect()
+    for r in rows:
+        words = r.text.strip().lower().split()
+        want: list[str] = []
+        for w in words:
+            want.extend(viterbi_segment_local(w, vocab))
+        assert got[r.doc_id] == (len(words), len(want), want)
+    # every emitted piece is in-vocab (full char coverage on this corpus)
+    assert all(
+        p in vocab for _, _, pieces in got.values() for p in pieces
+    )
+
+
+def test_hll_daily_to_monthly_tracks_exact_distinct(spark):
+    """The day-sketch union estimate stays within HLL(lgK=14) error of
+    the exact monthly distinct count (~1% rsd at lgK 14; bound at 5%)."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    got = {
+        (str(r.month), r.event_type): r.approx_monthly_users
+        for r in QUERIES["hll_daily_to_monthly_users"].fn(spark, SF).collect()
+    }
+    e = load_table(spark, SF, "events")
+    exact = {
+        (str(r.month), r.event_type): r.n
+        for r in e.select(
+            F.date_trunc("month", "ts").cast("date").alias("month"),
+            "event_type",
+            "user_id",
+        )
+        .groupBy("month", "event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for k, est in got.items():
+        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+
+
 def test_ridge_fit_matches_local_reference(spark):
     """Distributed normal-equations ridge == single-node reference on
     the same features (and the fit is sane: n_chars grows with tokens)."""

@@ -112,6 +112,11 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "in-plan); merges = vocab size, a config constant independent of "
         "corpus size."
     ),
+    ("ml.py", "unigram_vocab"): (
+        "collects the vocab-sized top-K substrings + alphabet (config "
+        "constants); the substring count aggregate is map-side "
+        "combinable over one corpus pass."
+    ),
     ("ml.py", "ridge_fit"): (
         "collects the (p+1)^2 normal-equation sufficient statistic "
         "(p = feature count, a model constant) from ONE corpus pass; "
