@@ -456,17 +456,23 @@ def unigram_vocab(
     coverage guarantee: any word can always segment), each with log-prob
     ln(count/total) over the selected set.
 
-    Distributed shape: ONE pass — words exploded, then a JVM-side double
-    explode over (start, length) generates every substring; the count
-    aggregate is map-side combinable and only the vocab-sized top-K (+
-    alphabet) ever reaches the driver (S4-allowlisted). Ties at the cut
-    break lexicographically, so the vocabulary is deterministic at any
-    parallelism."""
-    words = docs.select(
-        F.explode(TX.tokens(F.col(text_col))).alias("w")
-    ).filter(F.length("w") > 0)
+    Distributed shape: ONE pass — words exploded and pre-aggregated to
+    (type, count) so the substring generation runs over word TYPES (the
+    Zipf trick again), then a JVM-side double explode over (start,
+    length) emits every substring weighted by its word's occurrence
+    count; the weighted-sum aggregate is map-side combinable and only
+    the vocab-sized top-K (+ alphabet) ever reaches the driver
+    (S4-allowlisted). Ties at the cut break lexicographically, so the
+    vocabulary is deterministic at any parallelism."""
+    words = (
+        docs.select(F.explode(TX.tokens(F.col(text_col))).alias("w"))
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+    )
     subs = (
         words.select(
+            F.col("wc"),
             F.explode(
                 F.flatten(
                     F.transform(
@@ -483,10 +489,10 @@ def unigram_vocab(
                         ),
                     )
                 )
-            ).alias("piece")
+            ).alias("piece"),
         )
         .groupBy("piece")
-        .agg(F.count("*").alias("c"))
+        .agg(F.sum("wc").alias("c"))
     )
     chars = subs.filter(F.length("piece") == 1)
     multi = (
@@ -544,39 +550,72 @@ def unigram_viterbi_encode(
     id_col: str = "doc_id",
     text_col: str = "text",
 ) -> DataFrame:
-    """(id, n_words, n_pieces, pieces) via one Arrow-batched mapInPandas
-    pass: every whitespace word Viterbi-segmented against the broadcast
-    vocabulary — no shuffle, parallelism = input partitions. The
-    vocabulary is model-constant (a few KB broadcast); per-row work is
-    O(len·max_piece_len)."""
+    """(id, n_words, n_pieces, pieces) with Python cost proportional to
+    the DISTINCT vocabulary, not the corpus: segment the word TYPES, not
+    the token stream. Words are exploded with their position, the
+    distinct word set (Zipf — orders of magnitude smaller than the
+    corpus at scale) is Viterbi-segmented in one Arrow-batched
+    mapInPandas pass against the broadcast model vocabulary, and
+    documents are reassembled entirely JVM-side: shuffle join of the
+    token stream back to its word's pieces, then an ordered flatten
+    (array_sort over (pos, pieces) structs) per document. Empty
+    documents survive via the left join from the id spine. Per-word
+    Python work is O(len·max_piece_len); everything corpus-sized stays
+    in Tungsten."""
     import pandas as pd
 
     sc = docs.sparkSession.sparkContext
     bvocab = sc.broadcast(vocab)
 
-    tokens_col = TX.tokens(F.col(text_col)).alias("__words")
+    spine = docs.select(id_col)
+    toks = docs.select(
+        F.col(id_col),
+        F.posexplode(TX.tokens(F.col(text_col))).alias("__pos", "__w"),
+    )
 
-    def encode(batches):
+    def segment(batches):
         v = bvocab.value
         for pdf in batches:
-            n_words, n_pieces, pieces = [], [], []
-            for words in pdf["__words"]:
-                ps: list[str] = []
-                for w in words:
-                    ps.extend(viterbi_segment_local(w, v))
-                n_words.append(len(words))
-                n_pieces.append(len(ps))
-                pieces.append(ps)
             yield pd.DataFrame(
                 {
-                    id_col: pdf[id_col],
-                    "n_words": n_words,
-                    "n_pieces": n_pieces,
-                    "pieces": pieces,
+                    "__w": pdf["__w"],
+                    "__ps": [
+                        viterbi_segment_local(w, v) for w in pdf["__w"]
+                    ],
                 }
             )
 
-    return docs.select(id_col, tokens_col).mapInPandas(
-        encode,
-        f"{id_col} long, n_words int, n_pieces int, pieces array<string>",
+    word_pieces = (
+        toks.select("__w")
+        .distinct()
+        .mapInPandas(segment, "__w string, __ps array<string>")
+    )
+    per_doc = (
+        toks.join(word_pieces, "__w")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("int").alias("n_words"),
+            F.sum(F.size("__ps")).cast("int").alias("n_pieces"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct(
+                                F.col("__pos").alias("p"),
+                                F.col("__ps").alias("ps"),
+                            )
+                        )
+                    ),
+                    lambda s: s["ps"],
+                )
+            ).alias("pieces"),
+        )
+    )
+    return spine.join(per_doc, id_col, "left").select(
+        id_col,
+        F.coalesce("n_words", F.lit(0)).alias("n_words"),
+        F.coalesce("n_pieces", F.lit(0)).alias("n_pieces"),
+        F.coalesce(
+            "pieces", F.array().cast("array<string>")
+        ).alias("pieces"),
     )
