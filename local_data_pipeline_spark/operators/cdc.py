@@ -89,3 +89,63 @@ def apply_changes(
             .alias(col)
         )
     return joined.filter(op.isNull() | (op != "D")).select(*out)
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key: str,
+    compare_cols: "list[str]",
+) -> DataFrame:
+    """Row-level diff between two snapshots of the same keyed table —
+    the primitive under table-version audits and CDC backfill
+    validation: one full-outer shuffle join on the key, then per-row
+    classification into ``A`` (added: key only in ``new``), ``D``
+    (deleted: key only in ``old``) or ``C`` (changed: present in both
+    with at least one ``compare_cols`` value differing null-safely).
+    Unchanged rows are dropped IN-PLAN, so the output is delta-sized,
+    not table-sized — at 100 TB the diff of two daily snapshots is the
+    day's churn, and the join shuffles each side once on the key (AQE
+    handles skewed hot keys).
+
+    Output: ``key``, ``change_type``, ``changed_cols`` (comma-joined
+    lexicographic subset of ``compare_cols``; empty for A/D rows), and
+    ``old_<c>`` / ``new_<c>`` for every compared column."""
+    cols = list(compare_cols)
+    o = old.select(
+        key,
+        F.lit(True).alias("__in_old"),
+        *[F.col(c).alias(f"old_{c}") for c in cols],
+    )
+    n = new.select(
+        key,
+        F.lit(True).alias("__in_new"),
+        *[F.col(c).alias(f"new_{c}") for c in cols],
+    )
+    j = o.join(n, key, "full_outer")
+    both = F.col("__in_old").isNotNull() & F.col("__in_new").isNotNull()
+    diffs = [
+        F.when(
+            ~F.col(f"old_{c}").eqNullSafe(F.col(f"new_{c}")), F.lit(c)
+        )
+        for c in sorted(cols)
+    ]
+    change_type = (
+        F.when(F.col("__in_old").isNull(), "A")
+        .when(F.col("__in_new").isNull(), "D")
+        .when(F.concat_ws(",", *diffs) != "", "C")
+    )
+    return (
+        j.withColumn("change_type", change_type)
+        .withColumn(
+            "changed_cols",
+            F.when(both, F.concat_ws(",", *diffs)).otherwise(F.lit("")),
+        )
+        .filter(F.col("change_type").isNotNull())
+        .select(
+            key,
+            "change_type",
+            "changed_cols",
+            *[c for pair in ((f"old_{c}", f"new_{c}") for c in cols) for c in pair],
+        )
+    )

@@ -164,3 +164,48 @@ def hits(
             h = h.localCheckpoint(eager=False)
             a = a.localCheckpoint(eager=False)
     return h, a
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 4,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Synchronous label propagation (Raghavan et al. 2007, the LPA
+    community detector): every node seeds with its own id; each
+    iteration every node adopts the MOST FREQUENT label among its
+    in-neighbors, ties broken by the smallest label — which makes the
+    whole recurrence deterministic, so the DuckDB twin can unroll the
+    identical update into CTEs (the HITS-oracle pattern,
+    queries._lpa_oracle_sql). ``edges`` must already contain both
+    directions of each undirected edge; every node is assumed to have
+    at least one in-edge (true for symmetrized edge sets).
+
+    Scale: one shuffle join (labels x edges on the source) + one
+    map-side-combinable (node, label) count + one per-node
+    WindowGroupLimit argmax per iteration — Pregel-as-joins, same as
+    pagerank/hits above. No driver collect anywhere; labels are
+    localCheckpoint'd (lazy) each iteration to stop lineage growth.
+    Returns (node, label) after ``iterations`` rounds."""
+    from pyspark.sql.window import Window
+
+    nodes = (
+        edges.select(F.col(src).alias("node"))
+        .union(edges.select(F.col(dst).alias("node")))
+        .distinct()
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(iterations):
+        msgs = edges.join(
+            labels.withColumnRenamed("node", src), src
+        ).select(F.col(dst).alias("node"), "label")
+        counts = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
+        labels = (
+            counts.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=False)
+        )
+    return labels

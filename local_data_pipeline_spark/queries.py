@@ -13364,6 +13364,257 @@ def hits_customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _lpa_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of graph.label_propagation over the
+    support-≥2 co-purchase graph (same edge set as
+    triangle_count_copurchase, symmetrized): each iteration is the
+    identical deterministic update — per-node neighbor-label mode with
+    a smallest-label tie-break — so the fixed-iteration recurrence
+    value-hash-matches exactly (the HITS-oracle pattern). Label tables
+    are AS MATERIALIZED: each level is referenced by the next join and
+    un-hinted DuckDB would re-inline the whole prefix (the
+    _hits_oracle_sql lesson)."""
+    ctes = [
+        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
+        """pairs AS (
+      SELECT a.l_partkey AS pa, b.l_partkey AS pb
+      FROM items a JOIN items b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2)""",
+        """edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs)""",
+        """lbl0 AS MATERIALIZED (
+      SELECT node, node AS label
+      FROM (SELECT DISTINCT src AS node FROM edges))""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes += [
+            f"""m{i} AS (
+      SELECT e.dst AS node, l.label, count(*) AS c
+      FROM edges e JOIN lbl{i - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.label)""",
+            f"""lbl{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM m{i}) WHERE rn = 1)""",
+        ]
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"""
+    SELECT label AS community, count(*) AS n_members,
+           min(node) AS first_member, max(node) AS last_member
+    FROM lbl{iterations} GROUP BY label"""
+    )
+
+
+@q(
+    "label_propagation_copurchase",
+    _lpa_oracle_sql(4),
+    tags=("graph", "iterative", "clustering"),
+)
+def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LPA community detection (Raghavan et al. 2007) on the support-≥2
+    co-purchase part graph — 4 synchronous iterations of
+    graph.label_propagation (neighbor-label mode, smallest-label
+    tie-break: fully deterministic), then one aggregate to community
+    summaries. The second iterative graph operator with a FULL
+    value-hash SQL oracle (after hits_customer_parts): determinism of
+    the tie-break is what makes the unrolled-CTE twin possible.
+
+    Scale: the support filter collapses the edge set ~300× before any
+    iteration (triangle_count lesson); each round is one shuffle join +
+    one combinable count + a per-node WindowGroupLimit argmax — no
+    driver collect, lineage cut per iteration."""
+    from .operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
+    labels = label_propagation(edges, iterations=4)
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count("*").alias("n_members"),
+        F.min("node").alias("first_member"),
+        F.max("node").alias("last_member"),
+    )
+
+
+@q(
+    "auc_one_vs_rest_embeddings",
+    """
+    WITH classes AS (SELECT DISTINCT label AS cls FROM embeddings),
+    scored AS (
+      SELECT c.cls,
+             CAST(e.embedding[c.cls + 1] AS DOUBLE) AS s,
+             CASE WHEN e.label = c.cls THEN 1 ELSE 0 END AS y
+      FROM embeddings e CROSS JOIN classes c),
+    g AS (
+      SELECT cls, s, count(*)::BIGINT AS cnt, sum(y)::BIGINT AS pos
+      FROM scored GROUP BY cls, s),
+    g2 AS (
+      SELECT *,
+             coalesce(sum(cnt) OVER (PARTITION BY cls ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum
+      FROM g),
+    per AS (
+      SELECT cls, sum(cnt) AS n, sum(pos) AS n_pos,
+             sum(pos * (2 * cum + cnt + 1)) AS two_r
+      FROM g2 GROUP BY cls)
+    SELECT cls, n, n_pos,
+           ((two_r - n_pos * (n_pos + 1)) * 1000000)
+             // (2 * n_pos * (n - n_pos)) AS auc_micro
+    FROM per
+    """,
+    tags=("ml", "eval", "embeddings"),
+)
+def auc_one_vs_rest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed ROC-AUC via the Mann-Whitney rank statistic, one
+    one-vs-rest task per class (class c's "classifier" scores with
+    embedding dimension c): AUC = (R⁺ − n⁺(n⁺+1)/2) / (n⁺n⁻) with
+    average ranks over ties — computed WITHOUT any per-row ranking
+    window. Rows collapse to (class, score) tie groups first, one
+    distributed_cumsum over (class, score) gives each group's exclusive
+    prefix (packing.distributed_cumsum: range-partitioned shards, no
+    single-task stage), and per-class offsets are reconstructed from
+    min(cum) — so 2·avg_rank = 2·(cum−off) + cnt + 1 stays pure int64
+    end-to-end and the AUC lands as engine-exact integer micro-units
+    (products ≤ 2N²·10⁶ ≪ 2⁶³). The raw float32 score (cast to double,
+    NO rounding) is the group key: identical bits on both engines, so
+    grouping and ordering agree exactly."""
+    from .operators.packing import distributed_cumsum
+
+    e = _t(spark, sf_dir, "embeddings")
+    classes = e.select(F.col("label").alias("cls")).distinct()
+    scored = e.crossJoin(F.broadcast(classes)).select(
+        "cls",
+        F.element_at("embedding", (F.col("cls") + 1).cast("int"))
+        .cast("double")
+        .alias("s"),
+        (F.col("label") == F.col("cls")).cast("bigint").alias("y"),
+    )
+    g = scored.groupBy("cls", "s").agg(
+        F.count("*").alias("cnt"), F.sum("y").alias("pos")
+    )
+    g = distributed_cumsum(g, ["cls", "s"], "cnt", "cum")
+    per = g.groupBy("cls").agg(
+        F.sum("cnt").alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.min("cum").alias("off"),
+        F.sum(
+            F.col("pos") * (2 * F.col("cum") + F.col("cnt") + 1)
+        ).alias("two_r_g"),
+    )
+    return per.select(
+        "cls",
+        "n",
+        "n_pos",
+        F.expr(
+            "((two_r_g - 2*off*n_pos - n_pos*(n_pos+1)) * 1000000)"
+            " div (2 * n_pos * (n - n_pos))"
+        ).alias("auc_micro"),
+    )
+
+
+@q(
+    "snapshot_diff_orders",
+    """
+    WITH old_snap AS (
+      SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
+      WHERE o_orderkey % 13 <> 0),
+    new_snap AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice * 1.1
+                  ELSE o_totalprice END AS o_totalprice,
+             CASE WHEN o_orderkey % 19 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS o_orderstatus
+      FROM orders WHERE o_orderkey % 11 <> 0),
+    j AS (
+      SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+             o.o_orderkey IS NOT NULL AS in_old,
+             n.o_orderkey IS NOT NULL AS in_new,
+             o.o_totalprice AS op, n.o_totalprice AS np,
+             o.o_orderstatus AS os, n.o_orderstatus AS ns
+      FROM old_snap o FULL OUTER JOIN new_snap n
+        ON o.o_orderkey = n.o_orderkey),
+    d AS (
+      SELECT o_orderkey,
+             CASE WHEN NOT in_old THEN 'A'
+                  WHEN NOT in_new THEN 'D'
+                  WHEN op IS DISTINCT FROM np
+                    OR os IS DISTINCT FROM ns THEN 'C' END AS change_type,
+             CASE WHEN in_old AND in_new THEN concat_ws(',',
+                    CASE WHEN os IS DISTINCT FROM ns THEN 'o_orderstatus' END,
+                    CASE WHEN op IS DISTINCT FROM np THEN 'o_totalprice' END)
+                  ELSE '' END AS changed_cols,
+             CASE WHEN in_old AND in_new AND op IS DISTINCT FROM np
+                  THEN CAST(round((np - op) * 1000000) AS BIGINT)
+             END AS price_delta_micro
+      FROM j)
+    SELECT o_orderkey, change_type, changed_cols, price_delta_micro
+    FROM d WHERE change_type IS NOT NULL
+    """,
+    tags=("cdc", "audit", "join"),
+)
+def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Table-version diff (cdc.snapshot_diff): two simulated snapshots
+    of orders — "new" drops every 11th key (deletes), gains every 13th
+    (adds), bumps price 10% on every 7th and flips status on every 19th
+    (changes) — classified A/D/C with a per-row changed-column list by
+    ONE null-safe full-outer join; unchanged rows never leave the plan,
+    so output is churn-sized. The price delta ships as integer
+    micro-units of the IEEE-identical double product (the dsir lesson:
+    round(x*1e6) of the same double is engine-equal; round(x, 2) of a
+    product is not)."""
+    from .operators.cdc import snapshot_diff
+
+    o = _t(spark, sf_dir, "orders")
+    old = o.filter(F.col("o_orderkey") % 13 != 0)
+    new = o.filter(F.col("o_orderkey") % 11 != 0).withColumns(
+        {
+            "o_totalprice": F.when(
+                F.col("o_orderkey") % 7 == 0, F.col("o_totalprice") * 1.1
+            ).otherwise(F.col("o_totalprice")),
+            "o_orderstatus": F.when(
+                F.col("o_orderkey") % 19 == 0, F.lit("X")
+            ).otherwise(F.col("o_orderstatus")),
+        }
+    )
+    d = snapshot_diff(old, new, "o_orderkey", ["o_totalprice", "o_orderstatus"])
+    return d.select(
+        "o_orderkey",
+        "change_type",
+        "changed_cols",
+        F.when(
+            (F.col("change_type") == "C")
+            & ~F.col("old_o_totalprice").eqNullSafe(F.col("new_o_totalprice")),
+            F.round(
+                (F.col("new_o_totalprice") - F.col("old_o_totalprice"))
+                * 1000000
+            ).cast("bigint"),
+        ).alias("price_delta_micro"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
