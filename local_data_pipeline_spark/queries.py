@@ -13615,6 +13615,377 @@ def snapshot_diff_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "kneser_ney_bigram_heldout",
+    """
+    WITH split AS (
+      SELECT doc_id, text,
+             ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM documents),
+    toks AS (
+      SELECT doc_id, bucket,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM split),
+    idx AS (
+      SELECT doc_id, bucket, t, unnest(range(0, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    pairs AS (
+      SELECT doc_id, bucket, t[i + 1] AS v, t[i + 2] AS w FROM idx),
+    c_vw AS (
+      SELECT v, w, count(*) AS cvw
+      FROM pairs WHERE bucket < 80 GROUP BY v, w),
+    ctx AS (
+      SELECT v, sum(cvw) AS cv, count(*) AS n1f FROM c_vw GROUP BY v),
+    cont AS (
+      SELECT w, count(*) AS n1b FROM c_vw GROUP BY w),
+    tot AS (
+      SELECT (SELECT count(*) FROM c_vw) AS n_bi,
+             (SELECT count(*) FROM cont) AS v_cont),
+    valid AS (
+      SELECT doc_id, v, w FROM pairs WHERE bucket >= 80),
+    scored AS (
+      SELECT valid.doc_id,
+             CASE WHEN ctx.cv IS NULL THEN 1 ELSE 0 END AS unseen_ctx,
+             CASE WHEN ctx.cv IS NULL
+                  THEN (coalesce(cont.n1b, 0) + 1) / (tot.n_bi + tot.v_cont + 1)
+                  ELSE (greatest(coalesce(c_vw.cvw, 0) - 0.75, 0.0)
+                        + 0.75 * ctx.n1f
+                          * ((coalesce(cont.n1b, 0) + 1)
+                             / (tot.n_bi + tot.v_cont + 1))) / ctx.cv
+             END AS p
+      FROM valid
+      LEFT JOIN c_vw ON c_vw.v = valid.v AND c_vw.w = valid.w
+      LEFT JOIN ctx ON ctx.v = valid.v
+      LEFT JOIN cont ON cont.w = valid.w
+      CROSS JOIN tot)
+    SELECT doc_id, count(*) AS n_bigrams,
+           cast(sum(unseen_ctx) AS bigint) AS n_unseen_ctx,
+           cast(sum(cast(round(ln(p) * 1000000) AS bigint)) AS bigint)
+             AS logprob_sum_micro,
+           cast(round(exp(-(cast(sum(cast(round(ln(p) * 1000000) AS bigint))
+                                 AS double) / count(*)) / 1000000.0) * 1000)
+                AS bigint) AS ppl_milli
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("text", "lm", "eval", "split"),
+)
+def kneser_ney_bigram_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram LM (Kneser & Ney 1995; Chen &
+    Goodman 1999's benchmark smoother), trained on the md5-80% split and
+    scored on held-out documents — the step up from the add-1 unigram of
+    heldout_logprob_documents: p(w|v) = (max(c(vw)−D,0) + D·N1+(v·)·
+    p_cont(w)) / c(v) with D=0.75 and the CONTINUATION distribution
+    p_cont(w) ∝ how many distinct contexts w follows (add-1-smoothed so
+    unseen continuations stay finite); unseen contexts back off to
+    p_cont entirely. Per-document output: bigram count, unseen-context
+    count, total log-prob in integer micro-units, perplexity in millis.
+
+    Determinism/scale: every model quantity is an integer COUNT from
+    map-side-combinable aggregates over ONE bigram pass (scan-side
+    zip — no positional join); probabilities are doubles with the
+    IDENTICAL expression shape on both engines, ln/exp of identical
+    doubles match bit-for-bit (the heldout_logprob precedent), and
+    per-token values quantize to integer micros before the bigint sum
+    (the dsir rule). Totals broadcast in-plan; the three model joins
+    shuffle on vocabulary-sized keys."""
+    d = _t(spark, sf_dir, "documents")
+    split = d.select(
+        "doc_id",
+        "text",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(100),
+        ).alias("bucket"),
+    )
+    tokd = split.select(
+        "doc_id", "bucket", TX.tokens(F.col("text")).alias("t")
+    ).filter(F.size("t") >= 2)
+    pairs = tokd.select(
+        "doc_id",
+        "bucket",
+        F.explode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("v"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w"),
+            )
+        ).alias("p"),
+    ).select("doc_id", "bucket", F.col("p.v").alias("v"), F.col("p.w").alias("w"))
+    c_vw = (
+        pairs.filter(F.col("bucket") < 80)
+        .groupBy("v", "w")
+        .agg(F.count("*").alias("cvw"))
+    )
+    ctx = c_vw.groupBy("v").agg(
+        F.sum("cvw").alias("cv"), F.count("*").alias("n1f")
+    )
+    cont = c_vw.groupBy("w").agg(F.count("*").alias("n1b"))
+    tot = c_vw.agg(F.count("*").alias("n_bi")).crossJoin(
+        cont.agg(F.count("*").alias("v_cont"))
+    )
+    valid = pairs.filter(F.col("bucket") >= 80).select("doc_id", "v", "w")
+    p_cont = (F.coalesce(F.col("n1b"), F.lit(0)) + 1) / (
+        F.col("n_bi") + F.col("v_cont") + 1
+    )
+    p = F.when(
+        F.col("cv").isNull(), p_cont
+    ).otherwise(
+        (
+            F.greatest(
+                F.coalesce(F.col("cvw"), F.lit(0)) - 0.75, F.lit(0.0)
+            )
+            + F.lit(0.75) * F.col("n1f") * p_cont
+        )
+        / F.col("cv")
+    )
+    scored = (
+        valid.join(c_vw, ["v", "w"], "left")
+        .join(ctx, "v", "left")
+        .join(cont, "w", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            F.when(F.col("cv").isNull(), 1).otherwise(0).alias("unseen_ctx"),
+            F.round(F.log(p) * 1_000_000).cast("bigint").alias("lp_micro"),
+        )
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("unseen_ctx").cast("bigint").alias("n_unseen_ctx"),
+        F.sum("lp_micro").cast("bigint").alias("logprob_sum_micro"),
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "n_unseen_ctx",
+        "logprob_sum_micro",
+        F.round(
+            F.exp(
+                -(
+                    F.col("logprob_sum_micro").cast("double")
+                    / F.col("n_bigrams")
+                )
+                / 1000000.0
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("ppl_milli"),
+    )
+
+
+@q(
+    "phrase_search_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    idx AS (
+      SELECT doc_id, t, unnest(range(0, len(t) - 1)) AS i
+      FROM toks WHERE len(t) >= 2),
+    pairs AS (
+      SELECT doc_id, t[i + 1] AS w1, t[i + 2] AS w2, i AS pos FROM idx),
+    top1 AS (
+      SELECT w1, w2 FROM (
+        SELECT w1, w2, count(*) AS n FROM pairs GROUP BY w1, w2
+        ORDER BY n DESC, w1 ASC, w2 ASC LIMIT 1))
+    SELECT p.doc_id, t.w1, t.w2,
+           count(*) AS n_occurrences,
+           cast(min(p.pos) AS bigint) AS first_pos
+    FROM pairs p JOIN top1 t ON p.w1 = t.w1 AND p.w2 = t.w2
+    GROUP BY p.doc_id, t.w1, t.w2
+    """,
+    tags=("text", "retrieval", "ngram"),
+)
+def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional phrase search: every occurrence of the corpus's most
+    frequent bigram, located by position — the capability a positional
+    inverted index exists for (exact-phrase retrieval, not bag-of-words
+    like bm25_search_documents). The phrase itself is discovered
+    in-plan: top-1 bigram via TakeOrderedAndProject (per-partition
+    heaps, deterministic (n DESC, w1, w2) tie-break), broadcast into a
+    hash join against the positional pair stream — no driver collect,
+    one corpus scan feeding both the counts and the match (scan-side
+    zip carries the position, so there is no postings self-join at
+    all)."""
+    d = _t(spark, sf_dir, "documents")
+    tokd = d.select("doc_id", TX.tokens(F.col("text")).alias("t")).filter(
+        F.size("t") >= 2
+    )
+    pairs = tokd.select(
+        "doc_id",
+        F.posexplode(
+            F.arrays_zip(
+                F.slice(F.col("t"), 1, F.size("t") - 1).alias("w1"),
+                F.slice(F.col("t"), 2, F.size("t") - 1).alias("w2"),
+            )
+        ).alias("pos", "p"),
+    ).select(
+        "doc_id", F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"), "pos"
+    )
+    top1 = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("w1"), F.asc("w2"))
+        .limit(1)
+        .select("w1", "w2")
+    )
+    return (
+        pairs.join(F.broadcast(top1), ["w1", "w2"])
+        .groupBy("doc_id", "w1", "w2")
+        .agg(
+            F.count("*").alias("n_occurrences"),
+            F.min("pos").cast("bigint").alias("first_pos"),
+        )
+        .select("doc_id", "w1", "w2", "n_occurrences", "first_pos")
+    )
+
+
+@q(
+    "poisson_bootstrap_ci_events",
+    """
+    WITH base AS (
+      SELECT event_id, event_type,
+             CAST(round(value * 1000000) AS BIGINT) AS v_micro
+      FROM events),
+    resamples AS (
+      SELECT b.b, base.event_type, base.v_micro,
+             ('0x' || substr(md5(cast(base.event_id AS varchar) || ':' ||
+                                 cast(b.b AS varchar)), 1, 8))::BIGINT
+               % 1000000 AS h
+      FROM base CROSS JOIN (SELECT unnest(range(0, 100)) AS b) b),
+    weighted AS (
+      SELECT b, event_type, v_micro,
+             CASE WHEN h < 367879 THEN 0 WHEN h < 735759 THEN 1
+                  WHEN h < 919699 THEN 2 WHEN h < 981012 THEN 3
+                  WHEN h < 996340 THEN 4 WHEN h < 999406 THEN 5
+                  WHEN h < 999917 THEN 6 WHEN h < 999990 THEN 7
+                  ELSE 8 END AS m
+      FROM resamples),
+    means AS (
+      SELECT event_type, b, sum(v_micro * m) // sum(m) AS mean_micro
+      FROM weighted GROUP BY event_type, b HAVING sum(m) > 0),
+    ranked AS (
+      SELECT event_type, mean_micro,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_micro ASC, b ASC) AS rn
+      FROM means),
+    ci AS (
+      SELECT event_type,
+             max(CASE WHEN rn = 3 THEN mean_micro END) AS ci_lo_micro,
+             max(CASE WHEN rn = 98 THEN mean_micro END) AS ci_hi_micro
+      FROM ranked GROUP BY event_type),
+    point AS (
+      SELECT event_type, count(*) AS n,
+             sum(v_micro) // count(*) AS mean_micro
+      FROM base GROUP BY event_type)
+    SELECT p.event_type, p.n, p.mean_micro, c.ci_lo_micro, c.ci_hi_micro
+    FROM point p JOIN ci c ON c.event_type = p.event_type
+    """,
+    tags=("stats", "sampling", "eval"),
+)
+def poisson_bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012 — "Estimating
+    uncertainty for massive data streams"): the SCALABLE bootstrap. A
+    classical resample needs n draws WITH replacement — a global
+    operation; the Poisson trick gives each row an independent
+    Poisson(1) multiplicity per resample, so 100 bootstrap replicas of
+    the per-type mean fall out of ONE pass with a map-side-combinable
+    weighted aggregate, no data movement beyond the group-by. The
+    multiplicities here are DERANDOMIZED: md5(event_id:b) → uniform ppm
+    → inverse Poisson CDF, the engine-identical hash_split pattern, so
+    the whole CI is value-hash reproducible on any engine at any
+    parallelism. Per-row values quantize to integer micros first; every
+    resample mean is pure-int64 division (non-negative values, so div
+    == floor on both engines). Output: per event_type, the point mean
+    and the [2.5%, 97.5%] percentile CI (3rd/98th of 100 resample
+    means)."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_id",
+        "event_type",
+        F.round(F.col("value") * 1000000).cast("bigint").alias("v_micro"),
+    )
+    resamples = base.select(
+        "event_type",
+        "v_micro",
+        F.explode(F.sequence(F.lit(0), F.lit(99))).alias("b"),
+        F.col("event_id"),
+    ).select(
+        "event_type",
+        "v_micro",
+        "b",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat_ws(
+                            ":",
+                            F.col("event_id").cast("string"),
+                            F.col("b").cast("string"),
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(1000000),
+        ).alias("h"),
+    )
+    m = (
+        F.when(F.col("h") < 367879, 0)
+        .when(F.col("h") < 735759, 1)
+        .when(F.col("h") < 919699, 2)
+        .when(F.col("h") < 981012, 3)
+        .when(F.col("h") < 996340, 4)
+        .when(F.col("h") < 999406, 5)
+        .when(F.col("h") < 999917, 6)
+        .when(F.col("h") < 999990, 7)
+        .otherwise(8)
+    )
+    means = (
+        resamples.withColumn("m", m)
+        .groupBy("event_type", "b")
+        .agg(
+            F.sum(F.col("v_micro") * F.col("m")).alias("sv"),
+            F.sum("m").alias("sm"),
+        )
+        .filter(F.col("sm") > 0)
+        .select(
+            "event_type", "b", F.expr("sv div sm").alias("mean_micro")
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.asc("mean_micro"), F.asc("b")
+    )
+    ci = (
+        means.withColumn("rn", F.row_number().over(w))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == 3, F.col("mean_micro"))).alias(
+                "ci_lo_micro"
+            ),
+            F.max(F.when(F.col("rn") == 98, F.col("mean_micro"))).alias(
+                "ci_hi_micro"
+            ),
+        )
+    )
+    point = base.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.expr("sum(v_micro) div count(*)").alias("mean_micro"),
+    )
+    return point.join(ci, "event_type").select(
+        "event_type", "n", "mean_micro", "ci_lo_micro", "ci_hi_micro"
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

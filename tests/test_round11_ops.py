@@ -146,3 +146,132 @@ def test_auc_perfect_and_random_separation(spark):
     assert _local_auc(perfect) == 1.0
     constant = [(0.0, i % 2) for i in range(100)]
     assert _local_auc(constant) == 0.5
+
+
+def _md5_bucket(s, mod):
+    import hashlib
+
+    return int(hashlib.md5(str(s).encode()).hexdigest()[:8], 16) % mod
+
+
+def _doc_tokens(text):
+    t = text.strip().lower()
+    return t.split() if t else []
+
+
+def test_kneser_ney_matches_local_reference(spark):
+    """Per-doc KN log-prob micro sums == a driver-side reference built
+    from the same counts and the same float expression shapes."""
+    import math
+
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    pairs = {}  # (split, doc) -> list of (v, w)
+    for r in rows:
+        t = _doc_tokens(r.text)
+        if len(t) < 2:
+            continue
+        split = "train" if _md5_bucket(r.doc_id, 100) < 80 else "valid"
+        pairs.setdefault((split, r.doc_id), []).extend(zip(t, t[1:]))
+    cvw, cv, n1f, n1b = {}, {}, {}, {}
+    for (s, _), ps in pairs.items():
+        if s != "train":
+            continue
+        for vw in ps:
+            cvw[vw] = cvw.get(vw, 0) + 1
+    for (v, w), c in cvw.items():
+        cv[v] = cv.get(v, 0) + c
+        n1f[v] = n1f.get(v, 0) + 1
+        n1b[w] = n1b.get(w, 0) + 1
+    n_bi, v_cont = len(cvw), len(n1b)
+    want = {}
+    for (s, doc), ps in pairs.items():
+        if s != "valid":
+            continue
+        lp, unseen = 0, 0
+        for v, w in ps:
+            pc = (n1b.get(w, 0) + 1) / (n_bi + v_cont + 1)
+            if v in cv:
+                p = (
+                    max(cvw.get((v, w), 0) - 0.75, 0.0) + 0.75 * n1f[v] * pc
+                ) / cv[v]
+            else:
+                p = pc
+                unseen += 1
+            lp += int(round(math.log(p) * 1_000_000))
+        want[doc] = (len(ps), unseen, lp)
+    got = {
+        r.doc_id: (r.n_bigrams, r.n_unseen_ctx, r.logprob_sum_micro)
+        for r in QUERIES["kneser_ney_bigram_heldout"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert want  # the valid split is non-empty at sf0.001
+
+
+def test_phrase_search_matches_local_reference(spark):
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    counts = {}
+    for r in rows:
+        t = _doc_tokens(r.text)
+        for vw in zip(t, t[1:]):
+            counts[vw] = counts.get(vw, 0) + 1
+    # deterministic top-1: max count, then lexicographic
+    phrase = min(counts, key=lambda vw: (-counts[vw], vw))
+    want = {}
+    for r in rows:
+        t = _doc_tokens(r.text)
+        pos = [i for i, vw in enumerate(zip(t, t[1:])) if vw == phrase]
+        if pos:
+            want[r.doc_id] = (phrase[0], phrase[1], len(pos), pos[0])
+    got = {
+        r.doc_id: (r.w1, r.w2, r.n_occurrences, r.first_pos)
+        for r in QUERIES["phrase_search_documents"].fn(spark, SF).collect()
+    }
+    assert got == want
+
+
+def test_poisson_bootstrap_exact_reproduction(spark):
+    """The derandomized bootstrap is EXACTLY reproducible driver-side:
+    same md5 multiplicities, same integer means, same CI picks — and
+    the CI brackets are ordered around a sane point estimate."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = (
+        load_table(spark, SF, "events")
+        .select("event_id", "event_type", "value")
+        .collect()
+    )
+    pois = [367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990]
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(
+            (r.event_id, int(round(r.value * 1_000_000)))
+        )
+    want = {}
+    for et, evs in by_type.items():
+        means = []
+        for b in range(100):
+            sv = sm = 0
+            for eid, vm in evs:
+                h = _md5_bucket(f"{eid}:{b}", 1_000_000)
+                m = next(
+                    (k for k, thr in enumerate(pois) if h < thr), 8
+                )
+                sv += vm * m
+                sm += m
+            if sm > 0:
+                means.append((sv // sm, b))
+        means.sort()
+        n = len(evs)
+        point = sum(vm for _, vm in evs) // n
+        want[et] = (n, point, means[2][0], means[97][0])
+    got = {
+        r.event_type: (r.n, r.mean_micro, r.ci_lo_micro, r.ci_hi_micro)
+        for r in QUERIES["poisson_bootstrap_ci_events"].fn(spark, SF).collect()
+    }
+    assert got == want
+    for n, point, lo, hi in want.values():
+        assert lo < hi
