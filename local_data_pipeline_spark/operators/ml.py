@@ -619,3 +619,113 @@ def unigram_viterbi_encode(
             "pieces", F.array().cast("array<string>")
         ).alias("pieces"),
     )
+
+
+def ridge_kfold_cv(
+    features: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    fold_col: str,
+    k: int = 5,
+    lam: float = 1.0,
+) -> DataFrame:
+    """K-fold cross-validation for normal-equations ridge WITHOUT
+    training k times over the data: the additivity of sufficient
+    statistics is the whole trick. Pass 1 reduces each partition to
+    PER-FOLD (XᵀX, Xᵀy, n) triples — k·(p+1)² doubles regardless of
+    row count (S4-allowlisted collect); the driver forms every fold's
+    training model by SUBTRACTING that fold's statistic from the total
+    (leave-one-fold-out) and solves k (p+1)-sized systems. Pass 2
+    broadcasts the k coefficient vectors and scores every row against
+    ITS OWN fold's held-out model; squared errors quantize to integer
+    micro-units per row and bigint-sum per fold (deterministic at any
+    parallelism — the dsir rule). The corpus crosses the wire twice
+    total, independent of k.
+
+    Returns (fold, n_test, sse_micro) — callers derive RMSE."""
+    import pandas as pd
+
+    p = len(feature_cols) + 1
+    sel = features.select(
+        F.col(fold_col).cast("int").alias("__fold"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+
+    def partials(batches):
+        acc: dict = {}
+        for pdf in batches:
+            x = np.column_stack(
+                [np.ones(len(pdf))]
+                + [pdf[c].to_numpy(dtype=np.float64) for c in feature_cols]
+            )
+            y = pdf["__y"].to_numpy(dtype=np.float64)
+            folds = pdf["__fold"].to_numpy()
+            for f in np.unique(folds):
+                m = folds == f
+                xtx, xty, n = acc.setdefault(
+                    int(f), [np.zeros((p, p)), np.zeros(p), 0]
+                )
+                xf = x[m]
+                xtx += xf.T @ xf
+                xty += xf.T @ y[m]
+                acc[int(f)][2] = n + int(m.sum())
+        yield pd.DataFrame(
+            {
+                "fold": list(acc),
+                "xtx": [v[0].reshape(-1).tolist() for v in acc.values()],
+                "xty": [v[1].tolist() for v in acc.values()],
+                "n": [v[2] for v in acc.values()],
+            }
+        )
+
+    rows = sel.mapInPandas(
+        partials,
+        "fold int, xtx array<double>, xty array<double>, n bigint",
+    ).collect()
+    stats: dict = {}
+    for r in rows:
+        xtx, xty, n = stats.setdefault(
+            r["fold"], [np.zeros((p, p)), np.zeros(p), 0]
+        )
+        xtx += np.array(r["xtx"]).reshape(p, p)
+        xty += np.array(r["xty"])
+        stats[r["fold"]][2] = n + r["n"]
+    tot_xtx = np.sum([v[0] for v in stats.values()], axis=0)
+    tot_xty = np.sum([v[1] for v in stats.values()], axis=0)
+    reg = lam * np.eye(p)
+    reg[0, 0] = 0.0
+    betas = {
+        f: np.linalg.solve(tot_xtx - v[0] + reg, tot_xty - v[1]).tolist()
+        for f, v in stats.items()
+    }
+    bbetas = features.sparkSession.sparkContext.broadcast(betas)
+
+    def score(batches):
+        bs = {f: np.array(b) for f, b in bbetas.value.items()}
+        for pdf in batches:
+            x = np.column_stack(
+                [np.ones(len(pdf))]
+                + [pdf[c].to_numpy(dtype=np.float64) for c in feature_cols]
+            )
+            y = pdf["__y"].to_numpy(dtype=np.float64)
+            folds = pdf["__fold"].to_numpy()
+            se = np.empty(len(pdf))
+            for f in np.unique(folds):
+                m = folds == f
+                se[m] = (y[m] - x[m] @ bs[int(f)]) ** 2
+            yield pd.DataFrame(
+                {
+                    "fold": folds,
+                    "se_micro": np.round(se * 1_000_000).astype(np.int64),
+                }
+            )
+
+    return (
+        sel.mapInPandas(score, "fold int, se_micro bigint")
+        .groupBy("fold")
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum("se_micro").alias("sse_micro"),
+        )
+    )

@@ -13986,6 +13986,211 @@ def poisson_bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q("ridge_kfold_cv_documents", None, tags=("ml", "regression", "eval"))
+def ridge_kfold_cv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-fold cross-validated generalization error of the
+    ridge_length_model features — WITHOUT training 5 times over the
+    data: per-fold (XᵀX, Xᵀy) sufficient statistics from one Arrow
+    pass, each fold's model formed by SUBTRACTING its statistic from
+    the total (leave-one-fold-out additivity), then one scoring pass
+    against each row's own held-out model (operators/ml.ridge_kfold_cv).
+    Folds are the engine-identical md5(doc_id) % 5. Rows-only
+    (driver-side k×(p+1) solves); pytest pins exact parity against 5
+    independently-trained single-node references."""
+    from .operators import ml as ML
+
+    d = _t(spark, sf_dir, "documents")
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    stop_arr = F.array(
+        *[F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is", "that")]
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double")
+    feats = d.select(
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+            ).cast("bigint"),
+            F.lit(5),
+        ).alias("fold"),
+        n_words.alias("n_words"),
+        F.when(n_words > 0, sum_len / n_words).otherwise(0.0).alias("mean_wlen"),
+        stop_hits.alias("stop_hits"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+    cv = ML.ridge_kfold_cv(
+        feats,
+        ["n_words", "mean_wlen", "stop_hits"],
+        "n_chars",
+        "fold",
+        k=5,
+        lam=1.0,
+    )
+    return cv.select(
+        "fold",
+        "n_test",
+        F.round(
+            F.sqrt(
+                F.col("sse_micro").cast("double")
+                / 1000000.0
+                / F.col("n_test")
+            )
+            * 1000
+        )
+        .cast("bigint")
+        .alias("rmse_milli"),
+    ).orderBy("fold")
+
+
+@q(
+    "join_cardinality_estimate_events_orders",
+    """
+    WITH eh AS (
+      SELECT user_id AS k, count(*) AS ce FROM events GROUP BY user_id),
+    oh AS (
+      SELECT o_custkey AS k, count(*) AS co FROM orders GROUP BY o_custkey),
+    matched AS (
+      SELECT eh.k, eh.ce * oh.co AS pairs FROM eh JOIN oh ON eh.k = oh.k)
+    SELECT count(*) AS n_join_keys,
+           cast(sum(pairs) AS bigint) AS predicted_pairs,
+           cast(max(pairs) AS bigint) AS max_key_pairs,
+           (SELECT count(*) FROM events e JOIN orders o
+              ON o.o_custkey = e.user_id) AS actual_pairs
+    FROM matched
+    """,
+    tags=("stats", "planning", "join"),
+)
+def join_cardinality_estimate_events_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Join-size estimation from per-key histograms — what a cost-based
+    optimizer does before committing to a plan, exposed as a query: the
+    events⋈orders (user_id = o_custkey) output cardinality is
+    Σ_k c_events(k)·c_orders(k), computed from two count aggregates and
+    a join of the (small) count tables — NEVER materializing the join.
+    At 100 TB this is the difference between knowing a join explodes
+    and discovering it: the histograms are table-scan-sized aggregates,
+    the estimate itself is histogram-sized work. The real join count is
+    included to show the estimate is EXACT for equi-joins (it is — the
+    sum-of-products identity), plus the hottest key's contribution (the
+    skew signal AQE would split on)."""
+    e = _t(spark, sf_dir, "events")
+    o = _t(spark, sf_dir, "orders")
+    eh = e.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("ce"))
+    oh = o.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count("*").alias("co")
+    )
+    matched = eh.join(oh, "k").select(
+        "k", (F.col("ce") * F.col("co")).alias("pairs")
+    )
+    est = matched.agg(
+        F.count("*").alias("n_join_keys"),
+        F.sum("pairs").cast("bigint").alias("predicted_pairs"),
+        F.max("pairs").cast("bigint").alias("max_key_pairs"),
+    )
+    actual = e.join(o, o["o_custkey"] == e["user_id"]).agg(
+        F.count("*").alias("actual_pairs")
+    )
+    return est.crossJoin(F.broadcast(actual))
+
+
+@q(
+    "fd_violation_audit",
+    """
+    WITH fd1 AS (
+      SELECT 'part: p_name -> p_brand' AS fd, p_name AS lhs,
+             count(DISTINCT p_brand) AS n_rhs
+      FROM part GROUP BY p_name),
+    fd2 AS (
+      SELECT 'orders: o_custkey -> o_orderpriority' AS fd,
+             cast(o_custkey AS varchar) AS lhs,
+             count(DISTINCT o_orderpriority) AS n_rhs
+      FROM orders GROUP BY o_custkey),
+    fd3 AS (
+      SELECT 'customer: c_custkey -> c_name' AS fd,
+             cast(c_custkey AS varchar) AS lhs,
+             count(DISTINCT c_name) AS n_rhs
+      FROM customer GROUP BY c_custkey),
+    fd4 AS (
+      SELECT 'lineitem: l_orderkey -> l_shipdate' AS fd,
+             cast(l_orderkey AS varchar) AS lhs,
+             count(DISTINCT l_shipdate) AS n_rhs
+      FROM lineitem GROUP BY l_orderkey),
+    all_fds AS (
+      SELECT * FROM fd1 UNION ALL SELECT * FROM fd2
+      UNION ALL SELECT * FROM fd3 UNION ALL SELECT * FROM fd4)
+    SELECT fd, count(*) AS n_groups,
+           cast(sum(CASE WHEN n_rhs > 1 THEN 1 ELSE 0 END) AS bigint)
+             AS violating_groups,
+           cast(max(n_rhs) AS bigint) AS max_distinct_rhs,
+           CASE WHEN max(n_rhs) = 1 THEN 'holds' ELSE 'violated' END
+             AS verdict
+    FROM all_fds GROUP BY fd
+    """,
+    tags=("audit", "profiling"),
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Functional-dependency validation (the core check of
+    Papenbrock-style data profiling): for each declared candidate FD
+    A → B, one combinable count-distinct aggregate per determinant
+    group — an FD holds iff NO group has >1 distinct dependent. The
+    audit covers a deliberate mix: a key FD that must hold
+    (c_custkey → c_name), and non-FDs that must report their violation
+    counts. Each FD is one groupBy over its table (map-side combinable,
+    one shuffle each); results union into a verdict table the registry's
+    data-test layer could gate on, like the FK audits in
+    models/audits.py."""
+    part = _t(spark, sf_dir, "part")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    lineitem = _t(spark, sf_dir, "lineitem")
+
+    def fd(df, name, lhs, rhs):
+        return (
+            df.groupBy(F.col(lhs).cast("string").alias("lhs"))
+            .agg(F.countDistinct(rhs).alias("n_rhs"))
+            .select(F.lit(name).alias("fd"), "lhs", "n_rhs")
+        )
+
+    all_fds = (
+        fd(part, "part: p_name -> p_brand", "p_name", "p_brand")
+        .unionAll(
+            fd(
+                orders,
+                "orders: o_custkey -> o_orderpriority",
+                "o_custkey",
+                "o_orderpriority",
+            )
+        )
+        .unionAll(
+            fd(customer, "customer: c_custkey -> c_name", "c_custkey", "c_name")
+        )
+        .unionAll(
+            fd(
+                lineitem,
+                "lineitem: l_orderkey -> l_shipdate",
+                "l_orderkey",
+                "l_shipdate",
+            )
+        )
+    )
+    return all_fds.groupBy("fd").agg(
+        F.count("*").alias("n_groups"),
+        F.sum(F.when(F.col("n_rhs") > 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("violating_groups"),
+        F.max("n_rhs").cast("bigint").alias("max_distinct_rhs"),
+        F.when(F.max("n_rhs") == 1, "holds")
+        .otherwise("violated")
+        .alias("verdict"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

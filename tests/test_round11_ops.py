@@ -275,3 +275,58 @@ def test_poisson_bootstrap_exact_reproduction(spark):
     assert got == want
     for n, point, lo, hi in want.values():
         assert lo < hi
+
+
+def test_ridge_kfold_matches_independent_retraining(spark):
+    """Leave-one-fold-out via sufficient-statistic subtraction == 5
+    independently trained single-node ridge models (same folds, same
+    features), within float tolerance of the micro-quantized SSE."""
+    import math
+
+    import numpy as np
+
+    from local_data_pipeline_spark.operators.ml import ridge_fit_local
+    from local_data_pipeline_spark.queries import QUERIES
+
+    stop = {"the", "a", "of", "to", "and", "in", "is", "that"}
+    rows = load_table(spark, SF, "documents").collect()
+    feats, ys, folds = [], [], []
+    for r in rows:
+        t = _doc_tokens(r.text)
+        nw = float(len(t))
+        mw = (sum(len(w) for w in t) / nw) if t else 0.0
+        sh = float(sum(1 for w in t if w in stop))
+        feats.append([nw, mw, sh])
+        ys.append(float(r.n_chars))
+        folds.append(_md5_bucket(r.doc_id, 5))
+    x, y, folds = np.array(feats), np.array(ys), np.array(folds)
+    want = {}
+    for f in range(5):
+        m = folds == f
+        beta = ridge_fit_local(x[~m], y[~m], lam=1.0)
+        pred = np.column_stack([np.ones(m.sum()), x[m]]) @ beta
+        sse = np.sum(np.round((y[m] - pred) ** 2 * 1_000_000)) / 1e6
+        want[f] = (int(m.sum()), round(math.sqrt(sse / m.sum()) * 1000))
+    got = {
+        r.fold: (r.n_test, r.rmse_milli)
+        for r in QUERIES["ridge_kfold_cv_documents"].fn(spark, SF).collect()
+    }
+    assert set(got) == set(want)
+    for f in want:
+        assert got[f][0] == want[f][0]
+        assert abs(got[f][1] - want[f][1]) <= 1, (f, got[f], want[f])
+
+
+def test_join_cardinality_estimate_is_exact(spark):
+    """The sum-of-products histogram estimate equals the materialized
+    join's row count (the equi-join identity)."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    r = (
+        QUERIES["join_cardinality_estimate_events_orders"]
+        .fn(spark, SF)
+        .collect()[0]
+    )
+    assert r.predicted_pairs == r.actual_pairs
+    assert r.max_key_pairs <= r.predicted_pairs
+    assert r.n_join_keys > 0

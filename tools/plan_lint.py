@@ -122,6 +122,11 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "(p = feature count, a model constant) from ONE corpus pass; "
         "the driver solves a p x p system."
     ),
+    ("ml.py", "ridge_kfold_cv"): (
+        "collects k * (p+1)^2 per-fold sufficient statistics (k and p "
+        "are model constants) from ONE corpus pass; the driver solves "
+        "k leave-one-fold-out systems by statistic subtraction."
+    ),
     ("ml.py", "logistic_irls"): (
         "per-IRLS-iteration collect is the (p+1)^2 gram/gradient "
         "sufficient statistic (p = feature count, a model constant); the "
