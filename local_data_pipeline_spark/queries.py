@@ -14191,6 +14191,148 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "loo_target_encoding_orders",
+    """
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority AS cat,
+             CAST(round(o_totalprice * 1000000) AS BIGINT) AS v_micro
+      FROM orders),
+    stats AS (
+      SELECT cat, count(*) AS n, sum(v_micro) AS s FROM base GROUP BY cat)
+    SELECT b.o_orderkey, b.cat,
+           CASE WHEN st.n > 1
+                THEN (st.s - b.v_micro) // (st.n - 1) END AS loo_mean_micro
+    FROM base b JOIN stats st ON st.cat = b.cat
+    """,
+    tags=("ml", "encoding", "join"),
+)
+def loo_target_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out target encoding — the categorical-feature encoder
+    that does NOT leak the row's own label (plain target encoding
+    memorizes singletons; LOO subtracts the row out): encode
+    o_orderpriority against o_totalprice as (Σ_cat − own)/(n_cat − 1).
+    One combinable per-category aggregate, broadcast back over the
+    fact stream — no window, no second shuffle; singleton categories
+    yield NULL (no leak-free estimate exists). Values quantize to
+    integer micros FIRST so the subtraction and floor-division are
+    pure int64 — engine-identical at any parallelism (prices are
+    non-negative, so div == floor on both engines)."""
+    o = _t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderkey",
+        F.col("o_orderpriority").alias("cat"),
+        F.round(F.col("o_totalprice") * 1000000)
+        .cast("bigint")
+        .alias("v_micro"),
+    )
+    stats = base.groupBy("cat").agg(
+        F.count("*").alias("n"), F.sum("v_micro").alias("s")
+    )
+    return base.join(F.broadcast(stats), "cat").select(
+        "o_orderkey",
+        "cat",
+        F.when(
+            F.col("n") > 1,
+            F.expr("(s - v_micro) div (n - 1)"),
+        ).alias("loo_mean_micro"),
+    )
+
+
+@q(
+    "emd_value_drift_by_type",
+    """
+    WITH base AS (
+      SELECT event_type,
+             least(CAST(floor(value / 10.0) AS BIGINT), 49) AS bin
+      FROM events),
+    tc AS (SELECT event_type, bin, count(*) AS c FROM base
+           GROUP BY event_type, bin),
+    types AS (SELECT DISTINCT event_type FROM base),
+    grid AS (
+      SELECT t.event_type, g.bin
+      FROM types t CROSS JOIN (SELECT unnest(range(0, 50)) AS bin) g),
+    dense AS (
+      SELECT grid.event_type, grid.bin, coalesce(tc.c, 0) AS c
+      FROM grid LEFT JOIN tc
+        ON tc.event_type = grid.event_type AND tc.bin = grid.bin),
+    gc AS (SELECT bin, sum(c) AS c FROM dense GROUP BY bin),
+    tn AS (SELECT event_type, sum(c) AS n FROM dense GROUP BY event_type),
+    gn AS (SELECT sum(c) AS n FROM gc),
+    cums AS (
+      SELECT d.event_type, d.bin,
+             sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.bin) AS cum_t,
+             tn.n AS n_t
+      FROM dense d JOIN tn ON tn.event_type = d.event_type),
+    gcum AS (
+      SELECT bin, sum(c) OVER (ORDER BY bin) AS cum_g FROM gc)
+    SELECT c.event_type, max(c.n_t) AS n,
+           cast(sum(abs(c.cum_t * 1000000 // c.n_t
+                        - g.cum_g * 1000000 // gn.n)) AS bigint)
+             AS emd_micro_bins
+    FROM cums c JOIN gcum g ON g.bin = c.bin CROSS JOIN gn
+    GROUP BY c.event_type
+    """,
+    tags=("stats", "drift", "window"),
+)
+def emd_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """1-D earth-mover (Wasserstein-1) distance between each event
+    type's value distribution and the corpus-wide one — the drift
+    metric that, unlike the PSI/KL family (psi_length_drift_sources,
+    kl_divergence_source_tokens), respects the ORDER of the bins: mass
+    moved × distance, which in 1-D is exactly the L1 gap between the
+    two CDFs summed over bins. Histograms are one combinable aggregate;
+    the per-type CDF window runs over the DENSE 50-bin grid (a
+    constant — the in-plan explode(sequence) grid), so every window
+    partition is bounded by the bin count, and the GLOBAL CDF needs no
+    single-partition window at all: with every type on the same dense
+    grid, cum_g(bin) = Σ_types cum_t(bin). Per-bin CDF ratios floor to
+    integer ppm before the |diff| sum — all-int64, engine-identical.
+    Result unit: micro-CDF × bin (multiply by bin width 10 for value
+    units)."""
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        "event_type",
+        F.least(
+            F.floor(F.col("value") / 10.0).cast("bigint"), F.lit(49)
+        ).alias("bin"),
+    )
+    tc = base.groupBy("event_type", "bin").agg(F.count("*").alias("c"))
+    types = base.select("event_type").distinct()
+    grid = types.select(
+        "event_type",
+        F.explode(F.sequence(F.lit(0), F.lit(49))).alias("bin"),
+    ).select("event_type", F.col("bin").cast("bigint").alias("bin"))
+    dense = grid.join(tc, ["event_type", "bin"], "left").select(
+        "event_type", "bin", F.coalesce("c", F.lit(0)).alias("c")
+    )
+    tn = dense.groupBy("event_type").agg(F.sum("c").alias("n_t"))
+    gn = dense.agg(F.sum("c").alias("n_g"))
+    wt = Window.partitionBy("event_type").orderBy("bin")
+    cums = dense.withColumn("cum_t", F.sum("c").over(wt)).join(
+        F.broadcast(tn), "event_type"
+    )
+    # global CDF without a single-partition window: every type covers
+    # the same dense bin grid, so cum_g(bin) = Σ_types cum_t(bin)
+    gcum = cums.groupBy("bin").agg(F.sum("cum_t").alias("cum_g"))
+    return (
+        cums.join(F.broadcast(gcum), "bin")
+        .crossJoin(F.broadcast(gn))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_t").alias("n"),
+            F.sum(
+                F.abs(
+                    F.expr("cum_t * 1000000 div n_t")
+                    - F.expr("cum_g * 1000000 div n_g")
+                )
+            )
+            .cast("bigint")
+            .alias("emd_micro_bins"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -330,3 +330,76 @@ def test_join_cardinality_estimate_is_exact(spark):
     assert r.predicted_pairs == r.actual_pairs
     assert r.max_key_pairs <= r.predicted_pairs
     assert r.n_join_keys > 0
+
+
+def test_loo_target_encoding_exact_and_leak_free(spark):
+    """LOO encodings == local reference, and no row's own value leaks
+    into its encoding (encode(row) changes when only that row's value
+    changes category)."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = (
+        load_table(spark, SF, "orders")
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+        .collect()
+    )
+    sums, ns = {}, {}
+    vm = {}
+    for r in rows:
+        v = int(round(r.o_totalprice * 1_000_000))
+        vm[r.o_orderkey] = (r.o_orderpriority, v)
+        sums[r.o_orderpriority] = sums.get(r.o_orderpriority, 0) + v
+        ns[r.o_orderpriority] = ns.get(r.o_orderpriority, 0) + 1
+    want = {
+        k: (cat, (sums[cat] - v) // (ns[cat] - 1) if ns[cat] > 1 else None)
+        for k, (cat, v) in vm.items()
+    }
+    got = {
+        r.o_orderkey: (r.cat, r.loo_mean_micro)
+        for r in QUERIES["loo_target_encoding_orders"].fn(spark, SF).collect()
+    }
+    assert got == want
+    # leak-free: two same-category rows with different values must get
+    # different encodings (their exclusions differ)
+    by_cat = {}
+    for k, (cat, v) in vm.items():
+        by_cat.setdefault(cat, []).append((v, k))
+    for cat, vs in by_cat.items():
+        if len(vs) > 2:
+            (v1, k1), (v2, k2) = sorted(vs)[0], sorted(vs)[-1]
+            if v1 != v2:
+                assert got[k1][1] != got[k2][1]
+            break
+
+
+def test_emd_matches_local_cdf_reference(spark):
+    """emd_micro_bins == exact local integer CDF-gap computation."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = load_table(spark, SF, "events").select("event_type", "value").collect()
+    hist = {}
+    for r in rows:
+        b = min(int(r.value // 10), 49)
+        hist.setdefault(r.event_type, [0] * 50)[b] += 1
+    n_g = len(rows)
+    gcum = [0] * 50
+    for h in hist.values():
+        c = 0
+        for b in range(50):
+            c += h[b]
+            gcum[b] += c
+    want = {}
+    for et, h in hist.items():
+        n_t = sum(h)
+        cum = 0
+        emd = 0
+        for b in range(50):
+            cum += h[b]
+            emd += abs(cum * 1_000_000 // n_t - gcum[b] * 1_000_000 // n_g)
+        want[et] = (n_t, emd)
+    got = {
+        r.event_type: (r.n, r.emd_micro_bins)
+        for r in QUERIES["emd_value_drift_by_type"].fn(spark, SF).collect()
+    }
+    assert got == want
+    assert all(e >= 0 for _, e in want.values())
