@@ -14333,6 +14333,83 @@ def emd_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "matryoshka_truncation_recall",
+    """
+    WITH anchors AS (
+      SELECT vec_id, embedding FROM embeddings WHERE vec_id % 97 = 0),
+    full_scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS s
+      FROM anchors a JOIN embeddings c ON a.vec_id <> c.vec_id),
+    full_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id ASC) AS rn
+        FROM full_scored) WHERE rn <= 10),
+    tr_scored AS (
+      SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity((a.embedding[1:16])::DOUBLE[],
+                                          (c.embedding[1:16])::DOUBLE[]), 6)
+               AS s
+      FROM anchors a JOIN embeddings c ON a.vec_id <> c.vec_id),
+    tr_top AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY s DESC, neighbor_id ASC) AS rn
+        FROM tr_scored) WHERE rn <= 10)
+    SELECT f.query_id, count(t.neighbor_id) AS n_overlap,
+           count(t.neighbor_id) * 100 AS recall_milli
+    FROM full_top f LEFT JOIN tr_top t
+      ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "eval", "embeddings"),
+)
+def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension-truncation eval (Kusupati et al. 2022:
+    nested representations let you serve a 16-dim prefix of a 64-dim
+    embedding at ¼ the memory/compute): recall@10 of the FIRST-16-DIMS
+    space against full-dimension brute-force truth, per anchor (the
+    deterministic vec_id %% 97 sample). This is the measurement that
+    decides whether the cheap prefix index is good enough before
+    building it — same harness shape as ann_recall_eval, but the
+    approximation is truncation, not bucketing. Both spaces run the
+    Arrow/BLAS brute-force kernel (broadcast query matrix, corpus
+    streams once per space with one matmul per partition and a
+    tie-inclusive per-partition prune); these synthetic embeddings
+    are NOT matryoshka-trained, so the measured recall is the honest
+    baseline a prefix index would get."""
+    emb = _t(spark, sf_dir, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 97 == 0)
+    emb_tr = emb.select("vec_id", F.slice("embedding", 1, 16).alias("embedding"))
+    anchors_tr = anchors.select(
+        "vec_id", F.slice("embedding", 1, 16).alias("embedding")
+    )
+    full_top = SIM.brute_force_topk_arrow(anchors, emb, k=10).select(
+        "query_id", "neighbor_id"
+    )
+    tr_top = SIM.brute_force_topk_arrow(anchors_tr, emb_tr, k=10).select(
+        F.col("query_id").alias("t_qid"), F.col("neighbor_id").alias("t_nid")
+    )
+    return (
+        full_top.join(
+            tr_top,
+            (F.col("t_qid") == F.col("query_id"))
+            & (F.col("t_nid") == F.col("neighbor_id")),
+            "left",
+        )
+        .groupBy("query_id")
+        .agg(F.count("t_nid").alias("n_overlap"))
+        .select(
+            "query_id",
+            "n_overlap",
+            (F.col("n_overlap") * 100).alias("recall_milli"),
+        )
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

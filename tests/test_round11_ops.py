@@ -403,3 +403,32 @@ def test_emd_matches_local_cdf_reference(spark):
     }
     assert got == want
     assert all(e >= 0 for _, e in want.values())
+
+
+def test_matryoshka_recall_bounds_and_prefix_identity(spark):
+    """Overlap counts are in [0, 10]; and truncating to the FULL width
+    (a slice that changes nothing) gives perfect agreement — pinning
+    that the two-space harness itself introduces no noise."""
+    from local_data_pipeline_spark.operators import similarity as S
+
+    from local_data_pipeline_spark.queries import QUERIES
+
+    got = QUERIES["matryoshka_truncation_recall"].fn(spark, SF).collect()
+    assert got and all(0 <= r.n_overlap <= 10 for r in got)
+    assert all(r.recall_milli == r.n_overlap * 100 for r in got)
+
+    emb = load_table(spark, SF, "embeddings")
+    anchors = emb.filter(F.col("vec_id") % 97 == 0)
+    full = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk_arrow(anchors, emb, k=10).collect()
+    }
+    sliced = emb.select("vec_id", F.slice("embedding", 1, 64).alias("embedding"))
+    a_sliced = anchors.select(
+        "vec_id", F.slice("embedding", 1, 64).alias("embedding")
+    )
+    same = {
+        (r.query_id, r.neighbor_id)
+        for r in S.brute_force_topk_arrow(a_sliced, sliced, k=10).collect()
+    }
+    assert full == same

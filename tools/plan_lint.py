@@ -75,6 +75,12 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "broadcast side, corpus streams once; the metric stages after the "
         "top-k are 20-row arithmetic against literal gain tables."
     ),
+    ("matryoshka_truncation_recall", "S2"): (
+        "same brute_force_topk contract, twice (full-dim and 16-dim "
+        "prefix space): the anchor sample (vec_id % 97) is the broadcast "
+        "side, corpus streams once per space; an unbounded query set "
+        "would use the prefix-space IVF/LSH index this eval justifies."
+    ),
     ("source_mixing_weights", "S1"): (
         "window input is one row per SOURCE (a closed census of corpora "
         "in the blend, dozens at most) — domain-bounded, not "
