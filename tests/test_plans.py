@@ -504,3 +504,40 @@ def test_s4_tracer_catches_planted_collect(spark, tmp_path):
     finally:
         os.remove(probe)
         sys.modules.pop("local_data_pipeline_spark._s4_probe", None)
+
+
+def test_auc_has_no_ranking_window(spark):
+    """Session-11 design pin: the Mann-Whitney AUC is computed entirely
+    from tie-group aggregates + distributed_cumsum — NO Window operator
+    (a per-class ranking window would put each class's full row set in
+    one task)."""
+    df = _df(spark, "auc_one_vs_rest_embeddings")
+    assert "Window" not in physical_plan(df)
+
+
+def test_phrase_search_top1_stays_in_plan(spark):
+    """The most-frequent-bigram discovery is TakeOrderedAndProject
+    feeding a broadcast hash join — one pass, no driver collect."""
+    df = _df(spark, "phrase_search_documents")
+    plan = physical_plan(df)
+    assert uses_take_ordered(df)
+    assert "BroadcastExchange" in plan
+
+
+def test_snapshot_diff_is_one_full_outer_join(spark):
+    """snapshot_diff classifies A/D/C from ONE full-outer shuffle join;
+    unchanged rows are filtered in-plan, never re-joined."""
+    df = _df(spark, "snapshot_diff_orders")
+    plan = physical_plan(df)
+    assert plan.count("SortMergeJoin FullOuter") == 1
+    # both snapshot filters reach the orders scans
+    assert has_pushed_filter(df, "o_orderkey")
+
+
+def test_loo_encoding_broadcasts_category_stats(spark):
+    """The per-category stats table (|categories| rows) broadcasts back
+    over the fact stream — no second shuffle of orders, no window."""
+    df = _df(spark, "loo_target_encoding_orders")
+    plan = physical_plan(df)
+    assert broadcast_join_count(df) >= 1
+    assert "Window" not in plan
