@@ -515,6 +515,11 @@ def viterbi_segment_local(word: str, vocab: "dict[str, float]") -> list[str]:
     penalty, so segmentation never fails."""
     if not word:
         return []
+    if not vocab:
+        raise ValueError(
+            "viterbi_segment_local: empty vocabulary — train "
+            "unigram_vocab on a non-empty corpus first"
+        )
     unk = min(vocab.values()) - 10.0
     n = len(word)
     best = [0.0] + [float("-inf")] * n
@@ -530,9 +535,11 @@ def viterbi_segment_local(word: str, vocab: "dict[str, float]") -> list[str]:
                 else:
                     continue
             score = best[j] + lp
-            # strict > keeps the SMALLEST j seen first? iterate j
-            # ascending: smaller j = longer piece wins ties via >=
-            if score > best[i] or (score == best[i] and j < back[i]):
+            # strict >: j iterates ascending (longest final piece
+            # first), so on an exact score tie the SMALLEST j — the
+            # LONGEST final piece — is kept. Pinned by
+            # test_viterbi_segmentation_planted_vocab.
+            if score > best[i]:
                 best[i] = score
                 back[i] = j
     out = []
@@ -651,6 +658,29 @@ def ridge_kfold_cv(
         *[F.col(c).cast("double").alias(c) for c in feature_cols],
         F.col(label_col).cast("double").alias("__y"),
     )
+    # Fail FAST on NULLs: a NULL feature/label becomes NaN in the Arrow
+    # batch and silently poisons every leave-one-fold-out statistic
+    # (NaN XtX -> all-NaN betas -> np.int64(NaN) garbage SSE), and a
+    # NULL fold crashes deep inside mapInPandas. The assert rides the
+    # __fold projection (apply_changes' pattern — a bare
+    # filter(assert_true(...).isNull()) is constant-folded away and the
+    # side effect silently dropped).
+    non_null = F.col("__fold").isNotNull() & F.col("__y").isNotNull()
+    for c in feature_cols:
+        non_null = non_null & F.col(c).isNotNull()
+    sel = sel.withColumn(
+        "__fold",
+        F.when(
+            F.assert_true(
+                non_null,
+                F.lit(
+                    "ridge_kfold_cv: NULL in fold/feature/label column — "
+                    "drop or impute upstream"
+                ),
+            ).isNull(),
+            F.col("__fold"),
+        ),
+    )
 
     def partials(batches):
         acc: dict = {}
@@ -670,14 +700,18 @@ def ridge_kfold_cv(
                 xtx += xf.T @ xf
                 xty += xf.T @ y[m]
                 acc[int(f)][2] = n + int(m.sum())
-        yield pd.DataFrame(
-            {
-                "fold": list(acc),
-                "xtx": [v[0].reshape(-1).tolist() for v in acc.values()],
-                "xty": [v[1].tolist() for v in acc.values()],
-                "n": [v[2] for v in acc.values()],
-            }
-        )
+        # empty partitions yield NOTHING: an empty DataFrame's float64
+        # columns cannot Arrow-cast to array<double> (found as a flaky
+        # ArrowNotImplementedError when rows << partitions)
+        if acc:
+            yield pd.DataFrame(
+                {
+                    "fold": list(acc),
+                    "xtx": [v[0].reshape(-1).tolist() for v in acc.values()],
+                    "xty": [v[1].tolist() for v in acc.values()],
+                    "n": [v[2] for v in acc.values()],
+                }
+            )
 
     rows = sel.mapInPandas(
         partials,
@@ -704,6 +738,8 @@ def ridge_kfold_cv(
     def score(batches):
         bs = {f: np.array(b) for f, b in bbetas.value.items()}
         for pdf in batches:
+            if pdf.empty:
+                continue
             x = np.column_stack(
                 [np.ones(len(pdf))]
                 + [pdf[c].to_numpy(dtype=np.float64) for c in feature_cols]

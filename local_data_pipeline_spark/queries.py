@@ -5710,19 +5710,51 @@ def bloom_prune_urgent_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q(
-    "triangle_count_copurchase",
-    """
-    WITH items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-    edges AS (
+_COPURCHASE_PAIRS_SQL = """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
       SELECT a.l_partkey AS pa, b.l_partkey AS pb
       FROM items a JOIN items b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2)
+      GROUP BY 1, 2 HAVING count(*) >= 2)"""
+#: Shared CTE prefix: the support->=2 co-purchase pair set. Used by BOTH
+#: the triangle and the label-propagation oracles so the edge definition
+#: cannot silently desynchronize from the Spark twin below.
+
+
+def _copurchase_edges(li: DataFrame) -> DataFrame:
+    """Support-≥2 co-purchase part pairs (pa < pb): parts bought together
+    in at least 2 orders. THE shared edge set for the co-purchase graph
+    family (triangle_count_copurchase, label_propagation_copurchase) —
+    one definition, one SQL twin (_COPURCHASE_PAIRS_SQL), so a support
+    or dedup change propagates everywhere or nowhere. The HAVING
+    collapses the pair set ~300× before any downstream quadratic/
+    iterative work (1.2M raw pair instances → 3.6k edges at sf0.1)."""
+    items = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = items.alias("a"), items.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count("*").alias("c"))
+        .filter(F.col("c") >= 2)
+        .select("pa", "pb")
+    )
+
+
+@q(
+    "triangle_count_copurchase",
+    "WITH "
+    + _COPURCHASE_PAIRS_SQL
+    + """
     SELECT e1.pa AS part_a, e1.pb AS part_b, e2.pb AS part_c
-    FROM edges e1
-    JOIN edges e2 ON e1.pb = e2.pa
-    JOIN edges e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    FROM pairs e1
+    JOIN pairs e2 ON e1.pb = e2.pa
+    JOIN pairs e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
     """,
     tags=("graph", "join"),
 )
@@ -5738,21 +5770,7 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     (degree-ordered orientation); skewed hubs would additionally be
     degree-capped upstream."""
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    edges = _copurchase_edges(li)
     e1 = edges.alias("e1")
     e2 = edges.alias("e2")
     e3 = edges.alias("e3")
@@ -13220,6 +13238,31 @@ def hll_daily_to_monthly_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ridge_length_features(d: DataFrame) -> DataFrame:
+    """THE feature frame for the ridge length model family — built in
+    exactly one place so ridge_length_model_documents and its k-fold CV
+    (ridge_kfold_cv_documents) can never silently diverge on feature
+    definitions: (doc_id, n_words, mean_wlen, stop_hits, n_chars)."""
+    toks = TX.tokens(F.col("text"))
+    n_words = F.size(toks).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
+    ).cast("double")
+    stop_arr = F.array(
+        *[F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is", "that")]
+    )
+    stop_hits = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ).cast("double")
+    return d.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(n_words > 0, sum_len / n_words).otherwise(0.0).alias("mean_wlen"),
+        stop_hits.alias("stop_hits"),
+        F.col("n_chars").cast("double").alias("n_chars"),
+    )
+
+
 @q("ridge_length_model_documents", None, tags=("ml", "regression"))
 def ridge_length_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ridge regression (normal equations) predicting document length
@@ -13234,23 +13277,7 @@ def ridge_length_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ml as ML
 
     d = _t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    n_words = F.size(toks).cast("double")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-    ).cast("double")
-    stop_arr = F.array(
-        *[F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is", "that")]
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
-    ).cast("double")
-    feats = d.select(
-        n_words.alias("n_words"),
-        F.when(n_words > 0, sum_len / n_words).otherwise(0.0).alias("mean_wlen"),
-        stop_hits.alias("stop_hits"),
-        F.col("n_chars").cast("double").alias("n_chars"),
-    )
+    feats = _ridge_length_features(d)
     beta = ML.ridge_fit(
         feats, ["n_words", "mean_wlen", "stop_hits"], "n_chars", lam=1.0
     )
@@ -13375,12 +13402,7 @@ def _lpa_oracle_sql(iterations: int = 4) -> str:
     un-hinted DuckDB would re-inline the whole prefix (the
     _hits_oracle_sql lesson)."""
     ctes = [
-        """items AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)""",
-        """pairs AS (
-      SELECT a.l_partkey AS pa, b.l_partkey AS pb
-      FROM items a JOIN items b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2 HAVING count(*) >= 2)""",
+        _COPURCHASE_PAIRS_SQL,
         """edges AS MATERIALIZED (
       SELECT pa AS src, pb AS dst FROM pairs
       UNION ALL
@@ -13432,21 +13454,7 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
-    items = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = items.alias("a"), items.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count("*").alias("c"))
-        .filter(F.col("c") >= 2)
-        .select("pa", "pb")
-    )
+    pairs = _copurchase_edges(li)
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst")))
@@ -13481,8 +13489,8 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
              sum(pos * (2 * cum + cnt + 1)) AS two_r
       FROM g2 GROUP BY cls)
     SELECT cls, n, n_pos,
-           ((two_r - n_pos * (n_pos + 1)) * 1000000)
-             // (2 * n_pos * (n - n_pos)) AS auc_micro
+           CAST((CAST(two_r - n_pos * (n_pos + 1) AS HUGEINT) * 1000000)
+                // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_micro
     FROM per
     """,
     tags=("ml", "eval", "embeddings"),
@@ -13496,9 +13504,12 @@ def auc_one_vs_rest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     distributed_cumsum over (class, score) gives each group's exclusive
     prefix (packing.distributed_cumsum: range-partitioned shards, no
     single-task stage), and per-class offsets are reconstructed from
-    min(cum) — so 2·avg_rank = 2·(cum−off) + cnt + 1 stays pure int64
-    end-to-end and the AUC lands as engine-exact integer micro-units
-    (products ≤ 2N²·10⁶ ≪ 2⁶³). The raw float32 score (cast to double,
+    min(cum) — so 2·avg_rank = 2·(cum−off) + cnt + 1 stays int64
+    through the rank sums (safe to ~6.8e9 scored rows per class:
+    two_r ≤ 2·n⁺·N), and the final ×10⁶ scaling — the one step that
+    WOULD overflow int64 past ~7M rows — runs in 128-bit integral
+    division (Spark decimal(38,0) `div` ≡ DuckDB HUGEINT `//`, both
+    verified exact past 2⁵³). The raw float32 score (cast to double,
     NO rounding) is the group key: identical bits on both engines, so
     grouping and ordering agree exactly."""
     from .operators.packing import distributed_cumsum
@@ -13529,9 +13540,12 @@ def auc_one_vs_rest_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "n_pos",
         F.expr(
-            "((two_r_g - 2*off*n_pos - n_pos*(n_pos+1)) * 1000000)"
+            "(cast(two_r_g - 2*off*n_pos - n_pos*(n_pos+1)"
+            "      as decimal(38,0)) * 1000000)"
             " div (2 * n_pos * (n - n_pos))"
-        ).alias("auc_micro"),
+        )
+        .cast("bigint")
+        .alias("auc_micro"),
     )
 
 
@@ -13691,15 +13705,11 @@ def kneser_ney_bigram_heldout(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the dsir rule). Totals broadcast in-plan; the three model joins
     shuffle on vocabulary-sized keys."""
     d = _t(spark, sf_dir, "documents")
-    split = d.select(
-        "doc_id",
-        "text",
-        F.pmod(
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
-            ).cast("bigint"),
-            F.lit(100),
-        ).alias("bucket"),
+    # the engine-identical md5 split, from the ONE shared implementation
+    # (dedup.hash_split — same expression the split family and the SQL
+    # twin use); bucket = split_bucket, train = < 80
+    split = DD.hash_split(d).select(
+        "doc_id", "text", F.col("split_bucket").alias("bucket")
     )
     tokd = split.select(
         "doc_id", "bucket", TX.tokens(F.col("text")).alias("t")
@@ -14000,28 +14010,14 @@ def ridge_kfold_cv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ml as ML
 
     d = _t(spark, sf_dir, "documents")
-    toks = TX.tokens(F.col("text"))
-    n_words = F.size(toks).cast("double")
-    sum_len = F.aggregate(
-        toks, F.lit(0).cast("bigint"), lambda acc, x: acc + F.length(x)
-    ).cast("double")
-    stop_arr = F.array(
-        *[F.lit(w) for w in ("the", "a", "of", "to", "and", "in", "is", "that")]
-    )
-    stop_hits = F.size(
-        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
-    ).cast("double")
-    feats = d.select(
+    feats = _ridge_length_features(d).withColumn(
+        "fold",
         F.pmod(
             F.conv(
                 F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
             ).cast("bigint"),
             F.lit(5),
-        ).alias("fold"),
-        n_words.alias("n_words"),
-        F.when(n_words > 0, sum_len / n_words).otherwise(0.0).alias("mean_wlen"),
-        stop_hits.alias("stop_hits"),
-        F.col("n_chars").cast("double").alias("n_chars"),
+        ),
     )
     cv = ML.ridge_kfold_cv(
         feats,
@@ -14244,7 +14240,7 @@ def loo_target_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     WITH base AS (
       SELECT event_type,
-             least(CAST(floor(value / 10.0) AS BIGINT), 49) AS bin
+             least(greatest(CAST(floor(value / 10.0) AS BIGINT), 0), 49) AS bin
       FROM events),
     tc AS (SELECT event_type, bin, count(*) AS c FROM base
            GROUP BY event_type, bin),
@@ -14288,13 +14284,18 @@ def emd_value_drift_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-partition window at all: with every type on the same dense
     grid, cum_g(bin) = Σ_types cum_t(bin). Per-bin CDF ratios floor to
     integer ppm before the |diff| sum — all-int64, engine-identical.
-    Result unit: micro-CDF × bin (multiply by bin width 10 for value
+    Out-of-range values clamp into the edge bins on BOTH engines
+    (negative values land in bin 0, not silently dropped). Result
+    unit: micro-CDF × bin (multiply by bin width 10 for value
     units)."""
     e = _t(spark, sf_dir, "events")
     base = e.select(
         "event_type",
         F.least(
-            F.floor(F.col("value") / 10.0).cast("bigint"), F.lit(49)
+            F.greatest(
+                F.floor(F.col("value") / 10.0).cast("bigint"), F.lit(0)
+            ),
+            F.lit(49),
         ).alias("bin"),
     )
     tc = base.groupBy("event_type", "bin").agg(F.count("*").alias("c"))

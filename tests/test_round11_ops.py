@@ -379,7 +379,7 @@ def test_emd_matches_local_cdf_reference(spark):
     rows = load_table(spark, SF, "events").select("event_type", "value").collect()
     hist = {}
     for r in rows:
-        b = min(int(r.value // 10), 49)
+        b = min(max(int(r.value // 10), 0), 49)
         hist.setdefault(r.event_type, [0] * 50)[b] += 1
     n_g = len(rows)
     gcum = [0] * 50
@@ -432,3 +432,23 @@ def test_matryoshka_recall_bounds_and_prefix_identity(spark):
         for r in S.brute_force_topk_arrow(a_sliced, sliced, k=10).collect()
     }
     assert full == same
+
+
+def test_ridge_kfold_rejects_null_inputs(spark):
+    """A NULL feature/label/fold must raise loudly at execution — the
+    silent path poisoned every fold's statistics with NaN."""
+    from local_data_pipeline_spark.operators.ml import ridge_kfold_cv
+
+    df = spark.createDataFrame(
+        [(0, 1.0, 2.0), (1, None, 4.0), (0, 3.0, 6.0), (1, 4.0, 8.0)],
+        "fold int, x double, y double",
+    )
+    with pytest.raises(Exception, match="ridge_kfold_cv: NULL"):
+        ridge_kfold_cv(df, ["x"], "y", "fold", k=2).collect()
+
+
+def test_viterbi_rejects_empty_vocab():
+    from local_data_pipeline_spark.operators.ml import viterbi_segment_local
+
+    with pytest.raises(ValueError, match="empty vocabulary"):
+        viterbi_segment_local("word", {})
