@@ -14411,6 +14411,123 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "content_defined_chunks_documents",
+    """
+    WITH docs AS (
+      SELECT doc_id, text FROM documents WHERE length(text) >= 8),
+    chars AS (
+      SELECT doc_id, i AS pos, ascii(substr(text, i, 1)) AS a
+      FROM docs, unnest(range(1, length(text) + 1)) AS t(i)),
+    cums AS (
+      SELECT doc_id, pos,
+             sum(a) OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+      FROM chars),
+    hashed AS (
+      SELECT doc_id, pos,
+             cum - coalesce(lag(cum, 8) OVER (PARTITION BY doc_id
+                                              ORDER BY pos), 0) AS h
+      FROM cums),
+    cuts AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos >= 8 AND h % 64 = 0 THEN 1 ELSE 0 END AS is_cut
+      FROM hashed),
+    segs AS (
+      SELECT doc_id, pos,
+             coalesce(sum(is_cut) OVER (PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS chunk_idx
+      FROM cuts),
+    chunks AS (
+      SELECT doc_id, chunk_idx, min(pos) AS start_pos,
+             count(*) AS chunk_len
+      FROM segs GROUP BY doc_id, chunk_idx),
+    keyed AS (
+      SELECT c.doc_id, c.chunk_idx, c.start_pos, c.chunk_len,
+             substr(md5(substr(d.text, c.start_pos::INT,
+                               c.chunk_len::INT)), 1, 8) AS chunk_key
+      FROM chunks c JOIN docs d ON d.doc_id = c.doc_id),
+    refs AS (
+      SELECT chunk_key, count(*) AS refcount FROM keyed GROUP BY chunk_key)
+    SELECT k.doc_id, k.chunk_idx, k.start_pos, k.chunk_len, k.chunk_key,
+           r.refcount
+    FROM keyed k JOIN refs r ON r.chunk_key = k.chunk_key
+    """,
+    tags=("text", "dedup", "storage"),
+)
+def content_defined_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking — the storage primitive under
+    dedup-friendly blob stores (LBFS/rsync lineage; the reference class
+    for parquet-of-blobs training corpora): chunk boundaries are cut
+    where a rolling 8-char window hash satisfies h %% 64 == 0, so
+    boundaries depend only on LOCAL content — insert a byte and every
+    chunk beyond the disturbed window keeps its identity (the
+    insertion-stability pytest pins exactly that), where fixed-width
+    chunking shifts every subsequent chunk. Identical chunks across
+    documents share a key: `refcount` is the dedup payoff.
+
+    Distributed shape: O(n) per document, NOT O(n·w) — the window hash
+    is a difference of cumulative sums (cum − lag(cum, 8)); two windows
+    partitioned by doc_id (high-cardinality key, no single-partition
+    stage), one chunk aggregate, one md5 of the chunk substring, one
+    refcount join. The pure predicate (no min/max chunk clamps) keeps
+    every position independent — the parallel-friendly CDC variant;
+    production min/max bounds would add the sequential suppression pass
+    per document (a mapInPandas seam, same cogroup shape as as-of)."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    docs = d.select("doc_id", "text")
+    chars = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # split("(?!^)") appends one trailing '' — slice it off
+                F.slice(
+                    F.split(F.col("text"), "(?!^)"), 1, F.length("text")
+                ),
+                lambda c: F.ascii(c),
+            )
+        ).alias("pos0", "a"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "a")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cums = chars.withColumn("cum", F.sum("a").over(w))
+    hashed = cums.withColumn(
+        "h", F.col("cum") - F.coalesce(F.lag("cum", 8).over(w), F.lit(0))
+    )
+    cuts = hashed.withColumn(
+        "is_cut",
+        F.when((F.col("pos") >= 8) & (F.col("h") % 64 == 0), 1).otherwise(0),
+    )
+    wprev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    segs = cuts.withColumn(
+        "chunk_idx", F.coalesce(F.sum("is_cut").over(wprev), F.lit(0))
+    )
+    chunks = segs.groupBy("doc_id", "chunk_idx").agg(
+        F.min("pos").alias("start_pos"), F.count("*").alias("chunk_len")
+    )
+    keyed = chunks.join(docs, "doc_id").select(
+        "doc_id",
+        "chunk_idx",
+        "start_pos",
+        "chunk_len",
+        F.substring(
+            F.md5(
+                F.expr("substring(text, cast(start_pos as int), "
+                       "cast(chunk_len as int))")
+            ),
+            1,
+            8,
+        ).alias("chunk_key"),
+    )
+    refs = keyed.groupBy("chunk_key").agg(F.count("*").alias("refcount"))
+    return keyed.join(refs, "chunk_key").select(
+        "doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_key", "refcount"
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

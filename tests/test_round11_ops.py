@@ -452,3 +452,67 @@ def test_viterbi_rejects_empty_vocab():
 
     with pytest.raises(ValueError, match="empty vocabulary"):
         viterbi_segment_local("word", {})
+
+
+def _cdc_chunks_local(text, w=8, mod=64):
+    """Driver-side reference of the content-defined chunker."""
+    n = len(text)
+    vals = [ord(c) for c in text]
+    cuts = []
+    cum = 0
+    cums = []
+    for v in vals:
+        cum += v
+        cums.append(cum)
+    for pos in range(1, n + 1):
+        h = cums[pos - 1] - (cums[pos - 9] if pos > 8 else 0)
+        if pos >= 8 and h % mod == 0:
+            cuts.append(pos)
+    bounds = [0] + cuts + ([n] if (not cuts or cuts[-1] != n) else [])
+    return [text[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+
+def test_cdc_chunks_match_local_reference(spark):
+    import hashlib
+
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        if len(r.text) < 8:
+            continue
+        for i, ch in enumerate(_cdc_chunks_local(r.text)):
+            want[(r.doc_id, i)] = (
+                len(ch),
+                hashlib.md5(ch.encode()).hexdigest()[:8],
+            )
+    got = {
+        (r.doc_id, r.chunk_idx): (r.chunk_len, r.chunk_key)
+        for r in QUERIES["content_defined_chunks_documents"]
+        .fn(spark, SF)
+        .collect()
+    }
+    assert got == want
+
+
+def test_cdc_chunks_are_insertion_stable():
+    """THE content-defined property: prepending bytes re-cuts only the
+    disturbed prefix — the suffix chunks keep their identities, where
+    fixed-width chunking would shift every one of them."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then "
+        "runs far away into the deep dark woods tonight again"
+    ) * 3
+    shifted = "XY" + base
+    c1 = _cdc_chunks_local(base)
+    c2 = _cdc_chunks_local(shifted)
+    assert len(c1) > 3  # the predicate actually cuts this text
+    # all chunks after the first disturbed ones realign exactly
+    tail1, tail2 = set(c1[1:]), set(c2[2:])
+    assert tail1 & tail2, "no shared chunk identity after insertion"
+    # fixed-width chunking (same mean size) shares NO full chunk
+    width = max(1, len(base) // len(c1))
+    f1 = {base[i : i + width] for i in range(0, len(base), width)}
+    f2 = {shifted[i : i + width] for i in range(0, len(shifted), width)}
+    assert len(f1 & f2) <= 1
