@@ -587,3 +587,64 @@ def simhash_near_dups(
     # vote aggregation once per side
     sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     return banded_hamming_pairs(sh, "simhash", id_col, n_bands, max_hamming)
+
+
+def bounded_cdc_cuts(
+    candidates: Column,
+    doc_len: Column,
+    min_len: int = 16,
+    max_len: int = 64,
+) -> Column:
+    """Production content-defined chunking semantics on top of a pure
+    candidate cut list: suppress predicate cuts closer than ``min_len``
+    to the previous kept cut, and FORCE a cut every ``max_len`` chars
+    when no candidate fires — the min/max clamps every real CDC store
+    (LBFS/restic/borg lineage) layers over the rolling-hash predicate.
+
+    The sequential walk is a fold over the (per-document, already
+    sorted) candidate array expressed as a Catalyst ``F.aggregate``
+    state machine — struct(last_cut, kept_cuts) accumulator, forced
+    cuts emitted as an in-lambda ``sequence(last+max, c-1, max)`` —
+    so the whole pass stays JVM-side with zero Python and zero extra
+    shuffle: documents are the unit of parallelism, and per-doc state
+    is one struct. The finish lambda forces tail cuts so no chunk ever
+    exceeds ``max_len``; only the final tail may undershoot
+    ``min_len``. Returns the kept cut positions (ascending)."""
+    empty = F.array().cast("array<bigint>")
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("last"), empty.alias("kept")
+    )
+
+    def step(acc, c):
+        forced = F.when(
+            c - acc["last"] > max_len,
+            F.sequence(
+                acc["last"] + max_len, c - 1, F.lit(max_len).cast("bigint")
+            ),
+        ).otherwise(empty)
+        last2 = F.when(
+            F.size(forced) > 0, F.element_at(forced, -1)
+        ).otherwise(acc["last"])
+        keep = (c - last2) >= min_len
+        new_last = F.when(keep, c).otherwise(last2)
+        new_kept = F.concat(
+            acc["kept"],
+            forced,
+            F.when(keep, F.array(c)).otherwise(empty),
+        )
+        return F.struct(new_last.alias("last"), new_kept.alias("kept"))
+
+    def fin(acc):
+        tail = F.when(
+            doc_len - acc["last"] > max_len,
+            F.sequence(
+                acc["last"] + max_len,
+                doc_len - 1,
+                F.lit(max_len).cast("bigint"),
+            ),
+        ).otherwise(empty)
+        return F.concat(acc["kept"], tail)
+
+    return F.aggregate(
+        candidates.cast("array<bigint>"), init, step, fin
+    )

@@ -14411,6 +14411,35 @@ def matryoshka_truncation_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cdc_rolling_cuts(docs: DataFrame) -> DataFrame:
+    """Shared rolling-hash cut-candidate pipeline for the CDC chunking
+    family: (doc_id, pos, is_cut) for every character position, O(n)
+    per document (window hash = cum − lag(cum, 8), h % 64 == 0 cuts).
+    One definition so the pure and the min/max-bounded chunkers can
+    never disagree on the underlying predicate."""
+    chars = docs.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                # split("(?!^)") appends one trailing '' — slice it off
+                F.slice(
+                    F.split(F.col("text"), "(?!^)"), 1, F.length("text")
+                ),
+                lambda c: F.ascii(c),
+            )
+        ).alias("pos0", "a"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "a")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    cums = chars.withColumn("cum", F.sum("a").over(w))
+    hashed = cums.withColumn(
+        "h", F.col("cum") - F.coalesce(F.lag("cum", 8).over(w), F.lit(0))
+    )
+    return hashed.withColumn(
+        "is_cut",
+        F.when((F.col("pos") >= 8) & (F.col("h") % 64 == 0), 1).otherwise(0),
+    )
+
+
 @q(
     "content_defined_chunks_documents",
     """
@@ -14476,27 +14505,7 @@ def content_defined_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFr
     per document (a mapInPandas seam, same cogroup shape as as-of)."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     docs = d.select("doc_id", "text")
-    chars = docs.select(
-        "doc_id",
-        F.posexplode(
-            F.transform(
-                # split("(?!^)") appends one trailing '' — slice it off
-                F.slice(
-                    F.split(F.col("text"), "(?!^)"), 1, F.length("text")
-                ),
-                lambda c: F.ascii(c),
-            )
-        ).alias("pos0", "a"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "a")
-    w = Window.partitionBy("doc_id").orderBy("pos")
-    cums = chars.withColumn("cum", F.sum("a").over(w))
-    hashed = cums.withColumn(
-        "h", F.col("cum") - F.coalesce(F.lag("cum", 8).over(w), F.lit(0))
-    )
-    cuts = hashed.withColumn(
-        "is_cut",
-        F.when((F.col("pos") >= 8) & (F.col("h") % 64 == 0), 1).otherwise(0),
-    )
+    cuts = _cdc_rolling_cuts(docs)
     wprev = (
         Window.partitionBy("doc_id")
         .orderBy("pos")
@@ -14526,6 +14535,146 @@ def content_defined_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFr
     return keyed.join(refs, "chunk_key").select(
         "doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_key", "refcount"
     )
+
+
+@q(
+    "forget_impact_report",
+    """
+    WITH forget AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+    o AS (
+      SELECT count(*) AS n_rows, count(DISTINCT o_custkey) AS n_keys
+      FROM orders WHERE o_custkey IN (SELECT c_custkey FROM forget)),
+    li AS (
+      SELECT count(*) AS n_rows, count(DISTINCT l.l_orderkey) AS n_keys
+      FROM lineitem l
+      WHERE l.l_orderkey IN (
+        SELECT o_orderkey FROM orders
+        WHERE o_custkey IN (SELECT c_custkey FROM forget))),
+    ev AS (
+      SELECT count(*) AS n_rows, count(DISTINCT user_id) AS n_keys
+      FROM events WHERE user_id IN (SELECT c_custkey FROM forget)),
+    cu AS (
+      SELECT count(*) AS n_rows, count(DISTINCT c_custkey) AS n_keys
+      FROM customer WHERE c_custkey IN (SELECT c_custkey FROM forget))
+    SELECT 'customer' AS table_name, n_rows, n_keys FROM cu
+    UNION ALL SELECT 'orders', n_rows, n_keys FROM o
+    UNION ALL SELECT 'lineitem', n_rows, n_keys FROM li
+    UNION ALL SELECT 'events', n_rows, n_keys FROM ev
+    """,
+    tags=("governance", "audit", "join"),
+)
+def forget_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten impact report — the pre-flight every GDPR/
+    CCPA delete pipeline runs before touching data: given a forget set
+    of subject keys (the deterministic c_custkey %% 97 sample standing
+    in for a deletion request batch), count the rows and distinct keys
+    each table would lose, following the FK graph one hop at a time
+    (customer → orders → lineitem; customer → events). Completes the
+    governance family next to fk_integrity_audit / k_anonymity /
+    pii_scrub: those find what to protect, this prices the deletion.
+
+    Scale shape: the forget set broadcasts into LEFT SEMI joins (never
+    materializing the deleted rows, only counting them); the
+    lineitem hop semi-joins against the affected ORDER KEYS (itself a
+    semi-join output), so each fact table is scanned exactly once and
+    nothing wider than (key) ever shuffles. The report is 4 rows."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    e = _t(spark, sf_dir, "events")
+    forget = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+
+    def impact(df, key, name, forget_keys, fkey):
+        hit = df.join(
+            F.broadcast(forget_keys),
+            df[key] == forget_keys[fkey],
+            "left_semi",
+        )
+        return hit.agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(key).alias("n_keys"),
+        ).select(F.lit(name).alias("table_name"), "n_rows", "n_keys")
+
+    affected_orders = o.join(
+        F.broadcast(forget), o["o_custkey"] == forget["c_custkey"], "left_semi"
+    ).select("o_orderkey")
+    return (
+        impact(c, "c_custkey", "customer", forget, "c_custkey")
+        .unionAll(impact(o, "o_custkey", "orders", forget, "c_custkey"))
+        .unionAll(
+            impact(li, "l_orderkey", "lineitem", affected_orders, "o_orderkey")
+        )
+        .unionAll(impact(e, "user_id", "events", forget, "c_custkey"))
+    )
+
+
+@q("content_defined_chunks_bounded", None, tags=("text", "dedup", "storage"))
+def content_defined_chunks_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION content-defined chunker: the same rolling-hash
+    predicate as content_defined_chunks_documents (shared
+    _cdc_rolling_cuts pipeline — one definition of the predicate), with
+    the min/max clamps every real CDC store layers on top: predicate
+    cuts closer than 16 chars to the previous kept cut are suppressed,
+    and a cut is FORCED every 64 chars when no candidate fires — so
+    every chunk length lands in [16, 64] except the final tail. The
+    sequential suppression walk runs as a Catalyst F.aggregate state
+    machine over each doc's candidate array
+    (operators/dedup.bounded_cdc_cuts): zero Python, zero extra
+    shuffle, per-doc state = one struct. Rows-only (the fold has no
+    tractable SQL twin); pytest pins an exact local-reference walk and
+    the length-bound invariants."""
+    d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
+    docs = d.select("doc_id", "text", F.length("text").cast("bigint").alias("n"))
+    cand = (
+        _cdc_rolling_cuts(docs.select("doc_id", "text"))
+        .filter(F.col("is_cut") == 1)
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_list("pos")).alias("cands"))
+    )
+    with_cuts = (
+        docs.join(cand, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            DD.bounded_cdc_cuts(
+                F.coalesce("cands", F.array().cast("array<bigint>")),
+                F.col("n"),
+                min_len=16,
+                max_len=64,
+            ).alias("kept"),
+        )
+    )
+    bounds = with_cuts.select(
+        "doc_id",
+        "n",
+        F.concat(
+            F.array(F.lit(0).cast("bigint")),
+            F.col("kept"),
+            F.array(F.col("n")),
+        ).alias("bounds"),
+    )
+    chunks = bounds.select(
+        "doc_id",
+        F.posexplode(
+            F.filter(
+                F.transform(
+                    F.sequence(F.lit(0), F.size("bounds") - 2),
+                    lambda i: F.struct(
+                        F.element_at(F.col("bounds"), i + 1).alias("a"),
+                        F.element_at(F.col("bounds"), i + 2).alias("b"),
+                    ),
+                ),
+                lambda st: st["b"] > st["a"],
+            )
+        ).alias("chunk_idx", "seg"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("seg.a") + 1).alias("start_pos"),
+        (F.col("seg.b") - F.col("seg.a")).alias("chunk_len"),
+    ).orderBy("doc_id", "chunk_idx")
 
 
 # =====================================================================

@@ -516,3 +516,59 @@ def test_cdc_chunks_are_insertion_stable():
     f1 = {base[i : i + width] for i in range(0, len(base), width)}
     f2 = {shifted[i : i + width] for i in range(0, len(shifted), width)}
     assert len(f1 & f2) <= 1
+
+
+def _bounded_cuts_local(cands, n, min_len=16, max_len=64):
+    """Driver-side reference of dedup.bounded_cdc_cuts' fold."""
+    last, kept = 0, []
+    for c in cands:
+        forced = list(range(last + max_len, c, max_len))
+        if forced:
+            kept.extend(forced)
+            last = forced[-1]
+        if c - last >= min_len:
+            kept.append(c)
+            last = c
+    kept.extend(range(last + max_len, n, max_len))
+    return kept
+
+
+def test_bounded_cdc_matches_local_walk_and_bounds(spark):
+    """Distributed bounded chunker == the local sequential walk over the
+    same candidates, and every chunk length is in [16, 64] except the
+    final tail (which may only undershoot)."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = load_table(spark, SF, "documents").select("doc_id", "text").collect()
+    want = {}
+    for r in rows:
+        t = r.text
+        if len(t) < 8:
+            continue
+        cums = []
+        c = 0
+        for ch in t:
+            c += ord(ch)
+            cums.append(c)
+        cands = [
+            p
+            for p in range(8, len(t) + 1)
+            if (cums[p - 1] - (cums[p - 9] if p > 8 else 0)) % 64 == 0
+        ]
+        kept = _bounded_cuts_local(cands, len(t))
+        bounds = [0] + kept + ([len(t)] if (not kept or kept[-1] != len(t)) else [])
+        for i, (a, b) in enumerate(zip(bounds, bounds[1:])):
+            if b > a:
+                want[(r.doc_id, i)] = (a + 1, b - a)
+    got = {
+        (r.doc_id, r.chunk_idx): (r.start_pos, r.chunk_len)
+        for r in QUERIES["content_defined_chunks_bounded"].fn(spark, SF).collect()
+    }
+    assert got == want
+    by_doc = {}
+    for (doc, i), (_, ln) in got.items():
+        by_doc.setdefault(doc, []).append((i, ln))
+    for doc, lens in by_doc.items():
+        lens = [ln for _, ln in sorted(lens)]
+        assert all(ln <= 64 for ln in lens), (doc, lens)
+        assert all(ln >= 16 for ln in lens[:-1]), (doc, lens)
