@@ -610,6 +610,12 @@ def bounded_cdc_cuts(
     is one struct. The finish lambda forces tail cuts so no chunk ever
     exceeds ``max_len``; only the final tail may undershoot
     ``min_len``. Returns the kept cut positions (ascending)."""
+    if not 0 < min_len <= max_len:
+        raise ValueError(
+            f"bounded_cdc_cuts: need 0 < min_len <= max_len, got "
+            f"min_len={min_len} max_len={max_len} — a min above max "
+            "would silently break the [min, max] chunk-length contract"
+        )
     empty = F.array().cast("array<bigint>")
     init = F.struct(
         F.lit(0).cast("bigint").alias("last"), empty.alias("kept")

@@ -14416,7 +14416,27 @@ def _cdc_rolling_cuts(docs: DataFrame) -> DataFrame:
     family: (doc_id, pos, is_cut) for every character position, O(n)
     per document (window hash = cum − lag(cum, 8), h % 64 == 0 cuts).
     One definition so the pure and the min/max-bounded chunkers can
-    never disagree on the underlying predicate."""
+    never disagree on the underlying predicate.
+
+    ASCII-only by loud contract: Spark's ascii() returns the first
+    UTF-8 BYTE while DuckDB's (and Python's ord) return the CODE POINT,
+    so a non-ASCII char would silently diverge the hash cross-engine —
+    the in-plan assert raises instead (byte-level hashing is the
+    extension seam for non-ASCII corpora)."""
+    docs = docs.withColumn(
+        "text",
+        F.when(
+            F.assert_true(
+                F.col("text").rlike("^[\\x00-\\x7F]*$"),
+                F.lit(
+                    "_cdc_rolling_cuts: non-ASCII text — ascii() is "
+                    "byte-vs-codepoint divergent across engines; hash "
+                    "bytes instead for this corpus"
+                ),
+            ).isNull(),
+            F.col("text"),
+        ),
+    )
     chars = docs.select(
         "doc_id",
         F.posexplode(
@@ -14531,6 +14551,10 @@ def content_defined_chunks_documents(spark: SparkSession, sf_dir: str) -> DataFr
             8,
         ).alias("chunk_key"),
     )
+    # agg + join-back over the same heavy subtree (char explode + two
+    # windows + md5): checkpoint so it is computed once (the
+    # substring-dedup lesson — map-side partials block ReusedExchange)
+    keyed = keyed.localCheckpoint(eager=False)
     refs = keyed.groupBy("chunk_key").agg(F.count("*").alias("refcount"))
     return keyed.join(refs, "chunk_key").select(
         "doc_id", "chunk_idx", "start_pos", "chunk_len", "chunk_key", "refcount"
@@ -14583,7 +14607,12 @@ def forget_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     e = _t(spark, sf_dir, "events")
-    forget = c.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    # reused by four semi-joins — checkpoint so customer scans once
+    forget = (
+        c.filter(F.col("c_custkey") % 97 == 0)
+        .select("c_custkey")
+        .localCheckpoint(eager=False)
+    )
 
     def impact(df, key, name, forget_keys, fkey):
         hit = df.join(

@@ -572,3 +572,18 @@ def test_bounded_cdc_matches_local_walk_and_bounds(spark):
         lens = [ln for _, ln in sorted(lens)]
         assert all(ln <= 64 for ln in lens), (doc, lens)
         assert all(ln >= 16 for ln in lens[:-1]), (doc, lens)
+
+
+def test_cdc_rejects_non_ascii_and_bad_bounds(spark):
+    """The ascii() byte-vs-codepoint cross-engine divergence raises
+    loudly instead of silently mis-hashing; bad min/max bounds raise."""
+    from local_data_pipeline_spark.operators.dedup import bounded_cdc_cuts
+    from local_data_pipeline_spark.queries import _cdc_rolling_cuts
+
+    df = spark.createDataFrame(
+        [(1, "café latte everywhere")], "doc_id long, text string"
+    )
+    with pytest.raises(Exception, match="non-ASCII"):
+        _cdc_rolling_cuts(df).collect()
+    with pytest.raises(ValueError, match="min_len <= max_len"):
+        bounded_cdc_cuts(F.array(), F.lit(10), min_len=80, max_len=64)
