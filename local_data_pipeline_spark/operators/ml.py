@@ -278,6 +278,28 @@ def ridge_fit(
     sel = features.select(
         *feature_cols, F.col(label_col).cast("double").alias("__y")
     )
+    # Fail FAST on NULLs (same guard as ridge_kfold_cv): a NULL
+    # feature/label becomes NaN in the Arrow batch and silently poisons
+    # XtX/Xty — np.linalg.solve then returns all-NaN coefficients
+    # instead of erroring. The assert rides the __y projection (a bare
+    # filter(assert_true(...).isNull()) is constant-folded away and the
+    # side effect silently dropped).
+    non_null = F.col("__y").isNotNull()
+    for c in feature_cols:
+        non_null = non_null & F.col(c).isNotNull()
+    sel = sel.withColumn(
+        "__y",
+        F.when(
+            F.assert_true(
+                non_null,
+                F.lit(
+                    "ridge_fit: NULL in feature/label column — drop or "
+                    "impute upstream"
+                ),
+            ).isNull(),
+            F.col("__y"),
+        ),
+    )
     parts = sel.mapInPandas(
         partials, schema="xtx array<double>, xty array<double>"
     ).collect()

@@ -58,7 +58,10 @@ def pq_train(
     runs simultaneously — each Lloyd iteration is a single assignment
     pass plus a single (sub, code, dim) aggregate, not m separate jobs."""
     init_rows = df.orderBy(id_col).limit(k).select(vec_col).collect()
-    if not init_rows:
+    if len(init_rows) < k:
+        # a short corpus would silently yield < k centroids per subspace,
+        # breaking the documented len(codebook[sub]) == k shape that
+        # nibble-packing and ADC table sizing assume
         raise ValueError("pq_train needs at least k vectors")
     dim = len(init_rows[0][0])
     if dim % m:
@@ -161,6 +164,29 @@ def pq_encode(
     )
 
 
+def _tie_inclusive_prune(dq: np.ndarray, k: int) -> np.ndarray:
+    """Indices of every candidate whose distance is <= the k-th smallest
+    (finite) distance. A plain ``argsort[:k]`` breaks distance ties by
+    partition row order, so which tied candidate survives the LOCAL
+    prune would depend on partitioning — violating the module's
+    determinism contract. Emitting the whole tie group (like
+    similarity.brute_force_topk_arrow) lets the deterministic global
+    (dist, neighbor_id) window break ties. ADC ties are common:
+    identical code tuples give bit-identical distances."""
+    finite = np.isfinite(dq)
+    n_finite = int(finite.sum())
+    if n_finite == 0:
+        return np.empty(0, dtype=np.int64)
+    if n_finite > k:
+        # infs sort to the end, so the k-th smallest overall is the
+        # k-th smallest finite value when n_finite > k
+        thresh = np.partition(dq, k - 1)[k - 1]
+        keep = finite & (dq <= thresh)
+    else:
+        keep = finite
+    return np.flatnonzero(keep)
+
+
 def exact_l2_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -197,10 +223,8 @@ def exact_l2_topk(
                 dq = d[qi]
                 if exclude_self:
                     dq = np.where(nids == ids[qi], np.inf, dq)
-                top = np.argsort(dq, kind="stable")[: k]
-                for ni in top:
-                    if np.isfinite(dq[ni]):
-                        rows.append((int(ids[qi]), int(nids[ni]), float(dq[ni])))
+                for ni in _tie_inclusive_prune(dq, k):
+                    rows.append((int(ids[qi]), int(nids[ni]), float(dq[ni])))
             yield pd.DataFrame(
                 rows or None, columns=["query_id", "neighbor_id", "l2_dist"]
             )
@@ -264,6 +288,10 @@ def adc_topk(
     def local_topk(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         ids, tabs = bq.value
         for pdf in batches:
+            if pdf.empty:
+                # an empty Arrow batch makes np.array(list(...)) a 1-D
+                # empty array and cmat[:, s] would raise IndexError
+                continue
             cmat = np.array(list(pdf["codes"]), dtype=np.int64)  # n x m
             nids = pdf[id_col].values
             # dist[q, n] = sum_s tabs[q, s, cmat[n, s]]
@@ -275,10 +303,8 @@ def adc_topk(
                 dq = d[qi]
                 if exclude_self:
                     dq = np.where(nids == ids[qi], np.inf, dq)
-                top = np.argsort(dq, kind="stable")[:k]
-                for ni in top:
-                    if np.isfinite(dq[ni]):
-                        rows.append((int(ids[qi]), int(nids[ni]), float(dq[ni])))
+                for ni in _tie_inclusive_prune(dq, k):
+                    rows.append((int(ids[qi]), int(nids[ni]), float(dq[ni])))
             yield pd.DataFrame(
                 rows or None,
                 columns=["query_id", "neighbor_id", "adc_dist"],

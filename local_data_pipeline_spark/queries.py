@@ -1867,12 +1867,21 @@ def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     for float64). One training frame drives all 8 subspace k-means at
     once; encoding is a shuffle-free mapInPandas pass. Deterministic but
     not SQL-expressible (iterative training) → rows-only; numpy parity
-    and planted-codebook exactness are pytest-pinned."""
+    and planted-codebook exactness are pytest-pinned. The code tuple is
+    serialized to a comma-joined scalar (top-level arrays break generic
+    result canonicalizers; see the catalog schema guard)."""
     from .operators.pq import pq_encode, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
     cb = pq_train(emb, m=8, k=16, n_iters=3)
-    return pq_encode(emb, cb).orderBy("vec_id")
+    enc = pq_encode(emb, cb)
+    return enc.select(
+        "vec_id",
+        F.array_join(
+            F.transform(F.col("codes"), lambda x: x.cast("string")), ","
+        ).alias("codes"),
+        "recon_mse",
+    ).orderBy("vec_id")
 
 
 @q("pq_adc_recall_eval", None, tags=("similarity", "approx", "eval"))
@@ -2960,7 +2969,8 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents),
     flat AS (SELECT DISTINCT doc_id, unnest(t) AS token FROM toks),
     postings AS (
-      SELECT token, count(*) AS df, list(doc_id ORDER BY doc_id) AS docs
+      SELECT token, count(*) AS df,
+             array_to_string(list(doc_id ORDER BY doc_id), ',') AS docs
       FROM flat GROUP BY token)
     SELECT token, df, docs FROM postings
     """,
@@ -2969,17 +2979,28 @@ def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def inverted_index_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted-index construction: per token, the sorted posting list of
     documents containing it. explode + distinct + collect_list is one
-    shuffle on token; posting lists are sorted so the array value is
-    deterministic at any parallelism. (This corpus has a tiny closed
-    vocabulary, so full lists are safe; at 100 TB postings become a
-    bucketed sink keyed on token, optionally df-banded, not one array.)"""
+    shuffle on token; posting lists are sorted numerically BEFORE the
+    string join so the value is deterministic at any parallelism. The
+    posting list is serialized to a comma-joined scalar: top-level array
+    columns are not hashable by generic result canonicalizers (pandas
+    factorize throws on list cells), so every declared query emits only
+    scalar columns — see tests/test_catalog.py's schema guard. (This
+    corpus has a tiny closed vocabulary, so full lists are safe; at
+    100 TB postings become a bucketed sink keyed on token, optionally
+    df-banded, not one serialized string.)"""
     d = _t(spark, sf_dir, "documents")
     flat = d.select(
         "doc_id", F.explode(TX.tokens(F.col("text"))).alias("token")
     ).distinct()
     return flat.groupBy("token").agg(
         F.count("*").alias("df"),
-        F.sort_array(F.collect_list("doc_id")).alias("docs"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("doc_id")),
+                lambda x: x.cast("string"),
+            ),
+            ",",
+        ).alias("docs"),
     )
 
 
@@ -4658,29 +4679,53 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking key, so candidate pairs are per-block quadratic instead of
     corpus quadratic.
 
-    Scale: the self-join is SHUFFLED on the block key (merge-join hint):
-    a dimension at fuzzy-match scale won't broadcast, and the shuffle
-    spreads the per-block quadratic kernel across one task per block —
-    measured at sf1 the broadcast plan serialized 800M Levenshtein evals
-    into the scan's task layout (970 s single-task) while the brand-
-    partitioned form runs blocks in parallel. A length-band predicate
-    (|len(a)-len(b)| <= 3, valid because edit distance >= length
-    difference) prunes pairs before the edit-distance kernel, ordered
-    so codegen short-circuits cheap conditions first. At 100 TB add a
-    second blocking axis (first-token bucket) to cap block sizes,
-    exactly like the LSH band trick in dedup."""
+    Scale: TWO blocking axes, both as equi-join KEYS so the enumerated
+    candidate set (not just the post-enumeration predicate) is capped:
+    (1) the brand, and (2) a LENGTH BAND — ⌊len(p_name)/4⌋ — valid
+    because edit distance >= length difference, so dist <= 3 implies
+    the bands differ by at most 1. The probe side explodes each row to
+    its band and both neighbors, so band-adjacent pairs still meet on
+    an equality key and each (a, b) pair joins exactly once (a's single
+    band matches exactly one of b's three distinct probe keys). The
+    per-block quadratic kernel now runs per (brand, band) instead of
+    per brand — a hot brand no longer becomes a straggler task, and
+    pairs with incompatible lengths are never enumerated at all
+    (sf1: 539 s brand-only -> ~80 s banded). The exact
+    |len(a)-len(b)| <= 3 predicate stays (band adjacency admits diffs
+    up to 7), ordered so codegen short-circuits before the
+    edit-distance kernel. The self-join is SHUFFLED on the block key
+    (merge-join hint): a dimension at fuzzy-match scale won't
+    broadcast — measured at sf1 the broadcast plan serialized 800M
+    Levenshtein evals into the scan's task layout (970 s
+    single-task)."""
     p = _t(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_name")
+    band = (F.length("p_name") / F.lit(4)).cast("bigint")
     # Explicit repartition (not just a join hint): the shuffle is tiny in
     # BYTES but each block is quadratic in COMPUTE, and AQE's byte-based
     # coalescing would fold the blocks onto a few cores (measured sf1:
     # 176 s coalesced vs 52 s pinned). User-specified repartitioning is
     # exempt from coalescing, so blocks keep one task each.
-    a = p.repartition(64, "p_brand").alias("a")
-    b = p.repartition(64, "p_brand").alias("b").hint("shuffle_merge")
+    a = (
+        p.withColumn("band", band)
+        .repartition(64, "p_brand", "band")
+        .alias("a")
+    )
+    b = (
+        p.withColumn(
+            "probe_band",
+            F.explode(
+                F.array(band - F.lit(1), band, band + F.lit(1))
+            ),
+        )
+        .repartition(64, "p_brand", "probe_band")
+        .alias("b")
+        .hint("shuffle_merge")
+    )
     dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
     pairs = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
+        & (F.col("a.band") == F.col("b.probe_band"))
         & (F.col("a.p_partkey") < F.col("b.p_partkey"))
         & (
             F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
@@ -10172,20 +10217,27 @@ def hybrid_rrf_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ 1/(60+rank) over the legs that retrieved it — the standard
     sparse+dense search combiner, top-20.
 
-    Scale: both global rankings go through ``distributed_rank`` (range
-    shards + offset broadcast — no single-task window over the corpus);
-    the dense scoring is one broadcast-join scan with JVM higher-order
-    functions; the fusion join is rank-table sized; the final top-20 is
-    a TakeOrderedAndProject."""
+    Scale: both global rankings go through ONE ``distributed_rank`` pass
+    (range shards + offset broadcast — no single-task window over the
+    corpus): the legs are unioned under a leading ``leg`` sort key, so
+    each leg occupies a contiguous global-rank span and the per-leg rank
+    is global rank minus the leg's min rank + 1 (a 2-row broadcast).
+    Two separate rank jobs was the round-5 drift regression (3.8 → 5.8 s
+    local) — each paid its own range exchange, checkpoint, and
+    shard-totals collect; fusing halves that fixed cost while keeping
+    the identical per-leg (score desc, doc_id) order. The dense scoring
+    is one broadcast-join scan with JVM higher-order functions; the
+    fusion join is rank-table sized; the final top-20 is a
+    TakeOrderedAndProject."""
     from .operators import packing as PK
 
     d = _t(spark, sf_dir, "documents")
     emb = _t(spark, sf_dir, "embeddings")
-    sparse = PK.distributed_rank(
-        _bm25_doc_scores(d, ["spark", "join", "fast"]),
-        [("bm25", "desc"), "doc_id"],
-        out_col="r_sparse",
-    ).select("doc_id", "r_sparse")
+    sparse0 = _bm25_doc_scores(d, ["spark", "join", "fast"]).select(
+        "doc_id",
+        F.col("bm25").cast("double").alias("score"),
+        F.lit(0).alias("leg"),
+    )
     qv = F.broadcast(
         emb.filter(F.col("vec_id") == 0).select(
             F.col("embedding").alias("q_emb")
@@ -10193,11 +10245,28 @@ def hybrid_rrf_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dense0 = emb.crossJoin(qv).select(
         F.col("vec_id").alias("doc_id"),
-        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6).alias("cos_sim"),
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6)
+        .cast("double")
+        .alias("score"),
+        F.lit(1).alias("leg"),
     )
-    dense = PK.distributed_rank(
-        dense0, [("cos_sim", "desc"), "doc_id"], out_col="r_dense"
-    ).select("doc_id", "r_dense")
+    ranked = PK.distributed_rank(
+        sparse0.unionByName(dense0),
+        ["leg", ("score", "desc"), "doc_id"],
+        out_col="__gr",
+    ).localCheckpoint(eager=False)
+    # per-leg rank = global rank − (leg's min global rank) + 1; the leg
+    # offsets are a ≤2-row map-side-combinable aggregate, broadcast back
+    leg_off = ranked.groupBy("leg").agg(F.min("__gr").alias("__g0"))
+    per_leg = ranked.join(F.broadcast(leg_off), "leg").withColumn(
+        "__r", F.col("__gr") - F.col("__g0") + 1
+    )
+    sparse = per_leg.filter(F.col("leg") == 0).select(
+        "doc_id", F.col("__r").alias("r_sparse")
+    )
+    dense = per_leg.filter(F.col("leg") == 1).select(
+        "doc_id", F.col("__r").alias("r_dense")
+    )
     fused = dense.join(sparse, "doc_id", "left")
     rrf = F.coalesce(
         F.lit(1.0) / (F.lit(60) + F.col("r_sparse")), F.lit(0.0)
@@ -13182,7 +13251,9 @@ def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-vocab mapInPandas pass. Reports per-doc piece counts and
     fertility (pieces per word, integer milli-units). Rows-only
     (iterative-free but driver-built vocab); pytest pins Viterbi parity
-    and planted segmentations."""
+    and planted segmentations. The piece preview is serialized to a
+    space-joined scalar (top-level arrays break generic result
+    canonicalizers; see the catalog schema guard)."""
     from .operators.ml import unigram_viterbi_encode, unigram_vocab
 
     d = _t(spark, sf_dir, "documents")
@@ -13199,7 +13270,7 @@ def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .cast("bigint")
         .alias("fertility_milli"),
-        F.slice("pieces", 1, 5).alias("first_pieces"),
+        F.array_join(F.slice("pieces", 1, 5), " ").alias("first_pieces"),
     ).orderBy("doc_id")
 
 
@@ -14722,70 +14793,65 @@ def content_defined_chunks_bounded(spark: SparkSession, sf_dir: str) -> DataFram
 # after the prefix and stay fully declared (bench runs everything;
 # tests/tools check every oracle).
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-5 ROTATION: all 50 names below are oracle-matched queries the
-    # driver has NEVER sampled (r02 ∪ r03 ∪ r04 attested 127 distinct
-    # names; this prefix draws only from the 83 oracle-backed queries
-    # still unattested — 33 oracle-backed + 23 rows-only remain for the
-    # round-6 rotation). The round-4 verdict's explicitly-requested
-    # names (CDC apply, bin-pack report, hybrid RRF, substring dedup,
-    # the Holt-Winters trio) lead the list.
-    "cdc_apply_orders",
-    "bin_pack_report_documents",
-    "hybrid_rrf_search_documents",
-    "substring_dedup_documents",
-    "holt_winters_daily_forecast",
-    "holt_winters_by_type",
-    "holt_winters_backtest_by_type",
-    # text / corpus / retrieval
+    # ROUND-6 ROTATION: all 50 names below are oracle-matched queries
+    # never green in any driver CORRECTNESS file (r02-r05 attested 176
+    # distinct names; 51 oracle-backed queries remained -- 50 here, with
+    # label_balance_embeddings deferred to the round-7 rotation along
+    # with the 31 rows-only queries, 32 names total, so the attested
+    # union reaches all 258 by end of round 7). inverted_index_tokens
+    # leads: it was round 5's one red row (the driver canonicalizer threw
+    # on its array column) and is re-submitted with a serialized posting
+    # list; failed rows do not count as attested.
     "inverted_index_tokens",
-    "chunk_documents_sliding",
-    "pmi_collocations_documents",
-    "prefix_jaccard_pairs_documents",
-    "kl_divergence_source_tokens",
-    "entropy_source_lang_mix",
-    "content_hash_manifest_documents",
-    "budget_fill_documents",
-    # windows / ranking / aggregates
-    "percent_rank_orders",
-    "window_value_family_orders",
-    "trimmed_mean_value_by_type",
-    "weighted_median_price_by_brand",
-    "distributed_exact_median_value",
-    "pandas_udaf_median_quantity",
-    "salted_agg_event_type",
-    "map_roundtrip_user_counts",
-    # graphs / co-occurrence
-    "top_event_paths_3step",
-    "co_purchase_lift_parts",
-    "triangle_count_copurchase",
-    "degree_distribution_copurchase",
-    "fuzzy_part_name_pairs",
-    # events / time series
-    "dow_seasonality_events",
-    "key_skew_profile_events",
-    "out_of_order_rate_events",
-    "hourly_activity_bitmap",
-    "incident_session_overlap_events",
-    "ab_test_conversion_events",
-    "autocorr_daily_value",
-    "slo_burn_rate_alerts",
-    "try_functions_events",
-    "null_safe_join_event_buckets",
-    # orders / fulfillment / storage layout
-    "bloom_prune_urgent_revenue",
-    "fulfillment_latency_orders",
-    "p95_fulfillment_latency_monthly",
-    "zorder_layout_lineitem",
-    "compaction_plan_orders",
-    # embeddings
-    "standardize_embedding_dims",
-    "quantize_embeddings_arrow",
-    "frame_sample_plan_events",
-    # governance / audits
-    "corpus_dataset_card",
-    "cross_source_overlap_matrix",
-    "null_profile_all_tables",
-    "event_type_user_overlap",
+    "hits_customer_parts",
+    "label_propagation_copurchase",
+    "poisson_bootstrap_ci_events",
+    "content_defined_chunks_documents",
+    "forget_impact_report",
+    "emd_value_drift_by_type",
+    "loo_target_encoding_orders",
+    "kneser_ney_bigram_heldout",
+    "matryoshka_truncation_recall",
+    "snapshot_diff_orders",
+    "gopher_quality_rules_documents",
+    "sparse_cosine_topk_documents",
+    "phrase_search_documents",
+    "fd_violation_audit",
+    "q12_shipband_priority",
+    "pipe_syntax_nation_revenue",
+    "salted_join_event_spend",
+    "auc_one_vs_rest_embeddings",
+    "ndcg_retrieval_eval",
+    "histogram_selectivity_eval",
+    "join_cardinality_estimate_events_orders",
+    "cms_count_error_eval",
+    "kmv_join_overlap_estimate",
+    "zone_map_pruning_report",
+    "dsir_importance_weights",
+    "heldout_logprob_documents",
+    "zipf_slope_tokens",
+    "tokenizer_fertility_by_lang",
+    "shingle_novelty_curve",
+    "quality_threshold_sweep",
+    "source_fair_quality_cutoffs",
+    "source_cap_documents",
+    "weighted_sample_per_source",
+    "exemplar_sample_per_source",
+    "epoch_mixture_plan_sources",
+    "dedup_survivor_quality",
+    "feature_hashing_collisions",
+    "psi_length_drift_sources",
+    "eval_set_allocation_embeddings",
+    "label_separability_embeddings",
+    "text_embedding_norm_corr",
+    "split_leakage_audit",
+    "pack_boundary_split_report",
+    "padding_efficiency_report",
+    "cep_click_purchase_sessions",
+    "cogroup_asof_purchase_click",
+    "calendar_rollup_events",
+    "collated_brand_case_grouping",
+    "xml_payload_roundtrip_orders",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)

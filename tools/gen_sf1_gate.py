@@ -102,6 +102,14 @@ def main() -> int:
             return 2
 
     rows: list[tuple[str, str, float, str]] = []  # name, status, sec, note
+
+    def _note(s: str) -> str:
+        # notes land in a markdown table AND are re-parsed by the --only
+        # merge below: a raw '|' (common in Spark/DuckDB error strings)
+        # would break the column split and silently drop the row on the
+        # next merge
+        return s.replace("|", "¦").replace("\n", " ")
+
     n = {"PASS": 0, "ROWS": 0, "FAIL": 0, "EXCLUDED": 0}
     for name, fn in todo.items():
         if name in EXCLUDED:
@@ -116,7 +124,7 @@ def main() -> int:
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001 - roster records the error
             rows.append((name, "FAIL", time.perf_counter() - t0,
-                         f"spark error: {str(e)[:160]}"))
+                         _note(f"spark error: {str(e)[:160]}")))
             n["FAIL"] += 1
             print(f"FAIL  {name} (spark)")
             continue
@@ -133,14 +141,14 @@ def main() -> int:
             duck_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             rows.append((name, "FAIL", time.perf_counter() - t0,
-                         f"duckdb error: {str(e)[:160]}"))
+                         _note(f"duckdb error: {str(e)[:160]}")))
             n["FAIL"] += 1
             print(f"FAIL  {name} (duckdb)")
             continue
         ok, msg = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         dt = time.perf_counter() - t0
         rows.append((name, "PASS" if ok else "FAIL", dt,
-                     msg if ok else msg.replace("\n", " ")[:160]))
+                     _note(msg if ok else msg[:160])))
         n["PASS" if ok else "FAIL"] += 1
         print(f"{'PASS' if ok else 'FAIL'}  {name} [{dt:.1f}s]")
 

@@ -20,6 +20,13 @@ on the three plan shapes that are correct at test scale but die at 100x:
       alternative is a broadcast 1-row cross join (q22's pattern).
       Operator-internal k-row collects with a documented scale bound are
       allowlisted per (module, function) in S4_ALLOWLIST.
+  S5  Top-level ArrayType / MapType in a declared query's OUTPUT schema.
+      The driver's result canonicalizer (pandas sort_values/factorize)
+      throws `unhashable type: 'list'` on list cells (round 5:
+      inverted_index_tokens scored `err` despite matching its oracle) —
+      serialize container outputs to a joined string, or explode maps
+      (map_roundtrip_user_counts' pattern). Nested containers INSIDE a
+      struct are equally unhashable, so the rule recurses into structs.
 
 Run: python tools/plan_lint.py [query ...]     (default: all queries)
 Wired into pytest via tests/test_plans.py::test_plan_linter_catalog_clean.
@@ -409,6 +416,26 @@ def trace_collects():
             setattr(klass, name, orig)
 
 
+def _container_fields(schema) -> list[tuple[str, str]]:
+    """Rule S5 helper: (column, typename) for every top-level field whose
+    type contains an ArrayType/MapType anywhere (directly or inside a
+    struct) — pandas canonicalizers cannot hash such cells."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    def has_container(dt) -> bool:
+        if isinstance(dt, (ArrayType, MapType)):
+            return True
+        if isinstance(dt, StructType):
+            return any(has_container(f.dataType) for f in dt.fields)
+        return False
+
+    return [
+        (f.name, f.dataType.simpleString())
+        for f in schema.fields
+        if has_container(f.dataType)
+    ]
+
+
 def lint_queries(names: list[str] | None = None) -> dict[str, list[tuple[str, str]]]:
     """Build + lint every (selected) query; returns only non-allowlisted
     findings, keyed by query name."""
@@ -423,12 +450,16 @@ def lint_queries(names: list[str] | None = None) -> dict[str, list[tuple[str, st
     for name in todo:
         with trace_collects() as s4_findings:
             df = QUERIES[name].fn(spark, SF_DIR)
+        s5_findings = [
+            ("S5", f"container-typed output column `{fname}`: {ftype}")
+            for fname, ftype in _container_fields(df.schema)
+        ]
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
         findings = [
             f
-            for f in lint_plan(buf.getvalue()) + s4_findings
+            for f in lint_plan(buf.getvalue()) + s4_findings + s5_findings
             if (name, f[0]) not in ALLOWLIST
         ]
         if findings:
