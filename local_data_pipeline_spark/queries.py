@@ -4690,7 +4690,9 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-block quadratic kernel now runs per (brand, band) instead of
     per brand — a hot brand no longer becomes a straggler task, and
     pairs with incompatible lengths are never enumerated at all
-    (sf1: 539 s brand-only -> ~80 s banded). The exact
+    (sf1 Spark-side: ~36 s warm, vs 539 s roster wall for the brand-only
+    form — the residual roster time is the DuckDB twin's own full
+    quadratic kernel). The exact
     |len(a)-len(b)| <= 3 predicate stays (band adjacency admits diffs
     up to 7), ordered so codegen short-circuits before the
     edit-distance kernel. The self-join is SHUFFLED on the block key
@@ -4721,7 +4723,12 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("b")
         .hint("shuffle_merge")
     )
-    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"))
+    # THRESHOLDED levenshtein (Spark >= 3.5): banded DP over the 2k+1
+    # diagonal with early exit, returning -1 past the threshold — the
+    # kernel is O(n*k) instead of O(n^2) per pair and dominates this
+    # query's cost. Exact for every surviving pair (dist <= 3), so the
+    # aggregate reuses it.
+    dist = F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3)
     pairs = a.join(
         b,
         (F.col("a.p_brand") == F.col("b.p_brand"))
@@ -4731,11 +4738,11 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.length(F.col("a.p_name")) - F.length(F.col("b.p_name")))
             <= F.lit(3)
         )
-        & (dist <= F.lit(3)),
+        & (dist >= F.lit(0)),
     )
     return pairs.groupBy(F.col("a.p_brand").alias("brand")).agg(
         F.count("*").alias("n_pairs"),
-        F.min(F.levenshtein(F.col("a.p_name"), F.col("b.p_name")))
+        F.min(F.levenshtein(F.col("a.p_name"), F.col("b.p_name"), 3))
         .cast("bigint")
         .alias("min_dist"),
     )

@@ -1,0 +1,282 @@
+"""Round-12 (driver round 6) tests: tie-inclusive local pruning in the
+PQ search kernels, fail-fast guards (short PQ corpus, ridge NULLs), the
+S5 container-output linter rule, the sf1-roster note sanitizer, the
+bench driver-vs-local contention verdicts, and the banded fuzzy-join
+plan pin."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.operators.pq import (
+    _tie_inclusive_prune,
+    adc_topk,
+    pq_encode,
+    pq_train,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+# ---------------------------------------------------------------------
+# tie-inclusive pruning
+# ---------------------------------------------------------------------
+
+def test_tie_inclusive_prune_keeps_whole_tie_group():
+    """Candidates tied at the k-th distance must ALL survive the local
+    prune — argsort[:k] would keep an arbitrary partition-order subset."""
+    dq = np.array([5.0, 1.0, 3.0, 3.0, 3.0, 9.0])
+    keep = set(_tie_inclusive_prune(dq, k=2).tolist())
+    # k-th (2nd) smallest is 3.0 -> every 3.0 stays, plus the 1.0
+    assert keep == {1, 2, 3, 4}
+
+
+def test_tie_inclusive_prune_short_and_empty():
+    dq = np.array([2.0, np.inf, 1.0])
+    assert set(_tie_inclusive_prune(dq, k=10).tolist()) == {0, 2}
+    assert _tie_inclusive_prune(np.array([np.inf, np.inf]), k=3).size == 0
+    assert _tie_inclusive_prune(np.array([], dtype=float), k=3).size == 0
+
+
+def test_adc_topk_partition_invariant_under_distance_ties(spark):
+    """Identical code tuples give bit-identical ADC distances; the final
+    top-k must not depend on how the corpus is partitioned. Planted: 30
+    vectors that all encode to the SAME codes (one cluster), so every
+    neighbor ties and only the (dist, neighbor_id) window order decides."""
+    cb = [
+        [[0.0, 0.0], [100.0, 100.0]],
+        [[0.0, 0.0], [100.0, 100.0]],
+    ]
+    rows = [(i, [0.1, 0.1, 0.1, 0.1]) for i in range(30)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") == 0)
+
+    def run(n_parts):
+        codes = pq_encode(df.repartition(n_parts), cb)
+        got = adc_topk(qs, codes, cb, k=5).collect()
+        return sorted((r.query_id, r.neighbor_id, r.rnk) for r in got)
+
+    assert run(1) == run(7) == run(13)
+    # with every distance tied, the survivors are the 5 smallest ids > 0
+    assert [t[1] for t in run(7)] == [1, 2, 3, 4, 5]
+
+
+def test_pq_train_raises_on_short_corpus(spark):
+    """0 < rows < k used to silently build a malformed codebook with
+    fewer than k centroids per subspace."""
+    df = spark.createDataFrame(
+        [(1, [1.0, 2.0, 3.0, 4.0]), (2, [2.0, 3.0, 4.0, 5.0])],
+        "vec_id long, embedding array<double>",
+    )
+    with pytest.raises(ValueError, match="at least k vectors"):
+        pq_train(df, m=2, k=4, n_iters=1)
+
+
+# ---------------------------------------------------------------------
+# ridge_fit NULL fail-fast
+# ---------------------------------------------------------------------
+
+def test_ridge_fit_null_fails_fast(spark):
+    """A NULL feature must raise, not silently produce all-NaN betas."""
+    from local_data_pipeline_spark.operators.ml import ridge_fit
+
+    ok = spark.createDataFrame(
+        [(1.0, 2.0), (2.0, 4.1), (3.0, 5.9), (4.0, 8.2)], "x double, y double"
+    )
+    beta = ridge_fit(ok, ["x"], "y", lam=0.0)
+    assert np.all(np.isfinite(beta))
+
+    bad = spark.createDataFrame(
+        [(1.0, 2.0), (None, 4.1), (3.0, 5.9)], "x double, y double"
+    )
+    with pytest.raises(Exception, match="ridge_fit"):
+        ridge_fit(bad, ["x"], "y")
+
+
+# ---------------------------------------------------------------------
+# S5: container-typed query outputs
+# ---------------------------------------------------------------------
+
+def test_s5_container_fields_detection(spark):
+    from pyspark.sql import types as T
+
+    from tools.plan_lint import _container_fields
+
+    schema = T.StructType(
+        [
+            T.StructField("a", T.LongType()),
+            T.StructField("arr", T.ArrayType(T.StringType())),
+            T.StructField("m", T.MapType(T.StringType(), T.LongType())),
+            T.StructField(
+                "s",
+                T.StructType(
+                    [T.StructField("inner", T.ArrayType(T.LongType()))]
+                ),
+            ),
+            T.StructField(
+                "s_ok", T.StructType([T.StructField("x", T.DoubleType())])
+            ),
+            T.StructField("b", T.StringType()),
+        ]
+    )
+    flagged = {name for name, _ in _container_fields(schema)}
+    assert flagged == {"arr", "m", "s"}
+
+
+def test_fixed_queries_emit_scalar_columns_only(spark):
+    """The three round-5 array-output queries now serialize their lists;
+    the whole-catalog version of this check is the S5 rule inside
+    test_plans.py::test_plan_linter_catalog_clean."""
+    from local_data_pipeline_spark.queries import QUERIES
+    from tools.plan_lint import _container_fields
+
+    for name in (
+        "inverted_index_tokens",
+        "pq_encode_embeddings",
+        "unigram_tokenize_documents",
+    ):
+        df = QUERIES[name].fn(spark, SF)
+        assert _container_fields(df.schema) == [], name
+
+
+def test_inverted_index_posting_list_sorted_numerically(spark):
+    """The posting list must sort doc_ids as NUMBERS before joining —
+    a string sort would put 10 before 2 and break the oracle hash."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = [(2, "zebra word"), (10, "zebra"), (9, "zebra")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    df.createOrReplaceTempView("__docs_tmp")
+    # drive the same expression shape directly on a tiny frame
+    got = (
+        df.select("doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("token"))
+        .distinct()
+        .groupBy("token")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("docs")
+        )
+        .filter(F.col("token") == "zebra")
+        .collect()
+    )
+    assert got[0].docs == "2,9,10"
+
+
+# ---------------------------------------------------------------------
+# sf1 roster note sanitization
+# ---------------------------------------------------------------------
+
+def test_sf1_note_sanitized_rows_roundtrip_merge_regex():
+    import re
+
+    from tools.gen_sf1_gate import ROW_RE, _note
+
+    nasty = 'duckdb error: Binder Error: No function "x |> y"\nline 2 | col'
+    note = _note(nasty)
+    assert "|" not in note and "\n" not in note
+    line = f"| some_query | FAIL | 1.2 | {note} |"
+    m = re.match(ROW_RE, line)
+    assert m and m.group(1) == "some_query" and m.group(4) == note
+
+
+# ---------------------------------------------------------------------
+# bench driver-vs-local contention verdicts
+# ---------------------------------------------------------------------
+
+def test_driver_vs_local_verdicts(tmp_path):
+    import json
+
+    from tools.compare_bench import driver_vs_local
+
+    local = {f"q{i}": 1.0 + i * 0.1 for i in range(20)}
+    p = tmp_path / "BENCH_local.json"
+    p.write_text(json.dumps({"queries": local}))
+
+    uniform = {n: v * 1.34 for n, v in local.items()}
+    text = "\n".join(driver_vs_local(uniform, str(p)))
+    assert "uniformly inflated 1.34x" in text and "not regression" in text
+
+    agree = {n: v * 1.02 for n, v in local.items()}
+    text = "\n".join(driver_vs_local(agree, str(p)))
+    assert "trustworthy" in text
+
+    mixed = {n: v * (4.0 if i % 2 else 1.0) for i, (n, v) in enumerate(local.items())}
+    text = "\n".join(driver_vs_local(mixed, str(p)))
+    assert "query-specific" in text
+
+    text = "\n".join(driver_vs_local(uniform, str(tmp_path / "missing.json")))
+    assert "no committed" in text
+
+
+# ---------------------------------------------------------------------
+# banded fuzzy join plan pin
+# ---------------------------------------------------------------------
+
+def test_fuzzy_pairs_join_on_brand_and_length_band(spark):
+    """The length band must be an equi-join KEY (caps enumerated pairs),
+    not just a post-enumeration predicate; and the probe side explodes
+    to adjacent bands so no cross-band pair within edit distance 3 is
+    missed."""
+    import io
+    import re
+    from contextlib import redirect_stdout
+
+    from local_data_pipeline_spark.queries import QUERIES
+
+    df = QUERIES["fuzzy_part_name_pairs"].fn(spark, SF)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the merge join's equality keys must include the band columns
+    left_keys = re.search(r"Left keys \[\d+\]: \[([^\]]*)\]", plan)
+    right_keys = re.search(r"Right keys \[\d+\]: \[([^\]]*)\]", plan)
+    assert left_keys and "band" in left_keys.group(1), plan[:2000]
+    assert right_keys and "probe_band" in right_keys.group(1), plan[:2000]
+
+
+def test_fuzzy_banding_misses_no_pairs(spark):
+    """Adversarial lengths that straddle band boundaries (len 7 vs 8 ->
+    bands 1 vs 2) must still pair up via the neighbor-band explode."""
+    from local_data_pipeline_spark.queries import QUERIES
+    import duckdb
+
+    # build a tiny part table with boundary-straddling near-duplicates
+    rows = [
+        (1, "BRAND#1", "abcdefg"),     # len 7, band 1
+        (2, "BRAND#1", "abcdefgh"),    # len 8, band 2 — dist 1, adjacent band
+        (3, "BRAND#1", "abcdefghij"),  # len 10, band 2 — dist 3 from key 2's name? 'abcdefgh' vs 'abcdefghij' = 2
+        (4, "BRAND#1", "zzzzzzzzzzzzzzzz"),  # far away
+        (5, "BRAND#2", "abcdefg"),     # other brand — never pairs with 1
+    ]
+    import tempfile, os
+    import pandas as pd
+
+    with tempfile.TemporaryDirectory() as tmp:
+        pdf = pd.DataFrame(rows, columns=["p_partkey", "p_brand", "p_name"])
+        con = duckdb.connect()
+        con.register("p", pdf)
+        con.execute(
+            f"COPY (SELECT p_partkey, p_brand, p_name FROM p) TO "
+            f"'{tmp}/part.parquet' (FORMAT PARQUET)"
+        )
+        got = {
+            r.brand: (r.n_pairs, r.min_dist)
+            for r in QUERIES["fuzzy_part_name_pairs"].fn(spark, tmp).collect()
+        }
+        oracle = con.execute(
+            """
+            SELECT a.p_brand, count(*), min(levenshtein(a.p_name, b.p_name))
+            FROM p a JOIN p b
+              ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+            WHERE levenshtein(a.p_name, b.p_name) <= 3
+            GROUP BY a.p_brand
+            """
+        ).fetchall()
+        want = {r[0]: (r[1], r[2]) for r in oracle}
+    assert got == want

@@ -56,6 +56,19 @@ EXCLUDED: dict[str, str] = {
 }
 
 
+def _note(s: str) -> str:
+    """Sanitize a roster note: notes land in a markdown table AND are
+    re-parsed by the --only merge — a raw '|' (common in Spark/DuckDB
+    error strings) would break the column split and silently drop the
+    row from every subsequent merge."""
+    return s.replace("|", "¦").replace("\n", " ")
+
+
+#: the --only merge parser; module-level so tests can pin that any
+#: _note()-sanitized row round-trips through it
+ROW_RE = r"\| (\S+) \| (PASS|ROWS|FAIL|EXCLUDED) \| ([\d.]+) \| (.*) \|$"
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default=os.environ.get(
@@ -102,14 +115,6 @@ def main() -> int:
             return 2
 
     rows: list[tuple[str, str, float, str]] = []  # name, status, sec, note
-
-    def _note(s: str) -> str:
-        # notes land in a markdown table AND are re-parsed by the --only
-        # merge below: a raw '|' (common in Spark/DuckDB error strings)
-        # would break the column split and silently drop the row on the
-        # next merge
-        return s.replace("|", "¦").replace("\n", " ")
-
     n = {"PASS": 0, "ROWS": 0, "FAIL": 0, "EXCLUDED": 0}
     for name, fn in todo.items():
         if name in EXCLUDED:
@@ -159,10 +164,7 @@ def main() -> int:
 
         existing: dict[str, tuple[str, str, float, str]] = {}
         for line in open(args.out):
-            m = re.match(
-                r"\| (\S+) \| (PASS|ROWS|FAIL|EXCLUDED) \| ([\d.]+) \| (.*) \|$",
-                line.strip(),
-            )
+            m = re.match(ROW_RE, line.strip())
             if m:
                 existing[m.group(1)] = (
                     m.group(1), m.group(2), float(m.group(3)), m.group(4)
@@ -190,7 +192,7 @@ def main() -> int:
             "| query | status | sec | note |\n|---|---|---:|---|\n"
         )
         for name, status, sec, note in rows:
-            fh.write(f"| {name} | {status} | {sec:.1f} | {note} |\n")
+            fh.write(f"| {name} | {status} | {sec:.1f} | {_note(note)} |\n")
     print(f"\nwrote {args.out}: {n}")
     return 1 if n["FAIL"] else 0
 
