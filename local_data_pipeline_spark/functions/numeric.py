@@ -30,6 +30,17 @@ def dsum(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     return F.sum(c.cast(f"decimal({DEFAULT_PRECISION},{scale})")).cast("double")
 
 
+def dsum_dec(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
+    """Exact decimal SUM with NO final double cast — for mergeable /
+    incremental aggregates (cdc.maintain_agg) where partial decimal sums
+    are combined across batches first: decimal addition is exact and
+    associative, so (old + delta) equals a full recompute bit-for-bit,
+    which would NOT hold after a per-batch double rounding. Cast to
+    double (or round) only at the presentation edge."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(c.cast(f"decimal({DEFAULT_PRECISION},{scale})"))
+
+
 def davg(col: Column | str, scale: int = DEFAULT_SCALE) -> Column:
     """Order-insensitive AVG as exact-sum / count.
     SQL twin: ``cast(sum(cast(x as decimal(25,6))) as double) / count(x)``."""

@@ -149,3 +149,85 @@ def snapshot_diff(
             *[c for pair in ((f"old_{c}", f"new_{c}") for c in cols) for c in pair],
         )
     )
+
+
+def maintain_agg(
+    old_agg: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    n_col: str = "n_rows",
+    sum_col: str = "total",
+    op_col: str = "op",
+    before_group: str = "before_group",
+    before_value: str = "before_value",
+    after_group: str = "after_group",
+    after_value: str = "after_value",
+) -> DataFrame:
+    """Incremental view maintenance (IVM) of a keyed COUNT + SUM
+    aggregate from a changelog carrying BEFORE/AFTER images (Debezium's
+    ``before``/``after`` envelope) — the 100 TB pattern for keeping a
+    materialized rollup fresh without ever rescanning the base table:
+
+    - every before image contributes ``(-1, -value)`` to its OLD group,
+    - every upsert's after image contributes ``(+1, +value)`` to its
+      NEW group (which may differ — group-moving updates split into a
+      retraction and an insertion, the standard delta rule),
+    - the group-level delta (changelog-sized, map-side combinable)
+      full-outer merges with the old aggregate; groups whose count
+      reaches zero drop out, brand-new groups appear.
+
+    ``old_agg`` must carry ``group_col``, ``n_col`` (bigint) and
+    ``sum_col`` as an EXACT DECIMAL (build it with
+    ``functions.numeric.dsum_dec``): decimal addition is exact and
+    associative, so old + delta equals a full recompute bit-for-bit —
+    a double-typed running sum would drift by an ulp per batch and
+    eventually fail reconciliation. Preconditions: ``changes`` is
+    compacted (one row per key) and before images are faithful
+    (NULL ``before_group`` = the key did not exist; NULL
+    ``after_group`` / op D = the key ceases to exist).
+
+    Scale: the delta aggregate touches only the changelog; the merge
+    join is |groups|-sized on both sides (broadcast the delta when the
+    group domain is large but the batch is small). The base table is
+    never read."""
+    from ..functions.numeric import DEFAULT_PRECISION, DEFAULT_SCALE
+
+    dec = f"decimal({DEFAULT_PRECISION},{DEFAULT_SCALE})"
+    minus = changes.filter(F.col(before_group).isNotNull()).select(
+        F.col(before_group).alias(group_col),
+        F.lit(-1).cast("bigint").alias("__dn"),
+        (-F.col(before_value)).cast(dec).alias("__ds"),
+    )
+    plus = changes.filter(
+        (F.col(op_col) == "U") & F.col(after_group).isNotNull()
+    ).select(
+        F.col(after_group).alias(group_col),
+        F.lit(1).cast("bigint").alias("__dn"),
+        F.col(after_value).cast(dec).alias("__ds"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(group_col)
+        .agg(F.sum("__dn").alias("__dn"), F.sum("__ds").alias("__ds"))
+    )
+    merged = old_agg.join(delta, group_col, "full_outer")
+    # widen before adding: old_agg's sum is already a widened decimal
+    # (Spark grows SUM's precision by 10); narrowing back to the value
+    # scale could overflow, while decimal(38,6) + decimal(38,6) stays
+    # exact for any realistic aggregate magnitude
+    wide = f"decimal(38,{DEFAULT_SCALE})"
+    zero = F.lit(0).cast(wide)
+    return (
+        merged.select(
+            group_col,
+            (
+                F.coalesce(F.col(n_col), F.lit(0))
+                + F.coalesce(F.col("__dn"), F.lit(0))
+            ).alias(n_col),
+            (
+                F.coalesce(F.col(sum_col).cast(wide), zero)
+                + F.coalesce(F.col("__ds").cast(wide), zero)
+            ).alias(sum_col),
+        )
+        .filter(F.col(n_col) > 0)
+    )

@@ -22,7 +22,7 @@ from typing import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.numeric import davg, davg_sql, dsum, dsum_sql
+from .functions.numeric import davg, davg_sql, dsum, dsum_dec, dsum_sql
 from .functions import text as TX
 from .functions.vectors import cosine, l2_norm
 from .operators import dedup as DD
@@ -14782,6 +14782,183 @@ def content_defined_chunks_bounded(spark: SparkSession, sf_dir: str) -> DataFram
         (F.col("seg.a") + 1).alias("start_pos"),
         (F.col("seg.b") - F.col("seg.a")).alias("chunk_len"),
     ).orderBy("doc_id", "chunk_idx")
+
+
+@q(
+    "incremental_agg_maintenance_orders",
+    f"""
+    WITH src AS (
+      SELECT o_orderkey AS key, 'U' AS op,
+             o_orderpriority AS bg, o_totalprice AS bv,
+             o_orderpriority AS ag, o_totalprice * 1.1 AS av
+      FROM orders WHERE o_orderkey % 100 < 5
+      UNION ALL
+      SELECT o_orderkey, 'U', o_orderpriority, o_totalprice,
+             '0-MOVED', o_totalprice
+      FROM orders WHERE o_orderkey % 100 >= 5 AND o_orderkey % 100 < 10
+      UNION ALL
+      SELECT o_orderkey, 'D', o_orderpriority, o_totalprice, NULL, NULL
+      FROM orders WHERE o_orderkey % 100 >= 10 AND o_orderkey % 100 < 20
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 'U', NULL, NULL, '1-URGENT', 100.0
+      FROM orders WHERE o_orderkey % 100 = 20),
+    post AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS price FROM orders
+      WHERE o_orderkey NOT IN (SELECT key FROM src)
+      UNION ALL
+      SELECT ag, av FROM src WHERE op = 'U')
+    SELECT grp AS o_orderpriority, cast(count(*) AS bigint) AS n_orders,
+           round({dsum_sql('price')}, 6) AS total_price
+    FROM post GROUP BY grp
+    """,
+    tags=("cdc", "incremental", "agg", "maintenance"),
+)
+def incremental_agg_maintenance_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental view maintenance (``operators/cdc.py:maintain_agg``):
+    keep a per-priority (count, total) rollup fresh from a changelog
+    carrying before/after images — price updates, GROUP-MOVING updates
+    (priority reassignment: a retraction in the old group plus an
+    insertion in the new one, the classic IVM delta rule), deletes, and
+    brand-new keys. The Spark side computes the rollup INCREMENTALLY
+    (old aggregate + changelog-sized delta; the base table is never
+    re-aggregated), while the oracle recomputes the post-apply state
+    from scratch — so any dropped retraction, double-counted move, or
+    per-batch rounding drift fails the value hash.
+
+    Determinism: the running sum stays an exact decimal end-to-end
+    (``dsum_dec``) — decimal addition is associative, so incremental ==
+    full recompute bit-for-bit; the double cast and 6dp round happen
+    once at the presentation edge (cdc_apply_orders' proven pattern).
+
+    Scale: the delta aggregate is changelog-sized and map-side
+    combinable; the merge join is |groups|-sized on both sides. At
+    100 TB the old aggregate is the materialized rollup table — this
+    plan maintains it without touching the base fact table."""
+    from .operators.cdc import maintain_agg
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pri = F.col("o_orderpriority")
+    price = F.col("o_totalprice")
+
+    def _chg(df, op, bg, bv, ag, av):
+        return df.select(
+            k.alias("key"),
+            F.lit(op).alias("op"),
+            bg.alias("before_group"),
+            bv.alias("before_value"),
+            ag.alias("after_group"),
+            av.alias("after_value"),
+        )
+
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+    changes = (
+        _chg(o.filter(k % 100 < 5), "U", pri, price, pri, price * 1.1)
+        .unionByName(
+            _chg(
+                o.filter((k % 100 >= 5) & (k % 100 < 10)),
+                "U", pri, price, F.lit("0-MOVED"), price,
+            )
+        )
+        .unionByName(
+            _chg(
+                o.filter((k % 100 >= 10) & (k % 100 < 20)),
+                "D", pri, price, null_s, null_d,
+            )
+        )
+        .unionByName(
+            o.filter(k % 100 == 20).select(
+                (k + 1000000000).alias("key"),
+                F.lit("U").alias("op"),
+                null_s.alias("before_group"),
+                null_d.alias("before_value"),
+                F.lit("1-URGENT").alias("after_group"),
+                F.lit(100.0).alias("after_value"),
+            )
+        )
+    )
+    old_agg = o.groupBy(pri.alias("grp")).agg(
+        F.count("*").alias("n_orders"), dsum_dec(price).alias("total")
+    )
+    out = maintain_agg(
+        old_agg, changes, "grp", n_col="n_orders", sum_col="total"
+    )
+    return out.select(
+        F.col("grp").alias("o_orderpriority"),
+        "n_orders",
+        F.round(F.col("total").cast("double"), 6).alias("total_price"),
+    )
+
+
+@q(
+    "rendezvous_shard_rebalance_documents",
+    """
+    WITH s AS (SELECT unnest(range(0, 9)) AS s),
+    h AS (
+      SELECT d.doc_id, s.s,
+             md5(cast(d.doc_id AS varchar) || '#' || cast(s.s AS varchar)) AS h
+      FROM documents d CROSS JOIN s),
+    pick AS (
+      SELECT doc_id,
+             arg_max(CASE WHEN s < 8 THEN s END,
+                     CASE WHEN s < 8 THEN h END) AS shard8,
+             arg_max(s, h) AS shard9
+      FROM h GROUP BY doc_id)
+    SELECT cast(shard8 AS bigint) AS shard,
+           cast(count(*) AS bigint) AS n_docs,
+           cast(sum(CASE WHEN shard9 <> shard8 THEN 1 ELSE 0 END) AS bigint)
+             AS n_moved
+    FROM pick GROUP BY shard8
+    """,
+    tags=("layout", "sharding", "placement"),
+)
+def rendezvous_shard_rebalance_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Rendezvous (highest-random-weight) hashing — deterministic data
+    placement with minimal movement on resize (Thaler & Ravishankar
+    1998; the consistent-hashing alternative with no ring metadata):
+    each document lands on the shard whose md5(doc_id '#' shard) is
+    highest. The report shows per-shard occupancy under 8 shards and
+    how many of each shard's documents move when a 9th is added — HRW
+    guarantees movers relocate ONLY to the new shard, so the expected
+    moved fraction is exactly 1/9 (pytest pins both properties).
+
+    Scale: ZERO data shuffle — the per-document argmax over shards is a
+    JVM higher-order function on a literal sequence (array_max over
+    (hash, shard) structs compares lexicographically, so the md5 hex
+    string decides and the shard id breaks impossible ties), and the
+    only aggregation is an 8-row map-side-combinable groupBy. At 100 TB
+    this is a pure scan: placement for any shard count is computed the
+    same way the readers recompute it, with no assignment table to
+    store or shuffle."""
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    doc = F.col("doc_id").cast("string")
+
+    def hrw(n_shards: int):
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(n_shards - 1)),
+            lambda s: F.struct(
+                F.md5(F.concat(doc, F.lit("#"), s.cast("string"))).alias("h"),
+                s.alias("s"),
+            ),
+        )
+        return F.array_max(arr).getField("s")
+
+    pick = d.select(
+        hrw(8).alias("shard8"), hrw(9).alias("shard9")
+    )
+    return pick.groupBy(
+        F.col("shard8").cast("bigint").alias("shard")
+    ).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(
+            F.when(F.col("shard9") != F.col("shard8"), 1).otherwise(0)
+        ).cast("bigint").alias("n_moved"),
+    )
 
 
 # =====================================================================

@@ -280,3 +280,138 @@ def test_fuzzy_banding_misses_no_pairs(spark):
         ).fetchall()
         want = {r[0]: (r[1], r[2]) for r in oracle}
     assert got == want
+
+
+# ---------------------------------------------------------------------
+# incremental aggregate maintenance (IVM)
+# ---------------------------------------------------------------------
+
+def _ivm_frames(spark):
+    from local_data_pipeline_spark.functions.numeric import dsum_dec
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "c", 7.0)],
+        "key long, grp string, val double",
+    )
+    old_agg = base.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), dsum_dec("val").alias("total")
+    )
+    return base, old_agg
+
+
+def test_maintain_agg_group_move_retracts_and_inserts(spark):
+    """A group-moving update must subtract from the old group AND add to
+    the new one; a plain 'update in place' implementation double-counts."""
+    from local_data_pipeline_spark.operators.cdc import maintain_agg
+
+    _, old_agg = _ivm_frames(spark)
+    changes = spark.createDataFrame(
+        [("U", "a", 10.0, "b", 10.0)],  # key 1 moves a -> b, same value
+        "op string, before_group string, before_value double, "
+        "after_group string, after_value double",
+    )
+    got = {
+        r.grp: (r.n_rows, float(r.total))
+        for r in maintain_agg(old_agg, changes, "grp").collect()
+    }
+    assert got == {"a": (1, 20.0), "b": (2, 15.0), "c": (1, 7.0)}
+
+
+def test_maintain_agg_drops_zeroed_groups_and_creates_new(spark):
+    from local_data_pipeline_spark.operators.cdc import maintain_agg
+
+    _, old_agg = _ivm_frames(spark)
+    changes = spark.createDataFrame(
+        [
+            ("D", "c", 7.0, None, None),       # group c empties -> drops
+            ("U", None, None, "z", 100.0),     # brand-new group appears
+        ],
+        "op string, before_group string, before_value double, "
+        "after_group string, after_value double",
+    )
+    got = {
+        r.grp: (r.n_rows, float(r.total))
+        for r in maintain_agg(old_agg, changes, "grp").collect()
+    }
+    assert "c" not in got
+    assert got["z"] == (1, 100.0)
+    assert got["a"] == (2, 30.0) and got["b"] == (1, 5.0)
+
+
+def test_maintain_agg_incremental_equals_full_recompute(spark):
+    """The reconciliation property the query's oracle hash rides on:
+    old + delta == full recompute EXACTLY (decimal path end-to-end)."""
+    from local_data_pipeline_spark.functions.numeric import dsum_dec
+    from local_data_pipeline_spark.operators.cdc import maintain_agg
+
+    base, old_agg = _ivm_frames(spark)
+    changes = spark.createDataFrame(
+        [
+            ("U", "a", 10.0, "a", 10.37),
+            ("U", "a", 20.0, "b", 20.0),
+            ("D", "b", 5.0, None, None),
+            ("U", None, None, "d", 0.01),
+        ],
+        "op string, before_group string, before_value double, "
+        "after_group string, after_value double",
+    )
+    inc = {
+        r.grp: (r.n_rows, str(r.total))
+        for r in maintain_agg(old_agg, changes, "grp").collect()
+    }
+    post = spark.createDataFrame(
+        [("a", 10.37), ("b", 20.0), ("c", 7.0), ("d", 0.01)],
+        "grp string, val double",
+    )
+    full = {
+        r.grp: (r.n_rows, str(r.total))
+        for r in post.groupBy("grp")
+        .agg(F.count("*").alias("n_rows"), dsum_dec("val").alias("total"))
+        .collect()
+    }
+    # compare decimal string representations: bit-exact reconciliation
+    assert {g: (n, float(t)) for g, (n, t) in inc.items()} == {
+        g: (n, float(t)) for g, (n, t) in full.items()
+    }
+
+
+# ---------------------------------------------------------------------
+# rendezvous hashing
+# ---------------------------------------------------------------------
+
+def test_rendezvous_movers_only_land_on_new_shard(spark):
+    """HRW's minimal-movement guarantee: adding shard 8 moves a doc iff
+    shard 8 wins its 9-way argmax — no doc may move between OLD shards.
+    Also the moved fraction should be near 1/9."""
+    d = spark.range(0, 3000).select(F.col("id").alias("doc_id"))
+    doc = F.col("doc_id").cast("string")
+
+    def hrw(n):
+        arr = F.transform(
+            F.sequence(F.lit(0), F.lit(n - 1)),
+            lambda s: F.struct(
+                F.md5(F.concat(doc, F.lit("#"), s.cast("string"))).alias("h"),
+                s.alias("s"),
+            ),
+        )
+        return F.array_max(arr).getField("s")
+
+    pick = d.select(hrw(8).alias("s8"), hrw(9).alias("s9")).collect()
+    moved = [(r.s8, r.s9) for r in pick if r.s8 != r.s9]
+    assert all(s9 == 8 for _, s9 in moved)
+    frac = len(moved) / len(pick)
+    assert 0.06 < frac < 0.17  # expected 1/9 ≈ 0.111
+
+
+def test_rendezvous_query_conserves_documents(spark):
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = QUERIES["rendezvous_shard_rebalance_documents"].fn(spark, SF).collect()
+    import duckdb
+
+    n_docs = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{SF}/documents.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.shard for r in rows} <= set(range(8))
+    assert all(0 <= r.n_moved <= r.n_docs for r in rows)
