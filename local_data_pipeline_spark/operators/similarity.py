@@ -550,3 +550,74 @@ def embedding_near_dups(
         ).alias("cos_sim"),
     )
     return pairs.filter(F.col("cos_sim") >= threshold).distinct()
+
+
+def mmr_select(
+    cand: DataFrame,
+    pairs: DataFrame,
+    k: int = 8,
+    lam_num: int = 7,
+    div_num: int = 3,
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): from each query's candidate pool, greedily pick the
+    item maximizing ``λ·rel − (1−λ)·max_sim_to_already_picked`` — the
+    standard diversity-aware cut between retrieval and context packing
+    (dedupes near-identical passages out of a RAG window).
+
+    INTEGER-ONLY selection: ``cand`` carries ``(query_id, doc_id,
+    rel_u)`` and ``pairs`` carries ``(query_id, x, y, s_u)`` with scores
+    pre-quantized to micro-units (round(score·1e6)) IN-PLAN, so the
+    greedy argmax compares exact int64s — no accumulated float noise,
+    bit-identical picks on any engine. λ is the rational ``lam_num/10``
+    (default 0.7): mmr_e7 = lam_num·rel_u − div_num·max(s_u), in 1e-7
+    score units.
+
+    Scale: the iterative argmax runs per query inside ONE cogrouped
+    ``applyInPandas`` pass — candidate pools are BOUNDED by construction
+    (a top-N cut upstream), so per-group state is N rows + N² pair
+    lookups regardless of corpus size; queries parallelize across
+    groups. The corpus-sized work (scoring, top-N, pairwise sims of the
+    top-N) all stays in Catalyst upstream."""
+    import pandas as pd
+
+    def kernel(key, cand_pdf, pairs_pdf):
+        qid = int(key[0])
+        rel = dict(zip(cand_pdf["doc_id"].astype("int64"),
+                       cand_pdf["rel_u"].astype("int64")))
+        sim = {
+            (int(x), int(y)): int(s)
+            for x, y, s in zip(
+                pairs_pdf["x"], pairs_pdf["y"], pairs_pdf["s_u"]
+            )
+        }
+        picked: list[int] = []
+        out = []
+        while len(picked) < min(k, len(rel)):
+            best = None  # (neg mmr, doc_id) minimized -> mmr desc, id asc
+            for doc, r in rel.items():
+                if doc in picked:
+                    continue
+                if picked:
+                    div = max(sim[(doc, p)] for p in picked)
+                    mmr = lam_num * r - div_num * div
+                else:
+                    mmr = lam_num * r
+                cand_key = (-mmr, doc)
+                if best is None or cand_key < best:
+                    best = cand_key
+            mmr_e7, doc = -best[0], best[1]
+            picked.append(doc)
+            out.append((qid, len(picked), doc, mmr_e7))
+        return pd.DataFrame(
+            out, columns=["query_id", "rnk", "doc_id", "mmr_e7"]
+        )
+
+    return (
+        cand.groupBy("query_id")
+        .cogroup(pairs.groupBy("query_id"))
+        .applyInPandas(
+            kernel,
+            "query_id bigint, rnk bigint, doc_id bigint, mmr_e7 bigint",
+        )
+    )

@@ -14961,6 +14961,131 @@ def rendezvous_shard_rebalance_documents(
     )
 
 
+@q(
+    "mmr_diversified_topk_embeddings",
+    """
+    WITH RECURSIVE qs AS (
+      SELECT vec_id AS query_id, embedding AS q FROM embeddings
+      WHERE vec_id < 3),
+    rel AS (
+      SELECT q.query_id, e.vec_id AS doc_id, e.embedding AS emb,
+             cast(round(round(list_cosine_similarity(
+                    q.q::DOUBLE[], e.embedding::DOUBLE[]), 6) * 1e6)
+                  AS bigint) AS rel_u
+      FROM embeddings e JOIN qs q ON e.vec_id <> q.query_id),
+    cand AS (
+      SELECT query_id, doc_id, emb, rel_u, rn
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY rel_u DESC, doc_id) AS rn FROM rel)
+      WHERE rn <= 20),
+    pairs AS (
+      SELECT a.query_id, a.doc_id AS x, b.doc_id AS y,
+             cast(round(round(list_cosine_similarity(
+                    a.emb::DOUBLE[], b.emb::DOUBLE[]), 6) * 1e6)
+                  AS bigint) AS s_u
+      FROM cand a JOIN cand b
+        ON a.query_id = b.query_id AND a.doc_id <> b.doc_id),
+    sel AS (
+      SELECT query_id, 1 AS rnk, doc_id, [doc_id] AS picked,
+             cast(7 * rel_u AS bigint) AS mmr_e7
+      FROM cand WHERE rn = 1
+      UNION ALL
+      SELECT sel.query_id, sel.rnk + 1, nxt.doc_id,
+             list_append(sel.picked, nxt.doc_id), nxt.mmr_e7
+      FROM sel, LATERAL (
+        SELECT c.doc_id,
+               cast(7 * c.rel_u - 3 * (
+                      SELECT max(p.s_u) FROM pairs p
+                      WHERE p.query_id = sel.query_id AND p.x = c.doc_id
+                        AND list_contains(sel.picked, p.y))
+                    AS bigint) AS mmr_e7
+        FROM cand c
+        WHERE c.query_id = sel.query_id
+          AND NOT list_contains(sel.picked, c.doc_id)
+        ORDER BY mmr_e7 DESC, c.doc_id LIMIT 1) nxt
+      WHERE sel.rnk < 8)
+    SELECT query_id, rnk, doc_id, mmr_e7 FROM sel
+    """,
+    tags=("similarity", "retrieval", "diversity", "ranking"),
+)
+def mmr_diversified_topk_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Maximal Marginal Relevance retrieval (Carbonell & Goldstein 1998;
+    ``operators/similarity.py:mmr_select``): per query vector, take the
+    top-20 cosine candidates, then greedily select 8 maximizing
+    0.7·relevance − 0.3·max-similarity-to-already-selected — the
+    diversity re-rank that keeps near-duplicate passages from filling a
+    RAG context window. The oracle replays the greedy recurrence as a
+    recursive CTE with a LATERAL per-step argmax, so a wrong tie-break
+    or a stale diversity term fails the value hash.
+
+    Determinism: relevance and pairwise similarities are rounded to 6dp
+    (the proven cosine parity contract) and quantized to int64
+    micro-units IN-PLAN; the greedy selection then compares exact
+    integers (mmr_e7 = 7·rel_u − 3·max s_u, 1e-7 units) with doc_id
+    tie-break — bit-identical on any engine, any partitioning.
+
+    Scale: corpus-sized work (scoring, the top-20 cut via
+    WindowGroupLimit, pairwise sims of the top-20) is all Catalyst; the
+    greedy loop touches only the 20-row-per-query pool inside one
+    cogrouped ``applyInPandas``. An unbounded query set swaps the
+    scoring leg for ivf/lsh_topk — the kernel is unchanged."""
+    from .operators.similarity import mmr_select
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qs = F.broadcast(
+        emb.filter(F.col("vec_id") < 3).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_emb"),
+        )
+    )
+    rel_u = F.round(
+        F.round(cosine(F.col("q_emb"), F.col("embedding")), 6) * 1e6
+    ).cast("bigint")
+    rel = (
+        emb.crossJoin(qs)
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("emb"),
+            rel_u.alias("rel_u"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("rel_u"), F.asc("doc_id")
+    )
+    # checkpoint the 20-row-per-query pool: it feeds THREE consumers
+    # (both sides of the pairwise join + the kernel input), and without
+    # it each consumer re-scores the whole corpus (shared frames under
+    # join-back must checkpoint — map-side partials block ReusedExchange)
+    cand = (
+        rel.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .localCheckpoint(eager=False)
+    )
+    # pairwise sims within each bounded pool: 20x19 rows per query, all
+    # JVM higher-order functions
+    a, b = cand.alias("a"), cand.alias("b")
+    s_u = F.round(
+        F.round(cosine(F.col("a.emb"), F.col("b.emb")), 6) * 1e6
+    ).cast("bigint")
+    pairs = a.join(
+        b,
+        (F.col("a.query_id") == F.col("b.query_id"))
+        & (F.col("a.doc_id") != F.col("b.doc_id")),
+    ).select(
+        F.col("a.query_id").alias("query_id"),
+        F.col("a.doc_id").alias("x"),
+        F.col("b.doc_id").alias("y"),
+        s_u.alias("s_u"),
+    )
+    return mmr_select(
+        cand.select("query_id", "doc_id", "rel_u"), pairs, k=8
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================

@@ -415,3 +415,78 @@ def test_rendezvous_query_conserves_documents(spark):
     assert sum(r.n_docs for r in rows) == n_docs
     assert {r.shard for r in rows} <= set(range(8))
     assert all(0 <= r.n_moved <= r.n_docs for r in rows)
+
+
+# ---------------------------------------------------------------------
+# MMR diversified selection
+# ---------------------------------------------------------------------
+
+def test_mmr_select_exact_greedy_sequence(spark):
+    """Hand-computable 3-candidate pool: rank 1 is pure-relevance argmax;
+    later ranks apply the integer MMR formula exactly. At these numbers
+    the redundant doc 2 still wins rank 2 (3_260_000 > 3_200_000) — the
+    flip case is the next test."""
+    from local_data_pipeline_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [(0, 1, 900000), (0, 2, 890000), (0, 4, 500000)],
+        "query_id bigint, doc_id bigint, rel_u bigint",
+    )
+    sims = {(1, 2): 990000, (1, 4): 100000, (2, 4): 110000}
+    rows = []
+    for (x, y), s in sims.items():
+        rows += [(0, x, y, s), (0, y, x, s)]
+    pairs = spark.createDataFrame(
+        rows, "query_id bigint, x bigint, y bigint, s_u bigint"
+    )
+    got = sorted(
+        (r.rnk, r.doc_id, r.mmr_e7)
+        for r in mmr_select(cand, pairs, k=3).collect()
+    )
+    assert got == [
+        (1, 1, 6300000),
+        (2, 2, 7 * 890000 - 3 * 990000),
+        (3, 4, 7 * 500000 - 3 * 110000),
+    ]
+
+
+def test_mmr_select_flips_to_diverse_pick(spark):
+    from local_data_pipeline_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [(0, 1, 900000), (0, 2, 899000), (0, 4, 800000)],
+        "query_id bigint, doc_id bigint, rel_u bigint",
+    )
+    sims = {(1, 2): 999000, (1, 4): 100000, (2, 4): 110000}
+    rows = []
+    for (x, y), s in sims.items():
+        rows += [(0, x, y, s), (0, y, x, s)]
+    pairs = spark.createDataFrame(
+        rows, "query_id bigint, x bigint, y bigint, s_u bigint"
+    )
+    got = {r.rnk: (r.doc_id, r.mmr_e7) for r in mmr_select(cand, pairs, k=3).collect()}
+    # doc 2: 7*899000 - 3*999000 = 3_296_000
+    # doc 4: 7*800000 - 3*100000 = 5_300_000 -> diverse pick wins rank 2
+    assert got[1] == (1, 6300000)
+    assert got[2] == (4, 5300000)
+    assert got[3] == (2, 7 * 899000 - 3 * 999000)
+
+
+def test_mmr_select_partition_count_insensitive(spark):
+    """Same picks at any parallelism — integer-only kernel, cogrouped."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    def run(parts):
+        prev = spark.conf.get("spark.sql.shuffle.partitions")
+        spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+        try:
+            return sorted(
+                tuple(r)
+                for r in QUERIES["mmr_diversified_topk_embeddings"]
+                .fn(spark, SF)
+                .collect()
+            )
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    assert run(2) == run(32)
