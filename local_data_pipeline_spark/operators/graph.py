@@ -209,3 +209,53 @@ def label_propagation(
             .localCheckpoint(eager=False)
         )
     return labels
+
+
+def kcore(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """k-core peel (Seidman 1983; the degeneracy-ordering workhorse for
+    community cores and graph sparsification): iteratively remove nodes
+    with fewer than ``k`` neighbors among the still-alive set, a fixed
+    ``rounds`` times, then report each survivor's degree WITHIN the
+    surviving subgraph. ``edges`` must be SYMMETRIZED (both directions
+    present) so per-src counts are full degrees.
+
+    Fixed rounds → known job count and an exactly-unrollable SQL twin
+    (the hits/label_propagation oracle pattern); peeling is monotone
+    (the alive set only shrinks), so once a round removes nothing the
+    remaining rounds are no-ops and the result IS the true k-core —
+    pytest pins convergence-within-rounds on the query's graph, and a
+    cascade test pins the multi-round chain collapse.
+
+    Scale: each round is one join+agg shuffled on the node key; the
+    alive set shrinks monotonically, so later rounds cost less;
+    lineage is cut every other round (iterative-operator contract)."""
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    alive = e.select(F.col("src").alias("node")).distinct()
+    for r in range(rounds):
+        deg = (
+            e.join(alive.withColumnRenamed("node", "src"), "src")
+            .join(alive.withColumnRenamed("node", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.count("*").alias("degree"))
+        )
+        alive = deg.filter(F.col("degree") >= k).select(
+            F.col("src").alias("node")
+        )
+        if r % 2 == 1:
+            alive = alive.localCheckpoint(eager=False)
+    return (
+        e.join(alive.withColumnRenamed("node", "src"), "src")
+        .join(alive.withColumnRenamed("node", "dst"), "dst")
+        .groupBy(F.col("src").alias("node"))
+        .agg(F.count("*").alias("degree"))
+    )

@@ -15086,6 +15086,199 @@ def mmr_diversified_topk_embeddings(
     )
 
 
+def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
+    """Unrolled-CTE DuckDB twin of graph.kcore over the symmetrized
+    support-≥2 co-purchase graph (_COPURCHASE_PAIRS_SQL — the shared
+    edge definition of the triangle/LPA family). Every alive set is AS
+    MATERIALIZED (the _hits_oracle_sql lesson: each level is referenced
+    twice, so an un-hinted chain recomputes the prefix exponentially)."""
+    ctes = [
+        _COPURCHASE_PAIRS_SQL,
+        """edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb, pa FROM pairs)""",
+        "alive0 AS MATERIALIZED (SELECT DISTINCT src AS node FROM edges)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"""alive{r} AS MATERIALIZED (
+      SELECT e.src AS node FROM edges e
+      JOIN alive{r - 1} s ON s.node = e.src
+      JOIN alive{r - 1} t ON t.node = e.dst
+      GROUP BY e.src HAVING count(*) >= {k})"""
+        )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT e.src AS part, cast(count(*) AS bigint) AS degree
+    FROM edges e
+    JOIN alive{rounds} s ON s.node = e.src
+    JOIN alive{rounds} t ON t.node = e.dst
+    GROUP BY e.src"""
+    )
+
+
+@q(
+    "kcore_copurchase_parts",
+    _kcore_oracle_sql(3, 6),
+    tags=("graph", "iterative"),
+)
+def kcore_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of the co-purchase graph (operators/graph.py kcore):
+    iteratively peel parts with fewer than 3 still-alive co-purchase
+    partners — the dense backbone left when marginal nodes cascade away,
+    with each survivor's in-core degree. 6 fixed peel rounds, exactly
+    unrolled in the DuckDB twin (the hits/LPA oracle pattern: identical
+    recurrence, MATERIALIZED per level); peeling is monotone, so pytest
+    pins that the graph converges within the budget, making the fixed-
+    round result the true 3-core.
+
+    Scale: one join+agg per round shuffled on the node key over a
+    monotonically shrinking alive set; the support-≥2 HAVING collapses
+    the edge set ~300x before any iteration (the shared
+    _copurchase_edges contract); lineage cut every other round."""
+    from .operators.graph import kcore
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = _copurchase_edges(li)
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    out = kcore(edges, k=3, rounds=6)
+    return out.select(F.col("node").alias("part"), "degree")
+
+
+@q(
+    "markov_transition_perplexity_events",
+    """
+    WITH split AS (
+      SELECT user_id, event_id, ts, event_type,
+             ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::BIGINT % 100
+               AS bucket
+      FROM events),
+    bigrams AS (
+      SELECT bucket, event_type AS cur,
+             lead(event_type, 1) OVER w AS nxt
+      FROM split
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    bg AS (SELECT bucket, cur, nxt FROM bigrams WHERE nxt IS NOT NULL),
+    train_c AS (
+      SELECT cur, nxt, count(*) AS c FROM bg WHERE bucket < 80
+      GROUP BY cur, nxt),
+    train_tot AS (
+      SELECT cur, cast(sum(c) AS bigint) AS rowtot FROM train_c GROUP BY cur),
+    v AS (
+      SELECT count(DISTINCT event_type) AS v FROM split WHERE bucket < 80),
+    valid AS (SELECT cur, nxt FROM bg WHERE bucket >= 80),
+    scored AS (
+      SELECT valid.cur,
+             cast(round(ln((coalesce(c.c, 0) + 1) * 1.0
+                           / (coalesce(t.rowtot, 0) + v.v + 1))
+                        * 1000000) AS bigint) AS lp_micro,
+             CASE WHEN c.c IS NULL THEN 1 ELSE 0 END AS unseen
+      FROM valid
+      LEFT JOIN train_c c ON valid.cur = c.cur AND valid.nxt = c.nxt
+      LEFT JOIN train_tot t ON valid.cur = t.cur
+      CROSS JOIN v)
+    SELECT cur AS event_type, cast(count(*) AS bigint) AS n_transitions,
+           cast(sum(unseen) AS bigint) AS n_unseen,
+           cast(sum(lp_micro) AS bigint) AS logprob_sum_micro
+    FROM scored GROUP BY cur
+    """,
+    tags=("sequence", "lm", "eval", "split"),
+)
+def markov_transition_perplexity_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """First-order Markov chain over user event sequences with a proper
+    held-out evaluation — the sequence-model sibling of
+    heldout_logprob_documents: transition counts are estimated on TRAIN
+    users (engine-identical md5 80/20 user split, so no sequence
+    straddles the boundary), and VALID users' transitions are scored
+    with add-1 smoothing over the train state vocabulary,
+    p(next|cur) = (c(cur,next)+1)/(rowtot(cur)+V+1). Reports per
+    current-state transition volume, unseen-transition count, and total
+    log-probability in integer micro-units — the held-out number that
+    tells a sessionization or event-taxonomy change actually improved
+    sequence predictability.
+
+    Determinism/scale: bigrams are one lead() over the keyed
+    (user_id-partitioned) window; transition counts are a
+    |types|²-sized aggregate; the state vocabulary is a broadcast 1-row
+    cross join; ln of identical doubles quantized to integer micros and
+    bigint-summed (the heldout_logprob rule) — bit-identical at any
+    parallelism."""
+    ev = _t(spark, sf_dir, "events")
+    split = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(100),
+        ).alias("bucket"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    bg = (
+        split.select(
+            "bucket",
+            F.col("event_type").alias("cur"),
+            F.lead("event_type", 1).over(w).alias("nxt"),
+        )
+        .filter(F.col("nxt").isNotNull())
+    )
+    train_c = (
+        bg.filter(F.col("bucket") < 80)
+        .groupBy("cur", "nxt")
+        .agg(F.count("*").alias("c"))
+    )
+    train_tot = train_c.groupBy("cur").agg(
+        F.sum("c").cast("bigint").alias("rowtot")
+    )
+    v = (
+        split.filter(F.col("bucket") < 80)
+        .agg(F.count_distinct("event_type").alias("v"))
+    )
+    valid = bg.filter(F.col("bucket") >= 80).select("cur", "nxt")
+    scored = (
+        valid.join(train_c, ["cur", "nxt"], "left")
+        .join(F.broadcast(train_tot), "cur", "left")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "cur",
+            F.round(
+                F.log(
+                    (F.coalesce(F.col("c"), F.lit(0)) + 1).cast("double")
+                    / (
+                        F.coalesce(F.col("rowtot"), F.lit(0))
+                        + F.col("v")
+                        + 1
+                    ).cast("double")
+                )
+                * 1_000_000,
+                0,
+            )
+            .cast("bigint")
+            .alias("lp_micro"),
+            F.when(F.col("c").isNull(), 1).otherwise(0).alias("unseen"),
+        )
+    )
+    return scored.groupBy(F.col("cur").alias("event_type")).agg(
+        F.count("*").alias("n_transitions"),
+        F.sum("unseen").cast("bigint").alias("n_unseen"),
+        F.sum("lp_micro").cast("bigint").alias("logprob_sum_micro"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
@@ -15106,11 +15299,16 @@ _PRIORITY: tuple[str, ...] = (
     # never green in any driver CORRECTNESS file (r02-r05 attested 176
     # distinct names; 51 oracle-backed queries remained -- 50 here, with
     # label_balance_embeddings deferred to the round-7 rotation along
-    # with the 31 rows-only queries, 32 names total, so the attested
-    # union reaches all 258 by end of round 7). inverted_index_tokens
-    # leads: it was round 5's one red row (the driver canonicalizer threw
-    # on its array column) and is re-submitted with a serialized posting
-    # list; failed rows do not count as attested.
+    # with the 31 rows-only queries and the 5 queries ADDED this round
+    # (incremental_agg_maintenance_orders,
+    # rendezvous_shard_rebalance_documents,
+    # mmr_diversified_topk_embeddings, kcore_copurchase_parts,
+    # markov_transition_perplexity_events) -- 37 names total, so the
+    # attested union reaches all 263 by end of round 7).
+    # inverted_index_tokens leads: it was round 5's one red row (the
+    # driver canonicalizer threw on its array column) and is
+    # re-submitted with a serialized posting list; failed rows do not
+    # count as attested.
     "inverted_index_tokens",
     "hits_customer_parts",
     "label_propagation_copurchase",

@@ -490,3 +490,82 @@ def test_mmr_select_partition_count_insensitive(spark):
             spark.conf.set("spark.sql.shuffle.partitions", prev)
 
     assert run(2) == run(32)
+
+
+# ---------------------------------------------------------------------
+# k-core peel
+# ---------------------------------------------------------------------
+
+def _sym_edges(spark, pairs):
+    rows = [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_kcore_triangle_survives_pendant_peels(spark):
+    """Triangle with a pendant tail: the 2-core is exactly the triangle
+    (every member degree 2); the tail cascades away over TWO rounds
+    (4 drops only after 5 is gone) — pinning the iterative cascade."""
+    from local_data_pipeline_spark.operators.graph import kcore
+
+    e = _sym_edges(spark, [(1, 2), (2, 3), (1, 3), (3, 4), (4, 5)])
+    got = {r.node: r.degree for r in kcore(e, k=2, rounds=4).collect()}
+    assert got == {1: 2, 2: 2, 3: 2}
+
+
+def test_kcore_converges_within_round_budget_on_query_graph(spark):
+    """Monotone peel: if rounds R and R+1 agree, R hit the fixpoint and
+    the fixed-round result IS the true k-core. Pinned on the actual
+    query graph at sf0.001 and on a worst-case path graph."""
+    from local_data_pipeline_spark.operators.graph import kcore
+    from local_data_pipeline_spark.queries import QUERIES
+
+    r6 = sorted(
+        tuple(r) for r in QUERIES["kcore_copurchase_parts"].fn(spark, SF).collect()
+    )
+    # rerun with one extra round via the operator on the same edges
+    from local_data_pipeline_spark.queries import _copurchase_edges, _t
+
+    pairs = _copurchase_edges(_t(spark, SF, "lineitem"))
+    edges = pairs.selectExpr("pa as src", "pb as dst").unionAll(
+        pairs.selectExpr("pb as src", "pa as dst")
+    )
+    r7 = sorted(
+        (r.node, r.degree)
+        for r in __import__(
+            "local_data_pipeline_spark.operators.graph", fromlist=["kcore"]
+        ).kcore(edges, k=3, rounds=7).collect()
+    )
+    assert r6 == r7
+
+    # path graph P8, k=2: peels strictly one layer per round from each
+    # end -> empties in ceil((8-?)/2) rounds; rounds=4 suffices
+    path = _sym_edges(spark, [(i, i + 1) for i in range(1, 8)])
+    assert kcore(path, k=2, rounds=4).count() == 0
+
+
+# ---------------------------------------------------------------------
+# hybrid RRF: fused single rank pass
+# ---------------------------------------------------------------------
+
+def test_hybrid_rrf_builds_exactly_one_rank_job(spark):
+    """Round-5 drift regression root cause: TWO distributed_rank passes
+    (one per retrieval leg), each paying its own range exchange +
+    shard-totals collect. The fused form must construct exactly ONE —
+    pinned by spying the shared cumsum primitive's call count."""
+    from local_data_pipeline_spark.queries import QUERIES
+
+    import local_data_pipeline_spark.operators.packing as PK
+
+    calls = {"n": 0}
+    orig = PK._distributed_cumsum_with_total
+
+    def spy(*a, **k):
+        calls["n"] += 1
+        return orig(*a, **k)
+
+    PK._distributed_cumsum_with_total = spy
+    try:
+        QUERIES["hybrid_rrf_search_documents"].fn(spark, SF)
+    finally:
+        PK._distributed_cumsum_with_total = orig
+    assert calls["n"] == 1
