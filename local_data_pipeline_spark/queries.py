@@ -15279,6 +15279,151 @@ def markov_transition_perplexity_events(
     )
 
 
+@q(
+    "cuped_ab_readout_events",
+    """
+    WITH per_user AS (
+      SELECT user_id,
+             ('0x' || substr(md5(cast(user_id AS varchar)), 1, 8))::BIGINT % 2
+               AS arm,
+             cast(sum(CASE WHEN epoch_us(ts) < 1705363200000000
+                           THEN cast(floor(value * 100) AS bigint)
+                           ELSE 0 END) AS bigint) AS x,
+             cast(sum(CASE WHEN epoch_us(ts) >= 1705363200000000
+                           THEN cast(floor(value * 100) AS bigint)
+                           ELSE 0 END) AS bigint) AS y
+      FROM events GROUP BY user_id),
+    stats AS (
+      SELECT cast(count(*) AS bigint) AS n,
+             cast(cast(sum(cast(x AS decimal(38,0))) AS varchar) AS double) AS sx,
+             cast(cast(sum(cast(y AS decimal(38,0))) AS varchar) AS double) AS sy,
+             cast(cast(sum(cast(x AS decimal(38,0)) * y) AS varchar) AS double) AS sxy,
+             cast(cast(sum(cast(x AS decimal(38,0)) * x) AS varchar) AS double) AS sxx
+      FROM per_user),
+    theta AS (
+      SELECT n, sx / n AS xbar,
+             CASE WHEN n * sxx - sx * sx > 0
+                  THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END AS theta
+      FROM stats),
+    adj AS (
+      SELECT arm, x, y,
+             y - coalesce(t.theta, 0) * (x - t.xbar) AS y_adj
+      FROM per_user CROSS JOIN theta t),
+    by_arm AS (
+      SELECT arm, cast(count(*) AS bigint) AS n_users,
+             cast(sum(cast(y AS decimal(38,0))) AS bigint) AS sum_y,
+             {DSUM_YADJ} AS sum_adj,
+             {DSUM_Y2} AS sum_y2,
+             {DSUM_ADJ2} AS sum_adj2
+      FROM adj GROUP BY arm)
+    SELECT arm, n_users,
+           round(cast(sum_y AS double) / n_users / 100.0, 6) AS mean_y,
+           round(sum_adj / n_users / 100.0, 6) AS mean_y_cuped,
+           CASE WHEN sum_y2 / n_users
+                     - (cast(sum_y AS double) / n_users)
+                       * (cast(sum_y AS double) / n_users) > 0
+                THEN round((sum_adj2 / n_users
+                            - (sum_adj / n_users) * (sum_adj / n_users))
+                           / (sum_y2 / n_users
+                              - (cast(sum_y AS double) / n_users)
+                                * (cast(sum_y AS double) / n_users)), 6)
+           END AS var_ratio
+    FROM by_arm
+    """.replace("{DSUM_YADJ}", dsum_sql("y_adj"))
+       .replace("{DSUM_Y2}", dsum_sql("cast(y AS double) * y"))
+       .replace("{DSUM_ADJ2}", dsum_sql("y_adj * y_adj")),
+    tags=("stats", "experiment", "variance-reduction"),
+)
+def cuped_ab_readout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED experiment readout (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    controlled-experiment variance reduction using pre-experiment data):
+    per user, pre-period spend X (before 2024-01-16) and experiment-
+    period spend Y in exact integer cents; the pooled regression
+    coefficient θ = cov(X,Y)/var(X) comes from ONE pass of exact
+    decimal sufficient statistics (Σx, Σy, Σxy, Σx²); each user's
+    adjusted metric y − θ(x − x̄) feeds the per-arm means — same
+    expectation as the raw mean, strictly smaller variance whenever
+    pre-period behavior correlates. Reports per md5-parity arm: users,
+    raw mean, CUPED mean, and the measured var(adjusted)/var(raw)
+    ratio (NULL-guarded when raw variance is zero).
+
+    Determinism: per-user x/y are exact int64 cents; all second-moment
+    sums are exact decimals (DuckDB reads them back through the varchar
+    route — the dsum rule); θ/x̄/y_adj are then fixed IEEE chains on
+    identical doubles, dsum-aggregated, rounded once at the edge.
+
+    Scale: one user_id exchange for the rollup, a 1-row broadcast for
+    θ/x̄ (in-plan cross join, q22's pattern), and a 2-row conditional
+    aggregate — the pre-period join a naive CUPED would do per-event is
+    folded into the same rollup pass."""
+    ev = _t(spark, sf_dir, "events")
+    ts_us = F.expr("unix_micros(cast(ts as timestamp))")
+    cents = F.floor(F.col("value") * 100).cast("bigint")
+    cutoff = 1705363200000000  # 2024-01-16 00:00:00 UTC in micros
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.when(ts_us < cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("x"),
+        F.sum(F.when(ts_us >= cutoff, cents).otherwise(0))
+        .cast("bigint")
+        .alias("y"),
+    ).withColumn(
+        "arm",
+        F.pmod(
+            F.conv(
+                F.substring(F.md5(F.col("user_id").cast("string")), 1, 8),
+                16,
+                10,
+            ).cast("bigint"),
+            F.lit(2),
+        ),
+    )
+    dec = "decimal(38,0)"
+    stats = per_user.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum(F.col("x").cast(dec)).cast("double").alias("sx"),
+        F.sum(F.col("y").cast(dec)).cast("double").alias("sy"),
+        F.sum(F.col("x").cast(dec) * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x").cast(dec) * F.col("x")).cast("double").alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    theta = stats.select(
+        "n",
+        (F.col("sx") / F.col("n")).alias("xbar"),
+        F.when(
+            den > 0,
+            (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / den,
+        ).alias("theta"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "arm",
+        "y",
+        (
+            F.col("y")
+            - F.coalesce(F.col("theta"), F.lit(0.0))
+            * (F.col("x") - F.col("xbar"))
+        ).alias("y_adj"),
+    )
+    by_arm = adj.groupBy("arm").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        F.sum(F.col("y").cast(dec)).cast("bigint").alias("sum_y"),
+        dsum("y_adj").alias("sum_adj"),
+        dsum(F.col("y").cast("double") * F.col("y")).alias("sum_y2"),
+        dsum(F.col("y_adj") * F.col("y_adj")).alias("sum_adj2"),
+    )
+    mean_y = F.col("sum_y").cast("double") / F.col("n_users")
+    mean_adj = F.col("sum_adj") / F.col("n_users")
+    var_y = F.col("sum_y2") / F.col("n_users") - mean_y * mean_y
+    var_adj = F.col("sum_adj2") / F.col("n_users") - mean_adj * mean_adj
+    return by_arm.select(
+        "arm",
+        "n_users",
+        F.round(mean_y / 100.0, 6).alias("mean_y"),
+        F.round(mean_adj / 100.0, 6).alias("mean_y_cuped"),
+        F.when(var_y > 0, F.round(var_adj / var_y, 6)).alias("var_ratio"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
@@ -15299,12 +15444,13 @@ _PRIORITY: tuple[str, ...] = (
     # never green in any driver CORRECTNESS file (r02-r05 attested 176
     # distinct names; 51 oracle-backed queries remained -- 50 here, with
     # label_balance_embeddings deferred to the round-7 rotation along
-    # with the 31 rows-only queries and the 5 queries ADDED this round
+    # with the 31 rows-only queries and the 6 queries ADDED this round
     # (incremental_agg_maintenance_orders,
     # rendezvous_shard_rebalance_documents,
     # mmr_diversified_topk_embeddings, kcore_copurchase_parts,
-    # markov_transition_perplexity_events) -- 37 names total, so the
-    # attested union reaches all 263 by end of round 7).
+    # markov_transition_perplexity_events, cuped_ab_readout_events) --
+    # 38 names total, so the attested union reaches all 264 by end of
+    # round 7).
     # inverted_index_tokens leads: it was round 5's one red row (the
     # driver canonicalizer threw on its array column) and is
     # re-submitted with a serialized posting list; failed rows do not

@@ -569,3 +569,51 @@ def test_hybrid_rrf_builds_exactly_one_rank_job(spark):
     finally:
         PK._distributed_cumsum_with_total = orig
     assert calls["n"] == 1
+
+
+# ---------------------------------------------------------------------
+# CUPED variance reduction
+# ---------------------------------------------------------------------
+
+def test_cuped_reduces_variance_on_correlated_planted_users(spark, tmp_path):
+    """Planted events where each user's experiment-period spend tracks
+    their pre-period spend (y ≈ x): CUPED must cut the measured
+    variance ratio far below 1 while leaving the arm means close to the
+    raw means (same expectation), and theta-adjustment must be exactly
+    mean-preserving in the pooled sense."""
+    import duckdb
+    import pandas as pd
+
+    from local_data_pipeline_spark.queries import QUERIES
+
+    rows = []
+    eid = 0
+    for u in range(1, 61):
+        base = 100.0 + 7.0 * u  # user-level spend scale
+        for d, period_ts in (
+            (0, "2024-01-05 00:00:00"),  # pre-period
+            (1, "2024-01-20 00:00:00"),  # experiment period
+        ):
+            eid += 1
+            # post spend = pre spend + small user-independent wiggle
+            val = base + (3.0 if d else 0.0) + (u % 5)
+            rows.append((eid, period_ts, u, "purchase", val, "{}"))
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    con = duckdb.connect()
+    con.register("e", pdf)
+    con.execute(
+        f"COPY (SELECT * FROM e) TO '{tmp_path}/events.parquet' (FORMAT PARQUET)"
+    )
+    got = {
+        r.arm: r
+        for r in QUERIES["cuped_ab_readout_events"].fn(spark, str(tmp_path)).collect()
+    }
+    assert set(got) == {0, 1}
+    for arm, r in got.items():
+        # near-perfect pre/post correlation -> variance collapses
+        assert r.var_ratio is not None and r.var_ratio < 0.05, (arm, r)
+        # CUPED mean stays in the raw means' ballpark (same estimand)
+        assert abs(r.mean_y_cuped - r.mean_y) < 50.0
