@@ -11442,7 +11442,8 @@ def zone_map_pruning_report(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT p.pid, count(*) FILTER (l_extendedprice >= p.plo
                                      AND l_extendedprice < p.phi) AS actual_rows
       FROM lineitem CROSS JOIN preds p GROUP BY p.pid)
-    SELECT e.pid AS predicate, e.plo AS lo, e.phi AS hi,
+    SELECT e.pid AS predicate, cast(e.plo AS double) AS lo,
+           cast(e.phi AS double) AS hi,
            e.est_rows, cast(a.actual_rows AS bigint) AS actual_rows,
            CASE WHEN a.actual_rows > 0
                 THEN round(abs(e.est_rows - a.actual_rows) / a.actual_rows, 6)
@@ -13038,7 +13039,8 @@ def padding_efficiency_report(spark: SparkSession, sf_dir: str) -> DataFrame:
              END AS frac_alpha_milli,
              len(list_filter(t, x -> list_contains(['the','a','of','to','and','in','is','that'], x))) AS stop_hits
       FROM toks)
-    SELECT doc_id, lang, source, n_words, mean_word_len_milli,
+    SELECT doc_id, lang, source, n_words,
+           cast(mean_word_len_milli AS bigint) AS mean_word_len_milli,
            frac_alpha_milli, stop_hits,
            (n_words BETWEEN 5 AND 100000) AS words_ok,
            (mean_word_len_milli BETWEEN 1000 AND 10000) AS mean_len_ok,
@@ -13566,7 +13568,7 @@ def label_propagation_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cls, sum(cnt) AS n, sum(pos) AS n_pos,
              sum(pos * (2 * cum + cnt + 1)) AS two_r
       FROM g2 GROUP BY cls)
-    SELECT cls, n, n_pos,
+    SELECT cls, cast(n AS bigint) AS n, cast(n_pos AS bigint) AS n_pos,
            CAST((CAST(two_r - n_pos * (n_pos + 1) AS HUGEINT) * 1000000)
                 // (2 * n_pos * (n - n_pos)) AS BIGINT) AS auc_micro
     FROM per
@@ -13972,7 +13974,9 @@ def phrase_search_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT event_type, count(*) AS n,
              sum(v_micro) // count(*) AS mean_micro
       FROM base GROUP BY event_type)
-    SELECT p.event_type, p.n, p.mean_micro, c.ci_lo_micro, c.ci_hi_micro
+    SELECT p.event_type, p.n, cast(p.mean_micro AS bigint) AS mean_micro,
+           cast(c.ci_lo_micro AS bigint) AS ci_lo_micro,
+           cast(c.ci_hi_micro AS bigint) AS ci_hi_micro
     FROM point p JOIN ci c ON c.event_type = p.event_type
     """,
     tags=("stats", "sampling", "eval"),
@@ -14276,7 +14280,8 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT cat, count(*) AS n, sum(v_micro) AS s FROM base GROUP BY cat)
     SELECT b.o_orderkey, b.cat,
            CASE WHEN st.n > 1
-                THEN (st.s - b.v_micro) // (st.n - 1) END AS loo_mean_micro
+                THEN cast((st.s - b.v_micro) // (st.n - 1) AS bigint)
+           END AS loo_mean_micro
     FROM base b JOIN stats st ON st.cat = b.cat
     """,
     tags=("ml", "encoding", "join"),
@@ -14340,7 +14345,7 @@ def loo_target_encoding_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM dense d JOIN tn ON tn.event_type = d.event_type),
     gcum AS (
       SELECT bin, sum(c) OVER (ORDER BY bin) AS cum_g FROM gc)
-    SELECT c.event_type, max(c.n_t) AS n,
+    SELECT c.event_type, cast(max(c.n_t) AS bigint) AS n,
            cast(sum(abs(c.cum_t * 1000000 // c.n_t
                         - g.cum_g * 1000000 // gn.n)) AS bigint)
              AS emd_micro_bins
@@ -14576,7 +14581,8 @@ def _cdc_rolling_cuts(docs: DataFrame) -> DataFrame:
       FROM chunks c JOIN docs d ON d.doc_id = c.doc_id),
     refs AS (
       SELECT chunk_key, count(*) AS refcount FROM keyed GROUP BY chunk_key)
-    SELECT k.doc_id, k.chunk_idx, k.start_pos, k.chunk_len, k.chunk_key,
+    SELECT k.doc_id, cast(k.chunk_idx AS bigint) AS chunk_idx,
+           k.start_pos, k.chunk_len, k.chunk_key,
            r.refcount
     FROM keyed k JOIN refs r ON r.chunk_key = k.chunk_key
     """,
