@@ -5515,50 +5515,6 @@ def heavy_hitter_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return heavy_hitters_topk(tokens, k=200, top=20)
 
 
-@q(
-    "pagerank_copurchase_parts",
-    None,
-    tags=("graph", "iterative", "ranking"),
-)
-def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank centrality over the co-purchase graph: parts are nodes,
-    symmetric edges connect parts bought together in >= 2 orders, 6
-    damped iterations (operators/graph.py; iteration count is the
-    standard accuracy/cost knob — rank ORDER stabilizes well before the
-    values do). Top-20 by rank (6-decimal,
-    part tie-break). Rows-only: iterative fixpoint, not SQL-expressible
-    — determinism comes from exact-decimal contribution sums (verified
-    by rerun equality; mass conservation + planted-graph tests in
-    test_round4_ops.py).
-
-    Scale: Pregel-as-joins — per iteration one shuffle on edge source
-    plus one destination aggregate; edges/nodes are checkpointed once;
-    rank lineage is cut every iteration. Co-purchase edge generation is
-    per-basket quadratic (see co_purchase_lift_parts)."""
-    from .operators.graph import pagerank
-
-    li = _t(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
-        .agg(F.count("*").alias("n_both"))
-        .filter(F.col("n_both") >= 2)
-    )
-    edges = pairs.select(
-        F.col("p1").alias("src"), F.col("p2").alias("dst")
-    ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
-    ranks = pagerank(edges, damping=0.85, iterations=6)
-    return (
-        ranks.select(
-            F.col("node").alias("p_partkey"), F.round("rank", 6).alias("rank")
-        )
-        .orderBy(F.desc("rank"), F.asc("p_partkey"))
-        .limit(20)
-    )
 
 
 @q(
@@ -5796,6 +5752,111 @@ def _copurchase_edges(li: DataFrame) -> DataFrame:
         .filter(F.col("c") >= 2)
         .select("pa", "pb")
     )
+
+
+def _pagerank_oracle_sql(iterations: int = 6) -> str:
+    """Unrolled-CTE DuckDB twin of graph.pagerank over the symmetric
+    support-≥2 co-purchase graph (_COPURCHASE_PAIRS_SQL — the shared
+    edge definition). Exactly mirrors the Spark recurrence:
+
+    - contribution sums are decimal(25,18)-exact, read back through the
+      VARCHAR route (dsum_sql's correctly-rounded decimal→double);
+    - the dangling-mass term is EXACTLY 0.0 on this graph (symmetrized
+      edges give every node an out-edge), and x + 0.0 == x in IEEE for
+      the non-negative ranks, so the oracle drops the term while the
+      Spark side keeps computing it — bit-identical either way;
+    - literal arithmetic keeps the Spark side's association:
+      (1.0 - 0.85) / n  +  0.85 * coalesce(inflow, 0.0).
+
+    Every multiply-referenced level is AS MATERIALIZED (the
+    _hits_oracle_sql exponential-inlining lesson)."""
+    ctes = [
+        _COPURCHASE_PAIRS_SQL,
+        """edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb, pa FROM pairs)""",
+        """nodes AS MATERIALIZED (
+      SELECT DISTINCT node FROM (
+        SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges))""",
+        "nn AS (SELECT count(*) AS n FROM nodes)",
+        """shares AS MATERIALIZED (
+      SELECT e.src, e.dst, 1.0 / d.out_deg AS share
+      FROM edges e
+      JOIN (SELECT src, count(*) AS out_deg FROM edges GROUP BY src) d
+        ON d.src = e.src)""",
+        """rank0 AS MATERIALIZED (
+      SELECT node, 1.0 / nn.n AS rank FROM nodes CROSS JOIN nn)""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes += [
+            f"""c{i} AS MATERIALIZED (
+      SELECT s.dst AS node, {dsum_sql('r.rank * s.share', 18)} AS inflow
+      FROM shares s JOIN rank{i - 1} r ON r.node = s.src
+      GROUP BY s.dst)""",
+            f"""rank{i} AS MATERIALIZED (
+      SELECT n.node,
+             (1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0) AS rank
+      FROM nodes n LEFT JOIN c{i} c ON c.node = n.node CROSS JOIN nn)""",
+        ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT node AS p_partkey, round(rank, 6) AS rank
+    FROM rank{iterations}
+    ORDER BY round(rank, 6) DESC, node ASC LIMIT 20"""
+    )
+
+
+@q(
+    "pagerank_copurchase_parts",
+    _pagerank_oracle_sql(6),
+    tags=("graph", "iterative", "ranking"),
+)
+def pagerank_copurchase_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality over the co-purchase graph: parts are nodes,
+    symmetric edges connect parts bought together in >= 2 orders, 6
+    damped iterations (operators/graph.py; iteration count is the
+    standard accuracy/cost knob — rank ORDER stabilizes well before the
+    values do). Top-20 by rank (6-decimal, part tie-break). Full
+    value-hash oracle since round 12: the recurrence is rational
+    arithmetic over exact decimal(25,18) contribution sums, so the
+    DuckDB twin unrolls it into MATERIALIZED CTEs (_pagerank_oracle_sql
+    — the hits/LPA/kcore pattern); the dangling-mass term is exactly
+    0.0 on the symmetrized graph, letting the oracle drop it without
+    changing a bit. Mass conservation + planted-graph tests in
+    test_round4_ops.py.
+
+    Scale: Pregel-as-joins — per iteration one shuffle on edge source
+    plus one destination aggregate; edges/nodes are checkpointed once;
+    rank lineage is cut every iteration. Co-purchase edge generation is
+    per-basket quadratic (see co_purchase_lift_parts)."""
+    from .operators.graph import pagerank
+
+    li = _t(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("p1"), F.col("b.pk").alias("p2"))
+        .agg(F.count("*").alias("n_both"))
+        .filter(F.col("n_both") >= 2)
+    )
+    edges = pairs.select(
+        F.col("p1").alias("src"), F.col("p2").alias("dst")
+    ).unionAll(pairs.select(F.col("p2").alias("src"), F.col("p1").alias("dst")))
+    ranks = pagerank(edges, damping=0.85, iterations=6)
+    return (
+        ranks.select(
+            F.col("node").alias("p_partkey"), F.round("rank", 6).alias("rank")
+        )
+        .orderBy(F.desc("rank"), F.asc("p_partkey"))
+        .limit(20)
+    )
+
 
 
 @q(
@@ -15450,7 +15511,9 @@ _PRIORITY: tuple[str, ...] = (
     # never green in any driver CORRECTNESS file (r02-r05 attested 176
     # distinct names; 51 oracle-backed queries remained -- 50 here, with
     # label_balance_embeddings deferred to the round-7 rotation along
-    # with the 31 rows-only queries and the 6 queries ADDED this round
+    # with the 30 rows-only queries, pagerank_copurchase_parts (which
+    # graduated from rows-only to a full unrolled-CTE oracle this round
+    # and is still never-attested), and the 6 queries ADDED this round
     # (incremental_agg_maintenance_orders,
     # rendezvous_shard_rebalance_documents,
     # mmr_diversified_topk_embeddings, kcore_copurchase_parts,
