@@ -15491,6 +15491,85 @@ def cuped_ab_readout_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@q(
+    "quarantine_split_orders",
+    f"""
+    WITH feed AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 97 = 0 THEN -o_totalprice
+                  ELSE o_totalprice END AS price,
+             CASE WHEN o_orderkey % 89 = 0 THEN 'X'
+                  ELSE o_orderstatus END AS status,
+             CASE WHEN o_orderkey % 83 = 0 THEN NULL
+                  ELSE o_custkey END AS custkey
+      FROM orders),
+    flagged AS (
+      SELECT *,
+             concat_ws(',',
+               CASE WHEN custkey IS NULL THEN 'custkey_null' END,
+               CASE WHEN price <= 0 THEN 'price_nonpositive' END,
+               CASE WHEN status NOT IN ('O', 'F', 'P')
+                    THEN 'status_unknown' END) AS reasons
+      FROM feed)
+    SELECT CASE WHEN reasons = '' THEN 'clean' ELSE 'quarantined' END
+             AS disposition,
+           reasons,
+           cast(count(*) AS bigint) AS n_rows,
+           round({dsum_sql('price')}, 6) AS total_price
+    FROM flagged GROUP BY 1, 2
+    """,
+    tags=("quality", "governance", "ingestion"),
+)
+def quarantine_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion quarantine (dead-letter) routing — the operational
+    complement of expectation_audit_lineitem: every incoming row is
+    checked against the table's data contract (non-null key, positive
+    amount, known status code) and routed to `clean` or `quarantined`
+    WITH the comma-joined list of violated rules, so the dead-letter
+    queue is self-describing. Violations are planted deterministically
+    on orderkey residue classes (the cdc_apply pattern), so the split
+    is exercised, not vacuous. Reported as a (disposition, reasons)
+    rollup; in production the same `reasons` column rides each row into
+    the clean sink / quarantine sink pair.
+
+    Scale: ONE scan — the rules are a projection (concat_ws of CASE
+    flags, whole-stage codegen), the rollup has at most 2^rules keys,
+    and routing at 100 TB is the same projection feeding two filtered
+    writers (no shuffle, no second scan). Reasons are assembled in
+    fixed rule order, so the value is deterministic and the rollup key
+    is stable."""
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    feed = o.select(
+        "o_orderkey",
+        F.when(k % 97 == 0, -F.col("o_totalprice"))
+        .otherwise(F.col("o_totalprice"))
+        .alias("price"),
+        F.when(k % 89 == 0, F.lit("X"))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+        F.when(k % 83 == 0, F.lit(None).cast("long"))
+        .otherwise(F.col("o_custkey"))
+        .alias("custkey"),
+    )
+    reasons = F.concat_ws(
+        ",",
+        F.when(F.col("custkey").isNull(), F.lit("custkey_null")),
+        F.when(F.col("price") <= 0, F.lit("price_nonpositive")),
+        F.when(~F.col("status").isin("O", "F", "P"), F.lit("status_unknown")),
+    )
+    flagged = feed.withColumn("reasons", reasons)
+    return flagged.groupBy(
+        F.when(F.col("reasons") == "", "clean")
+        .otherwise("quarantined")
+        .alias("disposition"),
+        "reasons",
+    ).agg(
+        F.count("*").alias("n_rows"),
+        F.round(dsum("price"), 6).alias("total_price"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
@@ -15517,9 +15596,9 @@ _PRIORITY: tuple[str, ...] = (
     # (incremental_agg_maintenance_orders,
     # rendezvous_shard_rebalance_documents,
     # mmr_diversified_topk_embeddings, kcore_copurchase_parts,
-    # markov_transition_perplexity_events, cuped_ab_readout_events) --
-    # 38 names total, so the attested union reaches all 264 by end of
-    # round 7).
+    # markov_transition_perplexity_events, cuped_ab_readout_events,
+    # quarantine_split_orders) -- 39 names total, so the attested union
+    # reaches all 265 by end of round 7).
     # inverted_index_tokens leads: it was round 5's one red row (the
     # driver canonicalizer threw on its array column) and is
     # re-submitted with a serialized posting list; failed rows do not

@@ -617,3 +617,102 @@ def test_cuped_reduces_variance_on_correlated_planted_users(spark, tmp_path):
         assert r.var_ratio is not None and r.var_ratio < 0.05, (arm, r)
         # CUPED mean stays in the raw means' ballpark (same estimand)
         assert abs(r.mean_y_cuped - r.mean_y) < 50.0
+
+
+# ---------------------------------------------------------------------
+# multi-batch CDC / IVM chains
+# ---------------------------------------------------------------------
+
+def test_maintain_agg_chain_equals_one_shot_and_full_recompute(spark):
+    """Operational soundness of incremental maintenance across BATCHES:
+    applying changelog B1 then B2 to the rollup must equal (a) applying
+    the combined batch once and (b) a full recompute of the final state
+    — the associativity that lets a 100 TB rollup be maintained at any
+    cadence. Exact-decimal sums make the equality bitwise."""
+    from local_data_pipeline_spark.functions.numeric import dsum_dec
+    from local_data_pipeline_spark.operators.cdc import maintain_agg
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0), (4, "c", 7.25)],
+        "key long, grp string, val double",
+    )
+    agg0 = base.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), dsum_dec("val").alias("total")
+    )
+    sch = (
+        "op string, before_group string, before_value double, "
+        "after_group string, after_value double"
+    )
+    b1 = spark.createDataFrame(
+        [("U", "a", 10.0, "b", 11.5), ("D", "c", 7.25, None, None)], sch
+    )  # key1 moves a->b with new value; key4 deleted
+    b2 = spark.createDataFrame(
+        [("U", "b", 11.5, "b", 12.0), ("U", None, None, "d", 1.0)], sch
+    )  # key1 updated in place; key5 inserted
+
+    def snap(df):
+        return {
+            r.grp: (r.n_rows, float(r.total)) for r in df.collect()
+        }
+
+    seq = snap(maintain_agg(maintain_agg(agg0, b1, "grp"), b2, "grp"))
+
+    # combined batch: per-key net change (key1: before from B1's before,
+    # after from B2's after — compaction semantics)
+    combined = spark.createDataFrame(
+        [
+            ("U", "a", 10.0, "b", 12.0),
+            ("D", "c", 7.25, None, None),
+            ("U", None, None, "d", 1.0),
+        ],
+        sch,
+    )
+    one_shot = snap(maintain_agg(agg0, combined, "grp"))
+
+    final_state = spark.createDataFrame(
+        [(1, "b", 12.0), (2, "a", 20.0), (3, "b", 5.0), (5, "d", 1.0)],
+        "key long, grp string, val double",
+    )
+    full = snap(
+        final_state.groupBy("grp").agg(
+            F.count("*").alias("n_rows"), dsum_dec("val").alias("total")
+        )
+    )
+    assert seq == one_shot == full
+
+
+def test_apply_changes_sequential_equals_compacted(spark):
+    """Applying two changelog batches in sequence == compacting their
+    union (latest seq wins) and applying once."""
+    from local_data_pipeline_spark.operators.cdc import (
+        apply_changes,
+        compact_changelog,
+    )
+
+    target = spark.createDataFrame(
+        [(1, 10.0), (2, 20.0), (3, 30.0)], "k long, v double"
+    )
+    sch = "k long, v double, op string, seq long"
+    b1 = spark.createDataFrame(
+        [(1, 11.0, "U", 1), (2, None, "D", 2), (4, 40.0, "U", 3)], sch
+    )
+    b2 = spark.createDataFrame(
+        [(1, 12.0, "U", 4), (4, None, "D", 5), (5, 50.0, "U", 6)], sch
+    )
+
+    def snap(df):
+        return sorted((r.k, r.v) for r in df.collect())
+
+    seq = snap(
+        apply_changes(
+            apply_changes(target, compact_changelog(b1, "k", "seq"), "k"),
+            compact_changelog(b2, "k", "seq"),
+            "k",
+        )
+    )
+    both = snap(
+        apply_changes(
+            target, compact_changelog(b1.unionByName(b2), "k", "seq"), "k"
+        )
+    )
+    assert seq == both == [(1, 12.0), (3, 30.0), (5, 50.0)]
