@@ -5765,8 +5765,14 @@ def _pagerank_oracle_sql(iterations: int = 6) -> str:
       edges give every node an out-edge), and x + 0.0 == x in IEEE for
       the non-negative ranks, so the oracle drops the term while the
       Spark side keeps computing it — bit-identical either way;
-    - literal arithmetic keeps the Spark side's association:
-      (1.0 - 0.85) / n  +  0.85 * coalesce(inflow, 0.0).
+    - literal arithmetic keeps the Spark side's association AND ITS
+      FLOATS: (1.0::DOUBLE - 0.85::DOUBLE)/n + 0.85*coalesce(inflow,0.0).
+      The double casts on the subtraction are load-bearing — DuckDB
+      evaluates a bare (1.0 - 0.85) in exact DECIMAL (0.15 -> double
+      0x1.5f...16p-3), two ulps off Python's 1.0-0.85 literal
+      (0.15000000000000002) that graph.pagerank embeds; the bare 0.85
+      multiplier is safe (decimal->double of 0.85 IS the Python
+      literal's value).
 
     Every multiply-referenced level is AS MATERIALIZED (the
     _hits_oracle_sql exponential-inlining lesson)."""
@@ -5796,7 +5802,8 @@ def _pagerank_oracle_sql(iterations: int = 6) -> str:
       GROUP BY s.dst)""",
             f"""rank{i} AS MATERIALIZED (
       SELECT n.node,
-             (1.0 - 0.85) / nn.n + 0.85 * coalesce(c.inflow, 0.0) AS rank
+             (1.0::DOUBLE - 0.85::DOUBLE) / nn.n
+               + 0.85 * coalesce(c.inflow, 0.0) AS rank
       FROM nodes n LEFT JOIN c{i} c ON c.node = n.node CROSS JOIN nn)""",
         ]
     return (
@@ -15592,7 +15599,7 @@ _PRIORITY: tuple[str, ...] = (
     # label_balance_embeddings deferred to the round-7 rotation along
     # with the 30 rows-only queries, pagerank_copurchase_parts (which
     # graduated from rows-only to a full unrolled-CTE oracle this round
-    # and is still never-attested), and the 6 queries ADDED this round
+    # and is still never-attested), and the 7 queries ADDED this round
     # (incremental_agg_maintenance_orders,
     # rendezvous_shard_rebalance_documents,
     # mmr_diversified_topk_embeddings, kcore_copurchase_parts,
