@@ -28,7 +28,15 @@ def compact_changelog(
     """Latest change per key: ``max_by(col, seq)`` for every payload
     column in one map-side-combinable aggregate. ``seq_col`` must be
     unique per key (a change LSN / offset); ties would make the result
-    nondeterministic, so upstream must guarantee uniqueness."""
+    nondeterministic, so upstream must guarantee uniqueness.
+
+    The output is the right input for :func:`apply_changes` (which only
+    needs each key's final state) but is **NOT a valid input for**
+    :func:`maintain_agg`: taking every column from the LATEST change
+    keeps the latest BEFORE image too, whereas IVM must retract the
+    batch's FIRST before image (the one consistent with the maintained
+    aggregate). Compact envelope changelogs with
+    :func:`compact_envelope` instead."""
     if op_col not in changes.columns:
         raise ValueError(
             f"changelog is missing op column {op_col!r} — apply_changes "
@@ -37,6 +45,59 @@ def compact_changelog(
     payload = [c for c in changes.columns if c != key]
     return changes.groupBy(key).agg(
         *[F.max_by(c, F.col(seq_col)).alias(c) for c in payload]
+    )
+
+
+def compact_envelope(
+    changes: DataFrame,
+    key: str,
+    seq_col: str,
+    op_col: str = "op",
+    before_cols: "list[str] | None" = None,
+    after_cols: "list[str] | None" = None,
+) -> DataFrame:
+    """First-before / last-after compaction of a BEFORE/AFTER-envelope
+    changelog — the compaction whose output is a valid
+    :func:`maintain_agg` input when a key changes more than once in a
+    batch.
+
+    Per key, the net effect of a change chain ``c1..cn`` is "retract
+    c1's BEFORE image, assert cn's AFTER image": intermediate states
+    cancel telescopically. So ``before_*`` columns take ``min_by(seq)``
+    (the FIRST change's before image) while ``after_*`` columns and the
+    op take ``max_by(seq)`` (the LAST change's outcome). Compacting with
+    :func:`compact_changelog` instead (max_by on everything) would pair
+    the last change's before image with the first change's retraction
+    slot and silently corrupt the maintained aggregate.
+
+    ``before_cols`` / ``after_cols`` default to every column whose name
+    starts with ``before_`` / ``after_``. Any remaining payload column
+    follows the after side (last wins). One map-side-combinable
+    aggregate, same single shuffle as :func:`compact_changelog`."""
+    if op_col not in changes.columns:
+        raise ValueError(
+            f"changelog is missing op column {op_col!r} — maintain_agg "
+            "needs it to survive compaction"
+        )
+    if before_cols is None:
+        before_cols = [c for c in changes.columns if c.startswith("before_")]
+    if after_cols is None:
+        after_cols = [c for c in changes.columns if c.startswith("after_")]
+    if not before_cols or not after_cols:
+        raise ValueError(
+            "envelope changelog needs before_*/after_* columns (or "
+            "explicit before_cols/after_cols)"
+        )
+    rest = [
+        c
+        for c in changes.columns
+        if c != key and c not in before_cols and c not in after_cols
+    ]
+    seq = F.col(seq_col)
+    return changes.groupBy(key).agg(
+        *[F.min_by(c, seq).alias(c) for c in before_cols],
+        *[F.max_by(c, seq).alias(c) for c in after_cols],
+        *[F.max_by(c, seq).alias(c) for c in rest],
     )
 
 
@@ -182,7 +243,11 @@ def maintain_agg(
     associative, so old + delta equals a full recompute bit-for-bit —
     a double-typed running sum would drift by an ulp per batch and
     eventually fail reconciliation. Preconditions: ``changes`` is
-    compacted (one row per key) and before images are faithful
+    compacted to one row per key with the FIRST before image and the
+    LAST after image — that is :func:`compact_envelope`, NOT
+    :func:`compact_changelog` (whose all-max_by compaction keeps the
+    latest before image and silently corrupts the retraction when a
+    key changes twice in one batch) — and before images are faithful
     (NULL ``before_group`` = the key did not exist; NULL
     ``after_group`` / op D = the key ceases to exist).
 

@@ -578,7 +578,15 @@ def mmr_select(
     (a top-N cut upstream), so per-group state is N rows + N² pair
     lookups regardless of corpus size; queries parallelize across
     groups. The corpus-sized work (scoring, top-N, pairwise sims of the
-    top-N) all stays in Catalyst upstream."""
+    top-N) all stays in Catalyst upstream.
+
+    CONTRACT: ``pairs`` must contain BOTH ordered pairs (x, y) and
+    (y, x) for every distinct pair of candidates in the pool — the
+    kernel looks up sim[(candidate, picked)] directly. Pruning
+    low-similarity pairs or supplying only x < y halves would be a
+    semantic change (MMR's diversity term needs the true max over
+    picked items), so an incomplete matrix raises a descriptive error
+    instead of a bare executor-side KeyError."""
     import pandas as pd
 
     def kernel(key, cand_pdf, pairs_pdf):
@@ -599,7 +607,16 @@ def mmr_select(
                 if doc in picked:
                     continue
                 if picked:
-                    div = max(sim[(doc, p)] for p in picked)
+                    try:
+                        div = max(sim[(doc, p)] for p in picked)
+                    except KeyError as e:
+                        raise ValueError(
+                            f"mmr_select: pairs for query_id={qid} is "
+                            f"missing ordered pair {e.args[0]} — the "
+                            "similarity matrix must contain BOTH (x,y) "
+                            "and (y,x) for every candidate pair in the "
+                            "pool (do not prune or halve it)"
+                        ) from None
                     mmr = lam_num * r - div_num * div
                 else:
                     mmr = lam_num * r

@@ -369,10 +369,9 @@ def test_maintain_agg_incremental_equals_full_recompute(spark):
         .agg(F.count("*").alias("n_rows"), dsum_dec("val").alias("total"))
         .collect()
     }
-    # compare decimal string representations: bit-exact reconciliation
-    assert {g: (n, float(t)) for g, (n, t) in inc.items()} == {
-        g: (n, float(t)) for g, (n, t) in full.items()
-    }
+    # compare decimal STRING representations: bit-exact reconciliation
+    # (a float() round-trip would mask sub-ulp decimal divergence)
+    assert inc == full
 
 
 # ---------------------------------------------------------------------
@@ -470,6 +469,27 @@ def test_mmr_select_flips_to_diverse_pick(spark):
     assert got[1] == (1, 6300000)
     assert got[2] == (4, 5300000)
     assert got[3] == (2, 7 * 899000 - 3 * 999000)
+
+
+def test_mmr_select_incomplete_pair_matrix_raises_descriptively(spark):
+    """Contract enforcement: supplying only the x<y half of the
+    similarity matrix must fail with the descriptive ValueError, not an
+    opaque executor-side KeyError."""
+    import pytest
+
+    from local_data_pipeline_spark.operators.similarity import mmr_select
+
+    cand = spark.createDataFrame(
+        [(0, 1, 900000), (0, 2, 890000), (0, 4, 500000)],
+        "query_id bigint, doc_id bigint, rel_u bigint",
+    )
+    # x < y half only — missing every (y, x) ordered pair
+    pairs = spark.createDataFrame(
+        [(0, 1, 2, 990000), (0, 1, 4, 100000), (0, 2, 4, 110000)],
+        "query_id bigint, x bigint, y bigint, s_u bigint",
+    )
+    with pytest.raises(Exception, match="missing ordered pair"):
+        mmr_select(cand, pairs, k=3).collect()
 
 
 def test_mmr_select_partition_count_insensitive(spark):
@@ -679,6 +699,107 @@ def test_maintain_agg_chain_equals_one_shot_and_full_recompute(spark):
         )
     )
     assert seq == one_shot == full
+
+
+def test_compact_envelope_first_before_last_after(spark):
+    """A key changed TWICE in one batch must compact to (first before
+    image, last after image) for IVM to retract correctly —
+    compact_envelope does this; compact_changelog (all-max_by) would
+    keep the LAST before image and corrupt the maintained rollup."""
+    from local_data_pipeline_spark.functions.numeric import dsum_dec
+    from local_data_pipeline_spark.operators.cdc import (
+        compact_changelog,
+        compact_envelope,
+        maintain_agg,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 5.0)],
+        "key long, grp string, val double",
+    )
+    agg0 = base.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), dsum_dec("val").alias("total")
+    )
+    sch = (
+        "key long, seq long, op string, before_group string, "
+        "before_value double, after_group string, after_value double"
+    )
+    # key 1 changes twice in this batch: a/10.0 -> b/11.5 -> c/12.0;
+    # key 4 inserted then updated: NULL -> d/1.0 -> d/2.0
+    raw = spark.createDataFrame(
+        [
+            (1, 100, "U", "a", 10.0, "b", 11.5),
+            (1, 101, "U", "b", 11.5, "c", 12.0),
+            (4, 200, "U", None, None, "d", 1.0),
+            (4, 201, "U", "d", 1.0, "d", 2.0),
+        ],
+        sch,
+    )
+    compacted = compact_envelope(raw, "key", "seq")
+    rows = {r.key: r for r in compacted.collect()}
+    assert (rows[1].before_group, rows[1].before_value) == ("a", 10.0)
+    assert (rows[1].after_group, rows[1].after_value) == ("c", 12.0)
+    assert rows[4].before_group is None  # first change was the insert
+    assert (rows[4].after_group, rows[4].after_value) == ("d", 2.0)
+
+    inc = {
+        r.grp: (r.n_rows, str(r.total))
+        for r in maintain_agg(agg0, compacted, "grp").collect()
+    }
+    final_state = spark.createDataFrame(
+        [(1, "c", 12.0), (2, "a", 20.0), (3, "b", 5.0), (4, "d", 2.0)],
+        "key long, grp string, val double",
+    )
+    full = {
+        r.grp: (r.n_rows, str(r.total))
+        for r in final_state.groupBy("grp")
+        .agg(F.count("*").alias("n_rows"), dsum_dec("val").alias("total"))
+        .collect()
+    }
+    assert inc == full
+
+    # the WRONG compaction (latest before image) must visibly corrupt:
+    # it retracts 11.5 from group b instead of 10.0 from group a.
+    wrong = compact_changelog(
+        raw.withColumnRenamed("key", "k"), "k", "seq"
+    ).withColumnRenamed("k", "key")
+    bad = {
+        r.grp: (r.n_rows, str(r.total))
+        for r in maintain_agg(agg0, wrong, "grp").collect()
+    }
+    assert bad != full
+
+
+def test_compact_envelope_insert_then_delete_cancels(spark):
+    """Insert + delete of the same key within one batch nets to zero
+    contribution: compacted row has NULL before (first image) and op D
+    with NULL after — maintain_agg must leave the rollup unchanged."""
+    from local_data_pipeline_spark.functions.numeric import dsum_dec
+    from local_data_pipeline_spark.operators.cdc import (
+        compact_envelope,
+        maintain_agg,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0)], "key long, grp string, val double"
+    )
+    agg0 = base.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), dsum_dec("val").alias("total")
+    )
+    raw = spark.createDataFrame(
+        [
+            (9, 1, "U", None, None, "a", 99.0),
+            (9, 2, "D", "a", 99.0, None, None),
+        ],
+        "key long, seq long, op string, before_group string, "
+        "before_value double, after_group string, after_value double",
+    )
+    out = maintain_agg(
+        agg0, compact_envelope(raw, "key", "seq"), "grp"
+    ).collect()
+    assert {r.grp: (r.n_rows, str(r.total)) for r in out} == {
+        r.grp: (r.n_rows, str(r.total)) for r in agg0.collect()
+    }
 
 
 def test_apply_changes_sequential_equals_compacted(spark):

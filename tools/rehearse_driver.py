@@ -5,6 +5,7 @@ does (pandas DataFrame -> sort_values on all columns -> per-column
 factorize) and compare codes + uniques. Catches list cells, dtype-path
 divergence (HUGEINT/decimal), and NaN-ordering surprises that
 check_oracle's tuple compare may coerce away."""
+import datetime
 import sys
 sys.path.insert(0, "/root/repo")
 import duckdb
@@ -29,6 +30,12 @@ def canon(df: pd.DataFrame):
                 u.append(int(v))
             elif isinstance(v, (np.floating, float)):
                 u.append(round(float(v), 9))
+            elif isinstance(v, datetime.date) or isinstance(v, pd.Timestamp):
+                # Spark collect() yields datetime.date for DATE columns
+                # while duckdb .df() yields Timestamp(midnight); the
+                # driver hash-matched such pairs (holt_winters r05), so
+                # unify here too.
+                u.append(pd.Timestamp(v))
             else:
                 u.append(v)
         out[c] = (codes.tolist(), u)
@@ -41,12 +48,18 @@ for t in TABLES:
 
 qs = entry.queries(); oracles = entry.oracle_sql()
 names = sys.argv[1:] or list(qs)[:50]
-names = [n for n in names if n in oracles]
 bad = 0
 for name in names:
     try:
         sdf = qs[name](spark, SF)
         spdf = pd.DataFrame([r.asDict() for r in sdf.collect()], columns=sdf.columns)
+        if name not in oracles:
+            # rows-only query: no twin to compare, but the Spark result
+            # must still survive the driver's pandas canonicalization
+            # (factorize throws on list/dict cells, mixed dtypes, ...).
+            canon(spdf)
+            print(f"ROWS  {name} ({len(spdf)} rows, canonicalized ok)")
+            continue
         opdf = con.sql(oracles[name]).df()
         c1, c2 = canon(spdf), canon(opdf)
         if list(c1) != list(c2):
