@@ -26,6 +26,66 @@ from pyspark.sql import functions as F
 from ..functions.vectors import cosine, dot, l2_norm
 
 
+def salt_hot_postings(
+    anchors: DataFrame,
+    corpus: DataFrame,
+    hot_tokens: DataFrame,
+    token_col: str = "token",
+    corpus_part_col: str = "b_id",
+    n_salts: int = 16,
+    salt_col: str = "__salt",
+) -> "tuple[DataFrame, DataFrame, list[str]]":
+    """Exact skew guard for postings joins (``anchors ⋈ corpus ON
+    token``): a stop-word-grade token present in most documents fans
+    out |anchors|×df pairs through ONE hash partition — correct at any
+    test scale but the classic straggler at 100 TB. For every token in
+    ``hot_tokens`` (a small one-column frame, broadcast), the corpus
+    side is split into ``n_salts`` buckets by ``pmod(corpus_part_col,
+    n_salts)`` and the anchor side is replicated across all buckets, so
+    each (anchor, corpus) pair still meets EXACTLY once — the salt
+    redistributes, it never drops or duplicates — while the hot token's
+    work spreads over ``n_salts`` partitions. Cold tokens keep salt 0
+    on both sides (no replication cost).
+
+    Returns ``(anchors_salted, corpus_salted, join_keys)`` where
+    ``join_keys = [token_col, salt_col]``; callers join on those keys
+    and drop/ignore ``salt_col`` afterwards.
+    """
+    hot = F.broadcast(
+        hot_tokens.select(token_col).distinct().withColumn(
+            "__hot", F.lit(True)
+        )
+    )
+    a = (
+        anchors.join(hot, token_col, "left")
+        .withColumn(
+            salt_col,
+            F.explode(
+                F.when(
+                    F.col("__hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(n_salts - 1)),
+                ).otherwise(F.array(F.lit(0)))
+            ),
+        )
+        .withColumn(salt_col, F.col(salt_col).cast("int"))
+        .drop("__hot")
+    )
+    c = (
+        corpus.join(hot, token_col, "left")
+        .withColumn(
+            salt_col,
+            F.when(
+                F.col("__hot").isNotNull(),
+                F.pmod(F.col(corpus_part_col), F.lit(n_salts)),
+            )
+            .otherwise(F.lit(0))
+            .cast("int"),
+        )
+        .drop("__hot")
+    )
+    return a, c, [token_col, salt_col]
+
+
 def _rank_topk(scored: DataFrame, k: int) -> DataFrame:
     """Deterministic per-query ranking: cosine desc (rounded to 6 so ranking
     is reproducible cross-engine), then neighbor id asc."""

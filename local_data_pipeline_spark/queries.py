@@ -13275,7 +13275,17 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     the MinHash/LSH path (minhash_near_dups). Integer tf dots are exact;
     norms are IEEE-exact sqrt of integers; ranking happens on the
     round(6) value with a doc tie-break (both engines order the rounded
-    score — the hybrid_rrf lesson)."""
+    score — the hybrid_rrf lesson).
+
+    Skew guard: tokens with document frequency above 5%% of the corpus
+    are SALTED through ``similarity.salt_hot_postings`` (corpus side
+    split into 16 buckets by doc id, anchors replicated) so a hot
+    token's |anchors|×df fan-out spreads over 16 partitions instead of
+    one — exact (every pair meets exactly once; the post-join
+    aggregate is unchanged), and the hot set is computed IN-PLAN from
+    the same tf frame (broadcast-joined, no driver collect)."""
+    from .operators.similarity import salt_hot_postings
+
     d = _t(spark, sf_dir, "documents")
     flat = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     tf = flat.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
@@ -13286,10 +13296,21 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors = tf.filter(F.col("doc_id") % 97 == 0).select(
         F.col("doc_id").alias("a_id"), "token", F.col("tf").alias("a_tf")
     )
+    n_docs = tf.select(F.countDistinct("doc_id").alias("__n"))
+    hot_tokens = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("__df"))
+        .crossJoin(F.broadcast(n_docs))
+        .filter(F.col("__df") * 20 > F.col("__n"))  # df > 5% of corpus
+        .select("token")
+    )
+    a_s, c_s, keys = salt_hot_postings(
+        anchors,
+        tf.select(F.col("doc_id").alias("b_id"), "token", "tf"),
+        hot_tokens,
+    )
     dots = (
-        anchors.join(
-            tf.select(F.col("doc_id").alias("b_id"), "token", "tf"), "token"
-        )
+        a_s.join(c_s, keys)
         .filter(F.col("b_id") != F.col("a_id"))
         .groupBy("a_id", "b_id")
         .agg(F.sum(F.col("a_tf") * F.col("tf")).alias("dot"))

@@ -541,3 +541,21 @@ def test_loo_encoding_broadcasts_category_stats(spark):
     plan = physical_plan(df)
     assert broadcast_join_count(df) >= 1
     assert "Window" not in plan
+
+
+def test_sparse_cosine_salts_hot_postings(spark):
+    """Hot tokens (df > 5% of corpus) must reach the postings join with
+    a composite (token, salt) key: the anchor side replicates via an
+    in-plan explode(sequence), the hot set arrives by BroadcastExchange,
+    and the join itself keys on __salt — the exact-redistribution skew
+    guard for the |anchors|x df fan-out."""
+    df = _df(spark, "sparse_cosine_topk_documents")
+    plan = physical_plan(df)
+    assert "__salt" in plan  # composite join key survives to the plan
+    # anchor replication: explode over the (constant-folded) salt array
+    assert "explode(CASE WHEN isnotnull(__hot" in plan
+    # corpus bucketing: pmod of the doc id by the salt count
+    assert "pmod(b_id" in plan
+    # the postings join keys on [token, __salt], not token alone
+    assert "Left keys [2]: [token" in plan
+    assert "BroadcastExchange" in plan

@@ -837,3 +837,66 @@ def test_apply_changes_sequential_equals_compacted(spark):
         )
     )
     assert seq == both == [(1, 12.0), (3, 30.0), (5, 50.0)]
+
+
+# ---------------------------------------------------------------------
+# hot-postings salting (skew guard)
+# ---------------------------------------------------------------------
+
+def test_salt_hot_postings_exact_redistribution(spark):
+    """Salting is pure redistribution: joining the salted frames on
+    (token, salt) yields EXACTLY the pairs of the unsalted token join —
+    for hot tokens (corpus split + anchor replication), cold tokens
+    (salt 0 both sides), and anchors absent from the hot set."""
+    from local_data_pipeline_spark.operators.similarity import (
+        salt_hot_postings,
+    )
+
+    anchors = spark.createDataFrame(
+        [(1, "the", 3), (1, "rare", 1), (2, "the", 2), (2, "mid", 5)],
+        "a_id bigint, token string, a_tf bigint",
+    )
+    corpus = spark.createDataFrame(
+        [(i, "the", i % 3 + 1) for i in range(40)]
+        + [(7, "rare", 2), (11, "mid", 4), (12, "mid", 1)],
+        "b_id bigint, token string, tf bigint",
+    )
+    hot = spark.createDataFrame([("the",)], "token string")
+
+    plain = sorted(
+        (r.a_id, r.b_id, r.a_tf * r.tf)
+        for r in anchors.join(corpus, "token").collect()
+    )
+    a_s, c_s, keys = salt_hot_postings(anchors, corpus, hot, n_salts=4)
+    salted = sorted(
+        (r.a_id, r.b_id, r.a_tf * r.tf)
+        for r in a_s.join(c_s, keys).collect()
+    )
+    assert salted == plain  # no pair dropped, none duplicated
+
+    # hot-token corpus rows spread across >1 salt bucket
+    buckets = {
+        r["__salt"] for r in c_s.filter("token = 'the'").select("__salt").collect()
+    }
+    assert len(buckets) > 1
+    # cold tokens pay no replication: one salted anchor row each
+    assert a_s.filter("token = 'rare'").count() == 1
+    assert a_s.filter("token = 'the'").count() == 2 * 4  # 2 anchors x 4 salts
+
+
+def test_salt_hot_postings_empty_hot_set_is_identity(spark):
+    from local_data_pipeline_spark.operators.similarity import (
+        salt_hot_postings,
+    )
+
+    anchors = spark.createDataFrame(
+        [(1, "x", 1)], "a_id bigint, token string, a_tf bigint"
+    )
+    corpus = spark.createDataFrame(
+        [(2, "x", 3)], "b_id bigint, token string, tf bigint"
+    )
+    hot = spark.createDataFrame([], "token string")
+    a_s, c_s, keys = salt_hot_postings(anchors, corpus, hot, n_salts=8)
+    rows = a_s.join(c_s, keys).collect()
+    assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
+    assert a_s.count() == 1  # nothing replicated
