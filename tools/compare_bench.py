@@ -135,11 +135,27 @@ def driver_vs_local(new: dict, local_path: str) -> list[str]:
     return lines
 
 
+#: Queries with MEASURED irreducible run-to-run variance above the 1.5x
+#: normalized-drift flag threshold. Entry = (max tolerated normalized
+#: ratio, evidence). Flagging these every round makes drift reports cry
+#: wolf; they are still listed, but under their own heading.
+VARIANCE_ALLOWLIST: "dict[str, tuple[float, str]]" = {
+    # Standalone the query is stable (r07 measurement: 6 consecutive
+    # warm runs 9.59-11.36s at sf0.1, ±9%), but in bench context
+    # same-commit runs spread 9.1-20.6s (DRIFT_r05_r06.md) — GC /
+    # block-manager pressure from neighboring queries, not a plan
+    # property (plan audited r06: 4 exact-decimal iterations,
+    # broadcast normalizers).
+    "hits_customer_parts": (2.3, "r07: stable ±9% standalone; 2.26x max observed spread in bench context"),
+}
+
+
 def drift(
     old_path: str, new_path: str, out: str | None, local_path: str | None = None
 ) -> int:
     """Host-drift-normalized bench diff; returns 1 if any query regressed
-    >1.5x after normalization."""
+    >1.5x after normalization (allowlisted-variance queries flag only
+    above their measured spread and are reported separately)."""
     import statistics
 
     _load = _load_bench
@@ -152,7 +168,14 @@ def drift(
         return 2
     ratios = {n: new[n] / max(old[n], 1e-9) for n in carry}
     med = statistics.median(ratios.values())
-    flagged = {n: r / med for n, r in ratios.items() if r / med > 1.5}
+    flagged, known_variance = {}, {}
+    for n, r in ratios.items():
+        norm = r / med
+        cap = VARIANCE_ALLOWLIST.get(n, (1.5,))[0]
+        if norm > cap:
+            flagged[n] = norm
+        elif norm > 1.5 and n in VARIANCE_ALLOWLIST:
+            known_variance[n] = norm
     improved = {n: r / med for n, r in ratios.items() if r / med < 1 / 1.5}
 
     lines = [
@@ -172,6 +195,15 @@ def drift(
                 f"| {n} | {old[n]:.2f} | {new[n]:.2f} | {ratios[n]:.2f}x "
                 f"| {flagged[n]:.2f}x |"
             )
+        lines.append("")
+    if known_variance:
+        lines.append(
+            "Within documented variance (allowlisted, informational): "
+            + ", ".join(
+                f"{n} ({known_variance[n]:.2f}x; {VARIANCE_ALLOWLIST[n][1]})"
+                for n in sorted(known_variance, key=known_variance.get, reverse=True)
+            )
+        )
         lines.append("")
     if improved:
         lines.append(
