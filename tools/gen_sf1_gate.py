@@ -56,6 +56,27 @@ EXCLUDED: dict[str, str] = {
 }
 
 
+#: Queries whose DECLARED parameters are vacuous at sf1 (e.g. an empty
+#: result that would "match" trivially): the gate runs a parameterized
+#: variant with a NON-EMPTY result instead, exercising the identical
+#: recurrence, and records the substitution in the roster note.
+#: name -> (variant_factory_args, note). Resolved lazily to avoid
+#: importing queries at module load.
+def _scale_variants():
+    from local_data_pipeline_spark.queries import kcore_copurchase_query
+
+    k2_fn, k2_sql = kcore_copurchase_query(2, 6)
+    return {
+        "kcore_copurchase_parts": (
+            k2_fn,
+            k2_sql,
+            "k=2 at sf1 (declared k=3 core is EMPTY at this scale — a "
+            "0-row match attests nothing; k=3 non-vacuous at sf0.01 "
+            "with 954 rows)",
+        ),
+    }
+
+
 def _note(s: str) -> str:
     """Sanitize a roster note: notes land in a markdown table AND are
     re-parsed by the --only merge — a raw '|' (common in Spark/DuckDB
@@ -104,6 +125,7 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    variants = _scale_variants()
 
     todo = qs if args.only is None else {
         n: qs[n] for n in args.only if n in qs
@@ -122,6 +144,11 @@ def main() -> int:
             n["EXCLUDED"] += 1
             print(f"SKIP  {name}")
             continue
+        variant_note = ""
+        oracle_sql_override = None
+        if name in variants:
+            fn, oracle_sql_override, variant_note = variants[name]
+            variant_note = " — " + variant_note
         t0 = time.perf_counter()
         try:
             df = fn(spark, args.sf_dir)
@@ -141,7 +168,7 @@ def main() -> int:
             print(f"ROWS  {name} [{dt:.1f}s]")
             continue
         try:
-            res = con.sql(oracles[name])
+            res = con.sql(oracle_sql_override or oracles[name])
             duck_cols = [d[0] for d in res.description]
             duck_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
@@ -153,7 +180,7 @@ def main() -> int:
         ok, msg = compare(spark_rows, spark_cols, duck_rows, duck_cols)
         dt = time.perf_counter() - t0
         rows.append((name, "PASS" if ok else "FAIL", dt,
-                     _note(msg if ok else msg[:160])))
+                     _note((msg if ok else msg[:160]) + variant_note)))
         n["PASS" if ok else "FAIL"] += 1
         print(f"{'PASS' if ok else 'FAIL'}  {name} [{dt:.1f}s]")
 
