@@ -1737,13 +1737,37 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("multimodal_features_demo", None, tags=("multimodal", "arrow"))
+@q(
+    "multimodal_features_demo",
+    r"""
+    WITH h AS (
+      SELECT doc_id AS media_id,
+             octet_length(encode(text)) AS n_bytes,
+             md5(text || chr(0) || chr(0) || chr(0) || chr(0)) AS hx
+      FROM documents)
+    SELECT media_id,
+           cast(n_bytes AS bigint) AS n_bytes,
+           round(CAST(CAST(('0x' || substr(hx, 1, 8))::UBIGINT AS DOUBLE)
+                 / 4294967296.0 AS REAL)::DOUBLE, 6) AS f0,
+           round(CAST(CAST(('0x' || substr(hx, 9, 8))::UBIGINT AS DOUBLE)
+                 / 4294967296.0 AS REAL)::DOUBLE, 6) AS f1
+    FROM h
+    """,
+    tags=("multimodal", "arrow"),
+)
 def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal plumbing on the declared surface (E5): documents' text
     bytes stand in for media blobs (no media table in the fixtures); the
     REAL parts — BinaryType column, Arrow-batched mapInPandas feature
     extraction, deterministic output — are exactly what a media pipeline
-    runs, with the decoder stubbed (operators/multimodal.py)."""
+    runs, with the decoder stubbed (operators/multimodal.py). Graduated
+    from rows-only to a FULL value-hash oracle in round 7: the fake
+    encoder's features are md5-derived (md5(content + 4 zero bytes),
+    4-byte big-endian words / 2^32, float32), so DuckDB re-derives them
+    from the text — md5(text || chr(0)x4) hex words, the same division,
+    REAL round-trip for the float32 quantization — and the round(6)
+    comparison is over identical doubles (the f columns cast
+    float32→double BEFORE rounding on both engines)."""
     from .operators.multimodal import decode_image_features
 
     d = _t(spark, sf_dir, "documents")
@@ -1756,8 +1780,8 @@ def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "media_id",
         "n_bytes",
-        F.round(F.element_at("features", 1), 6).alias("f0"),
-        F.round(F.element_at("features", 2), 6).alias("f1"),
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 2).cast("double"), 6).alias("f1"),
     )
 
 
@@ -6073,9 +6097,112 @@ def salted_agg_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return SK.salted_sum_count(ev, ["event_type"], "value", n_salts=16)
 
 
+def _bpe_oracle_sql(n_merges: int = 10) -> str:
+    """Unrolled-CTE DuckDB twin of ml.train_bpe_merges (graduating the
+    query from its old rows-only check): the vocabulary is encoded as a
+    marker-delimited symbol string — each symbol wrapped chr(31)…chr(30)
+    and joined by ' ' — so DuckDB's plain ``replace`` has EXACTLY the
+    greedy left-to-right non-overlapping semantics of the Catalyst
+    _merge_adjacent fold (markers make cross-symbol-boundary and
+    prefix-of-longer-symbol matches impossible). Per merge step: one
+    adjacent-pair count (unnest over 1..len-1), the same
+    (count DESC, pair lexicographic) argmax — encoded-symbol ordering
+    equals decoded ordering because the 0x1E terminator sorts below
+    every letter, mimicking the end-of-string rule — then one replace
+    over the vocabulary. All-integer counts, so the hash match is
+    exact."""
+    ctes = _bpe_chain_ctes(n_merges)
+    finals = "\n      UNION ALL ".join(
+        f"""SELECT {i} AS merge_rank,
+           substr(l, 2, length(l) - 2) AS "left",
+           substr(r, 2, length(r) - 2) AS "right",
+           cast(c AS bigint) AS pair_count FROM b{i}"""
+        for i in range(1, n_merges + 1)
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({finals}) ORDER BY merge_rank"
+    )
+
+
+def _bpe_chain_ctes(n_merges: int) -> "list[str]":
+    """The shared CTE chain of the BPE oracles (train + encode): word
+    frequencies, marker-encoded symbol strings, and per-step
+    (pair count, argmax, vocabulary rewrite). ``word`` rides through
+    every v{i} so the encode oracle can read each type's final
+    segmentation off v{n_merges}."""
+    m1, m2 = "chr(31)", "chr(30)"
+    ctes = [
+        """wf AS MATERIALIZED (
+      SELECT word, cast(count(*) AS bigint) AS freq FROM (
+        SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []
+                      ELSE string_split_regex(trim(lower(text)), '\\s+') END)
+               AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$')
+      GROUP BY word)""",
+        f"""v0 AS MATERIALIZED (
+      SELECT word, freq, array_to_string(
+        list_transform(string_split(word, ''), c -> {m1} || c || {m2}),
+        ' ') AS s
+      FROM wf)""",
+    ]
+    for i in range(1, n_merges + 1):
+        ctes += [
+            f"""p{i} AS (
+      SELECT l, r, sum(freq) AS c FROM (
+        SELECT t.syms[g] AS l, t.syms[g + 1] AS r, t.freq
+        FROM (SELECT freq, string_split(s, ' ') AS syms FROM v{i - 1}) t,
+             unnest(range(1, len(t.syms))) AS u(g))
+      GROUP BY l, r)""",
+            f"""b{i} AS MATERIALIZED (
+      SELECT l, r, c FROM p{i} ORDER BY c DESC, l ASC, r ASC LIMIT 1)""",
+            f"""v{i} AS MATERIALIZED (
+      SELECT word, freq, replace(s, (SELECT l || ' ' || r FROM b{i}),
+        (SELECT substr(l, 1, length(l) - 1) || substr(r, 2) FROM b{i})) AS s
+      FROM v{i - 1})""",
+        ]
+    return ctes
+
+
+def _bpe_encode_oracle_sql(n_merges: int = 10) -> str:
+    """DuckDB twin of bpe_encode_documents: run the shared training
+    chain (_bpe_chain_ctes), read each word TYPE's subword count off the
+    final vocabulary rewrite (symbols = marker-string split), then join
+    back to the per-source word stream — the same
+    encode-the-vocab-once, join-to-the-stream shape as the Spark side.
+    All-integer outputs (fertility in milli-units via the established
+    non-negative integer div pattern), so the hash match is exact."""
+    ctes = _bpe_chain_ctes(n_merges)
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , enc AS (
+      SELECT word, len(string_split(s, ' ')) AS n_subwords
+      FROM v{n_merges}),
+    stream AS (
+      SELECT source, unnest(
+        CASE WHEN trim(lower(text)) = '' THEN []
+             ELSE string_split_regex(trim(lower(text)), '\\s+') END) AS word
+      FROM documents),
+    joined AS (
+      SELECT s.source, e.n_subwords
+      FROM stream s JOIN enc e USING (word)
+      WHERE regexp_matches(s.word, '^[a-z]+$'))
+    SELECT source,
+           cast(count(*) AS bigint) AS n_words,
+           cast(sum(n_subwords) AS bigint) AS n_subword_tokens,
+           (cast(sum(n_subwords) AS bigint) * 1000) // cast(count(*) AS bigint)
+             AS fertility_milli
+    FROM joined GROUP BY source"""
+    )
+
+
 @q(
     "bpe_merge_table_documents",
-    None,
+    _bpe_oracle_sql(10),
     tags=("text", "tokenizer", "iterative"),
 )
 def bpe_merge_table_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -6083,8 +6210,11 @@ def bpe_merge_table_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     document corpus (operators/ml.py train_bpe_merges) — adjacent-symbol
     pair counting over the word-frequency vocabulary, deterministic
     argmax (count desc, pair lexicographic), greedy merge application as
-    a pure Catalyst HOF. Rows-only check (iterative, not SQL-expressible);
-    tests pin exact parity with a pure-python reference trainer.
+    a pure Catalyst HOF. Graduated from rows-only to a FULL value-hash
+    oracle in round 7: the DuckDB twin (_bpe_oracle_sql) unrolls the
+    identical 10-step recurrence over marker-encoded symbol strings;
+    tests additionally pin exact parity with a pure-python reference
+    trainer.
 
     Scale: the corpus is scanned ONCE into (word, freq); every merge
     iteration touches only that vocabulary relation — the public
@@ -9229,15 +9359,24 @@ def event_type_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("bpe_encode_documents", None, tags=("text", "tokenizer", "iterative"))
+@q(
+    "bpe_encode_documents",
+    _bpe_encode_oracle_sql(10),
+    tags=("text", "tokenizer", "iterative"),
+)
 def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tokenizer APPLY: train the 10-merge BPE table
     (`bpe_merge_table_documents` is the training half) and encode the
     corpus with it — per source, the word/subword-token totals and the
-    resulting fertility (subwords per word), the number a data pipeline
-    needs to budget context lengths after retokenization. Rows-only
-    (training is iterative); tests pin the encoder against a pure-Python
-    greedy-merge reference.
+    resulting fertility (subwords per word, integer milli-units — the
+    tokenizer_fertility_by_lang determinism pattern), the number a data
+    pipeline needs to budget context lengths after retokenization.
+    Graduated from rows-only to a FULL value-hash oracle in round 7:
+    the DuckDB twin (_bpe_encode_oracle_sql) replays the shared
+    marker-string training chain, reads each word type's subword count
+    off the final rewrite, and joins back to the stream; tests
+    additionally pin the encoder against a pure-Python greedy-merge
+    reference.
 
     Scale shape: the distinct VOCABULARY is encoded once (10 chained
     Catalyst HOF merge passes over vocab-sized data, no UDF, one lineage
@@ -9258,9 +9397,13 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_words"),
         F.sum("n_subwords").cast("bigint").alias("n_subword_tokens"),
-        F.round(
-            F.sum("n_subwords").cast("double") / F.count("*"), 6
-        ).alias("fertility"),
+    ).select(
+        "source",
+        "n_words",
+        "n_subword_tokens",
+        F.expr("(n_subword_tokens * 1000) div n_words").alias(
+            "fertility_milli"
+        ),
     )
 
 
@@ -14811,7 +14954,77 @@ def forget_impact_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("content_defined_chunks_bounded", None, tags=("text", "dedup", "storage"))
+_CDC_BOUNDED_ORACLE = """
+    WITH RECURSIVE
+    docs AS (
+      SELECT doc_id, text, cast(length(text) AS bigint) AS n
+      FROM documents WHERE length(text) >= 8),
+    chars AS (
+      SELECT doc_id, i AS pos, ascii(substr(text, i, 1)) AS a
+      FROM docs, unnest(range(1, length(text) + 1)) AS t(i)),
+    cums AS (
+      SELECT doc_id, pos,
+             sum(a) OVER (PARTITION BY doc_id ORDER BY pos) AS cum
+      FROM chars),
+    hashed AS (
+      SELECT doc_id, pos,
+             cum - coalesce(lag(cum, 8) OVER (PARTITION BY doc_id
+                                              ORDER BY pos), 0) AS h
+      FROM cums),
+    cand AS (
+      SELECT doc_id, list_sort(list(pos)) AS cands
+      FROM hashed WHERE pos >= 8 AND h % 64 = 0
+      GROUP BY doc_id),
+    cd AS (
+      SELECT d.doc_id, d.n, coalesce(c.cands, CAST([] AS BIGINT[])) AS cands
+      FROM docs d LEFT JOIN cand c USING (doc_id)),
+    walk AS (
+      SELECT doc_id, n, cands, 0 AS i, CAST(0 AS BIGINT) AS last,
+             CAST([] AS BIGINT[]) AS kept
+      FROM cd
+      UNION ALL
+      SELECT doc_id, n, cands, i + 1,
+             CASE WHEN (c - last2) >= 16 THEN c ELSE last2 END,
+             kept || forced ||
+               (CASE WHEN (c - last2) >= 16 THEN [c]
+                     ELSE CAST([] AS BIGINT[]) END)
+      FROM (
+        SELECT doc_id, n, cands, i, last, kept,
+               cands[i + 1] AS c,
+               CASE WHEN cands[i + 1] - last > 64
+                    THEN range(last + 64, cands[i + 1], 64)
+                    ELSE CAST([] AS BIGINT[]) END AS forced,
+               CASE WHEN len(forced) > 0 THEN forced[len(forced)]
+                    ELSE last END AS last2
+        FROM walk WHERE i < len(cands))),
+    final_walk AS (
+      SELECT doc_id, n,
+             kept || (CASE WHEN n - last > 64 THEN range(last + 64, n, 64)
+                           ELSE CAST([] AS BIGINT[]) END) AS kept
+      FROM walk WHERE i = len(cands)),
+    bounds AS (
+      SELECT doc_id, [CAST(0 AS BIGINT)] || kept || [n] AS b
+      FROM final_walk),
+    pairs AS (
+      SELECT doc_id, b[g] AS a, b[g + 1] AS bb
+      FROM bounds, unnest(range(1, len(b))) AS u(g)
+      WHERE b[g + 1] > b[g]),
+    idx AS (
+      SELECT doc_id, a, bb,
+             row_number() OVER (PARTITION BY doc_id ORDER BY a) - 1
+               AS chunk_idx
+      FROM pairs)
+    SELECT doc_id, cast(chunk_idx AS bigint) AS chunk_idx,
+           a + 1 AS start_pos, bb - a AS chunk_len
+    FROM idx
+"""
+
+
+@q(
+    "content_defined_chunks_bounded",
+    _CDC_BOUNDED_ORACLE,
+    tags=("text", "dedup", "storage"),
+)
 def content_defined_chunks_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PRODUCTION content-defined chunker: the same rolling-hash
     predicate as content_defined_chunks_documents (shared
@@ -14823,9 +15036,13 @@ def content_defined_chunks_bounded(spark: SparkSession, sf_dir: str) -> DataFram
     sequential suppression walk runs as a Catalyst F.aggregate state
     machine over each doc's candidate array
     (operators/dedup.bounded_cdc_cuts): zero Python, zero extra
-    shuffle, per-doc state = one struct. Rows-only (the fold has no
-    tractable SQL twin); pytest pins an exact local-reference walk and
-    the length-bound invariants."""
+    shuffle, per-doc state = one struct. Graduated from rows-only to a
+    FULL value-hash oracle in round 7: the DuckDB twin replays the
+    identical suppression walk as a recursive CTE over each doc's
+    sorted candidate list (DuckDB range(a,b,64) ≡ Spark
+    sequence(a, b-1, 64) for the forced-cut ladders — all-integer, so
+    the hash match is exact); pytest additionally pins an exact
+    local-reference walk and the length-bound invariants."""
     d = _t(spark, sf_dir, "documents").filter(F.length("text") >= 8)
     docs = d.select("doc_id", "text", F.length("text").cast("bigint").alias("n"))
     cand = (
@@ -15712,11 +15929,17 @@ assert len(_PRIORITY) == 50, len(_PRIORITY)
 assert len(set(_PRIORITY)) == 50
 _missing = [n for n in _PRIORITY if n not in QUERIES]
 assert not _missing, _missing
-# Unlike rounds 2-6, this rotation deliberately includes the 30
-# rows-only queries (no DuckDB twin) so they gain a driver rows+schema
-# attestation; every other prefix entry must stay oracle-hash-checked.
-_no_oracle = [n for n in _PRIORITY if QUERIES[n].oracle is None]
-assert len(_no_oracle) == 30, _no_oracle
+# Unlike rounds 2-6, this rotation deliberately includes EVERY
+# rows-only query (no DuckDB twin) so they gain a driver rows+schema
+# attestation; round-7 oracle graduations (e.g. bpe_merge_table)
+# shrink that set in place — their prefix slot then gets the stronger
+# hash check. Every prefix entry outside that set must be
+# oracle-hash-checked.
+_all_rows_only = {n for n, s in QUERIES.items() if s.oracle is None}
+_no_oracle = {n for n in _PRIORITY if QUERIES[n].oracle is None}
+assert _no_oracle == _all_rows_only, (
+    _no_oracle ^ _all_rows_only
+)
 
 QUERIES = {
     **{name: QUERIES[name] for name in _PRIORITY},

@@ -620,7 +620,7 @@ def test_bpe_encode_query_fertility_bounds(spark):
     assert rows
     for r in rows:
         # merges only ever shrink: chars/word >= fertility >= 1
-        assert 1.0 <= r["fertility"]
+        assert r["fertility_milli"] >= 1000
         assert r["n_subword_tokens"] >= r["n_words"]
 
 
