@@ -19,7 +19,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Callable
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .functions.numeric import davg, davg_sql, dsum, dsum_dec, dsum_sql
@@ -1785,7 +1785,50 @@ def multimodal_features_demo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ppm_pixel_stats_media", None, tags=("multimodal", "arrow"))
+@q(
+    "ppm_pixel_stats_media",
+    r"""
+    WITH ids AS (SELECT doc_id FROM documents WHERE doc_id < 100),
+    hx AS (
+      SELECT doc_id,
+             md5(doc_id::VARCHAR) || md5(doc_id::VARCHAR || 'x')
+               || md5(doc_id::VARCHAR || 'y') AS h
+      FROM ids),
+    px AS (
+      SELECT doc_id,
+             list_transform(range(0, 48),
+               j -> CAST(('0x' || substr(h, 2*j + 1, 2))::INT AS DOUBLE)) AS b
+      FROM hx),
+    lm AS (
+      SELECT doc_id, b,
+             list_transform(range(0, 16),
+               i -> (0.299 * b[3*i + 1] + 0.587 * b[3*i + 2])
+                    + 0.114 * b[3*i + 3]) AS luma
+      FROM px),
+    st AS (
+      SELECT doc_id,
+             list_sum(list_transform(range(0, 16), i -> b[3*i + 1])) / 16.0
+               AS mean_r,
+             list_sum(list_transform(range(0, 16), i -> b[3*i + 2])) / 16.0
+               AS mean_g,
+             list_sum(list_transform(range(0, 16), i -> b[3*i + 3])) / 16.0
+               AS mean_b,
+             list_sum(luma) / 16.0 AS mean_luma,
+             list_sum(list_transform(range(0, 12),
+               g -> abs(luma[(g // 3) * 4 + (g % 3) + 2]
+                        - luma[(g // 3) * 4 + (g % 3) + 1]))) / 12.0 AS grad
+      FROM lm)
+    SELECT doc_id AS media_id, 59::BIGINT AS n_bytes,
+           4 AS width, 4 AS height,
+           round(CAST(mean_r AS REAL)::DOUBLE, 4) AS mean_r,
+           round(CAST(mean_g AS REAL)::DOUBLE, 4) AS mean_g,
+           round(CAST(mean_b AS REAL)::DOUBLE, 4) AS mean_b,
+           round(CAST(mean_luma AS REAL)::DOUBLE, 4) AS mean_luma,
+           round(CAST(grad AS REAL)::DOUBLE, 4) AS grad_energy
+    FROM st
+    """,
+    tags=("multimodal", "arrow"),
+)
 def ppm_pixel_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL (dependency-free) image decode on the declared surface: P6
     PPM blobs are synthesized in-plan (JVM-side: header literal +
@@ -1794,8 +1837,15 @@ def ppm_pixel_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     — no fake fallback anywhere in this path. Output is genuine pixel
     statistics (dims, channel means, luma range). The seam in
     operators/multimodal.py now only covers compressed codecs
-    (JPEG/PNG need Pillow, absent here). Rows-only: DuckDB has no image
-    decoding to oracle against."""
+    (JPEG/PNG need Pillow, absent here). Graduated from rows-only to a
+    FULL value-hash oracle in round 7: the blobs are md5-synthesized,
+    so DuckDB re-derives the 48 pixel bytes from the same md5 hex and
+    replays the stat arithmetic with matching expression trees; the
+    float64 list_sum vs numpy-pairwise sum agree after the float32
+    feature quantization + round(4) on this FIXED 100-blob input set
+    (deterministic inputs — verified equal, stays equal), and both
+    engines round identical doubles (float32→double cast before
+    round)."""
     from .operators.multimodal import decode_image_features
 
     d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
@@ -1812,16 +1862,22 @@ def ppm_pixel_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     out = decode_image_features(media, require_real_decoder=True)
+
+    def r4(i: int) -> Column:
+        # float32 feature -> double BEFORE round so both engines round
+        # the identical double (the multimodal_features_demo pattern)
+        return F.round(F.element_at("features", i).cast("double"), 4)
+
     return out.select(
         "media_id",
         "n_bytes",
         F.element_at("features", 2).cast("int").alias("width"),
         F.element_at("features", 3).cast("int").alias("height"),
-        F.round(F.element_at("features", 6), 4).alias("mean_r"),
-        F.round(F.element_at("features", 7), 4).alias("mean_g"),
-        F.round(F.element_at("features", 8), 4).alias("mean_b"),
-        F.round(F.element_at("features", 12), 4).alias("mean_luma"),
-        F.round(F.element_at("features", 15), 4).alias("grad_energy"),
+        r4(6).alias("mean_r"),
+        r4(7).alias("mean_g"),
+        r4(8).alias("mean_b"),
+        r4(12).alias("mean_luma"),
+        r4(15).alias("grad_energy"),
     ).orderBy("media_id")
 
 
@@ -13482,7 +13538,83 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("unigram_tokenize_documents", None, tags=("ml", "tokenizer"))
+@q(
+    "unigram_tokenize_documents",
+    r"""
+WITH RECURSIVE
+toks AS (
+  SELECT doc_id, g AS pos, t[g + 1] AS w
+  FROM (
+    SELECT doc_id,
+           CASE WHEN trim(lower(text)) = '' THEN []
+                ELSE string_split_regex(trim(lower(text)), '\s+') END AS t
+    FROM documents),
+    unnest(range(0, len(t))) AS u(g)
+  WHERE length(t[g + 1]) > 0),
+wc AS (SELECT w, cast(count(*) AS bigint) AS n FROM toks GROUP BY w),
+subs AS (
+  SELECT piece, cast(sum(n) AS bigint) AS c FROM (
+    SELECT substr(w, i, l) AS piece, n
+    FROM wc,
+         unnest(range(1, length(w) + 1)) AS ui(i),
+         unnest(range(1, least(6, length(w) - i + 1) + 1)) AS ul(l))
+  GROUP BY piece),
+chars AS (SELECT piece, c FROM subs WHERE length(piece) = 1),
+multi AS (
+  SELECT piece, c FROM subs WHERE length(piece) >= 2
+  ORDER BY c DESC, piece ASC LIMIT 128),
+sel AS (SELECT * FROM chars UNION ALL SELECT * FROM multi),
+tot AS (SELECT cast(sum(c) AS bigint) AS t FROM sel),
+voc AS (
+  SELECT piece, ln(CAST(c AS DOUBLE) / CAST((SELECT t FROM tot) AS DOUBLE)) AS lp
+  FROM sel),
+unkv AS (SELECT min(lp) - 10.0 AS unk FROM voc),
+types AS (SELECT DISTINCT w FROM toks),
+dp AS (
+  SELECT w, 0 AS i,
+         [CAST(0.0 AS DOUBLE)] AS best, [0] AS back
+  FROM types
+  UNION ALL
+  SELECT w, i + 1, best || [s.sc], back || [s.j]
+  FROM dp, LATERAL (
+    SELECT sc, j FROM (
+      SELECT best[u.j + 1] + coalesce(
+               (SELECT lp FROM voc v
+                WHERE v.piece = substr(w, u.j + 1, i + 1 - u.j)),
+               CASE WHEN i + 1 - u.j = 1 THEN (SELECT unk FROM unkv) END
+             ) AS sc,
+             u.j AS j
+      FROM unnest(range(greatest(i + 1 - 6, 0), i + 1)) AS u(j))
+    WHERE sc IS NOT NULL
+    ORDER BY sc DESC, j ASC LIMIT 1) s
+  WHERE i < length(w)),
+dpf AS (SELECT w, best, back FROM dp WHERE i = length(w)),
+trace AS (
+  SELECT w, back, length(w) AS i, CAST([] AS VARCHAR[]) AS pieces
+  FROM dpf
+  UNION ALL
+  SELECT w, back, back[i + 1],
+         [substr(w, back[i + 1] + 1, i - back[i + 1])] || pieces
+  FROM trace WHERE i > 0),
+wp AS (SELECT w, pieces, len(pieces) AS np FROM trace WHERE i = 0),
+perdoc AS (
+  SELECT t.doc_id,
+         cast(count(*) AS int) AS n_words,
+         cast(sum(p.np) AS int) AS n_pieces,
+         flatten(list(p.pieces ORDER BY t.pos)) AS allp
+  FROM toks t JOIN wp p ON p.w = t.w
+  GROUP BY t.doc_id)
+SELECT d.doc_id,
+       coalesce(pd.n_words, 0) AS n_words,
+       coalesce(pd.n_pieces, 0) AS n_pieces,
+       CASE WHEN coalesce(pd.n_words, 0) > 0
+            THEN cast((pd.n_pieces * 1000) // pd.n_words AS bigint)
+            ELSE 0 END AS fertility_milli,
+       coalesce(array_to_string(pd.allp[1:5], ' '), '') AS first_pieces
+FROM documents d LEFT JOIN perdoc pd USING (doc_id)
+    """,
+    tags=("ml", "tokenizer"),
+)
 def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unigram-LM tokenization (the SentencePiece family — Kudo 2018 —
     beside the BPE trainer): vocabulary = every character + the 128 most
@@ -13490,9 +13622,18 @@ def unigram_tokenize_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-sized top-K reaches the driver), then each document's words
     are Viterbi-segmented to the max-log-prob piece sequence in one
     broadcast-vocab mapInPandas pass. Reports per-doc piece counts and
-    fertility (pieces per word, integer milli-units). Rows-only
-    (iterative-free but driver-built vocab); pytest pins Viterbi parity
-    and planted segmentations. The piece preview is serialized to a
+    fertility (pieces per word, integer milli-units). Graduated from
+    rows-only to a FULL value-hash oracle in round 7: the DuckDB twin
+    rebuilds the identical vocabulary (same top-128 cut, same
+    ln(c/total) doubles) and replays the Viterbi DP as a recursive CTE
+    — LATERAL ORDER-BY-LIMIT-1 argmax per position (score DESC, j ASC
+    == the kernel's strict-> ascending-j smallest-j tie rule), then a
+    second recursion walks the backpointers; every score is the same
+    chain of float64 adds, so the hash match is exact. (Gotcha: the
+    vocab CTE must NOT be MATERIALIZED — a materialized CTE referenced
+    from a scalar subquery inside a recursive part silently yields no
+    rows in DuckDB.) pytest additionally pins Viterbi parity and
+    planted segmentations. The piece preview is serialized to a
     space-joined scalar (top-level arrays break generic result
     canonicalizers; see the catalog schema guard)."""
     from .operators.ml import unigram_viterbi_encode, unigram_vocab
