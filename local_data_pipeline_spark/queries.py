@@ -15998,12 +15998,17 @@ _PRIORITY: tuple[str, ...] = (
     # FAIL; pagerank_copurchase_parts graduated from rows-only to a
     # full unrolled-CTE oracle in r06 and was never sampled; the other
     # 8 were added in rounds 5-6 after their rotation slots closed) and
-    # all 30 rows-only queries, which by design have no DuckDB twin
-    # (xxhash64/sketch internals/learned models) and get the driver's
-    # weaker rows+schema check -- their first ever trip through the
-    # driver's pandas canonicalizer, which is exactly where the
-    # round-5 `unhashable type` class of failure hides (all 30 were
-    # rehearsed through tools/rehearse_driver.py this round first).
+    # the 30 queries that were rows-only entering the round. SIX of
+    # those 30 graduated to full value-hash oracles DURING round 7
+    # (bpe_merge_table, bpe_encode, content_defined_chunks_bounded,
+    # multimodal_features_demo, ppm_pixel_stats_media,
+    # unigram_tokenize) -- the driver hash-checks them; the remaining
+    # 24 have no DuckDB twin by design (xxhash64/sketch internals/
+    # learned float models) and get the driver's weaker rows+schema
+    # check -- their first ever trip through the driver's pandas
+    # canonicalizer, which is exactly where the round-5 `unhashable
+    # type` class of failure hides (all were rehearsed through
+    # tools/rehearse_driver.py this round first).
     # The last 10 are deliberate heavy re-checks of already-attested
     # queries: the two the round-6 verdict named (hits_customer_parts,
     # near_dup_clusters_documents), the two whose plans changed in r06
