@@ -76,7 +76,14 @@ def salt_hot_postings(
             salt_col,
             F.when(
                 F.col("__hot").isNotNull(),
-                F.pmod(F.col(corpus_part_col), F.lit(n_salts)),
+                # coalesce: a NULL partitioning value must still land in
+                # SOME bucket (0) — pmod(NULL)=NULL would make the inner
+                # join silently drop the row, breaking the exactness
+                # contract
+                F.coalesce(
+                    F.pmod(F.col(corpus_part_col), F.lit(n_salts)),
+                    F.lit(0),
+                ),
             )
             .otherwise(F.lit(0))
             .cast("int"),

@@ -15577,7 +15577,7 @@ def kcore_copurchase_query(k: int, rounds: int = 6):
     """Parameterized k-core query + matching unrolled-CTE oracle over
     the co-purchase graph. The declared catalog entry uses k=3 (954
     survivors at sf0.01); the sf1 scale gate runs the k=2 variant via
-    tools/gen_sf1_gate.SCALE_VARIANTS because the sf1 co-purchase
+    tools/gen_sf1_gate._scale_variants() because the sf1 co-purchase
     graph's 3-core is EMPTY — a 0-row match attests nothing, so the
     roster exercises the identical peel recurrence at a k whose core is
     non-empty (30 nodes at sf1, convergence re-verified: rounds 6 and 7

@@ -884,6 +884,34 @@ def test_salt_hot_postings_exact_redistribution(spark):
     assert a_s.filter("token = 'the'").count() == 2 * 4  # 2 anchors x 4 salts
 
 
+def test_salt_hot_postings_null_part_col_not_dropped(spark):
+    """A hot-token corpus row with a NULL partitioning value must still
+    land in a bucket (0), not vanish through pmod(NULL)=NULL + inner
+    join — the exactness contract covers NULL ids too."""
+    from local_data_pipeline_spark.operators.similarity import (
+        salt_hot_postings,
+    )
+
+    anchors = spark.createDataFrame(
+        [(1, "the", 2)], "a_id bigint, token string, a_tf bigint"
+    )
+    corpus = spark.createDataFrame(
+        [(None, "the", 3), (5, "the", 1)],
+        "b_id bigint, token string, tf bigint",
+    )
+    hot = spark.createDataFrame([("the",)], "token string")
+    key = lambda t: (t[0], -1 if t[1] is None else t[1])  # noqa: E731
+    a_s, c_s, keys = salt_hot_postings(anchors, corpus, hot, n_salts=4)
+    got = sorted(
+        ((r.a_id, r.b_id) for r in a_s.join(c_s, keys).collect()), key=key
+    )
+    plain = sorted(
+        ((r.a_id, r.b_id) for r in anchors.join(corpus, "token").collect()),
+        key=key,
+    )
+    assert got == plain == [(1, None), (1, 5)]
+
+
 def test_salt_hot_postings_empty_hot_set_is_identity(spark):
     from local_data_pipeline_spark.operators.similarity import (
         salt_hot_postings,

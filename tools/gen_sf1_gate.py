@@ -156,7 +156,7 @@ def main() -> int:
             spark_rows = [tuple(r) for r in df.collect()]
         except Exception as e:  # noqa: BLE001 - roster records the error
             rows.append((name, "FAIL", time.perf_counter() - t0,
-                         _note(f"spark error: {str(e)[:160]}")))
+                         _note(f"spark error: {str(e)[:160]}" + variant_note)))
             n["FAIL"] += 1
             print(f"FAIL  {name} (spark)")
             continue
@@ -173,7 +173,7 @@ def main() -> int:
             duck_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             rows.append((name, "FAIL", time.perf_counter() - t0,
-                         _note(f"duckdb error: {str(e)[:160]}")))
+                         _note(f"duckdb error: {str(e)[:160]}" + variant_note)))
             n["FAIL"] += 1
             print(f"FAIL  {name} (duckdb)")
             continue
