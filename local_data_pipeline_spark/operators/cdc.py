@@ -212,6 +212,59 @@ def snapshot_diff(
     )
 
 
+def maintain_join(
+    old_view: DataFrame,
+    fact: DataFrame,
+    dim_changes: DataFrame,
+    key: str,
+    op_col: str = "op",
+) -> DataFrame:
+    """Incremental maintenance of a materialized ``fact ⋈ dim`` view
+    under a DIMENSION changelog — the join-side sibling of
+    :func:`maintain_agg` (the classic warehouse case: a customer/part
+    attribute changes and the wide denormalized view must refresh
+    WITHOUT recomputing the join):
+
+    - every changed key's old view rows are retracted (anti-join
+      against the changelog's key set),
+    - op ``U`` keys re-derive their view rows by joining the fact to
+      the change's NEW dim payload (a brand-new dim key picks up any
+      pre-existing fact rows — inner-join view semantics),
+    - op ``D`` keys simply stay retracted.
+
+    ``dim_changes`` must be compacted to one row per key (latest
+    payload — :func:`compact_changelog` IS the right compaction here,
+    unlike for maintain_agg: a join view needs only the final dim
+    image, not a before/after envelope) and carry every dim column the
+    view projects. Output columns = ``old_view``'s exactly.
+
+    Scale: both joins put the CHANGELOG on the broadcast side — the
+    retraction is a map-side anti-join of the view against |Δ| keys,
+    and the re-derivation is a map-side hash join of the fact against
+    |Δ| dim rows; neither shuffles the big side. The fact pass is one
+    scan (vs the full recompute's shuffle join); bucket the fact by
+    ``key`` and partition pruning confines even that scan to the
+    affected buckets."""
+    if op_col not in dim_changes.columns:
+        raise ValueError(
+            f"dim changelog is missing op column {op_col!r}"
+        )
+    bad = [c for c in dim_changes.columns if c not in
+           set(old_view.columns) | {op_col}]
+    if bad:
+        raise ValueError(
+            f"dim changelog carries columns absent from the view: {bad} "
+            "— the re-derived rows could not match the view schema"
+        )
+    keys = dim_changes.select(key)
+    kept = old_view.join(F.broadcast(keys), key, "left_anti")
+    upserts = dim_changes.filter(F.col(op_col) == "U").drop(op_col)
+    rederived = fact.join(F.broadcast(upserts), key).select(
+        *old_view.columns
+    )
+    return kept.unionByName(rederived)
+
+
 def maintain_agg(
     old_agg: DataFrame,
     changes: DataFrame,

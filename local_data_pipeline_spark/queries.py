@@ -15539,6 +15539,222 @@ def mmr_diversified_topk_embeddings(
     )
 
 
+@q(
+    "dim_refresh_join_view_orders",
+    f"""
+    WITH fact AS (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice FROM orders),
+    post AS (
+      SELECT c_custkey,
+             CASE WHEN c_custkey % 50 = 0 THEN '0-MOVED'
+                  ELSE c_mktsegment END AS c_mktsegment
+      FROM customer
+      WHERE NOT (c_custkey % 97 = 0 AND c_custkey % 50 <> 0)),
+    v AS (
+      SELECT f.c_custkey, f.o_orderkey, f.o_totalprice, p.c_mktsegment
+      FROM fact f JOIN post p USING (c_custkey))
+    SELECT c_mktsegment,
+           cast(count(*) AS bigint) AS n_rows,
+           round({dsum_sql('o_totalprice')}, 6) AS total_price
+    FROM v GROUP BY c_mktsegment
+    """,
+    tags=("cdc", "ivm", "join"),
+)
+def dim_refresh_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of a materialized orders⋈customer view
+    under a DIMENSION changelog (operators/cdc.py maintain_join — the
+    join-side sibling of incremental_agg_maintenance_orders): every
+    50th customer moves to segment '0-MOVED' (op U) and every 97th
+    not-also-50th is deleted (op D, cascading its orders out of the
+    view). The maintained view retracts changed keys with a broadcast
+    anti-join and re-derives U keys with a broadcast fact⋈Δdim join —
+    the changelog rides the broadcast side of BOTH joins, so the big
+    relations never shuffle (the full recompute the oracle runs is the
+    expensive path this operator exists to avoid). The oracle IS that
+    full recompute of the post-state join, so the hash match asserts
+    the IVM reconciliation property end-to-end; sums are exact decimal
+    (dsum), counts int64."""
+    from .operators import cdc as CDC
+
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    fact = o.select(
+        F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice"
+    )
+    dim = c.select("c_custkey", "c_mktsegment")
+    view0 = fact.join(dim, "c_custkey")  # the materialized pre-state
+    upd = c.filter(F.col("c_custkey") % 50 == 0).select(
+        "c_custkey",
+        F.lit("0-MOVED").alias("c_mktsegment"),
+        F.lit("U").alias("op"),
+    )
+    dele = c.filter(
+        (F.col("c_custkey") % 97 == 0) & (F.col("c_custkey") % 50 != 0)
+    ).select(
+        "c_custkey",
+        F.lit(None).cast("string").alias("c_mktsegment"),
+        F.lit("D").alias("op"),
+    )
+    maintained = CDC.maintain_join(
+        view0, fact, upd.unionByName(dele), "c_custkey"
+    )
+    return maintained.groupBy("c_mktsegment").agg(
+        F.count("*").cast("bigint").alias("n_rows"),
+        F.round(dsum("o_totalprice"), 6).alias("total_price"),
+    )
+
+
+def _modularity_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of modularity_lpa_copurchase: the LPA
+    label chain (identical to _lpa_oracle_sql) followed by the exact
+    INTEGER modularity decomposition. Per community c, Newman's
+    Q_c = e_c/m − (d_c/2m)² is carried as the integer numerator
+    4·m·e_c − d_c² over the shared denominator 4m² — all int64 (no
+    order-dependent float summation anywhere), so the hash match is
+    exact; the reported per-community ratio is one division of
+    identical integers, rounded on identical doubles."""
+    ctes = [
+        _COPURCHASE_PAIRS_SQL,
+        """edges AS MATERIALIZED (
+      SELECT pa AS src, pb AS dst FROM pairs
+      UNION ALL
+      SELECT pb AS src, pa AS dst FROM pairs)""",
+        """lbl0 AS MATERIALIZED (
+      SELECT node, node AS label
+      FROM (SELECT DISTINCT src AS node FROM edges))""",
+    ]
+    for i in range(1, iterations + 1):
+        ctes += [
+            f"""m{i} AS (
+      SELECT e.dst AS node, l.label, count(*) AS c
+      FROM edges e JOIN lbl{i - 1} l ON l.node = e.src
+      GROUP BY e.dst, l.label)""",
+            f"""lbl{i} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT node, label,
+               row_number() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM m{i}) WHERE rn = 1)""",
+        ]
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    , mm AS (SELECT cast(count(*) AS bigint) AS m FROM pairs),
+    deg AS (
+      SELECT src AS node, cast(count(*) AS bigint) AS d
+      FROM edges GROUP BY src),
+    comm AS (
+      SELECT l.label AS community,
+             cast(count(*) AS bigint) AS n_members,
+             cast(sum(d.d) AS bigint) AS degree_sum
+      FROM lbl{iterations} l JOIN deg d ON d.node = l.node
+      GROUP BY l.label),
+    intra AS (
+      SELECT la.label AS community, cast(count(*) AS bigint) AS intra_edges
+      FROM pairs p
+      JOIN lbl{iterations} la ON la.node = p.pa
+      JOIN lbl{iterations} lb ON lb.node = p.pb
+      WHERE la.label = lb.label
+      GROUP BY la.label)
+    SELECT c.community, c.n_members,
+           coalesce(i.intra_edges, 0) AS intra_edges,
+           c.degree_sum,
+           4 * mm.m * coalesce(i.intra_edges, 0)
+             - c.degree_sum * c.degree_sum AS q_num,
+           4 * mm.m * mm.m AS q_den,
+           round(CAST(4 * mm.m * coalesce(i.intra_edges, 0)
+                      - c.degree_sum * c.degree_sum AS DOUBLE)
+                 / CAST(4 * mm.m * mm.m AS DOUBLE), 9) AS q_term
+    FROM comm c
+    LEFT JOIN intra i ON i.community = c.community
+    CROSS JOIN mm"""
+    )
+
+
+@q(
+    "modularity_lpa_copurchase",
+    _modularity_oracle_sql(4),
+    tags=("graph", "clustering", "eval"),
+)
+def modularity_lpa_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Modularity decomposition of the LPA communities (Newman 2006,
+    PNAS — the standard did-the-clustering-find-real-structure check
+    that belongs next to any community detector): per community,
+    Q_c = e_c/m − (d_c/2m)² over the same support-≥2 co-purchase graph
+    and the same 4 LPA iterations as label_propagation_copurchase.
+    Everything rides EXACT int64 arithmetic — the term is carried as
+    numerator 4·m·e_c − d_c² over the shared denominator 4m², so there
+    is NO order-dependent float summation and the global modularity is
+    simply sum(q_num)/q_den, computable exactly from this output.
+
+    Scale: the label chain is the LPA Pregel-as-joins shape; on top of
+    it, one per-node degree aggregate, one labels⋈labels pair check
+    confined to the (already support-collapsed) edge list, and a 1-row
+    broadcast of m — no all-pairs work, no driver collect."""
+    from .operators.graph import label_propagation
+
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = _copurchase_edges(li)
+    edges = pairs.select(
+        F.col("pa").alias("src"), F.col("pb").alias("dst")
+    ).unionAll(
+        pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
+    )
+    pairs = pairs.localCheckpoint(eager=False)  # shared: edges/m/intra
+    labels = label_propagation(edges, iterations=4)
+    mm = pairs.agg(F.count("*").cast("bigint").alias("m"))
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count("*").cast("bigint").alias("d")
+    )
+    comm = (
+        labels.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_members"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    la = labels.select(
+        F.col("node").alias("pa"), F.col("label").alias("__la")
+    )
+    lb = labels.select(
+        F.col("node").alias("pb"), F.col("label").alias("__lb")
+    )
+    intra = (
+        pairs.join(la, "pa")
+        .join(lb, "pb")
+        .filter(F.col("__la") == F.col("__lb"))
+        .groupBy(F.col("__la").alias("community"))
+        .agg(F.count("*").cast("bigint").alias("intra_edges"))
+    )
+    out = (
+        comm.join(intra, "community", "left")
+        .crossJoin(F.broadcast(mm))
+        .select(
+            "community",
+            "n_members",
+            F.coalesce("intra_edges", F.lit(0).cast("bigint")).alias(
+                "intra_edges"
+            ),
+            "degree_sum",
+            (
+                F.lit(4) * F.col("m") * F.coalesce("intra_edges", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("bigint")
+            .alias("q_num"),
+            (F.lit(4) * F.col("m") * F.col("m")).cast("bigint").alias("q_den"),
+        )
+    )
+    return out.withColumn(
+        "q_term",
+        F.round(
+            F.col("q_num").cast("double") / F.col("q_den").cast("double"), 9
+        ),
+    )
+
+
 def _kcore_oracle_sql(k: int = 3, rounds: int = 6) -> str:
     """Unrolled-CTE DuckDB twin of graph.kcore over the symmetrized
     support-≥2 co-purchase graph (_COPURCHASE_PAIRS_SQL — the shared
@@ -16009,14 +16225,15 @@ _PRIORITY: tuple[str, ...] = (
     # canonicalizer, which is exactly where the round-5 `unhashable
     # type` class of failure hides (all were rehearsed through
     # tools/rehearse_driver.py this round first).
-    # The last 10 are deliberate heavy re-checks of already-attested
-    # queries: the two the round-6 verdict named (hits_customer_parts,
+    # The last 10: eight deliberate heavy re-checks of already-attested
+    # queries -- the two the round-6 verdict named (hits_customer_parts,
     # near_dup_clusters_documents), the two whose plans changed in r06
     # (hybrid_rrf_search_documents, fuzzy_part_name_pairs),
     # sparse_cosine_topk_documents (hot-token salt added THIS round --
-    # must re-attest), and five more of the most expensive/trickiest
-    # determinism surfaces. With this prefix the green-attested union
-    # reaches 265/265.
+    # must re-attest), and three more of the most expensive/trickiest
+    # determinism surfaces -- plus the TWO queries ADDED this round
+    # (modularity_lpa_copurchase, dim_refresh_join_view_orders), so the
+    # green-attested union reaches the full catalog: 267/267.
     "conditional_agg_lineitem",
     "pagerank_copurchase_parts",
     "label_balance_embeddings",
@@ -16067,8 +16284,8 @@ _PRIORITY: tuple[str, ...] = (
     "bin_pack_report_documents",
     "poisson_bootstrap_ci_events",
     "label_propagation_copurchase",
-    "holt_winters_daily_forecast",
-    "cdc_apply_orders",
+    "modularity_lpa_copurchase",
+    "dim_refresh_join_view_orders",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)

@@ -928,3 +928,116 @@ def test_salt_hot_postings_empty_hot_set_is_identity(spark):
     rows = a_s.join(c_s, keys).collect()
     assert [(r.a_id, r.b_id) for r in rows] == [(1, 2)]
     assert a_s.count() == 1  # nothing replicated
+
+
+# ---------------------------------------------------------------------
+# join-view incremental maintenance
+# ---------------------------------------------------------------------
+
+def test_maintain_join_upsert_delete_and_new_key(spark):
+    """Dim update rewrites its fact rows, delete cascades them out, and
+    a BRAND-NEW dim key picks up pre-existing (orphan) fact rows —
+    inner-join view semantics, maintained == full recompute."""
+    from local_data_pipeline_spark.operators.cdc import maintain_join
+
+    fact = spark.createDataFrame(
+        [(1, 100, 10.0), (1, 101, 20.0), (2, 102, 5.0), (9, 103, 7.0)],
+        "k long, fid long, v double",
+    )
+    dim0 = spark.createDataFrame(
+        [(1, "a"), (2, "b")], "k long, seg string"
+    )  # key 9 is an orphan in the pre-state view
+    view0 = fact.join(dim0, "k")
+    changes = spark.createDataFrame(
+        [(1, "a2", "U"), (2, None, "D"), (9, "c", "U")],
+        "k long, seg string, op string",
+    )
+    got = sorted(
+        (r.k, r.fid, r.v, r.seg)
+        for r in maintain_join(view0, fact, changes, "k").collect()
+    )
+    dim_post = spark.createDataFrame(
+        [(1, "a2"), (9, "c")], "k long, seg string"
+    )
+    full = sorted(
+        (r.k, r.fid, r.v, r.seg) for r in fact.join(dim_post, "k").collect()
+    )
+    assert got == full
+    assert {t[3] for t in got} == {"a2", "c"}  # b cascaded out
+
+
+def test_maintain_join_chain_equals_one_shot(spark):
+    """Two dim batches applied in sequence == compact_changelog of the
+    union applied once (latest payload wins — the right compaction for
+    a join view, unlike maintain_agg's envelope)."""
+    from local_data_pipeline_spark.operators.cdc import (
+        compact_changelog,
+        maintain_join,
+    )
+
+    fact = spark.createDataFrame(
+        [(1, 100, 10.0), (2, 102, 5.0)], "k long, fid long, v double"
+    )
+    dim0 = spark.createDataFrame([(1, "a"), (2, "b")], "k long, seg string")
+    view0 = fact.join(dim0, "k")
+    sch = "k long, seg string, op string, seq long"
+    b1 = spark.createDataFrame([(1, "x", "U", 1), (2, None, "D", 2)], sch)
+    b2 = spark.createDataFrame([(1, "y", "U", 3), (2, "back", "U", 4)], sch)
+
+    def snap(df):
+        return sorted((r.k, r.fid, r.seg) for r in df.collect())
+
+    seq = snap(
+        maintain_join(
+            maintain_join(view0, fact, b1.drop("seq"), "k"),
+            fact,
+            b2.drop("seq"),
+            "k",
+        )
+    )
+    one = snap(
+        maintain_join(
+            view0,
+            fact,
+            compact_changelog(b1.unionByName(b2), "k", "seq").drop("seq"),
+            "k",
+        )
+    )
+    assert seq == one == [(1, 100, "y"), (2, 102, "back")]
+
+
+def test_maintain_join_rejects_unknown_changelog_columns(spark):
+    import pytest
+
+    from local_data_pipeline_spark.operators.cdc import maintain_join
+
+    fact = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "a")], "k long, seg string")
+    view0 = fact.join(dim, "k")
+    changes = spark.createDataFrame(
+        [(1, "a", "extra", "U")], "k long, seg string, bogus string, op string"
+    )
+    with pytest.raises(ValueError, match="absent from the view"):
+        maintain_join(view0, fact, changes, "k")
+
+
+def test_maintain_join_broadcasts_the_changelog(spark):
+    """Scale pin: BOTH maintenance joins put the changelog on the
+    broadcast side — the view anti-join and the fact re-derive join."""
+    from local_data_pipeline_spark.operators.cdc import maintain_join
+    from local_data_pipeline_spark.plans.inspect import physical_plan
+
+    fact = spark.range(0, 1000).select(
+        (F.col("id") % 50).alias("k"), F.col("id").alias("fid")
+    )
+    dim = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit("s").alias("seg")
+    )
+    view0 = fact.join(dim, "k")
+    changes = spark.createDataFrame(
+        [(1, "t", "U"), (2, None, "D")], "k long, seg string, op string"
+    )
+    out = maintain_join(view0, fact, changes, "k")
+    plan = physical_plan(out)
+    assert plan.count("BroadcastExchange") >= 2
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
