@@ -256,7 +256,22 @@ def maintain_join(
             f"dim changelog carries columns absent from the view: {bad} "
             "— the re-derived rows could not match the view schema"
         )
-    keys = dim_changes.select(key)
+    # Validate ops IN-PLAN on the key projection (which sees EVERY
+    # changelog row): an op outside OPS would otherwise act as a silent
+    # delete — its key is retracted by the anti-join but only op U rows
+    # re-derive. Same assert_true-rides-a-projection pattern as
+    # apply_changes (a bare filter would be constant-folded away).
+    checked_key = F.when(
+        F.assert_true(
+            F.col(op_col).isin(*OPS),
+            F.concat(
+                F.lit(f"invalid dim changelog op (expected one of {OPS}): "),
+                F.col(op_col),
+            ),
+        ).isNull(),
+        F.col(key),
+    )
+    keys = dim_changes.select(checked_key.alias(key))
     kept = old_view.join(F.broadcast(keys), key, "left_anti")
     upserts = dim_changes.filter(F.col(op_col) == "U").drop(op_col)
     rederived = fact.join(F.broadcast(upserts), key).select(

@@ -13844,14 +13844,13 @@ def hits_customer_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _lpa_oracle_sql(iterations: int = 4) -> str:
-    """Unrolled-CTE DuckDB twin of graph.label_propagation over the
-    support-≥2 co-purchase graph (same edge set as
-    triangle_count_copurchase, symmetrized): each iteration is the
-    identical deterministic update — per-node neighbor-label mode with
-    a smallest-label tie-break — so the fixed-iteration recurrence
-    value-hash-matches exactly (the HITS-oracle pattern). Label tables
-    are AS MATERIALIZED: each level is referenced by the next join and
+def _lpa_chain_ctes(iterations: int) -> "list[str]":
+    """THE shared label-propagation CTE chain (pairs → symmetrized
+    edges → lbl0 → per-iteration mode-label update) used by BOTH
+    _lpa_oracle_sql and _modularity_oracle_sql — one definition, so a
+    tie-break/MATERIALIZED/edge change propagates to both oracles or
+    neither (the _COPURCHASE_PAIRS_SQL principle). Label tables are AS
+    MATERIALIZED: each level is referenced by the next join and
     un-hinted DuckDB would re-inline the whole prefix (the
     _hits_oracle_sql lesson)."""
     ctes = [
@@ -13877,8 +13876,19 @@ def _lpa_oracle_sql(iterations: int = 4) -> str:
                                   ORDER BY c DESC, label ASC) AS rn
         FROM m{i}) WHERE rn = 1)""",
         ]
+    return ctes
+
+
+def _lpa_oracle_sql(iterations: int = 4) -> str:
+    """Unrolled-CTE DuckDB twin of graph.label_propagation over the
+    support-≥2 co-purchase graph (same edge set as
+    triangle_count_copurchase, symmetrized): each iteration is the
+    identical deterministic update — per-node neighbor-label mode with
+    a smallest-label tie-break — so the fixed-iteration recurrence
+    value-hash-matches exactly (the HITS-oracle pattern). The label
+    chain itself is the shared _lpa_chain_ctes."""
     return (
-        "WITH " + ",\n    ".join(ctes)
+        "WITH " + ",\n    ".join(_lpa_chain_ctes(iterations))
         + f"""
     SELECT label AS community, count(*) AS n_members,
            min(node) AS first_member, max(node) AS last_member
@@ -15606,39 +15616,16 @@ def dim_refresh_join_view_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _modularity_oracle_sql(iterations: int = 4) -> str:
     """Unrolled-CTE DuckDB twin of modularity_lpa_copurchase: the LPA
-    label chain (identical to _lpa_oracle_sql) followed by the exact
+    label chain (the shared _lpa_chain_ctes) followed by the exact
     INTEGER modularity decomposition. Per community c, Newman's
     Q_c = e_c/m − (d_c/2m)² is carried as the integer numerator
     4·m·e_c − d_c² over the shared denominator 4m² — all int64 (no
     order-dependent float summation anywhere), so the hash match is
     exact; the reported per-community ratio is one division of
     identical integers, rounded on identical doubles."""
-    ctes = [
-        _COPURCHASE_PAIRS_SQL,
-        """edges AS MATERIALIZED (
-      SELECT pa AS src, pb AS dst FROM pairs
-      UNION ALL
-      SELECT pb AS src, pa AS dst FROM pairs)""",
-        """lbl0 AS MATERIALIZED (
-      SELECT node, node AS label
-      FROM (SELECT DISTINCT src AS node FROM edges))""",
-    ]
-    for i in range(1, iterations + 1):
-        ctes += [
-            f"""m{i} AS (
-      SELECT e.dst AS node, l.label, count(*) AS c
-      FROM edges e JOIN lbl{i - 1} l ON l.node = e.src
-      GROUP BY e.dst, l.label)""",
-            f"""lbl{i} AS MATERIALIZED (
-      SELECT node, label FROM (
-        SELECT node, label,
-               row_number() OVER (PARTITION BY node
-                                  ORDER BY c DESC, label ASC) AS rn
-        FROM m{i}) WHERE rn = 1)""",
-        ]
     return (
         "WITH "
-        + ",\n    ".join(ctes)
+        + ",\n    ".join(_lpa_chain_ctes(iterations))
         + f"""
     , mm AS (SELECT cast(count(*) AS bigint) AS m FROM pairs),
     deg AS (
@@ -15695,13 +15682,16 @@ def modularity_lpa_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.graph import label_propagation
 
     li = _t(spark, sf_dir, "lineitem")
-    pairs = _copurchase_edges(li)
+    # checkpoint BEFORE deriving edges: localCheckpoint returns a new
+    # frame, so every consumer (edges -> 4 LPA iterations + deg, m,
+    # intra) must build on the checkpointed one or the expensive
+    # co-purchase self-join re-executes per consumer
+    pairs = _copurchase_edges(li).localCheckpoint(eager=False)
     edges = pairs.select(
         F.col("pa").alias("src"), F.col("pb").alias("dst")
     ).unionAll(
         pairs.select(F.col("pb").alias("src"), F.col("pa").alias("dst"))
     )
-    pairs = pairs.localCheckpoint(eager=False)  # shared: edges/m/intra
     labels = label_propagation(edges, iterations=4)
     mm = pairs.agg(F.count("*").cast("bigint").alias("m"))
     deg = edges.groupBy(F.col("src").alias("node")).agg(

@@ -1040,4 +1040,28 @@ def test_maintain_join_broadcasts_the_changelog(spark):
     out = maintain_join(view0, fact, changes, "k")
     plan = physical_plan(out)
     assert plan.count("BroadcastExchange") >= 2
-    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan
+    # the anti-join itself must be the broadcast variant: assert the
+    # combination on one plan line (a bare 'LeftAnti' substring would
+    # also match a degraded SortMergeJoin LeftAnti)
+    assert any(
+        "BroadcastHashJoin" in line and "LeftAnti" in line
+        for line in plan.splitlines()
+    ), plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_maintain_join_invalid_op_raises_in_plan(spark):
+    """An op outside {U, D} must raise at execution, not act as a
+    silent delete (its key would be retracted but never re-derived)."""
+    import pytest
+
+    from local_data_pipeline_spark.operators.cdc import maintain_join
+
+    fact = spark.createDataFrame([(1, 1.0)], "k long, v double")
+    dim = spark.createDataFrame([(1, "a")], "k long, seg string")
+    view0 = fact.join(dim, "k")
+    changes = spark.createDataFrame(
+        [(1, "a2", "c")], "k long, seg string, op string"
+    )
+    with pytest.raises(Exception, match="invalid dim changelog op"):
+        maintain_join(view0, fact, changes, "k").collect()
