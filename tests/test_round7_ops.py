@@ -16,10 +16,29 @@ def test_hll_error_within_advertised_rsd(spark):
     rows = QUERIES["hll_distinct_error_eval"].fn(spark, SF).collect()
     assert rows
     for r in rows:
-        assert r.rel_err_rsd05 <= 0.15, r
-        assert r.rel_err_rsd01 <= 0.03, r
-    mean05 = sum(r.rel_err_rsd05 for r in rows) / len(rows)
-    mean01 = sum(r.rel_err_rsd01 for r in rows) / len(rows)
+        assert r.ok_rsd05 == 1, r
+        assert r.ok_rsd01 == 1, r
+    # finer-is-not-worse on aggregate: recompute the realized errors
+    # directly (the query itself only hashes the within-bound flags)
+    from pyspark.sql import functions as F
+    from local_data_pipeline_spark.session import load_table
+
+    ev = load_table(spark, SF, "events")
+    errs = (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").cast("double").alias("exact"),
+            F.approx_count_distinct("user_id", 0.05).alias("h05"),
+            F.approx_count_distinct("user_id", 0.01).alias("h01"),
+        )
+        .select(
+            (F.abs(F.col("h05") - F.col("exact")) / F.col("exact")).alias("e05"),
+            (F.abs(F.col("h01") - F.col("exact")) / F.col("exact")).alias("e01"),
+        )
+        .collect()
+    )
+    mean05 = sum(r.e05 for r in errs) / len(errs)
+    mean01 = sum(r.e01 for r in errs) / len(errs)
     assert mean01 <= mean05 + 1e-9
 
 
