@@ -3,8 +3,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is fully executed via a noop-format write (materializes every
-row through the whole plan, no driver collect overhead). One warm-up query
-first so JVM/codegen warmup isn't billed to the first measured query.
+row through the whole plan, no driver collect overhead). An untimed
+warm-up prefix (parquet scan/codegen, Arrow worker spin-up, shuffle +
+broadcast + window + localCheckpoint machinery) runs first so session
+first-touch cost isn't billed to whichever query happens to run first —
+per-query times must be position-independent across ``_PRIORITY``
+rotations.
 """
 
 from __future__ import annotations
@@ -27,6 +31,52 @@ def _sf_label(path: str) -> float:
         return float(base.replace("sf", ""))
     except ValueError:
         return -1.0
+
+
+def _warmup(spark) -> None:
+    """Untimed warm-up prefix: exercise every expensive one-time path —
+    JVM JIT, whole-stage-codegen compilation, parquet footer caches,
+    shuffle + broadcast machinery, window exec, Arrow/pandas worker
+    spin-up, and the localCheckpoint block-manager path — so per-query
+    times are POSITION-INDEPENDENT. Two rounds running, the drift report
+    flagged whichever iterative queries the ``_PRIORITY`` rotation moved
+    to the front of the bench (r6→r7: pagerank 6.9→12.4 s in-bench,
+    back to 6.9 s standalone): they were absorbing session first-touch
+    cost that belongs to no query. This prefix eats that cost instead."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    # 1. parquet scan + codegen + hash aggregate over the real tables
+    QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # 2. Arrow batch transfer + executor-side pandas/numpy import
+    QUERIES["pca_embedding_variance"].fn(spark, SF_DIR).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    # 3. iterative-operator machinery on synthetic data: shuffle join,
+    #    broadcast join, window exec, and two localCheckpoint rounds
+    #    (lineage cut + block manager), the paths the graph queries hit
+    df = spark.range(0, 100_000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(97)).alias("k")
+    )
+    for _ in range(2):
+        agg = df.groupBy("k").agg(F.count("*").alias("n"))
+        df = (
+            df.join(F.broadcast(agg), "k")
+            .select("id", "k")
+            .localCheckpoint(eager=True)
+        )
+    w = Window.partitionBy("k").orderBy("id")
+    df.select(F.row_number().over(w).alias("rn")).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    spark.catalog.clearCache()
+    try:
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
+    except Exception:  # pragma: no cover - version drift guard
+        pass
 
 
 def main() -> None:
@@ -76,10 +126,7 @@ def main() -> None:
     )
     spark = builder_aqe_off.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    # warm-up: JVM + codegen + parquet footer caches
-    QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    _warmup(spark)
 
     times: dict[str, float] = {}
     for name, spec in QUERIES.items():

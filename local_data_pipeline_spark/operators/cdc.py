@@ -236,7 +236,10 @@ def maintain_join(
     payload — :func:`compact_changelog` IS the right compaction here,
     unlike for maintain_agg: a join view needs only the final dim
     image, not a before/after envelope) and carry every dim column the
-    view projects. Output columns = ``old_view``'s exactly.
+    view projects; per-key uniqueness is ENFORCED in-plan (an
+    uncompacted batch fails the job — it would otherwise silently
+    duplicate every re-derived row). Output columns = ``old_view``'s
+    exactly.
 
     Scale: both joins put the CHANGELOG on the broadcast side — the
     retraction is a map-side anti-join of the view against |Δ| keys,
@@ -271,7 +274,32 @@ def maintain_join(
         ).isNull(),
         F.col(key),
     )
-    keys = dim_changes.select(checked_key.alias(key))
+    # Enforce the compacted-changelog precondition IN-PLAN too: a
+    # changelog with duplicate keys would silently DUPLICATE re-derived
+    # view rows (each duplicate dim image joins every matching fact
+    # row), unlike the loud op check above. The guard aggregates the
+    # (tiny, broadcast-bound) key projection and asserts per-key
+    # cardinality 1 before the anti-join consumes it — an uncompacted
+    # batch fails the job instead of corrupting the view.
+    checked_unique = F.when(
+        F.assert_true(
+            F.col("__chg_n") == 1,
+            F.concat(
+                F.lit(
+                    "dim changelog is not compacted (run compact_changelog "
+                    "first): duplicate rows for key "
+                ),
+                F.col(key).cast("string"),
+            ),
+        ).isNull(),
+        F.col(key),
+    )
+    keys = (
+        dim_changes.select(checked_key.alias(key))
+        .groupBy(key)
+        .agg(F.count("*").alias("__chg_n"))
+        .select(checked_unique.alias(key))
+    )
     kept = old_view.join(F.broadcast(keys), key, "left_anti")
     upserts = dim_changes.filter(F.col(op_col) == "U").drop(op_col)
     rederived = fact.join(F.broadcast(upserts), key).select(
@@ -364,3 +392,122 @@ def maintain_agg(
         )
         .filter(F.col(n_col) > 0)
     )
+
+
+def maintain_minmax(
+    old_agg: DataFrame,
+    new_base: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+    min_col: str = "min_value",
+    max_col: str = "max_value",
+    op_col: str = "op",
+    before_group: str = "before_group",
+    before_value: str = "before_value",
+    after_group: str = "after_group",
+    after_value: str = "after_value",
+) -> DataFrame:
+    """Incremental view maintenance of a keyed MIN/MAX aggregate from a
+    BEFORE/AFTER-envelope changelog — the non-self-maintainable sibling
+    of :func:`maintain_agg` (COUNT/SUM deltas compose algebraically;
+    MIN/MAX under retraction does not: deleting the current extreme
+    requires looking at the surviving rows). The classic dirty-group
+    recompute rule keeps the base-table work delta-bounded:
+
+    - **inserts are monotone**: an after image can only LOWER a group's
+      min or RAISE its max, so insert-only groups merge in-plan with
+      ``least``/``greatest`` — no base access;
+    - **a retraction endangers an extreme only if its before image
+      EQUALS the group's current min or max** (a middle value can never
+      be the extreme); exactly those groups are marked dirty and
+      recomputed from ``new_base`` restricted to the dirty keys — a
+      broadcast semi-join, so the scan confines to the affected groups
+      (with the base bucketed/partitioned by ``group_col``, to the
+      affected buckets). Duplicated extremes recompute conservatively
+      to the same answer. A group whose rows are ALL deleted is
+      necessarily dirty (its min-holder was deleted), so group
+      disappearance falls out of the recompute returning no row —
+      no count column needed;
+    - untouched groups pass through.
+
+    ``new_base`` is the base table AFTER the batch applied (the output
+    of :func:`apply_changes`, or the equivalent relation), projected to
+    ``(group_col, value_col)``. ``changes`` must satisfy the same
+    :func:`compact_envelope` precondition as :func:`maintain_agg`
+    (first before image / last after image, one row per key); ops
+    outside :data:`OPS` fail in-plan via the assert-rides-a-projection
+    pattern. ``old_agg`` carries ``group_col``, ``min_col``, ``max_col``.
+
+    Scale: the dirty-key set and insert delta are changelog-sized and
+    broadcast; the only base-table access is the dirty-group recompute
+    (one aggregate over a semi-joined scan); the clean merge is
+    |groups|-sized. Reference scope: the reference rebuilds tables
+    wholesale every run (dbt full refresh, SURVEY §2.D); this is the
+    §2.E-era warehouse pattern that replaces it at 100 TB.
+    """
+    # in-plan op validation: the filter predicate below evaluates the
+    # assert-wrapped op on EVERY changelog row (assert_true is not
+    # pushdown-able, so Catalyst cannot bypass it); an op outside OPS
+    # would otherwise behave as a silent delete (retracted by the dirty
+    # path, never re-asserted by the insert path)
+    if op_col not in changes.columns:
+        raise ValueError(f"changelog is missing op column {op_col!r}")
+    checked_op = F.when(
+        F.assert_true(
+            F.col(op_col).isin(*OPS),
+            F.concat(
+                F.lit(f"invalid changelog op (expected one of {OPS}): "),
+                F.col(op_col),
+            ),
+        ).isNull(),
+        F.col(op_col),
+    )
+    changes = changes.withColumn(op_col, checked_op)
+
+    inserts = (
+        changes.filter(
+            (F.col(op_col) == "U") & F.col(after_group).isNotNull()
+        )
+        .groupBy(F.col(after_group).alias(group_col))
+        .agg(
+            F.min(after_value).alias("__imn"),
+            F.max(after_value).alias("__imx"),
+        )
+    )
+    dirty = (
+        changes.filter(F.col(before_group).isNotNull())
+        .select(
+            F.col(before_group).alias(group_col),
+            F.col(before_value).alias("__bv"),
+        )
+        .join(old_agg.select(group_col, min_col, max_col), group_col)
+        .filter(
+            (F.col("__bv") == F.col(min_col))
+            | (F.col("__bv") == F.col(max_col))
+        )
+        .select(group_col)
+        .distinct()
+    )
+    clean_old = old_agg.join(F.broadcast(dirty), group_col, "left_anti")
+    clean_ins = inserts.join(F.broadcast(dirty), group_col, "left_anti")
+    merged = clean_old.join(clean_ins, group_col, "full_outer").select(
+        group_col,
+        F.least(
+            F.coalesce(F.col(min_col), F.col("__imn")),
+            F.coalesce(F.col("__imn"), F.col(min_col)),
+        ).alias(min_col),
+        F.greatest(
+            F.coalesce(F.col(max_col), F.col("__imx")),
+            F.coalesce(F.col("__imx"), F.col(max_col)),
+        ).alias(max_col),
+    )
+    recomputed = (
+        new_base.join(F.broadcast(dirty), group_col)
+        .groupBy(group_col)
+        .agg(
+            F.min(value_col).alias(min_col),
+            F.max(value_col).alias(max_col),
+        )
+    )
+    return merged.unionByName(recomputed)

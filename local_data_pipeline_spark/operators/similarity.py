@@ -51,6 +51,17 @@ def salt_hot_postings(
     ``join_keys = [token_col, salt_col]``; callers join on those keys
     and drop/ignore ``salt_col`` afterwards.
     """
+    # the helper flag column must not collide with caller columns, same
+    # contract as salt_col: a pre-existing __hot on either side would
+    # make the left-joins below ambiguous (analysis error at best,
+    # wrong-bucket routing at worst)
+    for side, df in (("anchors", anchors), ("corpus", corpus)):
+        for col in ("__hot", salt_col):
+            if col in df.columns:
+                raise ValueError(
+                    f"{side} already carries helper column {col!r} — "
+                    "rename it or pass a different salt_col"
+                )
     hot = F.broadcast(
         hot_tokens.select(token_col).distinct().withColumn(
             "__hot", F.lit(True)

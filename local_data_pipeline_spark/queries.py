@@ -15520,6 +15520,137 @@ def incremental_agg_maintenance_orders(
 
 
 @q(
+    "incremental_minmax_maintenance_orders",
+    """
+    WITH src AS (
+      SELECT o_orderkey AS key, 'U' AS op,
+             o_orderpriority AS bg, o_totalprice AS bv,
+             o_orderpriority AS ag, o_totalprice * 1.1 AS av
+      FROM orders WHERE o_orderkey % 100 < 5
+      UNION ALL
+      SELECT o_orderkey, 'U', o_orderpriority, o_totalprice,
+             '0-MOVED', o_totalprice
+      FROM orders WHERE o_orderkey % 100 >= 5 AND o_orderkey % 100 < 10
+      UNION ALL
+      SELECT o_orderkey, 'D', o_orderpriority, o_totalprice, NULL, NULL
+      FROM orders WHERE o_orderkey % 100 >= 20 AND o_totalprice > 400000
+      UNION ALL
+      SELECT o_orderkey + 1000000000, 'U', NULL, NULL, '1-URGENT', 1.0
+      FROM orders WHERE o_orderkey % 100 = 60),
+    post AS (
+      SELECT o_orderpriority AS grp, o_totalprice AS price FROM orders
+      WHERE o_orderkey NOT IN (SELECT key FROM src)
+      UNION ALL
+      SELECT ag, av FROM src WHERE op = 'U')
+    SELECT grp AS o_orderpriority,
+           floor(min(price) * 1e6 + 0.5) / 1e6 AS min_price,
+           floor(max(price) * 1e6 + 0.5) / 1e6 AS max_price
+    FROM post GROUP BY grp
+    """,
+    tags=("cdc", "incremental", "agg", "maintenance"),
+)
+def incremental_minmax_maintenance_orders(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MIN/MAX maintenance (``operators/cdc.py:
+    maintain_minmax``) — the non-self-maintainable aggregate the
+    COUNT/SUM IVM query can't cover: keep a per-priority (min, max)
+    price rollup fresh under a changelog that (a) raises prices 10% in
+    place (possible new maxima via the monotone insert path), (b) moves
+    keys to a new group, (c) DELETES every order above 400k — retracting
+    the current maximum of essentially every group, forcing the
+    dirty-group recompute path — and (d) inserts brand-new 1.0-priced
+    keys (new minima, monotone path again). The Spark side maintains the
+    rollup incrementally (dirty groups recomputed from the post-apply
+    base restricted by a broadcast semi-join; clean groups merged
+    in-plan); the oracle recomputes the post-apply state from scratch,
+    so a missed dirty flag, a lost monotone update, or a group that
+    should have vanished all fail the value hash.
+
+    Determinism: min/max of doubles involve no accumulation — exact on
+    both engines; the only derived values (price*1.1) are single double
+    multiplies, pinned at 6dp via floor(x*1e6+0.5)/1e6 (engine-identical
+    ops — round() half-boundary semantics are NOT, see
+    interpolate_hourly_gaps).
+
+    Scale: changelog-sized delta + broadcast dirty-key semi-join into
+    the base scan — with the base bucketed by group the recompute reads
+    only affected buckets; the base is never re-aggregated in full."""
+    from .operators.cdc import maintain_minmax
+
+    o = _t(spark, sf_dir, "orders")
+    k = F.col("o_orderkey")
+    pri = F.col("o_orderpriority")
+    price = F.col("o_totalprice")
+    null_s = F.lit(None).cast("string")
+    null_d = F.lit(None).cast("double")
+
+    def _chg(df, op, bg, bv, ag, av):
+        return df.select(
+            k.alias("key"),
+            F.lit(op).alias("op"),
+            bg.alias("before_group"),
+            bv.alias("before_value"),
+            ag.alias("after_group"),
+            av.alias("after_value"),
+        )
+
+    changes = (
+        _chg(o.filter(k % 100 < 5), "U", pri, price, pri, price * 1.1)
+        .unionByName(
+            _chg(
+                o.filter((k % 100 >= 5) & (k % 100 < 10)),
+                "U", pri, price, F.lit("0-MOVED"), price,
+            )
+        )
+        .unionByName(
+            _chg(
+                o.filter((k % 100 >= 20) & (price > 400000)),
+                "D", pri, price, null_s, null_d,
+            )
+        )
+        .unionByName(
+            o.filter(k % 100 == 60).select(
+                (k + 1000000000).alias("key"),
+                F.lit("U").alias("op"),
+                null_s.alias("before_group"),
+                null_d.alias("before_value"),
+                F.lit("1-URGENT").alias("after_group"),
+                F.lit(1.0).alias("after_value"),
+            )
+        )
+    )
+    old_agg = o.groupBy(pri.alias("grp")).agg(
+        F.min(price).alias("min_price"), F.max(price).alias("max_price")
+    )
+    # post-apply base, projected to (group, value): untouched rows plus
+    # every upsert's after image — the relation apply_changes would
+    # materialize; the operator only reads it under the dirty semi-join
+    new_base = (
+        o.join(changes.select(F.col("key").alias("o_orderkey")), "o_orderkey", "left_anti")
+        .select(pri.alias("grp"), price.alias("price"))
+        .unionByName(
+            changes.filter(
+                (F.col("op") == "U") & F.col("after_group").isNotNull()
+            ).select(
+                F.col("after_group").alias("grp"),
+                F.col("after_value").alias("price"),
+            )
+        )
+    )
+    out = maintain_minmax(
+        old_agg, new_base, changes, "grp", "price",
+        min_col="min_price", max_col="max_price",
+    )
+    fix6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+    return out.select(
+        F.col("grp").alias("o_orderpriority"),
+        fix6("min_price").alias("min_price"),
+        fix6("max_price").alias("max_price"),
+    )
+
+
+@q(
     "rendezvous_shard_rebalance_documents",
     """
     WITH s AS (SELECT unnest(range(0, 9)) AS s),

@@ -551,11 +551,21 @@ def test_sparse_cosine_salts_hot_postings(spark):
     guard for the |anchors|x df fan-out."""
     df = _df(spark, "sparse_cosine_topk_documents")
     plan = physical_plan(df)
+    # Coarse invariants only: exact formatted fragments ("explode(CASE
+    # WHEN ...", "Left keys [2]: [token") broke on Spark formatting
+    # changes even when the plan shape was unchanged (round-8 advice).
     assert "__salt" in plan  # composite join key survives to the plan
-    # anchor replication: explode over the (constant-folded) salt array
-    assert "explode(CASE WHEN isnotnull(__hot" in plan
-    # corpus bucketing: pmod of the doc id by the salt count
-    assert "pmod(b_id" in plan
-    # the postings join keys on [token, __salt], not token alone
-    assert "Left keys [2]: [token" in plan
+    # anchor replication: an explode (of the salt array) is in the plan
+    assert "explode" in plan.lower()
+    # corpus bucketing: pmod of the partitioning column by the salt count
+    assert "pmod" in plan
+    # the postings join keys on (token, __salt) together: both names
+    # appear in at least one join's key list — locate a join line that
+    # mentions token and __salt on the same line
+    join_lines = [
+        ln
+        for ln in plan.splitlines()
+        if ("Join" in ln or "keys" in ln) and "token" in ln and "__salt" in ln
+    ]
+    assert join_lines, "no join keyed on (token, __salt) found in plan"
     assert "BroadcastExchange" in plan

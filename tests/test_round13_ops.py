@@ -1,0 +1,167 @@
+"""Round-13 additions: MIN/MAX incremental view maintenance
+(operators/cdc.py:maintain_minmax) — the dirty-group recompute rule —
+plus this round's guard hardening (maintain_join compaction check,
+salt_hot_postings helper-column collision).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.001"
+
+CHG_SCHEMA = (
+    "key bigint, op string, before_group string, before_value double, "
+    "after_group string, after_value double"
+)
+
+
+def _minmax_frames(spark, rows):
+    """(new_base_builder, old_agg) for a list of (key, grp, value)."""
+    base = spark.createDataFrame(rows, "key bigint, grp string, value double")
+    old_agg = base.groupBy("grp").agg(
+        F.min("value").alias("min_value"), F.max("value").alias("max_value")
+    )
+    return base, old_agg
+
+
+def _apply(rows, changes):
+    """Driver-side reference apply: rows after the changelog batch."""
+    touched = {c[0] for c in changes}
+    out = [r for r in rows if r[0] not in touched]
+    for key, op, bg, bv, ag, av in changes:
+        if op == "U" and ag is not None:
+            out.append((key, ag, av))
+    return out
+
+
+def _run(spark, rows, changes):
+    from local_data_pipeline_spark.operators.cdc import maintain_minmax
+
+    base, old_agg = _minmax_frames(spark, rows)
+    new_rows = _apply(rows, changes)
+    new_base = spark.createDataFrame(
+        new_rows, "key bigint, grp string, value double"
+    ).select("grp", "value")
+    chg = spark.createDataFrame(changes, CHG_SCHEMA)
+    got = {
+        r.grp: (r.min_value, r.max_value)
+        for r in maintain_minmax(
+            old_agg, new_base, chg, "grp", "value"
+        ).collect()
+    }
+    want = {}
+    for _, g, v in new_rows:
+        lo, hi = want.get(g, (v, v))
+        want[g] = (min(lo, v), max(hi, v))
+    return got, want, new_rows
+
+
+def test_maintain_minmax_delete_current_max_recomputes(spark):
+    """The case COUNT/SUM IVM cannot express: deleting the row holding
+    the group max must fall back to recomputing the group from the
+    surviving rows — across TWO sequential batches (the second deletes
+    the max the first batch promoted)."""
+    rows = [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 10.0), (4, "b", 2.0)]
+    batch1 = [(3, "D", "a", 10.0, None, None)]
+    got, want, rows1 = _run(spark, rows, batch1)
+    assert got == want == {"a": (1.0, 5.0), "b": (2.0, 2.0)}
+
+    batch2 = [
+        (2, "D", "a", 5.0, None, None),     # delete the NEW max
+        (9, "U", None, None, "a", 3.0),     # and insert a middle value
+    ]
+    got2, want2, _ = _run(spark, rows1, batch2)
+    assert got2 == want2 == {"a": (1.0, 3.0), "b": (2.0, 2.0)}
+
+
+def test_maintain_minmax_monotone_inserts_skip_recompute(spark):
+    """Insert-only batches merge in-plan (least/greatest): new global
+    max, new global min, and a brand-new group."""
+    rows = [(1, "a", 1.0), (2, "a", 5.0)]
+    batch = [
+        (10, "U", None, None, "a", 50.0),   # raises max
+        (11, "U", None, None, "a", -1.0),   # lowers min
+        (12, "U", None, None, "z", 7.0),    # new group
+    ]
+    got, want, _ = _run(spark, rows, batch)
+    assert got == want == {"a": (-1.0, 50.0), "z": (7.0, 7.0)}
+
+
+def test_maintain_minmax_group_empties_out(spark):
+    """Deleting every row of a group necessarily retracts its min, so
+    the dirty recompute returns no row and the group disappears."""
+    rows = [(1, "a", 1.0), (2, "a", 5.0), (3, "b", 2.0)]
+    batch = [
+        (1, "D", "a", 1.0, None, None),
+        (2, "D", "a", 5.0, None, None),
+    ]
+    got, want, _ = _run(spark, rows, batch)
+    assert got == want == {"b": (2.0, 2.0)}
+
+
+def test_maintain_minmax_duplicate_extreme_is_conservative(spark):
+    """Two rows share the max; deleting one flags the group dirty and
+    the recompute (correctly) keeps the max."""
+    rows = [(1, "a", 10.0), (2, "a", 10.0), (3, "a", 1.0)]
+    batch = [(1, "D", "a", 10.0, None, None)]
+    got, want, _ = _run(spark, rows, batch)
+    assert got == want == {"a": (1.0, 10.0)}
+
+
+def test_maintain_minmax_middle_retraction_no_dirty_path(spark):
+    """Retracting a strictly-interior value plus a same-batch update:
+    extremes survive without a recompute (the plan's dirty set is empty
+    — checked by result equality; the plan-shape pin lives in the
+    operator's broadcast semi-join)."""
+    rows = [(1, "a", 1.0), (2, "a", 5.0), (3, "a", 10.0)]
+    batch = [
+        (2, "D", "a", 5.0, None, None),
+        (9, "U", None, None, "a", 6.0),
+    ]
+    got, want, _ = _run(spark, rows, batch)
+    assert got == want == {"a": (1.0, 10.0)}
+
+
+def test_maintain_minmax_group_move_dirty_on_source_only_when_extreme(spark):
+    """A group-moving update retracts from the source group (dirty iff
+    the moved value was its extreme) and inserts monotonically into the
+    destination."""
+    rows = [(1, "a", 1.0), (2, "a", 5.0), (3, "b", 2.0)]
+    batch = [(2, "U", "a", 5.0, "b", 5.0)]  # a's max moves to b
+    got, want, _ = _run(spark, rows, batch)
+    assert got == want == {"a": (1.0, 1.0), "b": (2.0, 5.0)}
+
+
+def test_maintain_minmax_invalid_op_fails_in_plan(spark):
+    from local_data_pipeline_spark.operators.cdc import maintain_minmax
+
+    rows = [(1, "a", 1.0)]
+    base, old_agg = _minmax_frames(spark, rows)
+    chg = spark.createDataFrame(
+        [(1, "X", "a", 1.0, "a", 2.0)], CHG_SCHEMA
+    )
+    with pytest.raises(Exception, match="invalid changelog op"):
+        maintain_minmax(
+            old_agg, base.select("grp", "value"), chg, "grp", "value"
+        ).collect()
+
+
+def test_maintain_minmax_incremental_equals_full_recompute(spark):
+    """Reconciliation over a larger synthetic batch mixing every change
+    species — the property the query's oracle hash rides on."""
+    rows = [(i, f"g{i % 7}", float((i * 37) % 101)) for i in range(300)]
+    batch = (
+        # in-place value bumps (some hit extremes)
+        [(i, "U", f"g{i % 7}", float((i * 37) % 101),
+          f"g{i % 7}", float((i * 37) % 101) + 0.5) for i in range(0, 60, 4)]
+        # group moves
+        + [(i, "U", f"g{i % 7}", float((i * 37) % 101),
+            f"g{(i + 1) % 7}", float((i * 37) % 101)) for i in range(61, 90, 3)]
+        # deletes targeting large values (extreme retractions)
+        + [(i, "D", f"g{i % 7}", float((i * 37) % 101), None, None)
+           for i in range(90, 300) if (i * 37) % 101 > 90]
+        # brand-new keys
+        + [(1000 + i, "U", None, None, f"g{i % 7}", 200.0 + i) for i in range(5)]
+    )
+    got, want, _ = _run(spark, rows, batch)
+    assert got == want
