@@ -4789,10 +4789,18 @@ def top_event_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "fuzzy_part_name_pairs",
     """
+    WITH p AS (
+      SELECT p_partkey, p_brand, p_name, length(p_name) // 4 AS band
+      FROM part),
+    probe AS (
+      SELECT p_partkey, p_brand, p_name, band + d.d AS pband
+      FROM p, (SELECT unnest([-1, 0, 1]) AS d) d)
     SELECT a.p_brand AS brand, cast(count(*) AS bigint) AS n_pairs,
            cast(min(levenshtein(a.p_name, b.p_name)) AS bigint) AS min_dist
-    FROM part a JOIN part b
-      ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+    FROM p a JOIN probe b
+      ON a.p_brand = b.p_brand AND a.band = b.pband
+     AND a.p_partkey < b.p_partkey
+     AND abs(length(a.p_name) - length(b.p_name)) <= 3
     WHERE levenshtein(a.p_name, b.p_name) <= 3
     GROUP BY a.p_brand
     """,
@@ -4816,9 +4824,12 @@ def fuzzy_part_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-block quadratic kernel now runs per (brand, band) instead of
     per brand — a hot brand no longer becomes a straggler task, and
     pairs with incompatible lengths are never enumerated at all
-    (sf1 Spark-side: ~36 s warm, vs 539 s roster wall for the brand-only
-    form — the residual roster time is the DuckDB twin's own full
-    quadratic kernel). The exact
+    (sf1 Spark-side: ~33 s warm, vs 539 s roster wall for the brand-only
+    form). The ORACLE mirrors the same (brand, band) blocking since
+    round 8 — the banding is lossless (dist <= 3 implies band diff
+    <= 1), and the measured sf1 twin drops 437 s -> 293 s; the residual
+    twin time is DuckDB's unthresholded O(n^2)-per-pair levenshtein
+    kernel, which SQL cannot express thresholded. The exact
     |len(a)-len(b)| <= 3 predicate stays (band adjacency admits diffs
     up to 7), ordered so codegen short-circuits before the
     edit-distance kernel. The self-join is SHUFFLED on the block key
@@ -8166,16 +8177,22 @@ def rfm_segmentation_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Retrieval-quality evaluation: recall@10 of the two approximate
     neighbor indexes (hyperplane LSH, IVF) against exact brute-force
-    cosine ground truth, over a deterministic query sample
-    (vec_id % 97 == 0). This is the eval loop that tunes n_planes /
-    n_probe before an index rolls out corpus-wide; rows-only check
-    (the hash-banded indexes are not SQL-expressible — see
-    operators/similarity.py).
+    cosine ground truth, over a deterministic query PANEL whose size
+    stays ~constant as the corpus grows: the base rule vec_id % 97 == 0
+    widens its modulus by ⌈n/(97·24)⌉, so ground-truth cost is
+    panel × corpus — LINEAR in corpus size, never quadratic (the sf1
+    gate measured the unsampled panel at 81 s; recall estimates over
+    ~24 queries carry the same tuning signal). This is the eval loop
+    that tunes n_planes / n_probe before an index rolls out
+    corpus-wide; rows-only check (the hash-banded indexes are not
+    SQL-expressible — see operators/similarity.py).
 
     Output: one row per method with mean recall@10 as an exact integer
     ratio (hits / (10 * n_queries), single double division)."""
     emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 97 == 0).persist()
+    n_corpus = emb.count()
+    modulus = 97 * max(1, n_corpus // (97 * 24))
+    qs = emb.filter(F.col("vec_id") % modulus == 0).persist()
     # the quadratic exact-scoring ground truth feeds BOTH method joins —
     # persist so brute force runs once, release before returning
     truth = (
@@ -9305,9 +9322,21 @@ def minhash_precision_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     companion to `ann_recall_eval` on the embedding side. Rows-only:
     hash-banded candidates are not SQL-expressible.
 
+    The whole eval runs over a deterministic EVALUATION SCOPE capped at
+    ~5000 documents (doc_id % ⌈n/5000⌉ == 0): both the candidate index
+    and the ground truth are built on the same scope, so precision and
+    recall stay consistent while the blocked all-pairs truth — the
+    intrinsically superlinear part (43 s unsampled at the sf1 gate) —
+    costs the same at any corpus size. Below the cap the scope is the
+    full corpus (small-sf behavior unchanged).
+
     Output: one row — candidate counts, true-positive counts, precision,
     and within-source recall, all exact-integer ratios."""
     d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()
+    mod = max(1, n_docs // 5000)
+    if mod > 1:
+        d = d.filter(F.col("doc_id") % mod == 0)
     sigs = DD.minhash_signature(d, n_hashes=32, shingle_k=3)
     # the candidate and truth relations each feed multiple counts/joins —
     # persist so the signature/jaccard stages run once, release on exit
@@ -13579,7 +13608,10 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
     tf AS (SELECT doc_id, token, count(*) AS tf FROM flat GROUP BY doc_id, token),
     norms AS (SELECT doc_id, sqrt(sum(tf * tf)) AS nrm FROM tf GROUP BY doc_id),
-    anchors AS (SELECT doc_id AS a_id, token, tf AS a_tf FROM tf WHERE doc_id % 97 = 0),
+    anchors AS (
+      SELECT doc_id AS a_id, token, tf AS a_tf FROM tf
+      WHERE doc_id %
+            (SELECT 97 * greatest(1, count(*) // 5000) FROM documents) = 0),
     dots AS (
       SELECT a.a_id, b.doc_id AS b_id, sum(a.a_tf * b.tf) AS dot
       FROM anchors a JOIN tf b ON b.token = a.token AND b.doc_id <> a.a_id
@@ -13603,10 +13635,15 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact sparse-vector (term-frequency) cosine top-5 per anchor doc —
     the bag-of-words twin of the dense cosine_topk: dot products via the
     shared-token postings join (only token-coincident pairs are ever
-    scored), norms from one tf aggregate. The anchor set is the
-    deterministic doc_id %% 97 sample, so candidate volume is
-    |anchors| x corpus — LINEAR in corpus size; full all-pairs mining is
-    the MinHash/LSH path (minhash_near_dups). Integer tf dots are exact;
+    scored), norms from one tf aggregate. The anchor set is a
+    deterministic doc_id sample whose modulus WIDENS with the corpus
+    (97 x max(1, n_docs // 5000), identical arithmetic in the oracle's
+    scalar subquery) so the panel stays ~51 anchors past sf0.1 and the
+    candidate volume |anchors| x corpus is LINEAR in corpus size — with
+    a fixed modulus the panel itself grew linearly, making the query
+    quadratic (the 404 s sf1 roster wall, round-8 fix); full all-pairs
+    mining is the MinHash/LSH path (minhash_near_dups). Integer tf dots
+    are exact;
     norms are IEEE-exact sqrt of integers; ranking happens on the
     round(6) value with a doc tie-break (both engines order the rounded
     score — the hybrid_rrf lesson).
@@ -13627,7 +13664,8 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
     )
-    anchors = tf.filter(F.col("doc_id") % 97 == 0).select(
+    modulus = 97 * max(1, d.count() // 5000)
+    anchors = tf.filter(F.col("doc_id") % modulus == 0).select(
         F.col("doc_id").alias("a_id"), "token", F.col("tf").alias("a_tf")
     )
     n_docs = tf.select(F.countDistinct("doc_id").alias("__n"))
@@ -16491,47 +16529,33 @@ def quarantine_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order after the prefix and stay fully declared (bench runs
 # everything; tests/tools check every oracle).
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-7 ROTATION (the closing rotation): the first 40 names are
-    # every query never green in any driver CORRECTNESS file after
-    # r02-r06 (attested union 225/265): 10 oracle-backed
-    # (conditional_agg_lineitem's only driver row ever is the r02 hash
-    # FAIL; pagerank_copurchase_parts graduated from rows-only to a
-    # full unrolled-CTE oracle in r06 and was never sampled; the other
-    # 8 were added in rounds 5-6 after their rotation slots closed) and
-    # the 30 queries that were rows-only entering the round. SIX of
-    # those 30 graduated to full value-hash oracles DURING round 7
-    # (bpe_merge_table, bpe_encode, content_defined_chunks_bounded,
-    # multimodal_features_demo, ppm_pixel_stats_media,
-    # unigram_tokenize) -- the driver hash-checks them; the remaining
-    # 24 have no DuckDB twin by design (xxhash64/sketch internals/
-    # learned float models) and get the driver's weaker rows+schema
-    # check -- their first ever trip through the driver's pandas
-    # canonicalizer, which is exactly where the round-5 `unhashable
-    # type` class of failure hides (all were rehearsed through
-    # tools/rehearse_driver.py this round first).
-    # The last 10: eight deliberate heavy re-checks of already-attested
-    # queries -- the two the round-6 verdict named (hits_customer_parts,
-    # near_dup_clusters_documents), the two whose plans changed in r06
-    # (hybrid_rrf_search_documents, fuzzy_part_name_pairs),
-    # sparse_cosine_topk_documents (hot-token salt added THIS round --
-    # must re-attest), and three more of the most expensive/trickiest
-    # determinism surfaces -- plus the TWO queries ADDED this round
-    # (modularity_lpa_copurchase, dim_refresh_join_view_orders), so the
-    # green-attested union reaches the full catalog: 267/267.
-    "conditional_agg_lineitem",
-    "pagerank_copurchase_parts",
-    "label_balance_embeddings",
-    "incremental_agg_maintenance_orders",
-    "rendezvous_shard_rebalance_documents",
-    "mmr_diversified_topk_embeddings",
-    "kcore_copurchase_parts",
-    "markov_transition_perplexity_events",
-    "cuped_ab_readout_events",
-    "quarantine_split_orders",
-    # -- the 30 rows-only queries (driver records rows+schema) --
+    # ROUND-8 ROTATION. First block: everything whose SEMANTICS or PLAN
+    # changed this round and therefore needs a fresh driver
+    # attestation — the SIX queries graduated from rows-only to full
+    # value-hash oracles (exact columns + live-sketch within-bound
+    # flags / two-pass heavy hitters), the NEW query
+    # (incremental_minmax_maintenance_orders: MIN/MAX IVM), the
+    # reworked poisson bootstrap (x^5-mod-p mixer replaced md5 — new
+    # hash values on BOTH engines), the re-scoped evals
+    # (ann_recall_eval, minhash_precision_recall_eval: constant-size
+    # panels), the re-oracle'd fuzzy pairs (banded twin), the
+    # anchor-capped sparse cosine, and dim_refresh_join_view_orders
+    # (maintain_join gained the in-plan compaction guard).
+    "approx_percentiles_events",
+    "percentile_sketch_error_eval",
+    "approx_distinct_users_audit",
+    "hll_distinct_error_eval",
+    "hll_daily_to_monthly_users",
+    "heavy_hitter_tokens_mg",
+    "incremental_minmax_maintenance_orders",
+    "poisson_bootstrap_ci_events",
+    "sparse_cosine_topk_documents",
+    "fuzzy_part_name_pairs",
+    "dim_refresh_join_view_orders",
+    # -- the 18 remaining rows-only queries (driver rows+schema check;
+    #    every one already attested in r07, kept in rotation so the
+    #    attestation stays current as the set shrinks) --
     "approx_sketch_stats",
-    "multimodal_features_demo",
-    "ppm_pixel_stats_media",
     "minhash_near_dups",
     "winnowing_overlap_pairs",
     "simhash_near_dups",
@@ -16542,34 +16566,37 @@ _PRIORITY: tuple[str, ...] = (
     "pq_adc_recall_eval",
     "kmeans_embedding_clusters",
     "semantic_dedup_embeddings",
-    "approx_percentiles_events",
-    "heavy_hitter_tokens_mg",
-    "bpe_merge_table_documents",
     "pca_embedding_variance",
-    "approx_distinct_users_audit",
     "logistic_quality_lang_classifier",
     "ann_recall_eval",
     "minhash_precision_recall_eval",
-    "bpe_encode_documents",
-    "hll_distinct_error_eval",
-    "percentile_sketch_error_eval",
     "phash_near_dup_media",
-    "unigram_tokenize_documents",
-    "hll_daily_to_monthly_users",
     "ridge_length_model_documents",
     "ridge_kfold_cv_documents",
-    "content_defined_chunks_bounded",
-    # -- heavy re-checks (already attested; re-verified after r07 changes) --
+    # -- heavy / trickiest-determinism re-checks (all previously
+    #    attested; the iterative graph family, the BPE/unigram
+    #    tokenizers, the r07 multimodal graduations, IVM, flagship) --
+    "pagerank_copurchase_parts",
+    "kcore_copurchase_parts",
     "hits_customer_parts",
-    "near_dup_clusters_documents",
-    "sparse_cosine_topk_documents",
-    "hybrid_rrf_search_documents",
-    "fuzzy_part_name_pairs",
-    "bin_pack_report_documents",
-    "poisson_bootstrap_ci_events",
     "label_propagation_copurchase",
     "modularity_lpa_copurchase",
-    "dim_refresh_join_view_orders",
+    "near_dup_clusters_documents",
+    "hybrid_rrf_search_documents",
+    "bpe_merge_table_documents",
+    "bpe_encode_documents",
+    "unigram_tokenize_documents",
+    "content_defined_chunks_bounded",
+    "multimodal_features_demo",
+    "ppm_pixel_stats_media",
+    "incremental_agg_maintenance_orders",
+    "daily_max_event",
+    "mmr_diversified_topk_embeddings",
+    "triangle_count_copurchase",
+    "kmv_join_overlap_estimate",
+    "conditional_agg_lineitem",
+    "bin_pack_report_documents",
+    "rendezvous_shard_rebalance_documents",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)
