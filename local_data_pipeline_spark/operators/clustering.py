@@ -61,7 +61,10 @@ def _assign_udf(centroids: list[list[float]]):
 
 def _dist_udf(centroids: list[list[float]]):
     """Scalar pandas UDF: squared L2 distance to the given cluster's
-    centroid, rounded to 6 decimals (cross-run stable hash input)."""
+    centroid, pinned to 6 decimals via floor(x*1e6+0.5)/1e6 — the same
+    quantization rule the SQL oracle runs (np.round is half-EVEN, SQL
+    round() is half-up: a knife-edge 7th decimal would diverge even
+    when the underlying sums agree to machine precision)."""
     from pyspark.sql.functions import pandas_udf
 
     c = np.array(centroids, dtype=np.float64)
@@ -70,7 +73,9 @@ def _dist_udf(centroids: list[list[float]]):
     def dist(vecs: pd.Series, cluster: pd.Series) -> pd.Series:
         m = np.array(list(vecs), dtype=np.float64)
         diff = m - c[cluster.values]
-        return pd.Series(np.round((diff * diff).sum(axis=1), 6))
+        return pd.Series(
+            np.floor((diff * diff).sum(axis=1) * 1e6 + 0.5) / 1e6
+        )
 
     return dist
 
@@ -124,15 +129,20 @@ def kmeans_cluster_stats(
     centroids: list[list[float]],
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Per-cluster size and mean squared distance to centroid (round-6
-    per row, exact-decimal mean — stable at any parallelism)."""
+    """Per-cluster size and mean squared distance to centroid (floor-
+    quantized to 6 decimals per row, exact-decimal sum, double division,
+    floor-quantized mean — stable at any parallelism and expressible
+    with identical arithmetic in the DuckDB oracle)."""
     a = kmeans_assign(df, centroids, vec_col=vec_col)
     withd = a.withColumn(
         "sqdist", _dist_udf(centroids)(F.col(vec_col), F.col("cluster"))
     )
+    mean = dsum("sqdist") / F.count("*")
     return withd.groupBy("cluster").agg(
         F.count("*").alias("n"),
-        F.round(dsum("sqdist") / F.count("*"), 6).alias("avg_sqdist"),
+        (F.floor(mean * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
+            "avg_sqdist"
+        ),
     )
 
 

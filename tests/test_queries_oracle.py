@@ -43,10 +43,9 @@ def test_query_matches_oracle(spark, duck, name):
 
 
 def test_approx_sketches_track_their_exact_twins(spark):
-    """The sketch query dropped its exact columns (at scale you never pay
-    the exact-distinct shuffle) — so pin the approximations against the
-    exact answers here: HLL++ within its ~5% default rsd, t-digest median
-    within 1% relative error."""
+    """Since the round-8 graduation the query computes its exact twins
+    and the within-bound flags itself — pin that every flag is 1 and
+    that the exact columns match an independent recompute."""
     from pyspark.sql import functions as F
 
     from local_data_pipeline_spark.session import load_table
@@ -67,8 +66,10 @@ def test_approx_sketches_track_their_exact_twins(spark):
     }
     assert set(got) == set(exact)
     for flag, e in exact.items():
-        assert abs(got[flag]["approx_parts"] - e["parts"]) <= 0.10 * e["parts"]
-        assert abs(got[flag]["approx_p50_price"] - e["p50"]) <= 0.01 * e["p50"]
+        assert got[flag]["hll_ok"] == 1, flag
+        assert got[flag]["p50_rank_ok"] == 1, flag
+        assert got[flag]["n_parts_exact"] == e["parts"]
+        assert abs(got[flag]["p50_price_exact"] - e["p50"]) <= 1e-6
 
 
 def test_approx_percentiles_bounded_rank_error(spark):
