@@ -16685,9 +16685,14 @@ _PRIORITY: tuple[str, ...] = (
     "sparse_cosine_topk_documents",
     "fuzzy_part_name_pairs",
     "dim_refresh_join_view_orders",
-    # -- the 18 remaining rows-only queries (driver rows+schema check;
+    # -- the remaining rows-only queries (driver rows+schema check;
     #    every one already attested in r07, kept in rotation so the
-    #    attestation stays current as the set shrinks) --
+    #    attestation stays current as the set shrinks). Two of the 18
+    #    listed here GRADUATED to full oracles later in round 8
+    #    (approx_sketch_stats, kmeans_embedding_clusters) — the driver
+    #    hash-checks them from this same slot; 16 stay rows-only, all
+    #    structurally so (xxhash64 index internals, LAPACK solver float
+    #    paths, DCT) --
     "approx_sketch_stats",
     "minhash_near_dups",
     "winnowing_overlap_pairs",

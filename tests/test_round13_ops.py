@@ -165,3 +165,61 @@ def test_maintain_minmax_incremental_equals_full_recompute(spark):
     )
     got, want, _ = _run(spark, rows, batch)
     assert got == want
+
+
+def test_maintain_join_rejects_uncompacted_changelog(spark):
+    """Duplicate keys in the dim changelog previously duplicated every
+    re-derived view row SILENTLY; the in-plan cardinality guard must
+    fail the job instead."""
+    from local_data_pipeline_spark.operators.cdc import maintain_join
+
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, amt double")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, name string")
+    view = fact.join(dim, "k").select("k", "amt", "name")
+    dup_changes = spark.createDataFrame(
+        [(1, "a2", "U"), (1, "a3", "U")], "k bigint, name string, op string"
+    )
+    with pytest.raises(Exception, match="not compacted"):
+        maintain_join(view, fact, dup_changes, "k").collect()
+
+
+def test_maintain_join_compacted_changelog_still_works(spark):
+    from local_data_pipeline_spark.operators.cdc import maintain_join
+
+    fact = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k bigint, amt double")
+    dim = spark.createDataFrame([(1, "a"), (2, "b")], "k bigint, name string")
+    view = fact.join(dim, "k").select("k", "amt", "name")
+    changes = spark.createDataFrame(
+        [(1, "a2", "U")], "k bigint, name string, op string"
+    )
+    got = {
+        (r.k, r.amt, r.name)
+        for r in maintain_join(view, fact, changes, "k").collect()
+    }
+    assert got == {(1, 10.0, "a2"), (2, 20.0, "b")}
+
+
+def test_salt_hot_postings_rejects_helper_column_collisions(spark):
+    """A pre-existing __hot (or salt_col) on either input would make the
+    internal left-joins ambiguous — the guard must raise up front."""
+    from local_data_pipeline_spark.operators.similarity import (
+        salt_hot_postings,
+    )
+
+    anchors = spark.createDataFrame(
+        [("t1", 1)], "token string, a_id bigint"
+    )
+    corpus = spark.createDataFrame(
+        [("t1", 2)], "token string, b_id bigint"
+    )
+    hot = spark.createDataFrame([("t1",)], "token string")
+    for bad_side, a, c in (
+        ("anchors", anchors.withColumn("__hot", F.lit(1)), corpus),
+        ("corpus", anchors, corpus.withColumn("__salt", F.lit(0))),
+    ):
+        with pytest.raises(ValueError, match="helper column"):
+            salt_hot_postings(a, c, hot)
+    # clean inputs still work
+    a_s, c_s, keys = salt_hot_postings(anchors, corpus, hot)
+    assert keys == ["token", "__salt"]
+    assert a_s.join(c_s, keys).count() == 1
