@@ -511,3 +511,128 @@ def maintain_minmax(
         )
     )
     return merged.unionByName(recomputed)
+
+
+def maintain_distinct(
+    old_support: DataFrame,
+    changes: DataFrame,
+    group_col: str,
+    value_col: str,
+    n_col: str = "n_support",
+    op_col: str = "op",
+    before_group: str = "before_group",
+    before_value: str = "before_value",
+    after_group: str = "after_group",
+    after_value: str = "after_value",
+) -> DataFrame:
+    """Incremental maintenance of an EXACT per-group COUNT(DISTINCT
+    value) under a BEFORE/AFTER-envelope changelog — the third member
+    of the IVM family (COUNT/SUM: :func:`maintain_agg`; MIN/MAX:
+    :func:`maintain_minmax`). Distinct counts are not self-maintainable
+    from the counts alone: deleting one of a user's three events must
+    NOT drop the user, deleting their last one must. The classic fix is
+    a SUPPORT MULTISET synopsis — one row per live (group, value) pair
+    with its base-row multiplicity — maintained by the delta rule:
+
+    - every before image contributes −1 to its (group, value) support,
+    - every upsert's after image contributes +1 to its new pair
+      (a group- or value-moving update splits into both, and an update
+      that touches neither nets to zero),
+    - pairs whose support reaches 0 drop out of the synopsis; a pair
+      driven NEGATIVE means the changelog retracted something the base
+      never held, and fails loudly in-plan (assert_true) rather than
+      silently corrupting every later batch.
+
+    ``COUNT(DISTINCT value)`` per group is then a row count over the
+    synopsis, and the plain row count is ``sum(n_support)`` — both fall
+    out of one aggregate (:func:`distinct_counts`).
+
+    Returns the NEW support relation (same schema as ``old_support``:
+    group, value, n_col) — the state to persist for the next batch.
+
+    Preconditions: same :func:`compact_envelope` contract as the other
+    maintainers (one row per changed base-row key, first-before /
+    last-after); ``old_support`` faithful (build the first one with
+    ``base.groupBy(group, value).count()``).
+
+    Scale: the delta aggregate is changelog-sized and map-side
+    combinable; the merge is one join of the synopsis against the
+    (usually tiny, broadcastable) delta. The synopsis itself is
+    |live (group, value) pairs| — the unavoidable price of EXACT
+    distinct-under-retraction (sketches that support deletion keep a
+    comparable synopsis; plain HLL cannot retract at all). At 100 TB,
+    bucket the synopsis by group so the merge is exchange-free on the
+    big side; the base table is never rescanned.
+
+    Reference scope: the reference recomputes every rollup wholesale
+    per run (dbt, SURVEY §2.D); this is the §2.E-era replacement.
+    """
+    if op_col not in changes.columns:
+        raise ValueError(f"changelog is missing op column {op_col!r}")
+    checked_op = F.when(
+        F.assert_true(
+            F.col(op_col).isin(*OPS),
+            F.concat(
+                F.lit(f"invalid changelog op (expected one of {OPS}): "),
+                F.col(op_col),
+            ),
+        ).isNull(),
+        F.col(op_col),
+    )
+    changes = changes.withColumn(op_col, checked_op)
+    minus = changes.filter(F.col(before_group).isNotNull()).select(
+        F.col(before_group).alias(group_col),
+        F.col(before_value).alias(value_col),
+        F.lit(-1).cast("bigint").alias("__dn"),
+    )
+    plus = changes.filter(
+        (F.col(op_col) == "U") & F.col(after_group).isNotNull()
+    ).select(
+        F.col(after_group).alias(group_col),
+        F.col(after_value).alias(value_col),
+        F.lit(1).cast("bigint").alias("__dn"),
+    )
+    delta = (
+        minus.unionByName(plus)
+        .groupBy(group_col, value_col)
+        .agg(F.sum("__dn").alias("__dn"))
+    )
+    merged = old_support.join(delta, [group_col, value_col], "full_outer")
+    n_new = F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(
+        F.col("__dn"), F.lit(0)
+    )
+    checked_n = F.when(
+        F.assert_true(
+            n_new >= 0,
+            F.concat(
+                F.lit(
+                    "inconsistent changelog: support driven negative for "
+                    "(group, value) = ("
+                ),
+                F.col(group_col).cast("string"),
+                F.lit(", "),
+                F.col(value_col).cast("string"),
+                F.lit(")"),
+            ),
+        ).isNull(),
+        n_new,
+    )
+    return (
+        merged.select(group_col, value_col, checked_n.alias(n_col))
+        .filter(F.col(n_col) > 0)
+    )
+
+
+def distinct_counts(
+    support: DataFrame,
+    group_col: str,
+    n_col: str = "n_support",
+) -> DataFrame:
+    """Roll a support synopsis up to (group, n_distinct, n_rows):
+    distinct = synopsis row count, rows = sum of multiplicities. One
+    map-side-combinable aggregate over the synopsis — the base table
+    is never touched."""
+    return support.groupBy(group_col).agg(
+        F.count("*").cast("bigint").alias("n_distinct"),
+        F.sum(n_col).cast("bigint").alias("n_rows"),
+    )

@@ -15822,6 +15822,121 @@ def incremental_minmax_maintenance_orders(
 
 
 @q(
+    "incremental_distinct_maintenance_events",
+    """
+    WITH src AS (
+      SELECT event_id AS key, 'U' AS op, event_type AS bg, user_id AS bv,
+             'purchase' AS ag, user_id AS av
+      FROM events WHERE event_id % 100 < 5
+      UNION ALL
+      SELECT event_id, 'D', event_type, user_id, NULL, NULL
+      FROM events WHERE event_id % 100 >= 5 AND event_id % 100 < 15
+      UNION ALL
+      SELECT event_id, 'U', event_type, user_id, event_type, user_id
+      FROM events WHERE event_id % 100 = 15
+      UNION ALL
+      SELECT event_id + 1000000000, 'U', NULL, NULL, 'signup', user_id
+      FROM events WHERE event_id % 100 = 16
+      UNION ALL
+      SELECT event_id + 2000000000, 'U', NULL, NULL, 'signup',
+             user_id + 1000000
+      FROM events WHERE event_id % 100 = 17),
+    post AS (
+      SELECT event_type, user_id FROM events
+      WHERE event_id NOT IN (SELECT key FROM src)
+      UNION ALL
+      SELECT ag, av FROM src WHERE op = 'U')
+    SELECT event_type,
+           cast(count(DISTINCT user_id) AS bigint) AS n_distinct,
+           cast(count(*) AS bigint) AS n_rows
+    FROM post GROUP BY event_type
+    """,
+    tags=("cdc", "incremental", "agg", "maintenance"),
+)
+def incremental_distinct_maintenance_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental EXACT COUNT(DISTINCT) maintenance
+    (``operators/cdc.py:maintain_distinct``) — the third IVM family
+    member, and the one a naive delta rule gets WRONG: deleting one of
+    a user's three events must not drop them from the distinct count,
+    deleting their last one must. The support-multiset synopsis (one
+    row per live (event_type, user) pair with its event multiplicity)
+    makes both exact. The changelog mixes event re-typing (group moves
+    — a user can remain distinct in BOTH types), bulk deletes (10% of
+    events — some users lose their last event in a type), value-only
+    updates (net-zero on the synopsis), and new events for existing AND
+    brand-new users. The Spark side maintains the synopsis
+    incrementally; the oracle recomputes post-apply distincts from
+    scratch — a lost retraction, double-counted move, or
+    dropped-too-early pair all fail the value hash.
+
+    Scale: delta is changelog-sized and map-side combinable; the merge
+    joins the synopsis once against the (broadcastable) delta; the
+    events table is never rescanned. Exact distinct-under-retraction
+    fundamentally needs this synopsis — HLL sketches cannot retract.
+
+    Cross-engine determinism: everything is integer counts; no floats
+    anywhere."""
+    from .operators.cdc import distinct_counts, maintain_distinct
+
+    e = _t(spark, sf_dir, "events")
+    k = F.col("event_id")
+    et = F.col("event_type")
+    uid = F.col("user_id")
+    null_s = F.lit(None).cast("string")
+    null_b = F.lit(None).cast("bigint")
+
+    def _chg(df, op, bg, bv, ag, av):
+        return df.select(
+            k.alias("key"),
+            F.lit(op).alias("op"),
+            bg.alias("before_group"),
+            bv.alias("before_value"),
+            ag.alias("after_group"),
+            av.alias("after_value"),
+        )
+
+    changes = (
+        _chg(e.filter(k % 100 < 5), "U", et, uid, F.lit("purchase"), uid)
+        .unionByName(
+            _chg(
+                e.filter((k % 100 >= 5) & (k % 100 < 15)),
+                "D", et, uid, null_s, null_b,
+            )
+        )
+        .unionByName(_chg(e.filter(k % 100 == 15), "U", et, uid, et, uid))
+        .unionByName(
+            e.filter(k % 100 == 16).select(
+                (k + 1000000000).alias("key"),
+                F.lit("U").alias("op"),
+                null_s.alias("before_group"),
+                null_b.alias("before_value"),
+                F.lit("signup").alias("after_group"),
+                uid.alias("after_value"),
+            )
+        )
+        .unionByName(
+            e.filter(k % 100 == 17).select(
+                (k + 2000000000).alias("key"),
+                F.lit("U").alias("op"),
+                null_s.alias("before_group"),
+                null_b.alias("before_value"),
+                F.lit("signup").alias("after_group"),
+                (uid + 1000000).alias("after_value"),
+            )
+        )
+    )
+    support = e.groupBy(
+        et.alias("event_type"), uid.alias("user_id")
+    ).agg(F.count("*").cast("bigint").alias("n_support"))
+    new_support = maintain_distinct(
+        support, changes, "event_type", "user_id"
+    )
+    return distinct_counts(new_support, "event_type")
+
+
+@q(
     "rendezvous_shard_rebalance_documents",
     """
     WITH s AS (SELECT unnest(range(0, 9)) AS s),
@@ -16681,6 +16796,7 @@ _PRIORITY: tuple[str, ...] = (
     "hll_daily_to_monthly_users",
     "heavy_hitter_tokens_mg",
     "incremental_minmax_maintenance_orders",
+    "incremental_distinct_maintenance_events",
     "poisson_bootstrap_ci_events",
     "sparse_cosine_topk_documents",
     "fuzzy_part_name_pairs",
@@ -16734,7 +16850,6 @@ _PRIORITY: tuple[str, ...] = (
     "kmv_join_overlap_estimate",
     "conditional_agg_lineitem",
     "bin_pack_report_documents",
-    "rendezvous_shard_rebalance_documents",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)

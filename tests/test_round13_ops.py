@@ -223,3 +223,120 @@ def test_salt_hot_postings_rejects_helper_column_collisions(spark):
     a_s, c_s, keys = salt_hot_postings(anchors, corpus, hot)
     assert keys == ["token", "__salt"]
     assert a_s.join(c_s, keys).count() == 1
+
+
+# ------------------------------------------------- distinct-count IVM
+
+def _support(spark, rows):
+    """Support synopsis from (key, grp, value) base rows."""
+    base = spark.createDataFrame(rows, "key bigint, grp string, value bigint")
+    return base.groupBy("grp", "value").agg(
+        F.count("*").cast("bigint").alias("n_support")
+    )
+
+
+DCHG_SCHEMA = (
+    "key bigint, op string, before_group string, before_value bigint, "
+    "after_group string, after_value bigint"
+)
+
+
+def test_maintain_distinct_multiplicity_semantics(spark):
+    """THE distinct-IVM trap: user 7 has two events in group a —
+    deleting one must keep the user distinct; deleting the second (next
+    batch) must drop them. Exact across two sequential batches."""
+    from local_data_pipeline_spark.operators.cdc import (
+        distinct_counts,
+        maintain_distinct,
+    )
+
+    rows = [(1, "a", 7), (2, "a", 7), (3, "a", 8), (4, "b", 7)]
+    s0 = _support(spark, rows)
+    b1 = spark.createDataFrame([(1, "D", "a", 7, None, None)], DCHG_SCHEMA)
+    s1 = maintain_distinct(s0, b1, "grp", "value")
+    got1 = {
+        r.grp: (r.n_distinct, r.n_rows)
+        for r in distinct_counts(s1, "grp").collect()
+    }
+    assert got1 == {"a": (2, 2), "b": (1, 1)}  # user 7 still distinct in a
+
+    b2 = spark.createDataFrame([(2, "D", "a", 7, None, None)], DCHG_SCHEMA)
+    s2 = maintain_distinct(s1, b2, "grp", "value")
+    got2 = {
+        r.grp: (r.n_distinct, r.n_rows)
+        for r in distinct_counts(s2, "grp").collect()
+    }
+    assert got2 == {"a": (1, 1), "b": (1, 1)}  # now they drop
+
+
+def test_maintain_distinct_group_move_and_netzero_update(spark):
+    from local_data_pipeline_spark.operators.cdc import (
+        distinct_counts,
+        maintain_distinct,
+    )
+
+    rows = [(1, "a", 7), (2, "a", 8), (3, "b", 9)]
+    s0 = _support(spark, rows)
+    batch = spark.createDataFrame(
+        [
+            (1, "U", "a", 7, "b", 7),   # user 7 moves a -> b
+            (2, "U", "a", 8, "a", 8),   # value-only update: net zero
+        ],
+        DCHG_SCHEMA,
+    )
+    s1 = maintain_distinct(s0, batch, "grp", "value")
+    got = {
+        r.grp: (r.n_distinct, r.n_rows)
+        for r in distinct_counts(s1, "grp").collect()
+    }
+    assert got == {"a": (1, 1), "b": (2, 2)}
+
+
+def test_maintain_distinct_negative_support_fails_in_plan(spark):
+    """Retracting a (group, value) pair the base never held means the
+    changelog is inconsistent — must fail loudly, not go negative."""
+    from local_data_pipeline_spark.operators.cdc import maintain_distinct
+
+    s0 = _support(spark, [(1, "a", 7)])
+    bad = spark.createDataFrame(
+        [(9, "D", "a", 999, None, None)], DCHG_SCHEMA
+    )
+    with pytest.raises(Exception, match="support driven negative"):
+        maintain_distinct(s0, bad, "grp", "value").collect()
+
+
+def test_maintain_distinct_incremental_equals_full_recompute(spark):
+    from local_data_pipeline_spark.operators.cdc import (
+        distinct_counts,
+        maintain_distinct,
+    )
+
+    rows = [(i, f"g{i % 5}", (i * 13) % 37) for i in range(400)]
+    batch_rows = (
+        [(i, "U", f"g{i % 5}", (i * 13) % 37,
+          f"g{(i + 1) % 5}", (i * 13) % 37) for i in range(0, 80, 3)]
+        + [(i, "D", f"g{i % 5}", (i * 13) % 37, None, None)
+           for i in range(80, 200, 2)]
+        + [(1000 + i, "U", None, None, f"g{i % 5}", 100 + i)
+           for i in range(10)]
+    )
+    s0 = _support(spark, rows)
+    s1 = maintain_distinct(
+        s0, spark.createDataFrame(batch_rows, DCHG_SCHEMA), "grp", "value"
+    )
+    got = {
+        r.grp: (r.n_distinct, r.n_rows)
+        for r in distinct_counts(s1, "grp").collect()
+    }
+    # reference: apply driver-side, recompute from scratch
+    touched = {b[0] for b in batch_rows}
+    post = [(g, v) for kk, g, v in rows if kk not in touched] + [
+        (b[4], b[5]) for b in batch_rows if b[1] == "U" and b[4] is not None
+    ]
+    want = {}
+    for g, v in post:
+        d, n = want.get(g, (set(), 0))
+        d.add(v)
+        want[g] = (d, n + 1)
+    want = {g: (len(d), n) for g, (d, n) in want.items()}
+    assert got == want
