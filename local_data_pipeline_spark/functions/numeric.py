@@ -68,3 +68,22 @@ def dsum_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
 
 def davg_sql(expr: str, scale: int = DEFAULT_SCALE) -> str:
     return f"({dsum_sql(expr, scale)} / count({expr}))"
+
+
+def floor6(col: Column | str) -> Column:
+    """Engine-identical 6-decimal quantization: floor(x*1e6 + 0.5)/1e6.
+
+    Use this — never ``F.round`` / SQL ``round()`` / ``np.round`` — for
+    any float that feeds a cross-engine value hash: engine round()
+    semantics differ exactly at half boundaries (Spark rounds the
+    double's exact decimal expansion HALF_UP, DuckDB multiplies by 1e6
+    first, numpy rounds half-EVEN; a knife-edge value at sf1 produced
+    43.472812 vs 43.472813), while these three double ops are identical
+    everywhere. SQL twin: :func:`floor6_sql`."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+
+
+def floor6_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`floor6`."""
+    return f"floor(({expr}) * 1e6 + 0.5) / 1e6"

@@ -22,6 +22,30 @@ from pyspark.sql import functions as F
 OPS = ("U", "D")
 
 
+def _op_checked(wrapped, op, allow_null: bool = False, what: str = "changelog"):
+    """The assert-rides-a-projection op guard, shared by every
+    changelog consumer: return ``wrapped`` gated on ``op`` being a
+    member of :data:`OPS` (optionally NULL — the full-outer non-match
+    case). ``assert_true`` returns NULL when the condition holds, so
+    the ``when(...isNull(), wrapped)`` wrapper keeps the value while
+    forcing the check to evaluate on every row that reaches the
+    expression — a bare unused column would be pruned by Catalyst, and
+    assert_true is not pushdown-able, so a filter built on the result
+    cannot bypass it either."""
+    cond = op.isin(*OPS)
+    if allow_null:
+        cond = op.isNull() | cond
+    return F.when(
+        F.assert_true(
+            cond,
+            F.concat(
+                F.lit(f"invalid {what} op (expected one of {OPS}): "), op
+            ),
+        ).isNull(),
+        wrapped,
+    )
+
+
 def compact_changelog(
     changes: DataFrame, key: str, seq_col: str, op_col: str = "op"
 ) -> DataFrame:
@@ -124,21 +148,9 @@ def apply_changes(
         raise ValueError(f"changes missing target columns: {missing}")
     t, c = target.alias("__t"), changes.alias("__c")
     op_raw = F.col(f"__c.{op_col}")
-    # assert_true returns NULL when the condition holds, so wrapping the
-    # op in when(assert.isNull(), op) keeps the value while forcing the
-    # check to evaluate on every row (a bare unused column would be
-    # pruned by Catalyst). op is NULL for target rows untouched by the
-    # batch — that's the full-outer non-match, not an invalid op.
-    op = F.when(
-        F.assert_true(
-            op_raw.isNull() | op_raw.isin(*OPS),
-            F.concat(
-                F.lit(f"invalid changelog op (expected one of {OPS}): "),
-                op_raw,
-            ),
-        ).isNull(),
-        op_raw,
-    )
+    # op is NULL for target rows untouched by the batch — the full-outer
+    # non-match, not an invalid op
+    op = _op_checked(op_raw, op_raw, allow_null=True)
     joined = t.join(
         c, F.col(f"__t.{key}") == F.col(f"__c.{key}"), "full_outer"
     )
@@ -262,18 +274,8 @@ def maintain_join(
     # Validate ops IN-PLAN on the key projection (which sees EVERY
     # changelog row): an op outside OPS would otherwise act as a silent
     # delete — its key is retracted by the anti-join but only op U rows
-    # re-derive. Same assert_true-rides-a-projection pattern as
-    # apply_changes (a bare filter would be constant-folded away).
-    checked_key = F.when(
-        F.assert_true(
-            F.col(op_col).isin(*OPS),
-            F.concat(
-                F.lit(f"invalid dim changelog op (expected one of {OPS}): "),
-                F.col(op_col),
-            ),
-        ).isNull(),
-        F.col(key),
-    )
+    # re-derive.
+    checked_key = _op_checked(F.col(key), F.col(op_col), what="dim changelog")
     # Enforce the compacted-changelog precondition IN-PLAN too: a
     # changelog with duplicate keys would silently DUPLICATE re-derived
     # view rows (each duplicate dim image joins every matching fact
@@ -446,24 +448,14 @@ def maintain_minmax(
     wholesale every run (dbt full refresh, SURVEY §2.D); this is the
     §2.E-era warehouse pattern that replaces it at 100 TB.
     """
-    # in-plan op validation: the filter predicate below evaluates the
-    # assert-wrapped op on EVERY changelog row (assert_true is not
-    # pushdown-able, so Catalyst cannot bypass it); an op outside OPS
-    # would otherwise behave as a silent delete (retracted by the dirty
-    # path, never re-asserted by the insert path)
+    # in-plan op validation: an op outside OPS would otherwise behave
+    # as a silent delete (retracted by the dirty path, never re-asserted
+    # by the insert path)
     if op_col not in changes.columns:
         raise ValueError(f"changelog is missing op column {op_col!r}")
-    checked_op = F.when(
-        F.assert_true(
-            F.col(op_col).isin(*OPS),
-            F.concat(
-                F.lit(f"invalid changelog op (expected one of {OPS}): "),
-                F.col(op_col),
-            ),
-        ).isNull(),
-        F.col(op_col),
+    changes = changes.withColumn(
+        op_col, _op_checked(F.col(op_col), F.col(op_col))
     )
-    changes = changes.withColumn(op_col, checked_op)
 
     inserts = (
         changes.filter(
@@ -569,17 +561,9 @@ def maintain_distinct(
     """
     if op_col not in changes.columns:
         raise ValueError(f"changelog is missing op column {op_col!r}")
-    checked_op = F.when(
-        F.assert_true(
-            F.col(op_col).isin(*OPS),
-            F.concat(
-                F.lit(f"invalid changelog op (expected one of {OPS}): "),
-                F.col(op_col),
-            ),
-        ).isNull(),
-        F.col(op_col),
+    changes = changes.withColumn(
+        op_col, _op_checked(F.col(op_col), F.col(op_col))
     )
-    changes = changes.withColumn(op_col, checked_op)
     minus = changes.filter(F.col(before_group).isNotNull()).select(
         F.col(before_group).alias(group_col),
         F.col(before_value).alias(value_col),
@@ -627,12 +611,24 @@ def distinct_counts(
     support: DataFrame,
     group_col: str,
     n_col: str = "n_support",
+    value_col: "str | None" = None,
 ) -> DataFrame:
     """Roll a support synopsis up to (group, n_distinct, n_rows):
     distinct = synopsis row count, rows = sum of multiplicities. One
     map-side-combinable aggregate over the synopsis — the base table
-    is never touched."""
+    is never touched.
+
+    Pass ``value_col`` to get SQL COUNT(DISTINCT value) semantics
+    exactly: a (group, NULL) synopsis row (NULL-valued base rows are
+    legitimate) then counts toward ``n_rows`` but NOT ``n_distinct``,
+    matching COUNT(DISTINCT)'s NULL-ignoring contract. Without it the
+    synopsis row count treats NULL as one more distinct value."""
+    n_distinct = (
+        F.count(F.when(F.col(value_col).isNotNull(), 1))
+        if value_col is not None
+        else F.count("*")
+    )
     return support.groupBy(group_col).agg(
-        F.count("*").cast("bigint").alias("n_distinct"),
+        n_distinct.cast("bigint").alias("n_distinct"),
         F.sum(n_col).cast("bigint").alias("n_rows"),
     )

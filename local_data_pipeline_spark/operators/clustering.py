@@ -38,7 +38,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..functions.numeric import dsum
+from ..functions.numeric import dsum, floor6
 from .dedup import dedup_clusters
 
 
@@ -137,12 +137,9 @@ def kmeans_cluster_stats(
     withd = a.withColumn(
         "sqdist", _dist_udf(centroids)(F.col(vec_col), F.col("cluster"))
     )
-    mean = dsum("sqdist") / F.count("*")
     return withd.groupBy("cluster").agg(
         F.count("*").alias("n"),
-        (F.floor(mean * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            "avg_sqdist"
-        ),
+        floor6(dsum("sqdist") / F.count("*")).alias("avg_sqdist"),
     )
 
 

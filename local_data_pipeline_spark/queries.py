@@ -22,7 +22,14 @@ from typing import Callable
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .functions.numeric import davg, davg_sql, dsum, dsum_dec, dsum_sql
+from .functions.numeric import (
+    davg,
+    davg_sql,
+    dsum,
+    dsum_dec,
+    dsum_sql,
+    floor6,
+)
 from .functions import text as TX
 from .functions.vectors import cosine, l2_norm
 from .operators import dedup as DD
@@ -1760,15 +1767,21 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
     )
     j = li.join(F.broadcast(agg), "l_returnflag")
-    frac = F.sum(
+    # tie-immune realized-rank check (l_extendedprice REPEATS — qty x
+    # retailprice collides): the answer's rank interval [frac_lt,
+    # frac_le] must intersect [0.5 - slack, 0.5 + slack]
+    n = F.max("n").cast("double")
+    frac_le = F.sum(
         F.when(F.col("l_extendedprice") <= F.col("ap50"), 1).otherwise(0)
-    ) / F.max("n").cast("double")
+    ) / n
+    frac_lt = F.sum(
+        F.when(F.col("l_extendedprice") < F.col("ap50"), 1).otherwise(0)
+    ) / n
+    slack = F.lit(1.0 / 1000) + F.lit(2.0) / F.max("n")
     return j.groupBy("l_returnflag").agg(
         F.max("n").alias("n"),
         F.max("n_parts_exact").alias("n_parts_exact"),
-        (F.floor(F.max("ex50") * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)).alias(
-            "p50_price_exact"
-        ),
+        floor6(F.max("ex50")).alias("p50_price_exact"),
         (
             F.abs(F.max("ap_parts") - F.max("n_parts_exact"))
             / F.max("n_parts_exact").cast("double")
@@ -1777,7 +1790,7 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("hll_ok"),
         (
-            F.abs(frac - F.lit(0.5)) <= F.lit(1.0 / 1000) + F.lit(2.0) / F.max("n")
+            (frac_lt <= F.lit(0.5) + slack) & (frac_le >= F.lit(0.5) - slack)
         )
         .cast("bigint")
         .alias("p50_rank_ok"),
@@ -4449,16 +4462,27 @@ def approx_percentiles_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(agg), "event_type")
 
     def rank_ok(i: int, target: float) -> Column:
-        frac = F.sum(
+        # Tie-immune realized-rank check: a value tied many times at the
+        # returned answer makes frac_le overshoot the target through no
+        # fault of the sketch (the guarantee is about SOME rank of the
+        # answer, not the topmost tie). Correct form: the answer's rank
+        # INTERVAL [frac_lt, frac_le] must intersect the guarantee
+        # window [q - slack, q + slack].
+        n = F.max("n").cast("double")
+        frac_le = F.sum(
             F.when(F.col("value") <= F.col("ap")[i], 1).otherwise(0)
-        ) / F.max("n").cast("double")
+        ) / n
+        frac_lt = F.sum(
+            F.when(F.col("value") < F.col("ap")[i], 1).otherwise(0)
+        ) / n
         slack = 1.0 / 10000 + F.lit(2.0) / F.max("n")
         return (
-            (F.abs(frac - F.lit(target)) <= slack).cast("bigint")
-        )
+            (frac_lt <= F.lit(target) + slack)
+            & (frac_le >= F.lit(target) - slack)
+        ).cast("bigint")
 
     def exact6(i: int) -> Column:
-        return F.floor(F.max(F.col("ex")[i]) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return floor6(F.max(F.col("ex")[i]))
 
     return j.groupBy("event_type").agg(
         F.max("n").alias("n"),
@@ -5812,7 +5836,13 @@ def heavy_hitter_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.heavy_hitters import heavy_hitter_candidates
 
     d = _t(spark, sf_dir, "documents")
-    tokens = d.select(F.explode(TX.tokens(F.col("text"))).alias("token"))
+    # the exploded token stream feeds three consumers (MG sketch pass,
+    # scalar total, exact recount join) — cut lineage so the regex
+    # tokenize + explode runs once, not three times (the tf pattern
+    # sparse_cosine_topk_documents uses)
+    tokens = d.select(
+        F.explode(TX.tokens(F.col("text"))).alias("token")
+    ).localCheckpoint(eager=False)
     cands = heavy_hitter_candidates(tokens, k=200).select("token")
     total = tokens.agg(F.count("*").cast("bigint").alias("tot"))
     exact = (
@@ -8335,7 +8365,9 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ratio (hits / (10 * n_queries), single double division)."""
     emb = _t(spark, sf_dir, "embeddings")
     n_corpus = emb.count()
-    modulus = 97 * max(1, n_corpus // (97 * 24))
+    # ceiling division: a floor would let the panel drift up to 2x the
+    # target before the modulus steps (and step discontinuously)
+    modulus = 97 * max(1, (n_corpus + 97 * 24 - 1) // (97 * 24))
     qs = emb.filter(F.col("vec_id") % modulus == 0).persist()
     # the quadratic exact-scoring ground truth feeds BOTH method joins —
     # persist so brute force runs once, release before returning
@@ -9478,7 +9510,9 @@ def minhash_precision_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
     and within-source recall, all exact-integer ratios."""
     d = _t(spark, sf_dir, "documents")
     n_docs = d.count()
-    mod = max(1, n_docs // 5000)
+    # ceiling division: floor let the scope reach 9999 docs (~4x the
+    # quadratic cost the cap was sized for) before stepping
+    mod = max(1, (n_docs + 4999) // 5000)
     if mod > 1:
         d = d.filter(F.col("doc_id") % mod == 0)
     sigs = DD.minhash_signature(d, n_hashes=32, shingle_k=3)
@@ -11252,14 +11286,23 @@ def percentile_sketch_error_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = ev.join(F.broadcast(agg), "event_type")
 
     def rank_ok(ap_col: str, target: float) -> Column:
-        frac = F.sum(
+        # tie-immune: the answer's rank interval [frac_lt, frac_le] must
+        # intersect [q - slack, q + slack] (see approx_percentiles_events)
+        n = F.max("n").cast("double")
+        frac_le = F.sum(
             F.when(F.col("value") <= F.col(ap_col), 1).otherwise(0)
-        ) / F.max("n").cast("double")
+        ) / n
+        frac_lt = F.sum(
+            F.when(F.col("value") < F.col(ap_col), 1).otherwise(0)
+        ) / n
         slack = 1.0 / 1000 + F.lit(2.0) / F.max("n")
-        return (F.abs(frac - F.lit(target)) <= slack).cast("bigint")
+        return (
+            (frac_lt <= F.lit(target) + slack)
+            & (frac_le >= F.lit(target) - slack)
+        ).cast("bigint")
 
     def exact6(col: str) -> Column:
-        return F.floor(F.max(col) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
+        return floor6(F.max(col))
 
     return j.groupBy("event_type").agg(
         F.max("n").alias("n"),
@@ -13755,7 +13798,8 @@ def weighted_sample_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors AS (
       SELECT doc_id AS a_id, token, tf AS a_tf FROM tf
       WHERE doc_id %
-            (SELECT 97 * greatest(1, count(*) // 5000) FROM documents) = 0),
+            (SELECT 97 * greatest(1, (count(*) + 4999) // 5000)
+             FROM documents) = 0),
     dots AS (
       SELECT a.a_id, b.doc_id AS b_id, sum(a.a_tf * b.tf) AS dot
       FROM anchors a JOIN tf b ON b.token = a.token AND b.doc_id <> a.a_id
@@ -13781,8 +13825,8 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared-token postings join (only token-coincident pairs are ever
     scored), norms from one tf aggregate. The anchor set is a
     deterministic doc_id sample whose modulus WIDENS with the corpus
-    (97 x max(1, n_docs // 5000), identical arithmetic in the oracle's
-    scalar subquery) so the panel stays ~51 anchors past sf0.1 and the
+    (97 x max(1, ceil(n_docs / 5000)), identical arithmetic in the
+    oracle's scalar subquery) so the panel stays ~51 anchors past sf0.1 and the
     candidate volume |anchors| x corpus is LINEAR in corpus size — with
     a fixed modulus the panel itself grew linearly, making the query
     quadratic (the 404 s sf1 roster wall, round-8 fix); full all-pairs
@@ -13808,7 +13852,7 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     norms = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
     )
-    modulus = 97 * max(1, d.count() // 5000)
+    modulus = 97 * max(1, (d.count() + 4999) // 5000)  # ceil, ≡ oracle
     anchors = tf.filter(F.col("doc_id") % modulus == 0).select(
         F.col("doc_id").alias("a_id"), "token", F.col("tf").alias("a_tf")
     )
@@ -15824,11 +15868,10 @@ def incremental_minmax_maintenance_orders(
         old_agg, new_base, changes, "grp", "price",
         min_col="min_price", max_col="max_price",
     )
-    fix6 = lambda c: F.floor(F.col(c) * F.lit(1e6) + F.lit(0.5)) / F.lit(1e6)
     return out.select(
         F.col("grp").alias("o_orderpriority"),
-        fix6("min_price").alias("min_price"),
-        fix6("max_price").alias("max_price"),
+        floor6("min_price").alias("min_price"),
+        floor6("max_price").alias("max_price"),
     )
 
 
@@ -15944,7 +15987,10 @@ def incremental_distinct_maintenance_events(
     new_support = maintain_distinct(
         support, changes, "event_type", "user_id"
     )
-    return distinct_counts(new_support, "event_type")
+    # value_col: SQL COUNT(DISTINCT) semantics (NULL values counted in
+    # n_rows, never in n_distinct — user_id is non-null here, but the
+    # contract must match the oracle's count(DISTINCT) by construction)
+    return distinct_counts(new_support, "event_type", value_col="user_id")
 
 
 @q(

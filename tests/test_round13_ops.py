@@ -340,3 +340,38 @@ def test_maintain_distinct_incremental_equals_full_recompute(spark):
         want[g] = (d, n + 1)
     want = {g: (len(d), n) for g, (d, n) in want.items()}
     assert got == want
+
+
+def test_distinct_counts_null_value_matches_sql_semantics(spark):
+    """A NULL-valued base row counts toward n_rows but must NOT count as
+    a distinct value when value_col is passed (SQL COUNT(DISTINCT)
+    ignores NULLs); without value_col the synopsis row count would."""
+    from local_data_pipeline_spark.operators.cdc import distinct_counts
+
+    support = spark.createDataFrame(
+        [("a", 7, 2), ("a", None, 3), ("b", None, 1)],
+        "grp string, value int, n_support bigint",
+    )
+    got = {
+        r.grp: (r.n_distinct, r.n_rows)
+        for r in distinct_counts(support, "grp", value_col="value").collect()
+    }
+    assert got == {"a": (1, 5), "b": (0, 1)}
+
+
+def test_heavy_hitters_topk_orders_by_count_then_token(spark):
+    """heavy_hitters_topk (the sketch-count top-k convenience over the
+    candidates): descending merged count, token-ascending tie-break,
+    and the counts are lower bounds of the exact frequencies."""
+    from local_data_pipeline_spark.operators.heavy_hitters import (
+        heavy_hitters_topk,
+    )
+
+    toks = (["aa"] * 30 + ["bb"] * 30 + ["cc"] * 10 + ["dd"] * 5
+            + [f"x{i}" for i in range(20)])
+    tokens = spark.createDataFrame([(t,) for t in toks], "token string")
+    rows = heavy_hitters_topk(tokens.coalesce(1), k=50, top=3).collect()
+    # k=50 > distinct tokens: sketch degenerates to exact counts
+    assert [(r.token, r.mg_count) for r in rows] == [
+        ("aa", 30), ("bb", 30), ("cc", 10)
+    ]
