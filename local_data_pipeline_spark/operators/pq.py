@@ -155,7 +155,13 @@ def pq_encode(
                 {
                     id_col: pdf[id_col],
                     "codes": list(codes),
-                    "recon_mse": np.round(np.maximum(err, 0.0) / x.shape[1], 6),
+                    # floor(x*1e6+0.5)/1e6, NOT np.round: half-even vs the
+                    # SQL oracle's quantization would diverge on a
+                    # knife-edge 7th decimal (functions/numeric.floor6)
+                    "recon_mse": np.floor(
+                        np.maximum(err, 0.0) / x.shape[1] * 1e6 + 0.5
+                    )
+                    / 1e6,
                 }
             )
 

@@ -2009,18 +2009,115 @@ def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@q("pq_encode_embeddings", None, tags=("similarity", "approx", "compression"))
+def _pq_oracle(m: int = 8, k: int = 16, n_iters: int = 3, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of PQ train + encode — the
+    ``_kmeans_oracle`` pattern generalized with a subspace axis: one
+    exploded (vec_id, sub, v) relation drives all ``m`` subspace k-means
+    runs per iteration, exactly like ``pq_train``'s single frame.
+    Arithmetic mirrors the operator where hashed: smallest-id init per
+    subspace; TRAIN assignment argmin of −2·v·c + ‖c‖² (ties → lowest
+    code, row_number ≡ numpy argmin); centroid recompute =
+    dsum_sql(component)/count (the double division pq_train performs);
+    empty codes keep the previous centroid; ENCODE assignment and the
+    reconstruction error both use the fully-expanded ‖v‖² − 2·v·c + ‖c‖²
+    (pq_encode's formula — the error accumulates over subspaces BEFORE
+    the max-with-0 cancellation guard), then /dim and floor6. Dot-product
+    summation ORDER differs (BLAS vs sequential) — ulp-level, argmin-
+    and quantization-safe away from exact ties (validated at
+    sf0.001/0.01/0.1/1 and at 200 shuffle partitions)."""
+    d_sub = dim // m
+    csum = (
+        "cast(cast(sum(cast(s.v[u.i + 1] as decimal(25,6))) as string)"
+        " as double)"
+    )
+    train_dist = "-2 * list_dot_product(s.v, c.c) + list_dot_product(c.c, c.c)"
+    full_dist = (
+        "list_dot_product(s.v, s.v) - 2 * list_dot_product(s.v, c.c)"
+        " + list_dot_product(c.c, c.c)"
+    )
+    parts = [
+        f"""WITH axes AS (SELECT unnest(range(0, {m})) AS sub),
+    subs AS (
+      SELECT vec_id, axes.sub,
+             (embedding::DOUBLE[])[axes.sub * {d_sub} + 1 :
+                                   axes.sub * {d_sub} + {d_sub}] AS v
+      FROM embeddings, axes)""",
+        f"""init AS (
+      SELECT row_number() OVER (ORDER BY vec_id) - 1 AS code,
+             embedding::DOUBLE[] AS w
+      FROM (SELECT vec_id, embedding FROM embeddings
+            ORDER BY vec_id LIMIT {k}))""",
+        f"""c0 AS (
+      SELECT axes.sub, i.code,
+             i.w[axes.sub * {d_sub} + 1 : axes.sub * {d_sub} + {d_sub}] AS c
+      FROM init i, axes)""",
+    ]
+    for i in range(1, n_iters + 1):
+        parts.append(
+            f"""a{i} AS (
+      SELECT vec_id, sub, code AS cl FROM (
+        SELECT s.vec_id, s.sub, c.code,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                  ORDER BY {train_dist}, c.code) AS rn
+        FROM subs s JOIN c{i - 1} c ON c.sub = s.sub) WHERE rn = 1)"""
+        )
+        parts.append(
+            f"""s{i} AS (
+      SELECT a.sub, a.cl AS code, u.i AS d, {csum} AS sm, count(*) AS n
+      FROM a{i} a JOIN subs s ON s.vec_id = a.vec_id AND s.sub = a.sub,
+           unnest(range(0, {d_sub})) AS u(i)
+      GROUP BY a.sub, a.cl, u.i)"""
+        )
+        parts.append(
+            f"""c{i} AS (
+      SELECT c.sub, c.code, coalesce(l.lst, c.c) AS c
+      FROM c{i - 1} c LEFT JOIN (
+        SELECT sub, code, list(sm / n ORDER BY d) AS lst
+        FROM s{i} GROUP BY sub, code) l
+        USING (sub, code))"""
+        )
+    parts.append(
+        f"""fin AS (
+      SELECT vec_id, sub, code AS cl, fd FROM (
+        SELECT s.vec_id, s.sub, c.code, {full_dist} AS fd,
+               row_number() OVER (PARTITION BY s.vec_id, s.sub
+                                  ORDER BY {full_dist}, c.code) AS rn
+        FROM subs s JOIN c{n_iters} c ON c.sub = s.sub) WHERE rn = 1)"""
+    )
+    body = ",\n    ".join(parts)
+    return f"""
+    {body}
+    SELECT vec_id,
+           string_agg(cl::VARCHAR, ',' ORDER BY sub) AS codes,
+           floor(greatest(0, sum(fd)) / {dim} * 1e6 + 0.5) / 1e6
+             AS recon_mse
+    FROM fin GROUP BY vec_id
+    """
+
+
+@q(
+    "pq_encode_embeddings",
+    _pq_oracle(),
+    tags=("similarity", "approx", "compression"),
+)
 def pq_encode_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product quantization (Jégou et al., TPAMI 2011): train an m=8,
     k=16 codebook on the corpus (deterministic smallest-id init, exact
     decimal centroid sums), then encode every vector to 8 codes + its
     reconstruction MSE — the 100 TB embedding-store compression (128x
     for float64). One training frame drives all 8 subspace k-means at
-    once; encoding is a shuffle-free mapInPandas pass. Deterministic but
-    not SQL-expressible (iterative training) → rows-only; numpy parity
-    and planted-codebook exactness are pytest-pinned. The code tuple is
-    serialized to a comma-joined scalar (top-level arrays break generic
-    result canonicalizers; see the catalog schema guard)."""
+    once; encoding is a shuffle-free mapInPandas pass.
+
+    Value-attested (graduated from rows-only in round 8, after kmeans
+    proved the unrolled-CTE pattern): the oracle (``_pq_oracle``)
+    replays all 3 Lloyd iterations across all 8 subspaces from one
+    exploded relation and re-derives every vector's code tuple and
+    reconstruction error from scratch — a drifted sub-centroid or a
+    single flipped code anywhere in the corpus fails the value hash.
+    Numpy parity and planted-codebook exactness stay pytest-pinned. The
+    code tuple is serialized to a comma-joined scalar (top-level arrays
+    break generic result canonicalizers; see the catalog schema
+    guard)."""
     from .operators.pq import pq_encode, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -2040,15 +2137,20 @@ def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC top-10 recall against exact brute-force L2 truth, per query —
     the measured-not-asserted accuracy contract every approximate
     operator here carries (cf. ann_recall_eval for LSH/IVF). Queries are
-    the deterministic vec_id %% 97 == 0 sample; the eval reports recall
-    per query. Synthetic uniform vectors are the HARDEST case for PQ (no
-    cluster structure to exploit), so the pytest floor lives on planted
-    clustered vectors instead (≥90%% own-cluster containment; exact
-    equality when the codebook is lossless)."""
+    a deterministic vec_id sample whose modulus widens with the corpus
+    (ceil rule, ~24-query panel past sf0.1 — ann_recall_eval's pattern,
+    keeping the brute-force ground truth linear in corpus size); the
+    eval reports recall per query. Synthetic uniform vectors are the
+    HARDEST case for PQ (no cluster structure to exploit), so the
+    pytest floor lives on planted clustered vectors instead (≥90%%
+    own-cluster containment; exact equality when the codebook is
+    lossless)."""
     from .operators.pq import adc_topk, exact_l2_topk, pq_encode, pq_train
 
     emb = _t(spark, sf_dir, "embeddings")
-    qs = emb.filter(F.col("vec_id") % 97 == 0)
+    n_corpus = emb.count()
+    modulus = 97 * max(1, (n_corpus + 97 * 24 - 1) // (97 * 24))
+    qs = emb.filter(F.col("vec_id") % modulus == 0)
     cb = pq_train(emb, m=8, k=16, n_iters=3)
     codes = pq_encode(emb, cb).localCheckpoint(eager=False)
     approx = adc_topk(qs, codes, cb, k=10)
@@ -16862,10 +16964,10 @@ _PRIORITY: tuple[str, ...] = (
     #    every one already attested in r07, kept in rotation so the
     #    attestation stays current as the set shrinks). Two of the 18
     #    listed here GRADUATED to full oracles later in round 8
-    #    (approx_sketch_stats, kmeans_embedding_clusters) — the driver
-    #    hash-checks them from this same slot; 16 stay rows-only, all
-    #    structurally so (xxhash64 index internals, LAPACK solver float
-    #    paths, DCT) --
+    #    (approx_sketch_stats, kmeans_embedding_clusters,
+    #    pq_encode_embeddings) — the driver hash-checks them from this
+    #    same slot; 15 stay rows-only, all structurally so (xxhash64
+    #    index internals, LAPACK solver float paths, DCT) --
     "approx_sketch_stats",
     "minhash_near_dups",
     "winnowing_overlap_pairs",
