@@ -181,11 +181,14 @@ def semantic_dedup_pairs(
         n = np.linalg.norm(m, axis=1)
         sims = (m @ m.T) / np.outer(n, n)
         iu, ju = np.triu_indices(len(ids), k=1)
-        keep = np.round(sims[iu, ju], 6) >= threshold
+        # floor(x*1e6+0.5)/1e6, NOT np.round (half-even): the threshold
+        # compare must quantize identically to the SQL oracle's floor6
+        q = np.floor(sims[iu, ju] * 1e6 + 0.5) / 1e6
+        keep = q >= threshold
         ia, ib = ids[iu[keep]], ids[ju[keep]]
         lo, hi = np.minimum(ia, ib), np.maximum(ia, ib)
         return pd.DataFrame(
-            {"id_a": lo, "id_b": hi, "cos_sim": np.round(sims[iu, ju][keep], 6)}
+            {"id_a": lo, "id_b": hi, "cos_sim": q[keep]}
         )
 
     return b.groupBy("cluster").applyInPandas(

@@ -4237,27 +4237,18 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _kmeans_oracle(k: int = 8, n_iters: int = 4, dim: int = 64) -> str:
-    """Unrolled-CTE DuckDB twin of the deterministic Lloyd's k-means
-    (the pagerank precedent: a fixed iteration count unrolls into a CTE
-    chain). Arithmetic mirrors operators/clustering.py exactly where it
-    is hashed: min-id init; assignment argmin of −2·x·c + ‖c‖² with
-    ties → lowest cluster id (row_number over (dist, cid) ≡ numpy
-    argmin); centroid recompute = dsum_sql(component)/count (the same
-    double division Spark's dsum(...)/n performs — dsum casts the exact
-    decimal sum to double BEFORE the divide); empty clusters keep the
-    previous centroid; per-row sqdist and the per-cluster mean both
-    floor-quantized at 6dp. The only cross-engine float divergence left
-    is summation ORDER inside dot products (BLAS pairwise vs sequential)
-    — ulp-level, decided by the argmin only on ties that the 64-dim
-    synthetic corpus does not produce (validated at sf0.001/0.01/0.1/1
-    and at 200 shuffle partitions)."""
+def _kmeans_ctes(k: int = 8, n_iters: int = 4, dim: int = 64) -> str:
+    """The shared unrolled Lloyd's CTE chain (no WITH keyword): emb,
+    c0..c<n_iters> centroid relations, and ``fin`` = the final
+    (vec_id, cl) assignment. Consumed by ``_kmeans_oracle`` (cluster
+    stats) and ``_semantic_dedup_oracle`` (SemDeDup replay) so the two
+    twins can never drift on the training arithmetic."""
     csum = (
         "cast(cast(sum(cast(e.v[u.i + 1] as decimal(25,6))) as string)"
         " as double)"
     )
     parts = [
-        "WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
         f"""c0 AS (
       SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, v AS c
       FROM (SELECT vec_id, v FROM emb ORDER BY vec_id LIMIT {k}))""",
@@ -4294,6 +4285,25 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 4, dim: int = 64) -> str:
                                   ORDER BY {dist}, c.cid) AS rn
         FROM emb e CROSS JOIN c{n_iters} c) WHERE rn = 1)"""
     )
+    return ",\n    ".join(parts)
+
+
+def _kmeans_oracle(k: int = 8, n_iters: int = 4, dim: int = 64) -> str:
+    """Unrolled-CTE DuckDB twin of the deterministic Lloyd's k-means
+    (the pagerank precedent: a fixed iteration count unrolls into a CTE
+    chain). Arithmetic mirrors operators/clustering.py exactly where it
+    is hashed: min-id init; assignment argmin of −2·x·c + ‖c‖² with
+    ties → lowest cluster id (row_number over (dist, cid) ≡ numpy
+    argmin); centroid recompute = dsum_sql(component)/count (the same
+    double division Spark's dsum(...)/n performs — dsum casts the exact
+    decimal sum to double BEFORE the divide); empty clusters keep the
+    previous centroid; per-row sqdist and the per-cluster mean both
+    floor-quantized at 6dp. The only cross-engine float divergence left
+    is summation ORDER inside dot products (BLAS pairwise vs sequential)
+    — ulp-level, decided by the argmin only on ties that the 64-dim
+    synthetic corpus does not produce (validated at sf0.001/0.01/0.1/1
+    and at 200 shuffle partitions)."""
+    parts = [_kmeans_ctes(k, n_iters, dim)]
     parts.append(
         f"""sq AS (
       SELECT f.vec_id, f.cl,
@@ -4306,7 +4316,7 @@ def _kmeans_oracle(k: int = 8, n_iters: int = 4, dim: int = 64) -> str:
     )
     body = ",\n    ".join(parts)
     return f"""
-    {body}
+    WITH {body}
     SELECT cast(cl AS bigint) AS cluster, cast(count(*) AS bigint) AS n,
            floor(({dsum_sql('sqdist')} / count(*)) * 1e6 + 0.5) / 1e6
              AS avg_sqdist
@@ -4344,22 +4354,78 @@ def kmeans_embedding_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _semantic_dedup_oracle(threshold: float) -> str:
+    """DuckDB twin of SemDeDup: the shared ``_kmeans_ctes`` training
+    replay (so this and the kmeans oracle can never drift), then
+    within-cluster cosine pairs (dot/(|a||b|), floor6-quantized exactly
+    like the operator's keep mask), the transitive closure as a
+    recursive CTE (the near_dup_clusters pattern), min-id survivors,
+    and the per-label before/after rollup."""
+    ctes = _kmeans_ctes(k=8, n_iters=4, dim=64)
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM fin a JOIN fin b ON a.cl = b.cl AND a.vec_id < b.vec_id
+      JOIN emb ea ON ea.vec_id = a.vec_id
+      JOIN emb eb ON eb.vec_id = b.vec_id
+      WHERE floor(list_dot_product(ea.v, eb.v)
+                  / (sqrt(list_dot_product(ea.v, ea.v))
+                     * sqrt(list_dot_product(eb.v, eb.v)))
+                  * 1e6 + 0.5) / 1e6 >= {threshold}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    comp AS (SELECT id, min(r) AS root FROM reach GROUP BY id),
+    dropped AS (SELECT id FROM comp WHERE id <> root),
+    tot AS (
+      SELECT label, cast(count(*) AS bigint) AS n_total
+      FROM embeddings GROUP BY label),
+    kc AS (
+      SELECT label, cast(count(*) AS bigint) AS n_kept
+      FROM embeddings
+      WHERE vec_id NOT IN (SELECT id FROM dropped)
+      GROUP BY label)
+    SELECT cast(t.label AS bigint) AS label, t.n_total,
+           coalesce(k.n_kept, 0) AS n_kept
+    FROM tot t LEFT JOIN kc k ON k.label = t.label
+    """
+
+
 @q(
     "semantic_dedup_embeddings",
-    None,  # clustering + gram-matrix UDF: rows-only driver check;
-    # planted-duplicate recovery pinned in tests/test_clustering.py
+    _semantic_dedup_oracle(threshold=0.45),
     tags=("dedup", "clustering", "ml"),
 )
 def semantic_dedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup (Abbas et al., arXiv:2303.09540): k-means clusters as
-    blocks, one numpy gram matrix per cluster, cosine >= 0.995 pairs
+    blocks, one numpy gram matrix per cluster, threshold-cosine pairs
     collapsed transitively (connected components), min-id survivor kept.
     Reports per-label before/after counts — the semantic-duplication
-    audit exact and MinHash dedup both miss."""
+    audit exact and MinHash dedup both miss.
+
+    The threshold is 0.45 here, NOT SemDeDup's production ~0.995: the
+    synthetic embeddings are near-uniform (max pairwise cosine ≈ 0.51),
+    so 0.995 found zero pairs and the whole dedup path ran vacuously —
+    the k-core sf1 lesson. At 0.45 the query actually collapses
+    duplicates at every scale (10 dropped at sf0.01, 57 at sf0.1); the
+    production-threshold behavior on genuinely duplicated data is
+    pinned by the planted-pair tests in tests/test_clustering.py.
+
+    Value-attested (graduated from rows-only in round 8): the oracle
+    replays the shared kmeans CTE chain, re-derives the within-cluster
+    cosine pair graph (floor6-quantized exactly like the operator's
+    keep mask), closes it transitively with a recursive CTE, and
+    recomputes the per-label survivor counts — a flipped assignment,
+    missed pair, or broken min-id survivor rule fails the value hash."""
     from .operators import clustering as CL
 
     emb = _t(spark, sf_dir, "embeddings")
-    kept = CL.semantic_dedup(emb, k=8, n_iters=4, threshold=0.995)
+    kept = CL.semantic_dedup(emb, k=8, n_iters=4, threshold=0.45)
     before = emb.groupBy("label").agg(F.count("*").alias("n_total"))
     after = kept.groupBy("label").agg(F.count("*").alias("n_kept"))
     return (
@@ -16965,9 +17031,10 @@ _PRIORITY: tuple[str, ...] = (
     #    attestation stays current as the set shrinks). Two of the 18
     #    listed here GRADUATED to full oracles later in round 8
     #    (approx_sketch_stats, kmeans_embedding_clusters,
-    #    pq_encode_embeddings) — the driver hash-checks them from this
-    #    same slot; 15 stay rows-only, all structurally so (xxhash64
-    #    index internals, LAPACK solver float paths, DCT) --
+    #    pq_encode_embeddings, semantic_dedup_embeddings) — the driver
+    #    hash-checks them from this same slot; 14 stay rows-only, all
+    #    structurally so (xxhash64 index internals, LAPACK solver float
+    #    paths, DCT) --
     "approx_sketch_stats",
     "minhash_near_dups",
     "winnowing_overlap_pairs",

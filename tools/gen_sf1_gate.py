@@ -45,6 +45,12 @@ EXCLUDED: dict[str, str] = {
         "DuckDB twin is a brute-force all-pairs cosine — quadratic in "
         "corpus size (PASS verified once at sf1)"
     ),
+    "semantic_dedup_embeddings": (
+        "DuckDB twin evaluates every within-cluster cosine pair with "
+        "per-pair list_dot_product — quadratic in corpus size (417.8 s "
+        "measured once at sf1, hash PASS; Spark's per-cluster BLAS gram "
+        "matrix side is ~12 s)"
+    ),
     "prefix_jaccard_pairs_documents": (
         "DuckDB twin enumerates candidate pairs without LSH pruning — "
         "quadratic at sf1 (PASS verified once at sf1)"
