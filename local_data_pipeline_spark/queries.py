@@ -1951,11 +1951,73 @@ def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("winnowing_overlap_pairs", None, tags=("dedup", "fingerprint"))
+def _winnowing_oracle(
+    k: int = 16, w: int = 8, min_shared: int = 3, max_df: int = 1000
+) -> str:
+    """DuckDB twin of the winnowing overlap pairs: the Rabin-Karp
+    polynomial hash is PURE INT64 arithmetic (base 257, modulus 2³¹−1 —
+    h stays < 2³¹ so h·257+c < 2³⁹ on both engines), so the whole
+    pipeline replays exactly: whitespace-normalized codepoints (empty
+    doc → [0], out-of-range chars hash as 0 — the arrow path's padding
+    rule), one nested-``%`` expression per k-gram window, sliding-window
+    minima, per-doc distinct fingerprints, the MOSS stop-fingerprint
+    df cap, and the shared-count pair join. List-comprehension CTEs keep
+    the chars/windows INSIDE list_transform — no row blowup before the
+    fingerprint relation."""
+    expr = "0::BIGINT"  # seed the chain in int64 — int32 would overflow
+    for j in range(k):
+        expr = f"(({expr}) * 257 + coalesce(t[i + {j}], 0)) % 2147483647"
+    return f"""
+    WITH norm AS (
+      SELECT doc_id,
+             regexp_replace(trim(lower(text)), '\\s+', ' ', 'g') AS s
+      FROM documents),
+    codes AS (
+      SELECT doc_id,
+             CASE WHEN s = '' THEN [0]
+                  ELSE list_transform(string_split(s, ''),
+                                      c -> unicode(c)) END AS t
+      FROM norm),
+    hashes AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, greatest(len(t) - {k - 1}, 1)),
+               i -> {expr}) AS h
+      FROM codes),
+    mins AS (
+      SELECT doc_id,
+             CASE WHEN len(h) >= {w} THEN
+               list_transform(generate_series(1, len(h) - {w - 1}),
+                              i -> list_min(h[i : i + {w - 1}]))
+             ELSE [list_min(h)] END AS m
+      FROM hashes),
+    fps AS (SELECT DISTINCT doc_id, unnest(m) AS fingerprint FROM mins),
+    rare AS (
+      SELECT fingerprint FROM fps
+      GROUP BY fingerprint HAVING count(*) <= {max_df}),
+    ff AS (
+      SELECT f.doc_id, f.fingerprint
+      FROM fps f JOIN rare r USING (fingerprint))
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           cast(count(*) AS bigint) AS n_shared
+    FROM ff a JOIN ff b
+      ON a.fingerprint = b.fingerprint AND a.doc_id < b.doc_id
+    GROUP BY a.doc_id, b.doc_id HAVING count(*) >= {min_shared}
+    """
+
+
+@q(
+    "winnowing_overlap_pairs",
+    _winnowing_oracle(),
+    tags=("dedup", "fingerprint"),
+)
 def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rolling-hash (Rabin-Karp) winnowing fingerprints → shared-
     fingerprint overlap pairs (MOSS shape). Deterministic constants;
-    rows-only check (Arrow and Catalyst paths verified identical).
+    value-attested since round 8 (the polynomial hash is pure int64
+    arithmetic, so ``_winnowing_oracle`` replays fingerprinting,
+    winnowing, the df cap, and the pair join exactly — Arrow and
+    Catalyst paths additionally verified identical by test).
 
     Runs with the operator's MOSS stop-fingerprint rule at
     ``max_df=1000``: a boilerplate fingerprint shared by df documents
@@ -17031,10 +17093,10 @@ _PRIORITY: tuple[str, ...] = (
     #    attestation stays current as the set shrinks). Two of the 18
     #    listed here GRADUATED to full oracles later in round 8
     #    (approx_sketch_stats, kmeans_embedding_clusters,
-    #    pq_encode_embeddings, semantic_dedup_embeddings) — the driver
-    #    hash-checks them from this same slot; 14 stay rows-only, all
-    #    structurally so (xxhash64 index internals, LAPACK solver float
-    #    paths, DCT) --
+    #    pq_encode_embeddings, semantic_dedup_embeddings,
+    #    winnowing_overlap_pairs) — the driver hash-checks them from
+    #    this same slot; 13 stay rows-only, all structurally so
+    #    (xxhash64 index internals, LAPACK solver float paths, DCT) --
     "approx_sketch_stats",
     "minhash_near_dups",
     "winnowing_overlap_pairs",
