@@ -787,3 +787,181 @@ def ridge_kfold_cv(
             F.sum("se_micro").alias("sse_micro"),
         )
     )
+
+
+def ridge_fit_exact(
+    features: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    lam: float = 1.0,
+    scale: int = 12,
+) -> np.ndarray:
+    """:func:`ridge_fit` with ORDER-INSENSITIVE sufficient statistics:
+    every XᵀX / Xᵀy entry is an exact-decimal sum (``dsum`` at 12
+    fractional digits) computed in ONE JVM hash aggregate — no Arrow
+    pass, no per-partition float partials. The float-partials path sums
+    partition results in collect order, so its last-ulp bits depend on
+    partitioning; this one is bit-identical at any parallelism AND
+    reproducible by a SQL twin (``dsum_sql`` per entry), which is what
+    lets the ridge query graduate to a value-hash oracle. The per-row
+    1e-12 quantization of products perturbs XᵀX relatively by ~1e-15 —
+    far below the normal-equation conditioning floor.
+
+    Returns coefficients, intercept first (λI with a zeroed intercept
+    entry, same contract as :func:`ridge_fit`)."""
+    from ..functions.numeric import dsum
+
+    p = len(feature_cols) + 1
+    sel = features.select(
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    non_null = F.col("__y").isNotNull()
+    for c in feature_cols:
+        non_null = non_null & F.col(c).isNotNull()
+    sel = sel.withColumn(
+        "__y",
+        F.when(
+            F.assert_true(
+                non_null,
+                F.lit(
+                    "ridge_fit_exact: NULL in feature/label column — "
+                    "drop or impute upstream"
+                ),
+            ).isNull(),
+            F.col("__y"),
+        ),
+    )
+    terms = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    aggs = [F.count("*").cast("double").alias("n")]
+    for i in range(p):
+        for j in range(i, p):
+            if i == 0 and j == 0:
+                continue  # the (1,1) entry IS the count
+            aggs.append(
+                dsum(terms[i] * terms[j], scale).alias(f"xtx_{i}_{j}")
+            )
+    for i in range(p):
+        aggs.append(dsum(terms[i] * F.col("__y"), scale).alias(f"xty_{i}"))
+    row = sel.agg(*aggs).collect()[0]
+    xtx = np.zeros((p, p))
+    xtx[0, 0] = row["n"]
+    for i in range(p):
+        for j in range(i, p):
+            if i == 0 and j == 0:
+                continue
+            xtx[i, j] = xtx[j, i] = row[f"xtx_{i}_{j}"]
+    xty = np.array([row[f"xty_{i}"] for i in range(p)])
+    reg = lam * np.eye(p)
+    reg[0, 0] = 0.0
+    return np.linalg.solve(xtx + reg, xty)
+
+
+def ridge_kfold_cv_exact(
+    features: DataFrame,
+    feature_cols: "list[str]",
+    label_col: str,
+    fold_col: str,
+    lam: float = 1.0,
+    scale: int = 12,
+) -> DataFrame:
+    """:func:`ridge_kfold_cv` with ORDER-INSENSITIVE statistics — the
+    exact-decimal sibling that a SQL twin can replay:
+
+    - pass 1 is one JVM hash aggregate of per-fold DECIMAL XᵀX / Xᵀy
+      sums (no Arrow partials, no collect-order float summation);
+    - leave-one-fold-out training statistics form by EXACT decimal
+      subtraction (total − fold) on the driver, so the matrices handed
+      to the solver are bit-identical to what the oracle's
+      ``cast(cast(total − fold AS string) AS double)`` produces;
+    - pass 2 scores every row against its own fold's model with a pure
+      JVM when-chain (coefficients inlined as literals), per-row squared
+      error quantized by floor(se·1e6 + 0.5) — the engine-identical
+      rule, not np.round's half-even.
+
+    Returns (fold, n_test, sse_micro). Solver float paths still differ
+    cross-engine (LU here, Cramer in the twin), so per-row se_micro may
+    wobble by ~κ·ε·|resid| — callers must derive coarse outputs (RMSE
+    at milli granularity) rather than hashing sse_micro directly."""
+    from decimal import Decimal
+
+    from ..functions.numeric import dsum_dec
+
+    p = len(feature_cols) + 1
+    sel = features.select(
+        F.col(fold_col).cast("int").alias("__fold"),
+        *[F.col(c).cast("double").alias(c) for c in feature_cols],
+        F.col(label_col).cast("double").alias("__y"),
+    )
+    non_null = F.col("__fold").isNotNull() & F.col("__y").isNotNull()
+    for c in feature_cols:
+        non_null = non_null & F.col(c).isNotNull()
+    sel = sel.withColumn(
+        "__fold",
+        F.when(
+            F.assert_true(
+                non_null,
+                F.lit(
+                    "ridge_kfold_cv_exact: NULL in fold/feature/label "
+                    "column — drop or impute upstream"
+                ),
+            ).isNull(),
+            F.col("__fold"),
+        ),
+    )
+    terms = [F.lit(1.0)] + [F.col(c) for c in feature_cols]
+    aggs = [F.count("*").alias("n")]
+    keys = []
+    for i in range(p):
+        for j in range(i, p):
+            if i == 0 and j == 0:
+                continue
+            keys.append((i, j))
+            aggs.append(
+                dsum_dec(terms[i] * terms[j], scale).alias(f"xtx_{i}_{j}")
+            )
+    for i in range(p):
+        aggs.append(
+            dsum_dec(terms[i] * F.col("__y"), scale).alias(f"xty_{i}")
+        )
+    per = sel.groupBy("__fold").agg(*aggs).collect()
+    names = [f"xtx_{i}_{j}" for i, j in keys] + [
+        f"xty_{i}" for i in range(p)
+    ]
+    tot = {nm: sum((Decimal(r[nm]) for r in per), Decimal(0)) for nm in names}
+    tot["n"] = sum(r["n"] for r in per)
+    reg = lam * np.eye(p)
+    reg[0, 0] = 0.0
+    betas = {}
+    for r in per:
+        xtx = np.zeros((p, p))
+        xtx[0, 0] = float(tot["n"] - r["n"])
+        for i, j in keys:
+            v = float(tot[f"xtx_{i}_{j}"] - Decimal(r[f"xtx_{i}_{j}"]))
+            xtx[i, j] = xtx[j, i] = v
+        xty = np.array(
+            [float(tot[f"xty_{i}"] - Decimal(r[f"xty_{i}"])) for i in range(p)]
+        )
+        betas[int(r["__fold"])] = np.linalg.solve(xtx + reg, xty)
+    pred = None
+    for f, b in sorted(betas.items()):
+        expr = F.lit(float(b[0]))
+        for i, c in enumerate(feature_cols):
+            expr = expr + F.lit(float(b[i + 1])) * F.col(c)
+        pred = (
+            F.when(F.col("__fold") == f, expr)
+            if pred is None
+            else pred.when(F.col("__fold") == f, expr)
+        )
+    se = (F.col("__y") - pred) * (F.col("__y") - pred)
+    return (
+        sel.withColumn(
+            "se_micro",
+            F.floor(se * F.lit(1e6) + F.lit(0.5)).cast("bigint"),
+        )
+        .groupBy(F.col("__fold").alias("fold"))
+        .agg(
+            F.count("*").alias("n_test"),
+            F.sum("se_micro").alias("sse_micro"),
+        )
+    )

@@ -14338,26 +14338,131 @@ def _ridge_length_features(d: DataFrame) -> DataFrame:
     )
 
 
-@q("ridge_length_model_documents", None, tags=("ml", "regression"))
+def _det4_sql(col_of) -> str:
+    """24-term Leibniz expansion of a 4×4 determinant; ``col_of(i, j)``
+    returns the SQL reference for entry (i, j)."""
+    from itertools import permutations
+
+    terms = []
+    for perm in permutations(range(4)):
+        inv = sum(
+            1
+            for a in range(4)
+            for b in range(a + 1, 4)
+            if perm[a] > perm[b]
+        )
+        prod = " * ".join(col_of(i, perm[i]) for i in range(4))
+        terms.append(("+ " if inv % 2 == 0 else "- ") + f"({prod})")
+    return " ".join(terms)
+
+
+def _ridge_oracle(lam: float = 1.0) -> str:
+    """DuckDB twin of the exact-sufficient-statistics ridge fit: the
+    features replay in SQL, every XᵀX/Xᵀy entry is the SAME dsum_sql
+    decimal sum the Spark aggregate computes (bit-identical inputs to
+    the solve), and the 4×4 system solves by Cramer's rule — a
+    different float path than numpy's LU on an identical matrix, so
+    coefficients agree to ~κ·ε and the floor6 quantization absorbs the
+    residual (validated at sf0.001/0.01/0.1/1)."""
+    ds = lambda e: dsum_sql(e, 12)
+    a = {}  # (i, j) -> sum column name
+    sums = [
+        "count(*)::DOUBLE AS n",
+        f"{ds('nw')} AS s01", f"{ds('mw')} AS s02", f"{ds('sh')} AS s03",
+        f"{ds('nw*nw')} AS s11", f"{ds('nw*mw')} AS s12",
+        f"{ds('nw*sh')} AS s13", f"{ds('mw*mw')} AS s22",
+        f"{ds('mw*sh')} AS s23", f"{ds('sh*sh')} AS s33",
+        f"{ds('nc')} AS b0", f"{ds('nw*nc')} AS b1",
+        f"{ds('mw*nc')} AS b2", f"{ds('sh*nc')} AS b3",
+    ]
+    name = {
+        (0, 0): "n",
+        (0, 1): "s01", (0, 2): "s02", (0, 3): "s03",
+        (1, 1): "s11", (1, 2): "s12", (1, 3): "s13",
+        (2, 2): "s22", (2, 3): "s23", (3, 3): "s33",
+    }
+
+    def entry(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        base = name[(lo, hi)]
+        if i == j and i > 0:
+            return f"({base} + {lam})"  # ridge term; intercept unpenalized
+        return base
+
+    dets = [f"({_det4_sql(entry)}) AS det"]
+    for j in range(4):
+        col_of = (
+            lambda i, c, jj=j: f"b{i}" if c == jj else entry(i, c)
+        )
+        dets.append(f"({_det4_sql(col_of)}) AS det{j}")
+    rows = []
+    for j, nm in enumerate(("intercept", "n_words", "mean_wlen", "stop_hits")):
+        rows.append(
+            f"SELECT '{nm}' AS feature,"
+            f" floor(det{j} / det * 1e6 + 0.5) / 1e6 AS coef FROM d"
+        )
+    body = "\n    UNION ALL ".join(rows)
+    return f"""
+    WITH toks AS (
+      SELECT CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t,
+             n_chars::DOUBLE AS nc
+      FROM documents),
+    fx AS (
+      SELECT len(t)::DOUBLE AS nw,
+             coalesce(list_sum(list_transform(t, x -> length(x))),
+                      0)::DOUBLE AS sl,
+             len(list_filter(t, x -> x IN
+                 ('the','a','of','to','and','in','is','that')))::DOUBLE AS sh,
+             nc
+      FROM toks),
+    fz AS (
+      SELECT nw, CASE WHEN nw > 0 THEN sl / nw ELSE 0.0 END AS mw, sh, nc
+      FROM fx),
+    s AS (SELECT {', '.join(sums)} FROM fz),
+    d AS (SELECT {', '.join(dets)} FROM s)
+    {body}
+    """
+
+
+@q(
+    "ridge_length_model_documents",
+    _ridge_oracle(lam=1.0),
+    tags=("ml", "regression"),
+)
 def ridge_length_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ridge regression (normal equations) predicting document length
     from cheap text features — token count, mean word length, stopword
-    hits — via operators/ml.ridge_fit: ONE Arrow pass reduces each
-    partition to the (p+1)² XᵀX / Xᵀy sufficient statistics, the driver
-    solves the 4x4 system (λ=1, intercept unpenalized). The linear
-    sibling of the IRLS quality classifier, and the shape any learned
-    corpus-heuristic calibration takes at 100 TB: data crosses the wire
-    once, as p² doubles per partition. Rows-only (driver-side solve);
-    tests pin parity with the single-node normal-equations reference."""
+    hits — via operators/ml.ridge_fit_exact: ONE JVM hash aggregate
+    reduces the corpus to exact-decimal XᵀX / Xᵀy sufficient statistics
+    (order-insensitive, unlike the float-partials Arrow path whose
+    last-ulp bits depend on partitioning), the driver solves the 4×4
+    system (λ=1, intercept unpenalized). The linear sibling of the IRLS
+    quality classifier, and the shape any learned corpus-heuristic
+    calibration takes at 100 TB: data crosses the wire once, as p²
+    decimals per partition.
+
+    Value-attested (graduated from rows-only in round 8): the oracle
+    recomputes the IDENTICAL decimal sufficient statistics in SQL and
+    solves by Cramer's rule — a different solver float path on a
+    bit-identical matrix, with floor6 absorbing the ~κ·ε residual — so
+    a drifted feature definition, a lost sum, or a wrong ridge term
+    fails the value hash. Single-node parity for the float path stays
+    pinned in tests."""
+    import math
+
     from .operators import ml as ML
 
     d = _t(spark, sf_dir, "documents")
     feats = _ridge_length_features(d)
-    beta = ML.ridge_fit(
+    beta = ML.ridge_fit_exact(
         feats, ["n_words", "mean_wlen", "stop_hits"], "n_chars", lam=1.0
     )
     names = ["intercept", "n_words", "mean_wlen", "stop_hits"]
-    rows = [(n, round(float(b), 6)) for n, b in zip(names, beta)]
+    rows = [
+        (n, math.floor(float(b) * 1e6 + 0.5) / 1e6)
+        for n, b in zip(names, beta)
+    ]
     return spark.createDataFrame(rows, "feature string, coef double")
 
 
@@ -15080,17 +15185,115 @@ def poisson_bootstrap_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("ridge_kfold_cv_documents", None, tags=("ml", "regression", "eval"))
+def _ridge_kfold_oracle(lam: float = 1.0) -> str:
+    """DuckDB twin of the exact-decimal leave-one-fold-out ridge CV:
+    per-fold DECIMAL sufficient statistics, train matrices by exact
+    decimal subtraction (total − fold, string-cast to double — the same
+    single rounding the Spark driver's Decimal arithmetic performs, so
+    the solver inputs are bit-identical), per-fold Cramer solves, then
+    the scoring pass with floor-quantized per-row squared errors. Only
+    the COARSE output (n_test, milli-granular RMSE) is hashed: the
+    solver float paths differ (LU vs Cramer), so per-row se_micro may
+    wobble by ~κ·ε — invisible at milli granularity."""
+    dec = "decimal(25,12)"
+    cols = {
+        "s01": "nw", "s02": "mw", "s03": "sh",
+        "s11": "nw*nw", "s12": "nw*mw", "s13": "nw*sh",
+        "s22": "mw*mw", "s23": "mw*sh", "s33": "sh*sh",
+        "b0": "nc", "b1": "nw*nc", "b2": "mw*nc", "b3": "sh*nc",
+    }
+    fold_sums = ", ".join(
+        f"sum(cast({e} as {dec})) AS {nm}" for nm, e in cols.items()
+    )
+    tot_sums = ", ".join(f"sum({nm}) AS {nm}" for nm in cols)
+    diff = ", ".join(
+        f"cast(cast(tot.{nm} - f.{nm} AS varchar) AS DOUBLE) AS {nm}"
+        for nm in cols
+    )
+    name = {
+        (0, 0): "a00",
+        (0, 1): "s01", (0, 2): "s02", (0, 3): "s03",
+        (1, 1): "s11", (1, 2): "s12", (1, 3): "s13",
+        (2, 2): "s22", (2, 3): "s23", (3, 3): "s33",
+    }
+
+    def entry(i: int, j: int) -> str:
+        lo, hi = min(i, j), max(i, j)
+        base = name[(lo, hi)]
+        if i == j and i > 0:
+            return f"({base} + {lam})"
+        return base
+
+    dets = [f"({_det4_sql(entry)}) AS det"]
+    for j in range(4):
+        col_of = lambda i, c, jj=j: f"b{i}" if c == jj else entry(i, c)
+        dets.append(f"({_det4_sql(col_of)}) AS det{j}")
+    pred = (
+        "(((d.det0 / d.det) + (d.det1 / d.det) * z.nw)"
+        " + (d.det2 / d.det) * z.mw) + (d.det3 / d.det) * z.sh"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t,
+             n_chars::DOUBLE AS nc
+      FROM documents),
+    fx AS (
+      SELECT doc_id, len(t)::DOUBLE AS nw,
+             coalesce(list_sum(list_transform(t, x -> length(x))),
+                      0)::DOUBLE AS sl,
+             len(list_filter(t, x -> x IN
+                 ('the','a','of','to','and','in','is','that')))::DOUBLE AS sh,
+             nc
+      FROM toks),
+    fz AS (
+      SELECT ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT % 5
+               AS fold,
+             nw, CASE WHEN nw > 0 THEN sl / nw ELSE 0.0 END AS mw, sh, nc
+      FROM fx),
+    sf AS (
+      SELECT fold, count(*) AS n, {fold_sums}
+      FROM fz GROUP BY fold),
+    tot AS (SELECT sum(n) AS n, {tot_sums} FROM sf),
+    m AS (
+      SELECT f.fold, cast(tot.n - f.n AS DOUBLE) AS a00, {diff}
+      FROM sf f CROSS JOIN tot),
+    d AS (SELECT fold, {', '.join(dets)} FROM m),
+    score AS (
+      SELECT z.fold,
+             cast(floor((z.nc - ({pred})) * (z.nc - ({pred}))
+                        * 1e6 + 0.5) AS BIGINT) AS se_micro
+      FROM fz z JOIN d ON d.fold = z.fold)
+    SELECT fold, cast(count(*) AS bigint) AS n_test,
+           cast(floor(sqrt(sum(se_micro) / 1000000.0 / count(*)) * 1000
+                      + 0.5) AS BIGINT) AS rmse_milli
+    FROM score GROUP BY fold
+    """
+
+
+@q(
+    "ridge_kfold_cv_documents",
+    _ridge_kfold_oracle(lam=1.0),
+    tags=("ml", "regression", "eval"),
+)
 def ridge_kfold_cv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """5-fold cross-validated generalization error of the
     ridge_length_model features — WITHOUT training 5 times over the
-    data: per-fold (XᵀX, Xᵀy) sufficient statistics from one Arrow
-    pass, each fold's model formed by SUBTRACTING its statistic from
-    the total (leave-one-fold-out additivity), then one scoring pass
-    against each row's own held-out model (operators/ml.ridge_kfold_cv).
-    Folds are the engine-identical md5(doc_id) % 5. Rows-only
-    (driver-side k×(p+1) solves); pytest pins exact parity against 5
-    independently-trained single-node references."""
+    data: per-fold exact-decimal (XᵀX, Xᵀy) sufficient statistics from
+    ONE JVM hash aggregate, each fold's model formed by EXACT decimal
+    SUBTRACTION from the total (leave-one-fold-out additivity), then
+    one JVM scoring pass against each row's own held-out model
+    (operators/ml.ridge_kfold_cv_exact). Folds are the engine-identical
+    md5(doc_id) %% 5.
+
+    Value-attested (graduated from rows-only in round 8, with the ridge
+    fit): the oracle replays the identical decimal statistics and
+    subtraction, solves each fold by Cramer, and re-scores — hashing
+    only the coarse (n_test, milli-RMSE) output, which absorbs the
+    LU-vs-Cramer solver float residual. Exact parity of the float-
+    partials path against 5 independently-trained single-node
+    references stays pinned in pytest."""
     from .operators import ml as ML
 
     d = _t(spark, sf_dir, "documents")
@@ -15103,24 +15306,24 @@ def ridge_kfold_cv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(5),
         ),
     )
-    cv = ML.ridge_kfold_cv(
+    cv = ML.ridge_kfold_cv_exact(
         feats,
         ["n_words", "mean_wlen", "stop_hits"],
         "n_chars",
         "fold",
-        k=5,
         lam=1.0,
     )
     return cv.select(
         "fold",
         "n_test",
-        F.round(
+        F.floor(
             F.sqrt(
                 F.col("sse_micro").cast("double")
                 / 1000000.0
                 / F.col("n_test")
             )
             * 1000
+            + F.lit(0.5)
         )
         .cast("bigint")
         .alias("rmse_milli"),
@@ -17094,9 +17297,11 @@ _PRIORITY: tuple[str, ...] = (
     #    listed here GRADUATED to full oracles later in round 8
     #    (approx_sketch_stats, kmeans_embedding_clusters,
     #    pq_encode_embeddings, semantic_dedup_embeddings,
-    #    winnowing_overlap_pairs) — the driver hash-checks them from
-    #    this same slot; 13 stay rows-only, all structurally so
-    #    (xxhash64 index internals, LAPACK solver float paths, DCT) --
+    #    winnowing_overlap_pairs, ridge_length_model_documents,
+    #    ridge_kfold_cv_documents) — the driver hash-checks them from
+    #    this same slot; 11 stay rows-only, all structurally so
+    #    (xxhash64 index internals, IRLS/eigen solver float paths,
+    #    pHash DCT) --
     "approx_sketch_stats",
     "minhash_near_dups",
     "winnowing_overlap_pairs",
