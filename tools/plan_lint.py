@@ -140,6 +140,17 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "are model constants) from ONE corpus pass; the driver solves "
         "k leave-one-fold-out systems by statistic subtraction."
     ),
+    ("ml.py", "ridge_fit_exact"): (
+        "collects ONE row of (p+1)(p+2)/2 + (p+1) exact-decimal "
+        "sufficient sums (p = feature count, a model constant) from one "
+        "JVM hash aggregate; the driver solves a p x p system."
+    ),
+    ("ml.py", "ridge_kfold_cv_exact"): (
+        "collects k rows of exact-decimal per-fold sufficient sums (k "
+        "and p are model constants) from one JVM hash aggregate; the "
+        "driver forms k leave-one-fold-out systems by exact decimal "
+        "subtraction."
+    ),
     ("ml.py", "logistic_irls"): (
         "per-IRLS-iteration collect is the (p+1)^2 gram/gradient "
         "sufficient statistic (p = feature count, a model constant); the "
