@@ -39,7 +39,10 @@ def _op_checked(wrapped, op, allow_null: bool = False, what: str = "changelog"):
         F.assert_true(
             cond,
             F.concat(
-                F.lit(f"invalid {what} op (expected one of {OPS}): "), op
+                F.lit(f"invalid {what} op (expected one of {OPS}): "),
+                # concat(NULL) would NULL the whole message and the
+                # raised error would carry no diagnostic at all
+                F.coalesce(op.cast("string"), F.lit("NULL")),
             ),
         ).isNull(),
         wrapped,
@@ -356,15 +359,19 @@ def maintain_agg(
     from ..functions.numeric import DEFAULT_PRECISION, DEFAULT_SCALE
 
     dec = f"decimal({DEFAULT_PRECISION},{DEFAULT_SCALE})"
+    # same per-branch op guard as maintain_distinct/maintain_minmax: an
+    # op outside OPS would otherwise retract without re-asserting (a
+    # silent delete) — fail it in-plan on whichever branch it reaches
     minus = changes.filter(F.col(before_group).isNotNull()).select(
-        F.col(before_group).alias(group_col),
+        _op_checked(F.col(before_group), F.col(op_col)).alias(group_col),
         F.lit(-1).cast("bigint").alias("__dn"),
         (-F.col(before_value)).cast(dec).alias("__ds"),
     )
     plus = changes.filter(
-        (F.col(op_col) == "U") & F.col(after_group).isNotNull()
+        F.col(after_group).isNotNull()
+        & ~F.col(op_col).eqNullSafe(F.lit("D"))
     ).select(
-        F.col(after_group).alias(group_col),
+        _op_checked(F.col(after_group), F.col(op_col)).alias(group_col),
         F.lit(1).cast("bigint").alias("__dn"),
         F.col(after_value).cast(dec).alias("__ds"),
     )
@@ -453,15 +460,20 @@ def maintain_minmax(
     # by the insert path)
     if op_col not in changes.columns:
         raise ValueError(f"changelog is missing op column {op_col!r}")
-    changes = changes.withColumn(
-        op_col, _op_checked(F.col(op_col), F.col(op_col))
-    )
 
+    # Op validation rides each branch's OWN projection (the grouping /
+    # dirty key), not a column only the other branch filters on — see
+    # maintain_distinct for the rationale. The insert filter admits any
+    # non-D op null-safely so invalid/NULL ops with an after image hit
+    # the guard rather than vanishing.
     inserts = (
         changes.filter(
-            (F.col(op_col) == "U") & F.col(after_group).isNotNull()
+            F.col(after_group).isNotNull()
+            & ~F.col(op_col).eqNullSafe(F.lit("D"))
         )
-        .groupBy(F.col(after_group).alias(group_col))
+        .groupBy(
+            _op_checked(F.col(after_group), F.col(op_col)).alias(group_col)
+        )
         .agg(
             F.min(after_value).alias("__imn"),
             F.max(after_value).alias("__imx"),
@@ -470,7 +482,9 @@ def maintain_minmax(
     dirty = (
         changes.filter(F.col(before_group).isNotNull())
         .select(
-            F.col(before_group).alias(group_col),
+            _op_checked(F.col(before_group), F.col(op_col)).alias(
+                group_col
+            ),
             F.col(before_value).alias("__bv"),
         )
         .join(old_agg.select(group_col, min_col, max_col), group_col)
@@ -561,18 +575,23 @@ def maintain_distinct(
     """
     if op_col not in changes.columns:
         raise ValueError(f"changelog is missing op column {op_col!r}")
-    changes = changes.withColumn(
-        op_col, _op_checked(F.col(op_col), F.col(op_col))
-    )
+    # Each branch rides the op guard on a column it actually PROJECTS
+    # (the branch's own group key) — relying on a filter in one branch
+    # to validate rows consumed by the other leaves the check at the
+    # mercy of Catalyst's conjunct ordering. The plus filter admits any
+    # non-D op (null-safely), so an invalid or NULL op with an after
+    # image reaches the guarded projection and fails loudly instead of
+    # being silently dropped.
     minus = changes.filter(F.col(before_group).isNotNull()).select(
-        F.col(before_group).alias(group_col),
+        _op_checked(F.col(before_group), F.col(op_col)).alias(group_col),
         F.col(before_value).alias(value_col),
         F.lit(-1).cast("bigint").alias("__dn"),
     )
     plus = changes.filter(
-        (F.col(op_col) == "U") & F.col(after_group).isNotNull()
+        F.col(after_group).isNotNull()
+        & ~F.col(op_col).eqNullSafe(F.lit("D"))
     ).select(
-        F.col(after_group).alias(group_col),
+        _op_checked(F.col(after_group), F.col(op_col)).alias(group_col),
         F.col(after_value).alias(value_col),
         F.lit(1).cast("bigint").alias("__dn"),
     )
@@ -580,8 +599,28 @@ def maintain_distinct(
         minus.unionByName(plus)
         .groupBy(group_col, value_col)
         .agg(F.sum("__dn").alias("__dn"))
+        .select(
+            F.col(group_col).alias("__dg"),
+            F.col(value_col).alias("__dv"),
+            F.col("__dn"),
+        )
     )
-    merged = old_support.join(delta, [group_col, value_col], "full_outer")
+    # NULL-safe merge: (group, NULL) synopsis rows are legitimate
+    # (distinct_counts documents them), and a USING join would never
+    # match them — a NULL retraction would then fire the negative-
+    # support assert on a perfectly consistent changelog, and a NULL
+    # insert would duplicate the pair instead of incrementing it.
+    merged = old_support.join(
+        delta,
+        F.col(group_col).eqNullSafe(F.col("__dg"))
+        & F.col(value_col).eqNullSafe(F.col("__dv")),
+        "full_outer",
+    ).select(
+        F.coalesce(F.col(group_col), F.col("__dg")).alias(group_col),
+        F.coalesce(F.col(value_col), F.col("__dv")).alias(value_col),
+        F.col(n_col),
+        F.col("__dn"),
+    )
     n_new = F.coalesce(F.col(n_col), F.lit(0)) + F.coalesce(
         F.col("__dn"), F.lit(0)
     )

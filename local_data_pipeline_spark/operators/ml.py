@@ -789,6 +789,58 @@ def ridge_kfold_cv(
     )
 
 
+def cramer_solve(xtx: np.ndarray, xty: np.ndarray) -> np.ndarray:
+    """Solve a small linear system by Cramer's rule with the EXACT
+    float-operation order of the SQL twins' generated Leibniz
+    determinants (queries._det4_sql): permutations enumerated in
+    lexicographic order, products left-associated, terms accumulated
+    left-to-right signed by inversion parity, each coefficient one
+    det_j / det division. Feeding this and the twin bit-identical
+    sufficient statistics yields bit-identical coefficients — no κ·ε
+    LU-vs-Cramer residual for quantization to absorb, and no LAPACK /
+    OpenBLAS version dependence in any hashed value (round-8 advice:
+    the previous np.linalg.solve path was only empirically inside the
+    floor6 buckets and could drift on a BLAS upgrade).
+
+    Cost is p!·p — this exists for the p ≤ 6 sufficient-statistic
+    panels of the exact-ridge family, and guards against misuse."""
+    from itertools import permutations
+
+    p = len(xty)
+    if p > 7:
+        raise ValueError(
+            f"cramer_solve is factorial in p (got {p}); use ridge_fit "
+            "for wide feature panels"
+        )
+    a = [[float(xtx[i][j]) for j in range(p)] for i in range(p)]
+    b = [float(v) for v in xty]
+    perms = []
+    for perm in permutations(range(p)):
+        inv = sum(
+            1
+            for x in range(p)
+            for y in range(x + 1, p)
+            if perm[x] > perm[y]
+        )
+        perms.append((perm, inv % 2 == 0))
+
+    def det(entry):
+        acc = 0.0
+        for perm, even in perms:
+            prod = entry(0, perm[0])
+            for i in range(1, p):
+                prod = prod * entry(i, perm[i])
+            acc = acc + prod if even else acc - prod
+        return acc
+
+    d = det(lambda i, j: a[i][j])
+    out = []
+    for j in range(p):
+        dj = det(lambda i, c, jj=j: b[i] if c == jj else a[i][c])
+        out.append(dj / d)
+    return np.array(out)
+
+
 def ridge_fit_exact(
     features: DataFrame,
     feature_cols: "list[str]",
@@ -854,7 +906,9 @@ def ridge_fit_exact(
     xty = np.array([row[f"xty_{i}"] for i in range(p)])
     reg = lam * np.eye(p)
     reg[0, 0] = 0.0
-    return np.linalg.solve(xtx + reg, xty)
+    # Cramer in the twin's exact float-op order, NOT np.linalg.solve:
+    # bit-identical statistics then give bit-identical coefficients
+    return cramer_solve(xtx + reg, xty)
 
 
 def ridge_kfold_cv_exact(
@@ -879,10 +933,12 @@ def ridge_kfold_cv_exact(
       error quantized by floor(se·1e6 + 0.5) — the engine-identical
       rule, not np.round's half-even.
 
-    Returns (fold, n_test, sse_micro). Solver float paths still differ
-    cross-engine (LU here, Cramer in the twin), so per-row se_micro may
-    wobble by ~κ·ε·|resid| — callers must derive coarse outputs (RMSE
-    at milli granularity) rather than hashing sse_micro directly."""
+    Returns (fold, n_test, sse_micro). The solve is
+    :func:`cramer_solve` — the twin's exact float-operation order — so
+    with bit-identical statistics the coefficients, predictions, and
+    per-row se_micro are bit-identical cross-engine; the coarse
+    milli-RMSE output convention predates that and stays (it also
+    keeps the hash robust to future feature-panel changes)."""
     from decimal import Decimal
 
     from ..functions.numeric import dsum_dec
@@ -942,7 +998,8 @@ def ridge_kfold_cv_exact(
         xty = np.array(
             [float(tot[f"xty_{i}"] - Decimal(r[f"xty_{i}"])) for i in range(p)]
         )
-        betas[int(r["__fold"])] = np.linalg.solve(xtx + reg, xty)
+        # same-order Cramer as the twin — see ridge_fit_exact
+        betas[int(r["__fold"])] = cramer_solve(xtx + reg, xty)
     pred = None
     for f, b in sorted(betas.items()):
         expr = F.lit(float(b[0]))

@@ -6037,7 +6037,8 @@ def co_purchase_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts AS (
       SELECT token, cast(count(*) AS bigint) AS cnt FROM flat GROUP BY token),
     total AS (SELECT cast(sum(cnt) AS bigint) AS tot FROM counts)
-    SELECT token, cnt, round(cnt * 1.0 / tot, 6) AS share
+    SELECT token, cnt,
+           floor((cnt * 1.0 / tot) * 1e6 + 0.5) / 1e6 AS share
     FROM counts, total WHERE cnt * 200 > tot
     """,
     tags=("sketch", "approx", "text"),
@@ -6086,7 +6087,9 @@ def heavy_hitter_tokens_mg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "token",
             "cnt",
-            F.round(F.col("cnt") * 1.0 / F.col("tot"), 6).alias("share"),
+            # floor6, not round(): engine half-boundary semantics
+            # differ and this column feeds the cross-engine value hash
+            floor6(F.col("cnt") * 1.0 / F.col("tot")).alias("share"),
         )
     )
 
@@ -14360,10 +14363,11 @@ def _ridge_oracle(lam: float = 1.0) -> str:
     """DuckDB twin of the exact-sufficient-statistics ridge fit: the
     features replay in SQL, every XᵀX/Xᵀy entry is the SAME dsum_sql
     decimal sum the Spark aggregate computes (bit-identical inputs to
-    the solve), and the 4×4 system solves by Cramer's rule — a
-    different float path than numpy's LU on an identical matrix, so
-    coefficients agree to ~κ·ε and the floor6 quantization absorbs the
-    residual (validated at sf0.001/0.01/0.1/1)."""
+    the solve), and the 4×4 system solves by Cramer's rule via
+    _det4_sql — the SAME Leibniz term order, product association, and
+    accumulation sequence operators/ml.cramer_solve executes on the
+    driver, so the coefficients are bit-identical cross-engine (no
+    solver residual for floor6 to absorb, no BLAS dependence)."""
     ds = lambda e: dsum_sql(e, 12)
     a = {}  # (i, j) -> sum column name
     sums = [
@@ -14444,11 +14448,12 @@ def ridge_length_model_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Value-attested (graduated from rows-only in round 8): the oracle
     recomputes the IDENTICAL decimal sufficient statistics in SQL and
-    solves by Cramer's rule — a different solver float path on a
-    bit-identical matrix, with floor6 absorbing the ~κ·ε residual — so
-    a drifted feature definition, a lost sum, or a wrong ridge term
-    fails the value hash. Single-node parity for the float path stays
-    pinned in tests."""
+    solves by the IDENTICAL Cramer float-op order (ml.cramer_solve
+    mirrors _det4_sql term-for-term since round 9), so the hashed
+    coefficients are bit-identical cross-engine — a drifted feature
+    definition, a lost sum, or a wrong ridge term fails the value
+    hash. Single-node parity for the float path stays pinned in
+    tests."""
     import math
 
     from .operators import ml as ML
@@ -15192,9 +15197,10 @@ def _ridge_kfold_oracle(lam: float = 1.0) -> str:
     single rounding the Spark driver's Decimal arithmetic performs, so
     the solver inputs are bit-identical), per-fold Cramer solves, then
     the scoring pass with floor-quantized per-row squared errors. Only
-    the COARSE output (n_test, milli-granular RMSE) is hashed: the
-    solver float paths differ (LU vs Cramer), so per-row se_micro may
-    wobble by ~κ·ε — invisible at milli granularity."""
+    the COARSE output (n_test, milli-granular RMSE) is hashed. The
+    Spark driver now solves by the same Cramer float-op order
+    (ml.cramer_solve), so per-row se_micro is bit-identical too; the
+    milli-RMSE convention stays for robustness."""
     dec = "decimal(25,12)"
     cols = {
         "s01": "nw", "s02": "mw", "s03": "sh",
@@ -15289,10 +15295,11 @@ def ridge_kfold_cv_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Value-attested (graduated from rows-only in round 8, with the ridge
     fit): the oracle replays the identical decimal statistics and
-    subtraction, solves each fold by Cramer, and re-scores — hashing
-    only the coarse (n_test, milli-RMSE) output, which absorbs the
-    LU-vs-Cramer solver float residual. Exact parity of the float-
-    partials path against 5 independently-trained single-node
+    subtraction, solves each fold by the identical Cramer float-op
+    order (ml.cramer_solve, round 9), and re-scores — so even the
+    per-row se_micro agrees bit-for-bit; only the coarse (n_test,
+    milli-RMSE) output is hashed by convention. Exact parity of the
+    float-partials path against 5 independently-trained single-node
     references stays pinned in pytest."""
     from .operators import ml as ML
 
