@@ -447,8 +447,30 @@ def winnowing_overlap_pairs(
     list and makes the join cost max_df × multiplicity, linear again.
     None keeps exact all-pairs semantics for small corpora."""
     make = winnowing_fingerprints_arrow if use_arrow else winnowing_fingerprints
-    # both self-join sides reuse the fingerprints; compute them once
-    fps = make(df, text_col, id_col, k, w).localCheckpoint(eager=False)
+    # Parallelism plumbing (the sf1 lesson): a ~100 MB parquet arrives
+    # as ONE input split, which would run the per-doc Python
+    # fingerprinting AND the df² join work nearly serially — repartition
+    # the (id, text) projection up to the cluster's parallelism first.
+    # Only widen: at real scale the source already has more splits than
+    # cores and narrowing would be a regression.
+    src = df.select(id_col, text_col)
+    spark = src.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    if src.rdd.getNumPartitions() < cores:
+        src = src.repartition(cores)
+    # both self-join sides + the df-count reuse the fingerprints:
+    # materialize the Python pass once (localCheckpoint), then ONE
+    # explicit hash-repartition on fingerprint feeds all three
+    # consumers — the df-count groupBy, the cap join, and both
+    # self-join sides run exchange-free on that single reused shuffle
+    # (explicit numPartitions so AQE cannot coalesce it down: the
+    # shuffle BYTES are small but the per-key join fan-out is not,
+    # which is exactly the case AQE's size-based coalescing misjudges).
+    fps = (
+        make(src, text_col, id_col, k, w)
+        .localCheckpoint(eager=False)
+        .repartition(cores * 2, "fingerprint")
+    )
     if max_df is not None:
         rare = (
             fps.groupBy("fingerprint")

@@ -2024,11 +2024,18 @@ def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs df² join rows (sf1 profile: one df=2700 fingerprint = 7.3M
     pairs by itself; p99.9 of df is 260, so the cap touches only the
     degenerate tail, and below ~sf0.2 df cannot reach 1000 at all — the
-    small-sf result is bit-identical). Measured sf1: 264 s → 117 s. The
-    residual cost is OUTPUT-bound (2.0M genuine template-overlap pairs
-    on this corpus) — the all-pairs report is the evaluation-scope
-    shape; at 100 TB you stream these pairs into the transitive-closure
-    clustering (near_dup_clusters) rather than materializing a report."""
+    small-sf result is bit-identical). Round-9 restructure fixed the
+    sf1 scale inversion: the ~100 MB sf1 parquet arrives as ONE input
+    split, so the Python fingerprint pass ran serially and AQE
+    coalesced the small-BYTES/large-fan-out fingerprint shuffle to 2
+    partitions; the operator now widens the source to cluster
+    parallelism and pins one explicit fingerprint repartition that the
+    df-count, cap join, and both self-join sides all reuse. Measured
+    sf1: 98 s → 28.5 s (DuckDB twin 39.9 s). The residual cost is
+    OUTPUT-bound (2.0M genuine template-overlap pairs on this corpus)
+    — the all-pairs report is the evaluation-scope shape; at 100 TB you
+    stream these pairs into the transitive-closure clustering
+    (near_dup_clusters) rather than materializing a report."""
     d = _t(spark, sf_dir, "documents")
     return DD.winnowing_overlap_pairs(
         d, k=16, w=8, min_shared=3, max_df=1000
