@@ -418,6 +418,88 @@ def pca_explained_variance(
     )
 
 
+def pca_variance_audit(
+    spark: SparkSession,
+    emb: DataFrame,
+    k: int = 8,
+    vec_col: str = "embedding",
+    scale: int = 12,
+) -> DataFrame:
+    """:func:`pca_explained_variance` graduated to a value-hash oracle
+    (the ridge_fit_exact split of exact-vs-flagged work): the EXACT,
+    SQL-replayable side is the per-dimension variance diagonal — each
+    dimension's Σx and Σx² are exact-decimal sums (``dsum``), variance
+    forms by the identical double expression ``sq/n − (s/n)²`` on both
+    engines, micro-quantized with the engine-identical floor rule — and
+    the LAPACK-dependent eigenvalues collapse into a per-component
+    ``eig_ok`` flag built from invariants that hold for ANY correct
+    eigendecomposition of the covariance:
+
+    - PSD: λᵢ ≥ −tol;
+    - sorted: λᵢ ≤ λᵢ₋₁ + tol;
+    - trace: Σλ equals the exact-decimal trace (within tol);
+    - Schur–Horn majorization: the top-i eigenvalue partial sums
+      dominate the top-i sorted-variance partial sums for every i.
+
+    Output: ``(component, top_dim, dim_variance, trace_micro, eig_ok)``
+    — the k highest-variance dimensions (desc, dim tie-break), total
+    variance in exact micro-units, and the flag.
+
+    Scale: one map-side-combinable d-group aggregate over the exploded
+    corpus + the :func:`embedding_scatter` pass; the collect is d rows
+    (model constant)."""
+    import math
+
+    from ..functions.numeric import dsum
+
+    un = emb.select(
+        F.posexplode(F.col(vec_col).cast("array<double>")).alias("dim", "val")
+    )
+    stats = un.groupBy("dim").agg(
+        F.count("*").alias("n"),
+        dsum("val", scale).alias("s"),
+        dsum(F.col("val") * F.col("val"), scale).alias("sq"),
+    )
+    pv = []
+    for r in stats.collect():  # d rows — embedding dim, a model constant
+        var = r["sq"] / r["n"] - (r["s"] / r["n"]) * (r["s"] / r["n"])
+        pv.append((int(r["dim"]), int(math.floor(var * 1e6 + 0.5))))
+    trace_micro = sum(v for _, v in pv)
+    pv.sort(key=lambda t: (-t[1], t[0]))
+    top = pv[: min(k, len(pv))]
+
+    n, ssum, sc = embedding_scatter(emb, vec_col)
+    mean = ssum / n
+    cov = sc / n - np.outer(mean, mean)
+    vals = np.linalg.eigvalsh(cov)[::-1]  # descending
+    trace = trace_micro / 1e6
+    # micro-quantizing d per-dim variances accumulates up to d·0.5e-6
+    # of rounding against the unquantized eigen sums — the tolerance
+    # must absorb that ON TOP of the float-path slack, or the flag
+    # false-alarms on a perfectly consistent decomposition
+    tol = 0.5e-6 * len(pv) + 1e-6 * max(1.0, abs(trace))
+    trace_ok = abs(float(vals.sum()) - trace) <= tol
+    rows = []
+    cum_lam = 0.0
+    cum_var = 0.0
+    for i, (dim, vm) in enumerate(top):
+        lam = float(vals[i])
+        cum_lam += lam
+        cum_var += vm / 1e6
+        ok = (
+            trace_ok
+            and lam >= -tol
+            and (i == 0 or lam <= float(vals[i - 1]) + tol)
+            and cum_lam >= cum_var - tol
+        )
+        rows.append((i + 1, dim, vm / 1e6, trace_micro, int(ok)))
+    return spark.createDataFrame(
+        rows,
+        "component bigint, top_dim bigint, dim_variance double, "
+        "trace_micro bigint, eig_ok bigint",
+    )
+
+
 def bpe_encode_vocab(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],

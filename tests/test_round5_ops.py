@@ -55,13 +55,17 @@ def test_bpe_query_schema_and_determinism(spark):
 # ---------------------------------------------------------------- PCA
 
 def test_pca_matches_numpy_covariance(spark):
+    from local_data_pipeline_spark.operators.ml import pca_explained_variance
+
     emb = load_table(spark, SF_DIR, "embeddings")
     x = np.array(
         [np.array(r["embedding"], dtype=np.float64) for r in emb.collect()]
     )
     cov = np.cov(x, rowvar=False, bias=True)
     want = np.linalg.eigvalsh(cov)[::-1]
-    got = QUERIES["pca_embedding_variance"].fn(spark, SF_DIR).collect()
+    # the eigen operator keeps full numpy parity (the query's flags ride
+    # on it)
+    got = pca_explained_variance(spark, emb, k=8).collect()
     for r in got:
         assert r["eigenvalue"] == pytest.approx(
             want[r["component"] - 1], rel=1e-4, abs=1e-6
@@ -69,6 +73,23 @@ def test_pca_matches_numpy_covariance(spark):
     ratios = [r["explained_ratio"] for r in got]
     assert all(a >= b - 1e-9 for a, b in zip(ratios, ratios[1:]))
     assert 0 < sum(ratios) <= 1.0 + 1e-6
+    # the graduated query hashes the exact diagonal and flags the eigen
+    # invariants: dim_variance must match numpy's per-dim variance and
+    # the trace must be the quantized sum over ALL dims
+    audit = QUERIES["pca_embedding_variance"].fn(spark, SF_DIR).collect()
+    dim_vars = cov.diagonal()
+    assert len(audit) == 8
+    for r in audit:
+        assert r["eig_ok"] == 1
+        assert r["dim_variance"] == pytest.approx(
+            float(dim_vars[r["top_dim"]]), rel=1e-4, abs=2e-6
+        )
+    want_order = sorted(range(len(dim_vars)), key=lambda j: (-dim_vars[j], j))
+    assert [r["top_dim"] for r in audit] == want_order[:8]
+    trace_micro = audit[0]["trace_micro"]
+    assert trace_micro == pytest.approx(
+        float(dim_vars.sum()) * 1e6, abs=len(dim_vars) * 0.5 + 1.0
+    )
 
 
 # ---------------------------------------------------------------- Bloom

@@ -252,18 +252,16 @@ def test_ann_recall_bounds_and_brute_force_floor(spark):
     }
     assert set(rows) == {"lsh", "lsh_multiprobe", "ivf"}
     for r in rows.values():
-        assert 0.0 <= r["mean_recall_at_10"] <= 1.0
-        assert r["n_hits"] <= 10 * r["n_queries"]
-    # IVF probing 4/16 cells should recover a meaningful share
-    assert rows["ivf"]["mean_recall_at_10"] > 0.2
-    # Hamming-1 probing must not lose recall vs the exact bucket (on the
-    # structure-free synthetic vectors it merely scans more candidates;
-    # the >=0.95 clustered-data guarantee is pinned in
-    # test_dedup_similarity.py::test_lsh_multiprobe_recall_bound_...)
-    assert (
-        rows["lsh_multiprobe"]["mean_recall_at_10"]
-        >= rows["lsh"]["mean_recall_at_10"]
-    )
+        # exact side: truth is top-10 per panel query
+        assert 0 < r["n_truth_pairs"] <= 10 * r["n_queries"]
+        assert r["truth_checksum"] > 0
+    # the recall_ok flags encode the per-method floors AND the
+    # structural multiprobe >= single-probe invariant (on the synthetic
+    # corpus every method clears its floor; the >=0.95 clustered-data
+    # guarantee is pinned in test_dedup_similarity.py)
+    assert all(r["recall_ok"] == 1 for r in rows.values())
+    # all three method rows share the one exact ground truth
+    assert len({r["truth_checksum"] for r in rows.values()}) == 1
 
 
 # ----------------------------------------------------- incident overlap
@@ -546,14 +544,14 @@ def test_degree_distribution_conserves_edge_endpoints(spark):
 
 def test_minhash_eval_ratios_consistent(spark):
     r = QUERIES["minhash_precision_recall_eval"].fn(spark, SF_DIR).collect()[0]
-    assert 0 <= r["n_true_pos"] <= r["n_candidates"]
-    assert 0 <= r["n_truth_found"] <= r["n_truth_within_source"]
-    if r["n_candidates"]:
-        assert r["precision"] == round(r["n_true_pos"] / r["n_candidates"], 6)
-    if r["n_truth_within_source"]:
-        assert r["recall"] == round(
-            r["n_truth_found"] / r["n_truth_within_source"], 6
-        )
+    # exact side: scope size and within-source ground truth
+    assert 0 < r["n_docs_scope"]
+    assert 0 <= r["n_truth_within_source"]
+    assert (r["truth_checksum"] > 0) == (r["n_truth_within_source"] > 0)
+    # on the synthetic corpus LSH(32,8) achieves precision = recall = 1
+    # at every sf (measured sf0.001-sf1); the flags carry 0.95 floors
+    assert r["precision_ok"] == 1
+    assert r["recall_ok"] == 1
 
 
 # --------------------------------------------------- catalog profiling

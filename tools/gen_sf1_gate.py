@@ -59,6 +59,20 @@ EXCLUDED: dict[str, str] = {
         "DuckDB twin replays the packing recurrence per-row via recursive "
         "CTE — 639 s at sf1 (PASS verified once); Spark 4.1 s"
     ),
+    "fuzzy_part_name_pairs": (
+        "DuckDB twin runs unthresholded levenshtein over every "
+        "within-block pair — 367.5 s at sf1, ~87 percent of it the DuckDB "
+        "kernel (PASS verified once at sf1; Spark's banded-DP side is "
+        "~48 s and sweeps in SCALE.md)"
+    ),
+    "minhash_precision_recall_eval": (
+        "DuckDB twin recomputes the within-source ground truth with "
+        "per-pair list_intersect over the 5000-doc evaluation scope — "
+        "quadratic within blocks, 376.7 s at sf1 (PASS verified once, "
+        "round 9, value-hash on the exact truth side; Spark 7 s). The "
+        "scope cap keeps the cost CONSTANT past sf0.2, so sf0.01 "
+        "re-attestation covers the same code path."
+    ),
 }
 
 

@@ -157,6 +157,12 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "data-proportional pass is the distributed outer-product "
         "aggregate."
     ),
+    ("ml.py", "pca_variance_audit"): (
+        "collects d per-dimension exact-decimal variance rows (d = "
+        "embedding dim, a model constant) for the driver-side ranking "
+        "and eigen-invariant flags; both corpus passes are distributed "
+        "map-side-combinable aggregates."
+    ),
     ("ml.py", "embedding_scatter"): (
         "collects the d*d scatter matrix + d-vector mean (d = embedding "
         "dim, a model constant) for the driver-side eigendecomposition; "
