@@ -107,3 +107,34 @@ def test_bench_line_fits_driver_tail_window():
     # small suites print the complete map
     small_full, small_line = format_bench_output({"a": 1.0, "b": 2.0}, 0.01)
     assert _json.loads(small_line)["queries"] == {"a": 1.0, "b": 2.0}
+
+
+def test_bench_drift_between_last_driver_rounds_nonblocking():
+    """Automated regression-vs-host-drift adjudication (round-8 advice):
+    run tools/compare_bench.py's normalized drift between the two most
+    recent driver bench files. NON-BLOCKING by design — bench timing
+    belongs to perf triage, not the correctness wall — but a >1.5x
+    normalized drift on an unchanged query surfaces as a pytest warning
+    (and in the captured report) instead of waiting for a human to
+    cross-read three JSON files."""
+    import glob
+    import warnings
+
+    from tools.compare_bench import drift
+
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    if len(benches) < 2:
+        import pytest
+
+        pytest.skip("fewer than two driver bench files on disk")
+    rc = drift(benches[-2], benches[-1], out=None)
+    if rc == 1:
+        warnings.warn(
+            f"bench drift: normalized >1.5x regression suspected between "
+            f"{os.path.basename(benches[-2])} and "
+            f"{os.path.basename(benches[-1])} — see captured drift report "
+            "and re-run the query under tools/compare_bench.py --drift",
+            stacklevel=1,
+        )
+    assert rc in (0, 1, 2)
