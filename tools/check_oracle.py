@@ -70,6 +70,17 @@ def main() -> int:
         )
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    # unknown names (typos, or flags this tool doesn't take, like a
+    # misremembered --sf: the scale dir is SPARK_GRAFT_ORACLE_SF_DIR)
+    # must error, not silently filter to nothing / a subset
+    unknown = sorted(only - set(qs))
+    if unknown:
+        print(
+            f"ERROR: not query names: {unknown}\n"
+            "(scale dir is the SPARK_GRAFT_ORACLE_SF_DIR env var; "
+            "shuffle width is SPARK_GRAFT_ORACLE_SHUFFLE)"
+        )
+        return 2
     n_pass = n_fail = 0
     failures = []
     for name, fn in qs.items():
