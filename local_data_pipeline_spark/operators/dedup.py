@@ -33,6 +33,9 @@ from pyspark.sql import functions as F
 from ..functions.text import fingerprint, shingles_from_tokens, tokens, word_shingles
 
 
+from ..session import widen_to_parallelism as _widen_to_parallelism
+
+
 # ----------------------------------------------------------------- exact
 def exact_dedup(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
@@ -71,6 +74,9 @@ def minhash_signature(
     tempting all-in-one expression — 32 ``transform``s over the shingle
     array in a single projection — re-inlines shingle construction per
     seed after projection collapse: ~30× slower measured.)"""
+    # widen a narrow source so the tokenize/shingle/hash map stage
+    # parallelizes (see _widen_to_parallelism)
+    df = _widen_to_parallelism(df.select(id_col, text_col))
     tokd = df.select(F.col(id_col), tokens(F.col(text_col)).alias("__t"))
     exploded = tokd.select(
         F.col(id_col),
@@ -178,6 +184,15 @@ def jaccard_pairs(
     multiplicity instead."""
     if threshold <= 0:
         raise ValueError("threshold must be > 0 (jaccard-0 pairs are not emitted)")
+    # the tokenize + shingle + explode map work is the expensive stage;
+    # widen a narrow source (a ~100 MB parquet is ONE split) so it
+    # parallelizes instead of running as a single straggler task — the
+    # winnowing sf1 lesson, same only-widen rule
+    df = _widen_to_parallelism(
+        df.select(
+            id_col, text_col, *([block_by] if block_by else [])
+        )
+    )
     tokd = df.select(
         F.col(id_col),
         *([F.col(block_by)] if block_by else []),
@@ -447,17 +462,12 @@ def winnowing_overlap_pairs(
     list and makes the join cost max_df × multiplicity, linear again.
     None keeps exact all-pairs semantics for small corpora."""
     make = winnowing_fingerprints_arrow if use_arrow else winnowing_fingerprints
-    # Parallelism plumbing (the sf1 lesson): a ~100 MB parquet arrives
-    # as ONE input split, which would run the per-doc Python
-    # fingerprinting AND the df² join work nearly serially — repartition
-    # the (id, text) projection up to the cluster's parallelism first.
-    # Only widen: at real scale the source already has more splits than
-    # cores and narrowing would be a regression.
-    src = df.select(id_col, text_col)
+    # Parallelism plumbing (the sf1 lesson): widen the (id, text)
+    # projection so the per-doc Python fingerprinting parallelizes —
+    # see _widen_to_parallelism.
+    src = _widen_to_parallelism(df.select(id_col, text_col))
     spark = src.sparkSession
     cores = spark.sparkContext.defaultParallelism
-    if src.rdd.getNumPartitions() < cores:
-        src = src.repartition(cores)
     # both self-join sides + the df-count reuse the fingerprints:
     # materialize the Python pass once (localCheckpoint), then ONE
     # explicit hash-repartition on fingerprint feeds all three
@@ -502,6 +512,8 @@ def simhash(
     Same explode-instead-of-inline rationale as minhash_signature."""
     from ..functions.text import tokens
 
+    # widen a narrow source so the tokenize/vote map stage parallelizes
+    df = _widen_to_parallelism(df.select(id_col, text_col))
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
     ).withColumn("h", F.xxhash64("tok"))

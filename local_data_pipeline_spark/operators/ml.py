@@ -29,6 +29,11 @@ def word_frequencies(docs: DataFrame, text_col: str = "text") -> DataFrame:
     Hugging Face ``tokenizers``/original Sennrich formulation) avoid
     re-scanning the corpus per merge.
     """
+    from ..session import widen_to_parallelism
+
+    # widen a narrow source so the tokenize/explode map stage
+    # parallelizes (single-split parquet at bench scale)
+    docs = widen_to_parallelism(docs.select(text_col))
     toks = docs.select(
         F.explode(TX.tokens(F.col(text_col))).alias("word")
     ).filter(F.col("word").rlike("^[a-z]+$"))

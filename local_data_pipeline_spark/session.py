@@ -122,3 +122,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
     """Register every synthetic table as a temp view for Spark SQL use."""
     for t in TABLES:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+
+
+def widen_to_parallelism(df: DataFrame) -> DataFrame:
+    """Round-robin-repartition a NARROW relation up to the cluster's
+    default parallelism before expensive per-row map work (tokenize /
+    shingle / explode / Arrow UDFs). A ~100 MB parquet arrives as ONE
+    input split under the default maxPartitionBytes, which otherwise
+    runs the whole map stage as a single straggler task (found at the
+    sf1 gate: winnowing 98 s → 28 s; the near-dup closure's serial
+    shingle explode). ONLY widens: at real scale the source already has
+    more splits than cores and narrowing would be a regression; wide
+    inputs pass through untouched, costing nothing."""
+    cores = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < cores:
+        return df.repartition(cores)
+    return df
