@@ -368,6 +368,8 @@ def winnowing_fingerprints(
     step evaluates once per row."""
     from ..functions.text import char_codes, rolling_hashes, winnow_from_hashes
 
+    # widen a narrow source so the per-doc hash chain parallelizes
+    df = _widen_to_parallelism(df.select(id_col, text_col))
     norm = df.select(
         F.col(id_col),
         F.regexp_replace(F.trim(F.lower(F.col(text_col))), r"\s+", " ").alias("__norm"),
@@ -430,7 +432,8 @@ def winnowing_fingerprints_arrow(
                 fps_out.extend(uniq.tolist())
             yield pd.DataFrame({id_col: ids_out, "fingerprint": fps_out})
 
-    return df.select(id_col, text_col).mapInPandas(
+    # widen a narrow source so the per-doc numpy loop parallelizes
+    return _widen_to_parallelism(df.select(id_col, text_col)).mapInPandas(
         fp, f"{id_col} long, fingerprint long"
     )
 
@@ -462,12 +465,10 @@ def winnowing_overlap_pairs(
     list and makes the join cost max_df × multiplicity, linear again.
     None keeps exact all-pairs semantics for small corpora."""
     make = winnowing_fingerprints_arrow if use_arrow else winnowing_fingerprints
-    # Parallelism plumbing (the sf1 lesson): widen the (id, text)
-    # projection so the per-doc Python fingerprinting parallelizes —
-    # see _widen_to_parallelism.
-    src = _widen_to_parallelism(df.select(id_col, text_col))
-    spark = src.sparkSession
-    cores = spark.sparkContext.defaultParallelism
+    # Parallelism plumbing (the sf1 lesson): the fingerprint makers
+    # widen their own narrow sources; see _widen_to_parallelism.
+    src = df.select(id_col, text_col)
+    cores = src.sparkSession.sparkContext.defaultParallelism
     # both self-join sides + the df-count reuse the fingerprints:
     # materialize the Python pass once (localCheckpoint), then ONE
     # explicit hash-repartition on fingerprint feeds all three

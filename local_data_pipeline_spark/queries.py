@@ -14336,13 +14336,27 @@ def sparse_cosine_topk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import salt_hot_postings
 
     d = _t(spark, sf_dir, "documents")
+    n_corpus = d.count()
     flat = d.select("doc_id", F.explode(TX.tokens(F.col("text"))).alias("token"))
     tf = flat.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    # Pin the tf partition count to the DATA size (~20k docs' postings
+    # per partition) before checkpointing: the postings join explodes
+    # each tf row into |matching anchor tokens| candidates and
+    # partial-aggregates (a_id, b_id) pairs map-side, so the per-task
+    # hash-agg map scales with docs-per-partition — AQE coalesces the
+    # small-BYTES tf shuffle to ~cores partitions and the agg maps then
+    # spill to sort-based fallback at 100x (the winnowing
+    # small-bytes/large-fanout lesson; measured sf10: 502 s -> 157 s,
+    # growth exponent 1.73 -> ~1.2). The count is already on hand for
+    # the anchor modulus; partitioning never changes results.
+    cores = spark.sparkContext.defaultParallelism
+    n_parts = min(cores * 8, max(cores, n_corpus // 20_000))
+    tf = tf.repartition(n_parts, "doc_id")
     tf = tf.localCheckpoint(eager=False)  # shared by anchors/corpus/norms
     norms = tf.groupBy("doc_id").agg(
         F.sqrt(F.sum(F.col("tf") * F.col("tf"))).alias("nrm")
     )
-    modulus = 97 * max(1, (d.count() + 4999) // 5000)  # ceil, ≡ oracle
+    modulus = 97 * max(1, (n_corpus + 4999) // 5000)  # ceil, ≡ oracle
     anchors = tf.filter(F.col("doc_id") % modulus == 0).select(
         F.col("doc_id").alias("a_id"), "token", F.col("tf").alias("a_tf")
     )
