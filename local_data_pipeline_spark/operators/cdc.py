@@ -49,6 +49,42 @@ def _op_checked(wrapped, op, allow_null: bool = False, what: str = "changelog"):
     )
 
 
+def _malformed_guard(
+    changes: DataFrame,
+    before_group: str,
+    after_group: str,
+    op_col: str,
+    out_cols: "list[tuple[str, object]]",
+) -> DataFrame:
+    """Zero-contribution union branch that forces every changelog row
+    carrying NEITHER image through an in-plan assert. The minus branch
+    only sees rows with a before image and the plus branch rows with an
+    after image, so a row with neither would otherwise silently vanish
+    — and such a row is malformed under the envelope contract no matter
+    what its op says (a U must carry an after image, a D a before
+    image). The filter keeps only imageless rows and the assert
+    condition — false for every row that can reach it, but not
+    plan-time foldable — rides the first projected column, so the
+    branch can only ever contribute by raising."""
+    imaged = F.col(before_group).isNotNull() | F.col(after_group).isNotNull()
+    guarded_first = F.when(
+        F.assert_true(
+            imaged,
+            F.concat(
+                F.lit(
+                    "malformed changelog row: neither before nor after "
+                    "image (op = "
+                ),
+                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
+                F.lit(")"),
+            ),
+        ).isNull(),
+        out_cols[0][1],
+    ).alias(out_cols[0][0])
+    rest = [c.alias(n) for n, c in out_cols[1:]]
+    return changes.filter(~imaged).select(guarded_first, *rest)
+
+
 def compact_changelog(
     changes: DataFrame, key: str, seq_col: str, op_col: str = "op"
 ) -> DataFrame:
@@ -375,8 +411,20 @@ def maintain_agg(
         F.lit(1).cast("bigint").alias("__dn"),
         F.col(after_value).cast(dec).alias("__ds"),
     )
+    malformed = _malformed_guard(
+        changes,
+        before_group,
+        after_group,
+        op_col,
+        [
+            (group_col, F.col(after_group)),
+            ("__dn", F.lit(0).cast("bigint")),
+            ("__ds", F.lit(0).cast(dec)),
+        ],
+    )
     delta = (
         minus.unionByName(plus)
+        .unionByName(malformed)
         .groupBy(group_col)
         .agg(F.sum("__dn").alias("__dn"), F.sum("__ds").alias("__ds"))
     )
@@ -466,17 +514,26 @@ def maintain_minmax(
     # maintain_distinct for the rationale. The insert filter admits any
     # non-D op null-safely so invalid/NULL ops with an after image hit
     # the guard rather than vanishing.
+    ins_src = changes.filter(
+        F.col(after_group).isNotNull()
+        & ~F.col(op_col).eqNullSafe(F.lit("D"))
+    ).select(
+        _op_checked(F.col(after_group), F.col(op_col)).alias(group_col),
+        F.col(after_value).alias("__av"),
+    )
+    malformed = _malformed_guard(
+        changes,
+        before_group,
+        after_group,
+        op_col,
+        [(group_col, F.col(after_group)), ("__av", F.col(after_value))],
+    )
     inserts = (
-        changes.filter(
-            F.col(after_group).isNotNull()
-            & ~F.col(op_col).eqNullSafe(F.lit("D"))
-        )
-        .groupBy(
-            _op_checked(F.col(after_group), F.col(op_col)).alias(group_col)
-        )
+        ins_src.unionByName(malformed)
+        .groupBy(group_col)
         .agg(
-            F.min(after_value).alias("__imn"),
-            F.max(after_value).alias("__imx"),
+            F.min("__av").alias("__imn"),
+            F.max("__av").alias("__imx"),
         )
     )
     dirty = (
@@ -595,8 +652,20 @@ def maintain_distinct(
         F.col(after_value).alias(value_col),
         F.lit(1).cast("bigint").alias("__dn"),
     )
+    malformed = _malformed_guard(
+        changes,
+        before_group,
+        after_group,
+        op_col,
+        [
+            (group_col, F.col(after_group)),
+            (value_col, F.col(after_value)),
+            ("__dn", F.lit(0).cast("bigint")),
+        ],
+    )
     delta = (
         minus.unionByName(plus)
+        .unionByName(malformed)
         .groupBy(group_col, value_col)
         .agg(F.sum("__dn").alias("__dn"))
         .select(
@@ -632,9 +701,12 @@ def maintain_distinct(
                     "inconsistent changelog: support driven negative for "
                     "(group, value) = ("
                 ),
-                F.col(group_col).cast("string"),
+                # coalesce: a legitimate NULL key would otherwise NULL
+                # the whole concat and the raised error would carry no
+                # diagnostic (the _op_checked lesson)
+                F.coalesce(F.col(group_col).cast("string"), F.lit("NULL")),
                 F.lit(", "),
-                F.col(value_col).cast("string"),
+                F.coalesce(F.col(value_col).cast("string"), F.lit("NULL")),
                 F.lit(")"),
             ),
         ).isNull(),

@@ -29,6 +29,7 @@ from .functions.numeric import (
     dsum_dec,
     dsum_sql,
     floor6,
+    floor6_sql,
 )
 from .functions import text as TX
 from .functions.vectors import cosine, l2_norm
@@ -2239,6 +2240,15 @@ def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     Euclidean distance with neighbor-id tie-break; rank-boundary float
     margins are ~9 orders above the numpy-vs-DuckDB arithmetic
     difference, and exact-duplicate vectors tie-break identically).
+    Ranking RAW distances is deliberate, NOT an oversight of the
+    quantize-before-ranking convention: no distance value is emitted
+    (only the set), and for continuous data raw ranking mismatches only
+    when the rank-10 gap is below the ~1e-12-relative cross-engine
+    float discrepancy, whereas micro-quantizing two DIFFERENT monotone
+    forms (squared expansion here, sqrt in list_distance) would create
+    engine-specific tie GROUPS at every bucket edge — orders of
+    magnitude more boundary surface. The cosine oracles quantize
+    because they hash the score column itself.
     The kmeans-codebook ADC side feeds a corpus-level ``recall_ok``
     flag: mean recall@10 ≥ 0.10 (measured 0.16–0.91 across
     sf0.001–sf1; synthetic uniform vectors are PQ's hardest case, so
@@ -6068,7 +6078,7 @@ def co_purchase_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @q(
     "heavy_hitter_tokens_mg",
-    """
+    f"""
     WITH toks AS (
       SELECT CASE WHEN trim(lower(text)) = '' THEN []
                   ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
@@ -6078,7 +6088,7 @@ def co_purchase_lift_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT token, cast(count(*) AS bigint) AS cnt FROM flat GROUP BY token),
     total AS (SELECT cast(sum(cnt) AS bigint) AS tot FROM counts)
     SELECT token, cnt,
-           floor((cnt * 1.0 / tot) * 1e6 + 0.5) / 1e6 AS share
+           {floor6_sql('cnt * 1.0 / tot')} AS share
     FROM counts, total WHERE cnt * 200 > tot
     """,
     tags=("sketch", "approx", "text"),
@@ -7171,13 +7181,19 @@ def logistic_quality_lang_classifier(spark: SparkSession, sf_dir: str) -> DataFr
                 "acc"
             ),
         )
+        # baseline = the MAJORITY-class share (what predicting the
+        # constant class scores), not the positive share: if the
+        # quality gate's positive rate ever exceeded 0.8 a
+        # positive-share + 0.2 bound would be unsatisfiable by any
+        # classifier and flag a perfect fit as broken
         base = F.col("n_hq").cast("double") / F.col("n_docs")
+        majority = F.greatest(base, F.lit(1.0) - base)
         flagged = stats.select(
             "n_docs",
             "n_hq",
             (
                 (F.col("acc") >= 0.9)
-                & (F.col("acc") >= base + 0.2)
+                & (F.col("acc") >= majority + 0.2)
                 & F.lit(b[1] > 0)
                 & F.lit(b[2] > 0)
             )

@@ -111,6 +111,43 @@ def test_maintainers_reject_invalid_op_in_every_branch(spark, chg_row):
         ).collect()
 
 
+@pytest.mark.parametrize("op", ["U", "D", "X", None])
+def test_maintainers_reject_imageless_rows(spark, op):
+    """A changelog row with NEITHER image is malformed regardless of op
+    (a U must carry an after image, a D a before image): the minus and
+    plus branches both filter it out, so without the dedicated guard it
+    would silently vanish — upstream envelope corruption undetected."""
+    from local_data_pipeline_spark.operators.cdc import (
+        maintain_agg,
+        maintain_distinct,
+        maintain_minmax,
+    )
+    from local_data_pipeline_spark.functions.numeric import dsum_dec
+
+    base = spark.createDataFrame(
+        [(1, "a", 7), (2, "a", 8)], "key bigint, grp string, value bigint"
+    )
+    chg = spark.createDataFrame([(1, op, None, None, None, None)], DCHG_SCHEMA)
+
+    s0 = _support(spark, [(1, "a", 7), (2, "a", 8)])
+    with pytest.raises(Exception, match="malformed changelog row"):
+        maintain_distinct(s0, chg, "grp", "value").collect()
+
+    old_agg = base.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), dsum_dec(F.col("value")).alias("total")
+    )
+    with pytest.raises(Exception, match="malformed changelog row"):
+        maintain_agg(old_agg, chg, "grp").collect()
+
+    old_mm = base.groupBy("grp").agg(
+        F.min("value").alias("min_value"), F.max("value").alias("max_value")
+    )
+    with pytest.raises(Exception, match="malformed changelog row"):
+        maintain_minmax(
+            old_mm, base.select("grp", "value"), chg, "grp", "value"
+        ).collect()
+
+
 def test_cramer_solve_bit_identical_to_duckdb_leibniz():
     """The whole point of ml.cramer_solve: on the SAME matrix it must
     reproduce DuckDB's evaluation of the _det4_sql Leibniz expansion
