@@ -680,9 +680,14 @@ def unigram_viterbi_encode(
     in Tungsten."""
     import pandas as pd
 
+    from ..session import widen_to_parallelism
+
     sc = docs.sparkSession.sparkContext
     bvocab = sc.broadcast(vocab)
 
+    # widen a narrow source so the tokenize/posexplode map stage
+    # parallelizes (single-digit input splits at sf1-sf10)
+    docs = widen_to_parallelism(docs.select(id_col, text_col))
     spine = docs.select(id_col)
     toks = docs.select(
         F.col(id_col),
@@ -706,8 +711,17 @@ def unigram_viterbi_encode(
         .distinct()
         .mapInPandas(segment, "__w string, __ps array<string>")
     )
+    # pin the per-doc aggregate's shuffle to the data size (~10k docs
+    # of token/piece rows per partition): word_pieces broadcasts, so
+    # the only exchange is this groupBy — a fixed
+    # spark.sql.shuffle.partitions at 10x data puts ~15M piece-array
+    # rows per partition (spill); partitioning never changes results
+    cores = docs.sparkSession.sparkContext.defaultParallelism
+    n_docs = docs.count()
+    n_parts = min(cores * 8, max(cores, n_docs // 10_000))
     per_doc = (
-        toks.join(word_pieces, "__w")
+        toks.join(F.broadcast(word_pieces), "__w")
+        .repartition(n_parts, id_col)
         .groupBy(id_col)
         .agg(
             F.count("*").cast("int").alias("n_words"),

@@ -16005,6 +16005,24 @@ def _cdc_rolling_cuts(docs: DataFrame) -> DataFrame:
     so a non-ASCII char would silently diverge the hash cross-engine —
     the in-plan assert raises instead (byte-level hashing is the
     extension seam for non-ASCII corpora)."""
+    # Parallelism + spill control in ONE data-sized repartition (~10k
+    # docs of chars per partition): a narrow source would run the
+    # ~1000x per-character posexplode on 1-8 input-split tasks, and the
+    # lag windows would otherwise hash-partition by doc_id into a fixed
+    # spark.sql.shuffle.partitions — ~15M char-rows per sort partition
+    # at 10x data, disk-spill territory (the sparse-cosine
+    # aggregation-map lesson). Partitioning never changes results; the
+    # count is one cheap job.
+    spark = docs.sparkSession
+    cores = spark.sparkContext.defaultParallelism
+    n_docs = docs.count()
+    # repartition the DOCS (cheap rows) by doc_id, not the exploded
+    # chars (~1000x bigger): the explode preserves partitioning, so the
+    # window's ClusteredDistribution(doc_id) is already satisfied and
+    # the 10x-data char volume never crosses the wire
+    docs = docs.repartition(
+        min(cores * 8, max(cores, n_docs // 10_000)), "doc_id"
+    )
     docs = docs.withColumn(
         "text",
         F.when(
