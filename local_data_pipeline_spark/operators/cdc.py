@@ -49,40 +49,35 @@ def _op_checked(wrapped, op, allow_null: bool = False, what: str = "changelog"):
     )
 
 
-def _malformed_guard(
+def _imageless_guard(
     changes: DataFrame,
     before_group: str,
     after_group: str,
     op_col: str,
     out_cols: "list[tuple[str, object]]",
 ) -> DataFrame:
-    """Zero-contribution union branch that forces every changelog row
-    carrying NEITHER image through an in-plan assert. The minus branch
-    only sees rows with a before image and the plus branch rows with an
-    after image, so a row with neither would otherwise silently vanish
-    — and such a row is malformed under the envelope contract no matter
-    what its op says (a U must carry an after image, a D a before
-    image). The filter keeps only imageless rows and the assert
-    condition — false for every row that can reach it, but not
-    plan-time foldable — rides the first projected column, so the
-    branch can only ever contribute by raising."""
+    """Zero-contribution union branch that op-validates every changelog
+    row carrying NEITHER image. The minus branch only sees rows with a
+    before image and the plus branch rows with an after image, so a row
+    with neither would otherwise bypass the op check entirely and an
+    invalid/NULL-op row would silently vanish. Imageless rows with a
+    VALID op are legitimate, though: :func:`compact_envelope` nets an
+    insert-then-delete of the same key to (before NULL, op D, after
+    NULL) — a correct no-op. So this branch rides :func:`_op_checked`
+    on its first projection (raising on ops outside :data:`OPS`) and
+    then filters itself empty on the guarded NULL group — a filter on
+    the checked column cannot bypass the assert (assert_true is not
+    pushdown-able), so validation still runs per row."""
     imaged = F.col(before_group).isNotNull() | F.col(after_group).isNotNull()
-    guarded_first = F.when(
-        F.assert_true(
-            imaged,
-            F.concat(
-                F.lit(
-                    "malformed changelog row: neither before nor after "
-                    "image (op = "
-                ),
-                F.coalesce(F.col(op_col).cast("string"), F.lit("NULL")),
-                F.lit(")"),
-            ),
-        ).isNull(),
-        out_cols[0][1],
-    ).alias(out_cols[0][0])
+    guarded_first = _op_checked(out_cols[0][1], F.col(op_col)).alias(
+        out_cols[0][0]
+    )
     rest = [c.alias(n) for n, c in out_cols[1:]]
-    return changes.filter(~imaged).select(guarded_first, *rest)
+    return (
+        changes.filter(~imaged)
+        .select(guarded_first, *rest)
+        .filter(F.col(out_cols[0][0]).isNotNull())
+    )
 
 
 def compact_changelog(
@@ -411,7 +406,7 @@ def maintain_agg(
         F.lit(1).cast("bigint").alias("__dn"),
         F.col(after_value).cast(dec).alias("__ds"),
     )
-    malformed = _malformed_guard(
+    imageless = _imageless_guard(
         changes,
         before_group,
         after_group,
@@ -424,7 +419,7 @@ def maintain_agg(
     )
     delta = (
         minus.unionByName(plus)
-        .unionByName(malformed)
+        .unionByName(imageless)
         .groupBy(group_col)
         .agg(F.sum("__dn").alias("__dn"), F.sum("__ds").alias("__ds"))
     )
@@ -521,7 +516,7 @@ def maintain_minmax(
         _op_checked(F.col(after_group), F.col(op_col)).alias(group_col),
         F.col(after_value).alias("__av"),
     )
-    malformed = _malformed_guard(
+    imageless = _imageless_guard(
         changes,
         before_group,
         after_group,
@@ -529,7 +524,7 @@ def maintain_minmax(
         [(group_col, F.col(after_group)), ("__av", F.col(after_value))],
     )
     inserts = (
-        ins_src.unionByName(malformed)
+        ins_src.unionByName(imageless)
         .groupBy(group_col)
         .agg(
             F.min("__av").alias("__imn"),
@@ -652,7 +647,7 @@ def maintain_distinct(
         F.col(after_value).alias(value_col),
         F.lit(1).cast("bigint").alias("__dn"),
     )
-    malformed = _malformed_guard(
+    imageless = _imageless_guard(
         changes,
         before_group,
         after_group,
@@ -665,7 +660,7 @@ def maintain_distinct(
     )
     delta = (
         minus.unionByName(plus)
-        .unionByName(malformed)
+        .unionByName(imageless)
         .groupBy(group_col, value_col)
         .agg(F.sum("__dn").alias("__dn"))
         .select(

@@ -111,12 +111,11 @@ def test_maintainers_reject_invalid_op_in_every_branch(spark, chg_row):
         ).collect()
 
 
-@pytest.mark.parametrize("op", ["U", "D", "X", None])
-def test_maintainers_reject_imageless_rows(spark, op):
-    """A changelog row with NEITHER image is malformed regardless of op
-    (a U must carry an after image, a D a before image): the minus and
-    plus branches both filter it out, so without the dedicated guard it
-    would silently vanish — upstream envelope corruption undetected."""
+@pytest.mark.parametrize("op", ["X", None])
+def test_maintainers_reject_invalid_op_on_imageless_rows(spark, op):
+    """A changelog row with NEITHER image bypasses both the minus and
+    plus branches, so without the dedicated guard an invalid/NULL op on
+    it would silently vanish — upstream envelope corruption undetected."""
     from local_data_pipeline_spark.operators.cdc import (
         maintain_agg,
         maintain_distinct,
@@ -130,22 +129,61 @@ def test_maintainers_reject_imageless_rows(spark, op):
     chg = spark.createDataFrame([(1, op, None, None, None, None)], DCHG_SCHEMA)
 
     s0 = _support(spark, [(1, "a", 7), (2, "a", 8)])
-    with pytest.raises(Exception, match="malformed changelog row"):
+    with pytest.raises(Exception, match="invalid changelog op"):
         maintain_distinct(s0, chg, "grp", "value").collect()
 
     old_agg = base.groupBy("grp").agg(
         F.count("*").alias("n_rows"), dsum_dec(F.col("value")).alias("total")
     )
-    with pytest.raises(Exception, match="malformed changelog row"):
+    with pytest.raises(Exception, match="invalid changelog op"):
         maintain_agg(old_agg, chg, "grp").collect()
 
     old_mm = base.groupBy("grp").agg(
         F.min("value").alias("min_value"), F.max("value").alias("max_value")
     )
-    with pytest.raises(Exception, match="malformed changelog row"):
+    with pytest.raises(Exception, match="invalid changelog op"):
         maintain_minmax(
             old_mm, base.select("grp", "value"), chg, "grp", "value"
         ).collect()
+
+
+@pytest.mark.parametrize("op", ["U", "D"])
+def test_maintainers_tolerate_valid_op_imageless_rows(spark, op):
+    """Imageless rows with a VALID op are legitimate no-ops —
+    compact_envelope nets an insert-then-delete of one key to
+    (before NULL, op D, after NULL) — and must contribute NOTHING
+    (no junk NULL-group output rows, no assert)."""
+    from local_data_pipeline_spark.operators.cdc import (
+        maintain_agg,
+        maintain_distinct,
+        maintain_minmax,
+    )
+    from local_data_pipeline_spark.functions.numeric import dsum_dec
+
+    base = spark.createDataFrame(
+        [(1, "a", 7), (2, "a", 8)], "key bigint, grp string, value bigint"
+    )
+    chg = spark.createDataFrame([(1, op, None, None, None, None)], DCHG_SCHEMA)
+
+    s0 = _support(spark, [(1, "a", 7), (2, "a", 8)])
+    assert sorted(
+        (r.grp, r.value, r.n_support)
+        for r in maintain_distinct(s0, chg, "grp", "value").collect()
+    ) == [("a", 7, 1), ("a", 8, 1)]
+
+    old_agg = base.groupBy("grp").agg(
+        F.count("*").alias("n_rows"), dsum_dec(F.col("value")).alias("total")
+    )
+    out = maintain_agg(old_agg, chg, "grp").collect()
+    assert [(r.grp, r.n_rows) for r in out] == [("a", 2)]
+
+    old_mm = base.groupBy("grp").agg(
+        F.min("value").alias("min_value"), F.max("value").alias("max_value")
+    )
+    mm = maintain_minmax(
+        old_mm, base.select("grp", "value"), chg, "grp", "value"
+    ).collect()
+    assert [(r.grp, r.min_value, r.max_value) for r in mm] == [("a", 7, 8)]
 
 
 def test_cramer_solve_bit_identical_to_duckdb_leibniz():
