@@ -63,9 +63,21 @@ def minhash_signature(
     id_col: str = "doc_id",
     n_hashes: int = 32,
     shingle_k: int = 3,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """(id, signature array<bigint>): per seed i, min over shingles of
-    xxhash64(shingle, i).
+    hash_i(shingle).
+
+    ``hash_family``: ``"xxhash64"`` (default — the production choice,
+    JVM-vectorized 64-bit) hashes each shingle per seed with
+    ``xxhash64(sh, i)``; ``"rk_pow5"`` is the ENGINE-REPLAYABLE family
+    (functions/replay.py): one Rabin-Karp codepoint hash per shingle,
+    then per-seed shifted power permutations ``pow5((rk + i·SALT) mod
+    p)`` — pure int64 arithmetic DuckDB reproduces exactly, which is
+    what lets the declared ``minhash_near_dups`` query carry a full
+    value-hash oracle. Same pipeline shape either way; rk_pow5 hashes
+    the shingle string ONCE and permutes the 31-bit value per seed
+    (cheaper per-seed than a fresh xxhash64, narrower hash space).
 
     Shape: explode distinct shingles → one row per (doc, shingle) → hash
     each shingle once per seed → groupBy(doc).min per seed → pack array.
@@ -74,6 +86,8 @@ def minhash_signature(
     tempting all-in-one expression — 32 ``transform``s over the shingle
     array in a single projection — re-inlines shingle construction per
     seed after projection collapse: ~30× slower measured.)"""
+    from ..functions.replay import pow5_seeded, rk_string
+
     # widen a narrow source so the tokenize/shingle/hash map stage
     # parallelizes (see _widen_to_parallelism)
     df = _widen_to_parallelism(df.select(id_col, text_col))
@@ -82,11 +96,18 @@ def minhash_signature(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("__t"), shingle_k)).alias("sh"),
     )
-    mins = exploded.groupBy(id_col).agg(
-        *[
-            F.min(F.xxhash64("sh", F.lit(i))).alias(f"h{i}")
-            for i in range(n_hashes)
+    if hash_family == "xxhash64":
+        seed_hashes = [F.xxhash64("sh", F.lit(i)) for i in range(n_hashes)]
+    elif hash_family == "rk_pow5":
+        # bind the per-shingle RK hash once; the 32 permutations reuse it
+        exploded = exploded.withColumn("__rk", rk_string(F.col("sh")))
+        seed_hashes = [
+            pow5_seeded(F.col("__rk"), i) for i in range(n_hashes)
         ]
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    mins = exploded.groupBy(id_col).agg(
+        *[h.cast("long").alias(f"h{i}") for i, h in enumerate(map(F.min, seed_hashes))]
     )
     return mins.select(
         F.col(id_col),
@@ -99,6 +120,7 @@ def lsh_candidate_pairs(
     id_col: str = "doc_id",
     n_bands: int = 8,
     max_bucket_size: int | None = None,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Band each signature into ``n_bands`` chunks; docs sharing any band
     hash become a candidate pair. Output: (id_a, id_b), id_a < id_b,
@@ -111,12 +133,33 @@ def lsh_candidate_pairs(
     (empty docs, boilerplate) can dominate the whole job — buckets above
     the cap are SKIPPED (their members still pair through their other
     bands, which a truly similar pair shares anyway). None keeps exact
-    banding semantics."""
+    banding semantics.
+
+    ``hash_family``: how a band's signature slice collapses to a bucket
+    key — ``"xxhash64"`` (default, production) hashes the slice's string
+    form; ``"rk_pow5"`` folds the slice polynomially mod 2³¹−1
+    (functions/replay.poly_fold shape) — engine-replayable, and
+    collisions (which only ADD candidates, never drop true pairs)
+    happen identically on every engine."""
+    from ..functions.replay import FOLD_BASE, POW_P
+
     # both sides of the self-join would recompute the signature subtree;
     # checkpoint it once (at 100 TB: persist to a signatures table instead)
     signatures = signatures.localCheckpoint(eager=False)
     n_hashes_col = F.size(F.col("signature"))
     rows_per_band = (n_hashes_col / n_bands).cast("int")
+    if hash_family == "xxhash64":
+        def band_key(sl: Column) -> Column:
+            return F.xxhash64(sl.cast("string"))
+    elif hash_family == "rk_pow5":
+        def band_key(sl: Column) -> Column:
+            return F.aggregate(
+                sl,
+                F.lit(0).cast("long"),
+                lambda acc, s: F.pmod(acc * FOLD_BASE + s, F.lit(POW_P)),
+            )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     banded = signatures.select(
         F.col(id_col),
         F.explode(
@@ -124,12 +167,12 @@ def lsh_candidate_pairs(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
                 lambda b: F.struct(
                     b.alias("band"),
-                    F.xxhash64(
+                    band_key(
                         F.slice(
                             F.col("signature"),
                             b * rows_per_band + 1,
                             rows_per_band,
-                        ).cast("string")
+                        )
                     ).alias("band_hash"),
                 ),
             )
@@ -253,11 +296,17 @@ def minhash_near_dups(
     n_bands: int = 8,
     shingle_k: int = 3,
     threshold: float = 0.7,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: signature → banded candidates →
-    exact-Jaccard verification ≥ threshold."""
-    sigs = minhash_signature(df, text_col, id_col, n_hashes, shingle_k)
-    cands = lsh_candidate_pairs(sigs, id_col, n_bands)
+    exact-Jaccard verification ≥ threshold. ``hash_family="rk_pow5"``
+    swaps xxhash64 for the engine-replayable Rabin-Karp + power-
+    permutation family (see minhash_signature) so the whole output is
+    value-hash reproducible on any engine."""
+    sigs = minhash_signature(
+        df, text_col, id_col, n_hashes, shingle_k, hash_family
+    )
+    cands = lsh_candidate_pairs(sigs, id_col, n_bands, hash_family=hash_family)
     return jaccard_pairs(df, cands, text_col, id_col, shingle_k, threshold)
 
 
@@ -503,21 +552,46 @@ def winnowing_overlap_pairs(
 
 # --------------------------------------------------------------- simhash
 def simhash(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """64-bit SimHash over whitespace tokens: bit i of the result is 1 iff
-    the sum over tokens of ±1 (sign of bit i of xxhash64(token)) is > 0.
+    """SimHash over whitespace tokens: bit i of the result is 1 iff
+    the sum over tokens of ±1 (sign of bit i of hash(token)) is > 0.
 
-    Shape: explode tokens → hash once per token → 64 conditional-sum bit
+    ``hash_family="xxhash64"`` (default, production): 64 vote bits from
+    the JVM-vectorized 64-bit hash. ``"rk_pow5"``: 62 vote bits from the
+    engine-replayable family (functions/replay.py) — per token, two
+    seeded power permutations of its Rabin-Karp hash concatenated as
+    h62 = h1·2³¹ + h2 (< 2⁶², always non-negative, so shifts and XORs
+    agree on every engine); bits 62-63 are always 0, which banding and
+    Hamming handle transparently.
+
+    Shape: explode tokens → hash once per token → conditional-sum bit
     votes in ONE hash aggregate (map-side combinable) → assemble the long.
     Same explode-instead-of-inline rationale as minhash_signature."""
+    from ..functions.replay import pow5_seeded, rk_string
     from ..functions.text import tokens
 
     # widen a narrow source so the tokenize/vote map stage parallelizes
     df = _widen_to_parallelism(df.select(id_col, text_col))
     exploded = df.select(
         F.col(id_col), F.explode(tokens(F.col(text_col))).alias("tok")
-    ).withColumn("h", F.xxhash64("tok"))
+    )
+    if hash_family == "xxhash64":
+        n_bits = 64
+        exploded = exploded.withColumn("h", F.xxhash64("tok"))
+    elif hash_family == "rk_pow5":
+        n_bits = 62
+        rk = rk_string(F.col("tok"))
+        exploded = exploded.withColumn("__rk", rk).withColumn(
+            "h",
+            pow5_seeded(F.col("__rk"), 0) * F.lit(2147483648)
+            + pow5_seeded(F.col("__rk"), 1),
+        )
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
 
     def bitmask(i: int) -> int:
         return 1 << i if i < 63 else -(2**63)
@@ -527,11 +601,11 @@ def simhash(
             F.sum(
                 F.when(F.col("h").bitwiseAND(F.lit(bitmask(i))) != 0, 1).otherwise(-1)
             ).alias(f"v{i}")
-            for i in range(64)
+            for i in range(n_bits)
         ]
     )
     sim = None
-    for i in range(64):
+    for i in range(n_bits):
         bit = F.when(F.col(f"v{i}") > 0, F.lit(bitmask(i)).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
@@ -614,13 +688,16 @@ def simhash_near_dups(
     id_col: str = "doc_id",
     n_bands: int = 4,
     max_hamming: int = 6,
+    hash_family: str = "xxhash64",
 ) -> DataFrame:
-    """SimHash near-dup: band the 64-bit hash into 16-bit chunks; pairs
+    """SimHash near-dup: band the hash into 16-bit chunks; pairs
     sharing a chunk are candidates; verify Hamming distance ≤ max_hamming
-    (recall contract documented on ``banded_hamming_pairs``)."""
+    (recall contract documented on ``banded_hamming_pairs``).
+    ``hash_family="rk_pow5"`` makes the whole pipeline engine-replayable
+    (62 effective bits; see ``simhash``)."""
     # checkpoint: the banded self-join would otherwise compute the 64-bit
     # vote aggregation once per side
-    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    sh = simhash(df, text_col, id_col, hash_family).localCheckpoint(eager=False)
     return banded_hamming_pairs(sh, "simhash", id_col, n_bands, max_hamming)
 
 

@@ -665,6 +665,7 @@ def unigram_viterbi_encode(
     vocab: "dict[str, float]",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_broadcast_vocab: int = 1_000_000,
 ) -> DataFrame:
     """(id, n_words, n_pieces, pieces) with Python cost proportional to
     the DISTINCT vocabulary, not the corpus: segment the word TYPES, not
@@ -677,7 +678,15 @@ def unigram_viterbi_encode(
     (array_sort over (pos, pieces) structs) per document. Empty
     documents survive via the left join from the id spine. Per-word
     Python work is O(len·max_piece_len); everything corpus-sized stays
-    in Tungsten."""
+    in Tungsten.
+
+    The pieces join is broadcast-hinted only while the estimated
+    distinct-word count (one cheap HLL pass over the token stream)
+    stays ≤ ``max_broadcast_vocab`` — the word-TYPE relation is
+    Zipf-sublinear but UNBOUNDED on real corpora, and a forced
+    broadcast of a 10⁸-type vocabulary would blow the driver/executor
+    broadcast limits at the 100 TB framing; above the gate the planner
+    (AQE) picks the join strategy for a plain shuffle join."""
     import pandas as pd
 
     from ..session import widen_to_parallelism
@@ -719,8 +728,18 @@ def unigram_viterbi_encode(
     cores = docs.sparkSession.sparkContext.defaultParallelism
     n_docs = docs.count()
     n_parts = min(cores * 8, max(cores, n_docs // 10_000))
+    # broadcast gate: estimate the word-type count before forcing the
+    # hint (HLL partial-aggregates map-side — one cheap extra job)
+    n_vocab_est = toks.agg(
+        F.approx_count_distinct("__w").alias("n")
+    ).first()[0]
+    pieces_side = (
+        F.broadcast(word_pieces)
+        if n_vocab_est <= max_broadcast_vocab
+        else word_pieces
+    )
     per_doc = (
-        toks.join(F.broadcast(word_pieces), "__w")
+        toks.join(pieces_side, "__w")
         .repartition(n_parts, id_col)
         .groupBy(id_col)
         .agg(

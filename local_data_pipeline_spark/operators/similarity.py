@@ -267,6 +267,50 @@ def hyperplane_bucket(
     return bucket
 
 
+def rademacher_bucket(vec_micro: Column, dim: int, n_planes: int) -> Column:
+    """ENGINE-REPLAYABLE sign-pattern bucket (Charikar sign-random-
+    projection with ±1 coefficients): bit p = 1 iff the INTEGER dot of
+    the micro-quantized vector against the constant Rademacher plane p
+    (functions/replay.rademacher_planes — pow5-parity-derived literals)
+    is > 0. The projection is exact int64 (|dot| ≤ dim·|v|·1e6 ≪ 2⁶³),
+    so the sign — and therefore the bucket, the candidate set, and the
+    whole downstream output — can never diverge between engines, which
+    is what lets the declared LSH/near-dup queries carry full value-hash
+    oracles. ``vec_micro`` must be a BOUND array<long> column of
+    floor(x·1e6 + 0.5) components (replay.micro; HOF-inlining note on
+    shingles_from_tokens applies)."""
+    from ..functions.replay import rademacher_planes
+
+    planes = rademacher_planes(n_planes, dim)
+    bucket = F.lit(0).cast("long")
+    for p in range(n_planes):
+        coeffs = F.array(*[F.lit(c).cast("long") for c in planes[p]])
+        proj = F.aggregate(
+            F.zip_with(vec_micro, coeffs, lambda x, r: x * r),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p).cast("long")).otherwise(0)
+    return bucket
+
+
+def _bucket_col(
+    vec_col: str, dim: int, n_planes: int, seed: int, hash_family: str
+) -> Column:
+    """Bucket expression for either hash family (near-dup operators).
+    The rademacher path inlines the micro-quantization (re-evaluated
+    once per plane — acceptable: n_planes ≤ 8 cheap int ops; the hot
+    lsh_topk path binds it instead)."""
+    if hash_family == "xx_float":
+        return hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+    if hash_family == "rademacher":
+        from ..functions.replay import micro
+
+        vm = F.transform(F.col(vec_col), lambda x: micro(x))
+        return rademacher_bucket(vm, dim, n_planes)
+    raise ValueError(f"unknown hash_family: {hash_family!r}")
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -278,8 +322,14 @@ def lsh_topk(
     seed: int = 42,
     exclude_self: bool = True,
     probe_hamming: int = 0,
+    hash_family: str = "xx_float",
 ) -> DataFrame:
     """Approximate top-k: score only within the query's hyperplane bucket.
+
+    ``hash_family``: ``"xx_float"`` (default, production) buckets by
+    xxhash64-derived float hyperplanes; ``"rademacher"`` buckets by the
+    engine-replayable integer sign projection (``rademacher_bucket``) so
+    the declared query's full output value-hashes against a SQL twin.
 
     Equi-join on bucket replaces the crossJoin — candidate count drops by
     ~2^n_planes. Recall < 1 by design; ``probe_hamming`` is the recall
@@ -296,11 +346,29 @@ def lsh_topk(
     so no dedup pass is needed. Measured recall@10 at the defaults used
     by ``ann_recall_eval``: ~0.7 exact-bucket → >=0.95 with
     probe_hamming=1 (pinned in tests/test_dedup_similarity.py)."""
-    bq = queries.select(
+    from ..functions.replay import micro
+
+    if hash_family == "xx_float":
+        def with_bucket(df: DataFrame) -> DataFrame:
+            return df.withColumn(
+                "__bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+            )
+    elif hash_family == "rademacher":
+        def with_bucket(df: DataFrame) -> DataFrame:
+            # bind the micro-quantized vector once (HOF-inlining note)
+            vm = df.withColumn(
+                "__vm", F.transform(F.col(vec_col), lambda x: micro(x))
+            )
+            return vm.withColumn(
+                "__bucket", rademacher_bucket(F.col("__vm"), dim, n_planes)
+            ).drop("__vm")
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    bq = with_bucket(queries).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        F.col("__bucket").alias("bucket"),
     )
     if probe_hamming not in (0, 1):
         raise ValueError("probe_hamming supports 0 (exact bucket) or 1")
@@ -313,11 +381,11 @@ def lsh_topk(
             ],
         )
         bq = bq.withColumn("bucket", F.explode(probes))
-    bc = corpus.select(
+    bc = with_bucket(corpus).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        F.col("__bucket").alias("bucket"),
     )
     joined = bc.join(F.broadcast(bq), "bucket")
     if exclude_self:
@@ -408,6 +476,101 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
+        "cell",
+    )
+    joined = cc.join(F.broadcast(cq), "cell")
+    if exclude_self:
+        joined = joined.filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = joined.select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm")),
+            6,
+        ).alias("cos_sim"),
+    ).distinct()  # a (query, neighbor) pair can meet in multiple probed cells
+    return _rank_topk(scored, k)
+
+
+def ivf_topk_replayable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    n_probe: int = 2,
+    exclude_self: bool = True,
+) -> DataFrame:
+    """ENGINE-REPLAYABLE IVF top-k — same index structure as
+    :func:`ivf_topk` (deterministic pseudo-random coarse centroids, cell
+    assignment by nearest centroid, queries probing ``n_probe`` cells,
+    exact cosine within probed cells) with every engine-specific step
+    swapped for an arithmetic twin any engine reproduces:
+
+    - centroid sample: smallest ``pow5(vec_id mod p)`` (the replayable
+      permutation, functions/replay.py) instead of smallest xxhash64;
+      ties → lowest vec_id; cell id = rank in that order.
+    - assignment: argmax of ROUND-6 cosine (ties → lowest cell id). The
+      rounding makes the argmax a comparison of identical doubles on
+      both engines (the attested cosine_topk pattern), instead of a
+      numpy-vs-SQL float argmax that can flip at ulp-level ties.
+
+    Fully Catalyst (no mapInPandas): assignment is a broadcast crossJoin
+    against the ``n_centroids``-row centroid relation + one window — the
+    right shape up to ~thousands of centroids; the numpy-matmul
+    ``ivf_topk`` remains the production path for large codebooks. The
+    declared ``ivf_topk_embeddings`` query uses this variant so the
+    driver can value-hash its full output."""
+    from ..functions.replay import POW_P, pow5
+
+    cent = (
+        corpus.select(id_col, vec_col)
+        .withColumn("__r", pow5(F.pmod(F.col(id_col), F.lit(POW_P))))
+        .orderBy("__r", id_col)
+        .limit(n_centroids)
+    )
+    cent = cent.select(
+        (
+            F.row_number().over(Window.orderBy("__r", id_col)) - 1
+        ).alias("cell"),
+        F.col(vec_col).alias("cent_vec"),
+        l2_norm(F.col(vec_col)).alias("cent_norm"),
+    )
+    # assignment: one broadcast crossJoin (n_centroids rows) + window
+    base = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        l2_norm(F.col(vec_col)).alias("__nrm"),
+    )
+    assigned = base.crossJoin(F.broadcast(cent)).select(
+        id_col,
+        vec_col,
+        "__nrm",
+        "cell",
+        F.round(
+            dot(F.col(vec_col), F.col("cent_vec"))
+            / (F.col("__nrm") * F.col("cent_norm")),
+            6,
+        ).alias("__cos6"),
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("__cos6"), F.asc("cell"))
+    ranked_cells = assigned.withColumn("__rn", F.row_number().over(w))
+    corpus_cells = ranked_cells.filter(F.col("__rn") == 1)
+    query_ids = queries.select(F.col(id_col).alias("__qid"))
+    query_cells = ranked_cells.filter(F.col("__rn") <= n_probe).join(
+        F.broadcast(query_ids), F.col(id_col) == F.col("__qid")
+    )
+    cq = query_cells.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.col("__nrm").alias("q_norm"),
+        "cell",
+    )
+    cc = corpus_cells.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.col("__nrm").alias("c_norm"),
         "cell",
     )
     joined = cc.join(F.broadcast(cq), "cell")
@@ -557,18 +720,22 @@ def embedding_near_dups_arrow(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 42,
+    hash_family: str = "xx_float",
 ) -> DataFrame:
     """Arrow fast path for embedding near-dup: hyperplane buckets, then one
     numpy gram matrix per bucket via ``applyInPandas`` (upper triangle ≥
     threshold). Same results as ``embedding_near_dups`` at 6-decimal
-    rounding. Skew note: a degenerate bucket lands on one task — split hot
-    buckets with a secondary salt when bucket-size monitoring trips."""
+    rounding (``hash_family`` as on ``lsh_topk`` — "rademacher" makes the
+    bucketing engine-replayable; the numpy round-6 cosine already is, per
+    the attested cosine_topk_arrow pattern). Skew note: a degenerate
+    bucket lands on one task — split hot buckets with a secondary salt
+    when bucket-size monitoring trips."""
     import numpy as np
 
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        _bucket_col(vec_col, dim, n_planes, seed, hash_family).alias("bucket"),
     )
 
     def per_bucket(pdf):
@@ -605,15 +772,16 @@ def embedding_near_dups(
     dim: int = 64,
     n_planes: int = 6,
     seed: int = 42,
+    hash_family: str = "xx_float",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: bucket with hyperplane LSH,
     verify exact cosine ≥ threshold within buckets. Output (id_a, id_b,
-    cos_sim), id_a < id_b."""
+    cos_sim), id_a < id_b. ``hash_family`` as on ``lsh_topk``."""
     b = df.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
-        hyperplane_bucket(F.col(vec_col), dim, n_planes, seed).alias("bucket"),
+        _bucket_col(vec_col, dim, n_planes, seed, hash_family).alias("bucket"),
     )
     a, c = b.alias("a"), b.alias("c")
     pairs = a.join(

@@ -1942,14 +1942,92 @@ def ppm_pixel_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@q("minhash_near_dups", None, tags=("dedup", "approx"))
+def _minhash_oracle(
+    n_hashes: int = 32, n_bands: int = 8, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of the rk_pow5 MinHash-LSH near-dup pipeline. Every
+    stage is pure int64 arithmetic (functions/replay.py): word-3-gram
+    shingles (the attested ngram_jaccard construction, with the
+    concat_ws null-skip replicated exactly), one Rabin-Karp codepoint
+    hash per shingle (base 257 mod 2³¹−1 — the winnowing arithmetic),
+    per-seed shifted power permutations pow5((rk + seed·1000003) mod p)
+    with min per (doc, seed), band keys as polynomial folds of the
+    4-entry signature slices, bucket-join candidates, and exact
+    round-6 Jaccard verification over the distinct shingle sets
+    (n_a + n_b − n_inter union, mirroring jaccard_pairs' join shape)."""
+    from .functions.replay import (
+        POW_P,
+        POW_SALT,
+        poly_fold_sql,
+        pow5_sql,
+        rk_string_sql,
+    )
+
+    rpb = n_hashes // n_bands
+    perm = pow5_sql(f"(rk + seed * {POW_SALT}) % {POW_P}")
+    bk = poly_fold_sql([f"sig[{rpb} * b + {j + 1}]" for j in range(rpb)])
+    shingle = (
+        "coalesce(t[i], '') "
+        "|| CASE WHEN t[i+1] IS NULL THEN '' ELSE ' ' || t[i+1] END "
+        "|| CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    shs AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               generate_series(1, greatest(len(t) - 2, 1)),
+               i -> {shingle})) AS s
+      FROM toks),
+    sh AS (SELECT doc_id, unnest(s) AS sh FROM shs),
+    rks AS (SELECT doc_id, {rk_string_sql('sh')} AS rk FROM sh),
+    perm AS (
+      SELECT doc_id, seed, min({perm}) AS mh
+      FROM rks CROSS JOIN (SELECT unnest(range(0, {n_hashes})) AS seed)
+      GROUP BY doc_id, seed),
+    sigs AS (
+      SELECT doc_id, list(mh ORDER BY seed) AS sig FROM perm GROUP BY doc_id),
+    bands AS (
+      SELECT doc_id, b, {bk} AS bk
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b)),
+    cands AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.b = b.b AND a.bk = b.bk AND a.doc_id < b.doc_id),
+    jac AS (
+      SELECT c.id_a, c.id_b,
+             round(len(list_intersect(sa.s, sb.s)) * 1.0 /
+                   (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s))),
+                   6) AS jaccard
+      FROM cands c
+      JOIN shs sa ON sa.doc_id = c.id_a
+      JOIN shs sb ON sb.doc_id = c.id_b)
+    SELECT id_a, id_b, jaccard FROM jac WHERE jaccard >= {threshold}
+    """
+
+
+@q("minhash_near_dups", _minhash_oracle(), tags=("dedup", "approx"))
 def minhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(32 hashes)+LSH(8 bands) candidates, verified Jaccard ≥ 0.5.
-    Deterministic (seeded xxhash64) but not SQL-expressible → rows-only."""
+
+    Graduated from rows-only to a FULL value-hash oracle in round 10 by
+    swapping the declared query onto the engine-replayable hash family
+    (``hash_family="rk_pow5"``, functions/replay.py): per-shingle
+    Rabin-Karp hash + per-seed shifted power permutations over 2³¹−1
+    and polynomial-fold band keys — pure int64 arithmetic that
+    ``_minhash_oracle`` replays stage-for-stage, so the candidate set
+    (not just the Jaccard verification) is cross-engine identical. The
+    xxhash64 family remains the production default on the operator
+    (wider hash space, JVM-vectorized); the approximation CONTRACT of
+    both families is measured by ``minhash_precision_recall_eval``."""
     d = _t(spark, sf_dir, "documents")
-    return DD.minhash_near_dups(d, n_hashes=32, n_bands=8, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return DD.minhash_near_dups(
+        d, n_hashes=32, n_bands=8, threshold=0.5, hash_family="rk_pow5"
+    ).orderBy("id_a", "id_b")
 
 
 def _winnowing_oracle(
@@ -2043,39 +2121,252 @@ def winnowing_overlap_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id_a", "id_b")
 
 
-@q("simhash_near_dups", None, tags=("dedup", "approx"))
+def _simhash_oracle(max_hamming: int = 6) -> str:
+    """DuckDB twin of the rk_pow5 SimHash near-dup pipeline: per-token
+    Rabin-Karp hash, two seeded power permutations concatenated as
+    h = h1·2³¹ + h2 (62 bits, always non-negative — shifts/xor agree on
+    every engine), 62 ±1 bit votes per doc in ONE conditional-sum
+    aggregate (the Spark shape), 4×16-bit banding, and exact
+    bit_count(xor) Hamming verification."""
+    from .functions.replay import POW_P, POW_SALT, pow5_sql, rk_string_sql
+
+    h1 = pow5_sql("rk")
+    h2 = pow5_sql(f"(rk + {POW_SALT}) % {POW_P}")
+    votes = ",\n             ".join(
+        f"sum(CASE WHEN (h // {1 << i}) % 2 = 1 THEN 1 ELSE -1 END) AS v{i}"
+        for i in range(62)
+    )
+    asm = " + ".join(
+        f"(CASE WHEN v{i} > 0 THEN {1 << i}::BIGINT ELSE 0 END)" for i in range(62)
+    )
+    chunk = (
+        "CASE b WHEN 0 THEN sim % 65536 WHEN 1 THEN (sim // 65536) % 65536 "
+        "WHEN 2 THEN (sim // 4294967296) % 65536 "
+        "ELSE (sim // 281474976710656) % 65536 END"
+    )
+    return f"""
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN trim(lower(text)) = '' THEN []
+                  ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+    rks AS (SELECT doc_id, {rk_string_sql('tok')} AS rk FROM tok),
+    hs AS (SELECT doc_id, ({h1}) * 2147483648 + ({h2}) AS h FROM rks),
+    votes AS (
+      SELECT doc_id,
+             {votes}
+      FROM hs GROUP BY doc_id),
+    sims AS (SELECT doc_id, {asm} AS sim FROM votes),
+    chunked AS (
+      SELECT doc_id, sim, b, {chunk} AS chunk
+      FROM sims CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             bit_count(xor(a.sim, c.sim)) AS hamming
+      FROM chunked a JOIN chunked c
+        ON a.b = c.b AND a.chunk = c.chunk AND a.doc_id < c.doc_id)
+    SELECT id_a, id_b, cast(hamming AS bigint) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@q("simhash_near_dups", _simhash_oracle(), tags=("dedup", "approx"))
 def simhash_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash-64 banded near-dup candidates with Hamming ≤ 6."""
+    """SimHash banded near-dup candidates with Hamming ≤ 6.
+
+    Graduated from rows-only to a FULL value-hash oracle in round 10:
+    the declared query runs the engine-replayable ``rk_pow5`` family
+    (62 vote bits from two power permutations of each token's
+    Rabin-Karp hash; see operators/dedup.simhash) so the banded
+    candidate generation AND the Hamming verification replay exactly in
+    ``_simhash_oracle``. The 64-bit xxhash64 family remains the
+    operator's production default."""
     d = _t(spark, sf_dir, "documents")
-    return DD.simhash_near_dups(d, n_bands=4, max_hamming=6).orderBy("id_a", "id_b")
+    return (
+        DD.simhash_near_dups(d, n_bands=4, max_hamming=6, hash_family="rk_pow5")
+        .withColumn("hamming", F.col("hamming").cast("bigint"))
+        .orderBy("id_a", "id_b")
+    )
 
 
-@q("lsh_topk_embeddings", None, tags=("similarity", "approx"))
+def _rademacher_sql(n_planes: int, dim: int = 64) -> str:
+    """Shared CTE prefix: constant Rademacher planes (the SAME pow5-parity
+    literals the Spark expression embeds — functions/replay.py), the
+    micro-quantized integer vector, exact integer sign projections, and
+    the sign-pattern bucket. Ends after the ``buck`` CTE."""
+    from .functions.replay import rademacher_planes
+
+    planes = rademacher_planes(n_planes, dim)
+    rows = ",\n      ".join(f"({p}, {planes[p]})" for p in range(n_planes))
+    return f"""
+    WITH planes(p, r) AS (VALUES
+      {rows}),
+    vm AS (
+      SELECT vec_id, embedding,
+             list_transform(embedding::DOUBLE[],
+                            x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm
+      FROM embeddings),
+    proj AS (
+      SELECT vec_id, p,
+             list_sum(list_transform(range(1, {dim + 1}), i -> vm[i] * r[i]))
+               AS proj
+      FROM vm CROSS JOIN planes),
+    buck AS (
+      SELECT vec_id, sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+               AS bucket
+      FROM proj GROUP BY vec_id)"""
+
+
+def _lsh_topk_oracle(k: int = 5, dim: int = 64, n_planes: int = 6) -> str:
+    """DuckDB twin of the rademacher-bucket LSH top-k: identical integer
+    buckets (sign of an EXACT int64 dot — can never diverge), then the
+    attested round-6 cosine ranking within the query's bucket."""
+    return f"""{_rademacher_sql(n_planes, dim)},
+    q AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buck b USING (vec_id) WHERE e.vec_id < 20),
+    c AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buck b USING (vec_id)),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM q JOIN c ON q.bucket = c.bucket AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC)
+               AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("lsh_topk_embeddings", _lsh_topk_oracle(), tags=("similarity", "approx"))
 def lsh_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH approximate top-5 (the 100 TB search path)."""
+    """Random-hyperplane LSH approximate top-5 (the 100 TB search path).
+
+    Graduated from rows-only to a FULL value-hash oracle in round 10:
+    the declared query buckets with the engine-replayable Rademacher
+    family (``hash_family="rademacher"`` — ±1 pow5-parity planes against
+    the floor-micro-quantized vector, so the bucket bit is the sign of
+    an EXACT int64 and the candidate set is cross-engine identical);
+    scoring stays the attested round-6 cosine. The float-hyperplane
+    xxhash64 family remains the operator default; recall of both is
+    measured by ``ann_recall_eval``."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    return SIM.lsh_topk(qs, emb, k=5, dim=64, n_planes=6)
+    out = SIM.lsh_topk(qs, emb, k=5, dim=64, n_planes=6, hash_family="rademacher")
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
-@q("ivf_topk_embeddings", None, tags=("similarity", "approx"))
+def _ivf_oracle(k: int = 5, n_centroids: int = 16, n_probe: int = 2) -> str:
+    """DuckDB twin of operators/similarity.ivf_topk_replayable: centroid
+    sample by smallest pow5(vec_id) (ties → vec_id), cell assignment by
+    argmax of ROUND-6 cosine (ties → lowest cell — identical doubles on
+    both engines, the attested cosine_topk pattern), queries probing the
+    n_probe nearest cells, exact round-6 cosine top-k within cells."""
+    from .functions.replay import POW_P, pow5_sql
+
+    r = pow5_sql(f"vec_id % {POW_P}")
+    return f"""
+    WITH seeded AS (
+      SELECT vec_id, embedding, {r} AS r FROM embeddings),
+    cent AS (
+      SELECT embedding AS cent_vec,
+             row_number() OVER (ORDER BY r, vec_id) - 1 AS cell
+      FROM (SELECT * FROM seeded ORDER BY r, vec_id LIMIT {n_centroids})),
+    assigned AS (
+      SELECT e.vec_id, e.embedding, c.cell,
+             round(list_cosine_similarity(e.embedding::DOUBLE[],
+                                          c.cent_vec::DOUBLE[]), 6) AS cos6
+      FROM embeddings e CROSS JOIN cent c),
+    ranked_cells AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id
+                                   ORDER BY cos6 DESC, cell ASC) AS rn
+      FROM assigned),
+    cc AS (SELECT vec_id, embedding, cell FROM ranked_cells WHERE rn = 1),
+    cq AS (SELECT vec_id, embedding, cell FROM ranked_cells
+           WHERE rn <= {n_probe} AND vec_id < 20),
+    scored AS (
+      SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_cosine_similarity(q.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM cq q JOIN cc c ON q.cell = c.cell AND q.vec_id <> c.vec_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cos_sim DESC, neighbor_id ASC)
+               AS rank
+      FROM scored)
+    SELECT query_id, neighbor_id, cos_sim, cast(rank AS bigint) AS rank
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ivf_topk_embeddings", _ivf_oracle(), tags=("similarity", "approx"))
 def ivf_topk_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF approximate top-5 (deterministic seeded coarse quantizer,
-    2-probe). Probing all cells reproduces the exact result (tested)."""
+    """IVF approximate top-5 (deterministic coarse quantizer, 2-probe).
+
+    Graduated from rows-only to a FULL value-hash oracle in round 10:
+    the declared query uses ``ivf_topk_replayable`` — centroid sample by
+    pow5 instead of xxhash64, cell assignment by round-6-cosine argmax
+    instead of a numpy float argmax — so index construction, probing,
+    and scoring all replay in ``_ivf_oracle``. The numpy-matmul
+    ``ivf_topk`` (with ``ivf_write_bucketed``'s partition-pruned layout)
+    remains the production path; probing all cells reproduces the exact
+    result for both variants (tested)."""
     emb = _t(spark, sf_dir, "embeddings")
     qs = emb.filter(F.col("vec_id") < 20)
-    return SIM.ivf_topk(qs, emb, k=5, n_centroids=16, n_probe=2)
+    out = SIM.ivf_topk_replayable(qs, emb, k=5, n_centroids=16, n_probe=2)
+    return out.select(
+        "query_id", "neighbor_id", "cos_sim",
+        F.col("rank").cast("bigint").alias("rank"),
+    )
 
 
-@q("embedding_near_dups", None, tags=("dedup", "similarity", "approx"))
+def _embedding_near_dups_oracle(
+    threshold: float = 0.35, n_planes: int = 3, dim: int = 64
+) -> str:
+    """DuckDB twin of the rademacher-bucket embedding near-dup: identical
+    integer buckets, round-6 cosine ≥ threshold within buckets."""
+    return f"""{_rademacher_sql(n_planes, dim)},
+    sides AS (
+      SELECT e.vec_id, e.embedding, b.bucket
+      FROM embeddings e JOIN buck b USING (vec_id)),
+    pairs AS (
+      SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+             round(list_cosine_similarity(a.embedding::DOUBLE[],
+                                          c.embedding::DOUBLE[]), 6) AS cos_sim
+      FROM sides a JOIN sides c
+        ON a.bucket = c.bucket AND a.vec_id < c.vec_id)
+    SELECT DISTINCT id_a, id_b, cos_sim FROM pairs WHERE cos_sim >= {threshold}
+    """
+
+
+@q(
+    "embedding_near_dups",
+    _embedding_near_dups_oracle(),
+    tags=("dedup", "similarity", "approx"),
+)
 def embedding_near_dups_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup pairs via hyperplane buckets + per-bucket
     numpy gram matrix (Arrow path). Threshold 0.35 fits this synthetic
     corpus (max pairwise cosine ≈ 0.51); real dedup would use ~0.95 on
-    genuinely duplicated data."""
+    genuinely duplicated data.
+
+    Graduated from rows-only to a FULL value-hash oracle in round 10:
+    Rademacher integer bucketing (exact int64 signs, cross-engine
+    identical candidates) + the attested numpy round-6 cosine
+    (cosine_topk_arrow pattern). The float-hyperplane family remains
+    the operator default."""
     emb = _t(spark, sf_dir, "embeddings")
     return SIM.embedding_near_dups_arrow(
-        emb, threshold=0.35, dim=64, n_planes=3
+        emb, threshold=0.35, dim=64, n_planes=3, hash_family="rademacher"
     ).orderBy("id_a", "id_b")
 
 
@@ -6833,7 +7124,9 @@ def bpe_merge_table_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "pca_embedding_variance",
     f"""
-    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    WITH idx AS (
+      SELECT unnest(generate_series(
+        1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
     un AS (
       SELECT idx.i - 1 AS dim, embedding[idx.i]::DOUBLE AS val
       FROM embeddings, idx WHERE idx.i <= len(embedding)),
@@ -6930,7 +7223,9 @@ def approx_distinct_users_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "standardize_embedding_dims",
     """
-    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    WITH idx AS (
+      SELECT unnest(generate_series(
+        1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
     un AS (
       SELECT vec_id, idx.i - 1 AS dim, embedding[idx.i]::DOUBLE AS val
       FROM embeddings, idx WHERE idx.i <= len(embedding)),
@@ -7610,7 +7905,9 @@ def window_value_family_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 @q(
     "quantize_embeddings_int8",
     """
-    WITH idx AS (SELECT unnest(generate_series(1, 64)) AS i),
+    WITH idx AS (
+      SELECT unnest(generate_series(
+        1, (SELECT max(len(embedding)) FROM embeddings))) AS i),
     un AS (
       SELECT vec_id, idx.i - 1 AS dim, embedding[idx.i]::DOUBLE AS val
       FROM embeddings, idx WHERE idx.i <= len(embedding)),
@@ -13231,22 +13528,100 @@ def cogroup_asof_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@q("phash_near_dup_media", None, tags=("multimodal", "dedup", "approx"))
+def _phash_oracle(max_hamming: int = 6, dim: int = 16) -> str:
+    """DuckDB twin of the integer pHash pipeline: the fake decoder's
+    md5 feature words are re-derived from the text (md5(text || chr(0)³
+    || chr(counter)) — the attested multimodal_features_demo replay),
+    kept as EXACT uint32s via the '0x'-substr parse, centered at 2²³
+    after an 8-bit right shift, and dotted against the 64 constant
+    integer plane rows (functions/replay.phash_plane_ints — the same
+    md5-derived literals the Spark expression embeds). Every bit is the
+    sign of an exact int64 (< 2⁵²), so hash, bands, and Hamming all
+    replay bit-for-bit."""
+    from .functions.replay import phash_plane_ints
+
+    planes = phash_plane_ints(dim=dim)
+    rows = ",\n      ".join(f"({b}, {planes[b]})" for b in range(64))
+    feats = ", ".join(
+        f"(('0x' || substr(h{i // 4}, {(i % 4) * 8 + 1}, 8))::UBIGINT::BIGINT"
+        f" // 256) - 8388608"
+        for i in range(dim)
+    )
+    hx = ",\n             ".join(
+        f"md5(text || chr(0) || chr(0) || chr(0) || chr({c})) AS h{c}"
+        for c in range((dim + 3) // 4)
+    )
+    return f"""
+    WITH media AS (
+      SELECT doc_id AS media_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000000000 AS media_id, text FROM documents
+      WHERE doc_id % 50 = 0),
+    hx AS (
+      SELECT media_id,
+             {hx}
+      FROM media),
+    feat AS (SELECT media_id, [{feats}] AS c FROM hx),
+    planes(b, w) AS (VALUES
+      {rows}),
+    bits AS (
+      SELECT media_id, b,
+             CASE WHEN list_sum(list_transform(range(1, {dim + 1}),
+                                               i -> c[i] * w[i])) > 0
+                  THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+      FROM feat CROSS JOIN planes),
+    chunks AS (
+      SELECT media_id,
+             sum(CASE WHEN b < 16 THEN bit * (1::BIGINT << b) ELSE 0 END) AS c0,
+             sum(CASE WHEN b >= 16 AND b < 32
+                      THEN bit * (1::BIGINT << (b - 16)) ELSE 0 END) AS c1,
+             sum(CASE WHEN b >= 32 AND b < 48
+                      THEN bit * (1::BIGINT << (b - 32)) ELSE 0 END) AS c2,
+             sum(CASE WHEN b >= 48
+                      THEN bit * (1::BIGINT << (b - 48)) ELSE 0 END) AS c3
+      FROM bits GROUP BY media_id),
+    banded AS (
+      SELECT media_id, c0, c1, c2, c3, b,
+             CASE b WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END
+               AS chunk
+      FROM chunks CROSS JOIN (SELECT unnest(range(0, 4)) AS b)),
+    pairs AS (
+      SELECT DISTINCT a.media_id AS id_a, c.media_id AS id_b,
+             bit_count(xor(a.c0, c.c0)) + bit_count(xor(a.c1, c.c1))
+           + bit_count(xor(a.c2, c.c2)) + bit_count(xor(a.c3, c.c3)) AS hamming
+      FROM banded a JOIN banded c
+        ON a.b = c.b AND a.chunk = c.chunk AND a.media_id < c.media_id)
+    SELECT id_a, id_b, cast(hamming AS bigint) AS hamming
+    FROM pairs WHERE hamming <= {max_hamming}
+    """
+
+
+@q("phash_near_dup_media", _phash_oracle(), tags=("multimodal", "dedup", "approx"))
 def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Perceptual-hash near-dup over the media surface: blob → Arrow
-    feature decode (stubbed deterministic decoder,
-    operators/multimodal.py) → 64-bit hyperplane-sign pHash → banded
-    Hamming pairs (4×16-bit bands, verify ≤ 6). The media table is the
-    documents' bytes plus a planted "re-upload" twin for every 50th doc
-    (identical bytes under media_id + 10_000_000 — the fixture corpus
-    has no byte-identical documents at small SFs), so the expected
-    matches are exactly the planted twins at hamming 0. The
-    near-but-not-identical behavior (perturbed media landing at small
-    nonzero Hamming distance) is pinned in tests with directly
-    constructed feature vectors, since the fake decoder maps any byte
-    change to an unrelated feature vector. Deterministic seeded
-    pipeline but not SQL-expressible → rows-only."""
-    from .operators.multimodal import decode_image_features, phash_near_dups
+    """Perceptual-hash near-dup over the media surface: blob → feature
+    words → 64-bit hyperplane-sign pHash → banded Hamming pairs
+    (4×16-bit bands, verify ≤ 6). The media table is the documents'
+    bytes plus a planted "re-upload" twin for every 50th doc (identical
+    bytes under media_id + 10¹² — an offset above any generated doc_id
+    at any SF, so twin ids never collide with real ids; the sf1 gate
+    caught the old +10⁷ offset colliding with the scaled corpus' replica
+    ids), so the expected matches include the planted twins at
+    hamming 0. Near-but-not-identical
+    behavior (perturbed media at small nonzero Hamming) is pinned in
+    tests with directly constructed feature vectors.
+
+    Graduated from rows-only to a FULL value-hash oracle in round 10:
+    the declared query is the INTEGER twin of the float pHash
+    (operators/multimodal.phash64) — the md5 feature words stay exact
+    uint32s ((word >> 8) − 2²³ centered, computed in-plan via
+    conv(md5-hex)), and each hash bit is the sign of an exact int64 dot
+    against the constant integer plane rows
+    (functions/replay.phash_plane_ints, the same md5 derivation as the
+    float planes), so ``_phash_oracle`` replays bits, bands, and
+    Hamming exactly. The Arrow float pipeline (decode → phash64 →
+    banded_hamming_pairs) remains the production path, tested for the
+    same planted-twin and Hamming-ball behavior."""
+    from .functions.replay import phash_plane_ints
 
     d = _t(spark, sf_dir, "documents")
     base = d.select(
@@ -13257,13 +13632,91 @@ def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = (
         d.filter(F.col("doc_id") % 50 == 0)
         .select(
-            (F.col("doc_id") + 10_000_000).alias("media_id"),
+            (F.col("doc_id") + 1_000_000_000_000).alias("media_id"),
             F.lit("image").alias("modality"),
             F.encode("text", "UTF-8").alias("content"),
         )
     )
-    feats = decode_image_features(base.unionAll(twins))
-    return phash_near_dups(feats).orderBy("id_a", "id_b")
+    media = base.unionAll(twins)
+    dim = 16
+    planes = phash_plane_ints(dim=dim)
+    # exact uint32 feature words from the fake decoder's md5 derivation,
+    # centered to 24-bit signed ints (dot < 2^52 — int64-exact anywhere)
+    hx = [
+        F.md5(F.concat(F.col("content"), F.lit(bytes([0, 0, 0, c]))))
+        for c in range((dim + 3) // 4)
+    ]
+    cent = [
+        F.shiftright(
+            F.conv(
+                F.substring(hx[i // 4], (i % 4) * 8 + 1, 8), 16, 10
+            ).cast("long"),
+            8,
+        )
+        - F.lit(8388608)
+        for i in range(dim)
+    ]
+    feats = media.select(
+        "media_id", *[c.alias(f"__f{i}") for i, c in enumerate(cent)]
+    )
+
+    def bit(b: int) -> Column:
+        dot = None
+        for i in range(dim):
+            term = F.col(f"__f{i}") * F.lit(planes[b][i])
+            dot = term if dot is None else dot + term
+        return F.when(dot > 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    def chunk(c: int) -> Column:
+        acc = None
+        for b in range(c * 16, c * 16 + 16):
+            term = bit(b) * F.lit(1 << (b - c * 16)).cast("long")
+            acc = term if acc is None else acc + term
+        return acc
+
+    chunks = feats.select(
+        "media_id", *[chunk(c).alias(f"c{c}") for c in range(4)]
+    ).localCheckpoint(eager=False)  # both self-join sides reuse the bits
+    banded = chunks.select(
+        "media_id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.explode(
+            F.array(*[
+                F.struct(
+                    F.lit(b).alias("band"), F.col(f"c{b}").alias("chunk")
+                )
+                for b in range(4)
+            ])
+        ).alias("bc"),
+    ).select("media_id", "c0", "c1", "c2", "c3", "bc.band", "bc.chunk")
+    a, b = banded.alias("a"), banded.alias("b")
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}"))
+        ).cast("long")
+        for c in range(4)
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+        .orderBy("id_a", "id_b")
+    )
 
 
 @q(

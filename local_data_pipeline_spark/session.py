@@ -124,6 +124,15 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         load_table(spark, sf_dir, t).createOrReplaceTempView(t)
 
 
+#: split-count cache for widen_to_parallelism, keyed by the scan's input
+#: file set (+ parallelism): parquet split counts are a function of file
+#: sizes and maxPartitionBytes, not of the projection, so every operator
+#: widening the same source reuses one probe instead of re-deriving the
+#: physical plan through .rdd per call (minhash, jaccard, winnowing,
+#: simhash, word_frequencies, unigram all widen `documents`).
+_WIDEN_SPLITS_CACHE: "dict[tuple, int]" = {}
+
+
 def widen_to_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin-repartition a NARROW relation up to the cluster's
     default parallelism before expensive per-row map work (tokenize /
@@ -133,8 +142,25 @@ def widen_to_parallelism(df: DataFrame) -> DataFrame:
     sf1 gate: winnowing 98 s → 28 s; the near-dup closure's serial
     shingle explode). ONLY widens: at real scale the source already has
     more splits than cores and narrowing would be a regression; wide
-    inputs pass through untouched, costing nothing."""
+    inputs pass through untouched, costing nothing.
+
+    The split probe (``df.rdd.getNumPartitions()`` — a physical-plan
+    derivation) runs once per (input-file set, parallelism) and is
+    cached; non-scan inputs (no input files) fall back to probing every
+    call. The probe sees the pre-AQE split count, which is the right
+    quantity here: we are sizing the MAP stage over the source, and
+    only ever widening — a cache hit can never narrow a wide input."""
     cores = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < cores:
+    try:
+        files = tuple(sorted(df.inputFiles()))
+    except Exception:
+        files = ()
+    key = (files, cores) if files else None
+    n = _WIDEN_SPLITS_CACHE.get(key) if key else None
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        if key:
+            _WIDEN_SPLITS_CACHE[key] = n
+    if n < cores:
         return df.repartition(cores)
     return df
