@@ -1,0 +1,248 @@
+"""Round-15 milestone tests: the engine-replayable hash family
+(functions/replay.py) behind the round's six oracle graduations, the
+replayable operator variants, and the de-vacuated measured-band ANN
+recall floors (a deliberately broken index must fail them).
+"""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from local_data_pipeline_spark.functions import replay as RP
+from local_data_pipeline_spark.session import load_table
+
+
+# ------------------------------------------------------- replay primitives
+def test_pow5_matches_python_pow(spark):
+    xs = [0, 1, 2, 12345, RP.POW_P - 1, 2**30 + 17]
+    df = spark.createDataFrame([(x,) for x in xs], "x long").select(
+        "x", RP.pow5(F.col("x")).alias("h")
+    )
+    got = {r.x: r.h for r in df.collect()}
+    assert got == {x: pow(x, 5, RP.POW_P) for x in xs}
+
+
+def test_pow5_sql_matches_spark(spark):
+    import duckdb
+
+    xs = [0, 1, 7, 999_983, RP.POW_P - 2]
+    duck = {
+        x: duckdb.sql(
+            f"SELECT {RP.pow5_sql(str(x) + '::BIGINT')}"
+        ).fetchone()[0]
+        for x in xs
+    }
+    assert duck == {x: pow(x, 5, RP.POW_P) for x in xs}
+
+
+def _rk_py(s: str) -> int:
+    h = 0
+    for ch in s:
+        h = (h * RP.RK_BASE + ord(ch)) % RP.POW_P
+    return h
+
+
+def test_rk_string_spark_and_sql_match_python(spark):
+    import duckdb
+
+    strings = ["", "a", "the quick brown fox", "héllo wörld", "a b c"]
+    df = spark.createDataFrame([(s,) for s in strings], "s string").select(
+        "s", RP.rk_string(F.col("s")).alias("h")
+    )
+    got = {r.s: r.h for r in df.collect()}
+    expected = {s: _rk_py(s) for s in strings}
+    assert got == expected
+    for s in strings:
+        d = duckdb.sql(
+            "SELECT " + RP.rk_string_sql("?::VARCHAR").replace("?", f"'{s}'")
+        ).fetchone()[0]
+        assert d == expected[s], s
+
+
+def test_rademacher_planes_are_pow5_parities():
+    planes = RP.rademacher_planes(2, 8)
+    for p in range(2):
+        for i in range(8):
+            expect = 1 if pow(p * 8 + i + 1, 5, RP.POW_P) % 2 == 1 else -1
+            assert planes[p][i] == expect
+    # every plane must mix signs (an all-ones plane would be a constant
+    # projection, not a hyperplane)
+    full = RP.rademacher_planes(6, 64)
+    for row in full:
+        assert {-1, 1} == set(row) or len(set(row)) == 2
+
+
+def test_phash_plane_ints_match_float_planes():
+    """The integer planes are the SAME md5 words as the float planes in
+    operators/multimodal._phash_planes, shifted/centered — pin the
+    derivation so the two pipelines stay twins."""
+    from local_data_pipeline_spark.operators.multimodal import _phash_planes
+
+    ints = RP.phash_plane_ints(dim=16)
+    floats = _phash_planes(dim=16)
+    assert len(ints) == 64 and all(len(r) == 16 for r in ints)
+    for b in (0, 17, 63):
+        for i in (0, 5, 15):
+            u = int((floats[b][i] + 1.0) * 2**31)  # undo the scaling
+            assert ints[b][i] == (u >> 8) - 8388608
+
+
+# ------------------------------------------------- replayable operator twins
+def test_minhash_rk_pow5_finds_planted_near_dups(spark):
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2, "alpha beta gamma delta epsilon zeta eta iota"),  # near-dup of 1
+        (3, "totally different words entirely unrelated content here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from local_data_pipeline_spark.operators.dedup import minhash_near_dups
+
+    out = minhash_near_dups(
+        df, n_hashes=32, n_bands=8, threshold=0.5, hash_family="rk_pow5"
+    ).collect()
+    pairs = {(r.id_a, r.id_b) for r in out}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_rk_pow5_identical_docs_hamming_zero(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox jumps over the lazy dog"),
+        (3, "completely unrelated text about spark partitions and shuffles"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from local_data_pipeline_spark.operators.dedup import simhash, simhash_near_dups
+
+    sh = {r.doc_id: r.simhash for r in simhash(df, hash_family="rk_pow5").collect()}
+    assert sh[1] == sh[2]
+    assert 0 <= sh[1] < 2**62  # 62-bit, always non-negative
+    out = simhash_near_dups(df, hash_family="rk_pow5").collect()
+    assert {(r.id_a, r.id_b, r.hamming) for r in out} >= {(1, 2, 0)}
+
+
+def test_rademacher_bucket_sign_symmetry(spark):
+    """v and -v must land in complementary buckets; identical vectors in
+    the same bucket — the sign-projection contract."""
+    from local_data_pipeline_spark.operators.similarity import rademacher_bucket
+
+    v = [float(i % 7 - 3) / 10 for i in range(64)]
+    neg = [-x for x in v]
+    df = spark.createDataFrame(
+        [(1, v), (2, v), (3, neg)], "vec_id long, embedding array<float>"
+    ).withColumn("vm", F.transform("embedding", lambda x: RP.micro(x)))
+    out = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", rademacher_bucket(F.col("vm"), 64, 6).alias("b")
+        ).collect()
+    }
+    assert out[1] == out[2]
+    assert out[1] ^ out[3] == (1 << 6) - 1  # every sign flips
+
+
+def test_ivf_replayable_all_probes_equals_brute_force(spark, sf_dir):
+    from local_data_pipeline_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk_replayable,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qs = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(qs, emb, k=3)
+    allprobe = ivf_topk_replayable(
+        qs, emb, k=3, n_centroids=8, n_probe=8
+    )
+    a = {(r.query_id, r.neighbor_id, r.rank) for r in exact.collect()}
+    b = {(r.query_id, r.neighbor_id, r.rank) for r in allprobe.collect()}
+    assert a == b
+
+
+# ------------------------------------------------ measured-band ANN floors
+def test_ann_floors_match_measured_bands():
+    from local_data_pipeline_spark.queries import (
+        _ANN_MEASURED_RECALL,
+        _ann_recall_floors,
+    )
+
+    assert _ann_recall_floors(500) == {
+        m: 0.5 * r for m, r in _ANN_MEASURED_RECALL[0][1].items()
+    }
+    assert _ann_recall_floors(2000) == {
+        m: 0.5 * r for m, r in _ANN_MEASURED_RECALL[1][1].items()
+    }
+    assert _ann_recall_floors(10**9) == {
+        m: 0.5 * r for m, r in _ANN_MEASURED_RECALL[2][1].items()
+    }
+
+
+def test_broken_index_fails_measured_band_floors(spark):
+    """A geometry-free index (bucket = vec_id % 64 — no relation to the
+    vectors) must fail every measured-band floor at the sf0.1 band: the
+    old absolute floors (lsh >= 0.02) were near-vacuous exactly because
+    random retrieval clears them at small n."""
+    from local_data_pipeline_spark.operators.similarity import (
+        _rank_topk,
+        brute_force_topk,
+        l2_norm,
+    )
+    from local_data_pipeline_spark.functions.vectors import dot
+    from local_data_pipeline_spark.queries import (
+        _ann_recall_flags,
+        _ann_recall_floors,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings")
+    n = emb.count()
+    modulus = 97 * max(1, (n + 97 * 24 - 1) // (97 * 24))
+    qs = emb.filter(F.col("vec_id") % modulus == 0)
+    truth = (
+        brute_force_topk(qs, emb, k=10)
+        .select("query_id", "neighbor_id")
+        .persist()
+    )
+    nq = qs.count()
+    sides = emb.select(
+        "vec_id",
+        "embedding",
+        l2_norm(F.col("embedding")).alias("nrm"),
+        (F.col("vec_id") % 64).alias("bucket"),
+    )
+    bq = (
+        sides.join(qs.select(F.col("vec_id").alias("qid")),
+                   F.col("vec_id") == F.col("qid"))
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("q_vec"),
+            F.col("nrm").alias("q_norm"),
+            "bucket",
+        )
+    )
+    scored = (
+        sides.join(F.broadcast(bq), "bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                dot(F.col("q_vec"), F.col("embedding"))
+                / (F.col("q_norm") * F.col("nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    broken = _rank_topk(scored, 10)
+    hits = (
+        broken.select("query_id", "neighbor_id")
+        .join(truth, ["query_id", "neighbor_id"])
+        .count()
+    )
+    truth.unpersist()
+    recall = hits / (10 * nq)
+    floors = _ann_recall_floors(n)
+    assert recall < min(floors.values()), (recall, floors)
+    flags = _ann_recall_flags(
+        {"lsh": recall, "lsh_multiprobe": recall, "ivf": recall}, n
+    )
+    assert not any(flags.values()), (recall, flags)

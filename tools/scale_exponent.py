@@ -85,12 +85,22 @@ def _winnowing_fingerprints(spark, sf_dir):
     )
 
 
+def _closure_on_guarded_pairs(spark, sf_dir):
+    """The near-dup closure's iterative stage on the guarded candidate
+    pairs: min-label propagation until fixpoint (includes the per-round
+    changed-probe counts — they are part of the shape's real cost)."""
+    from local_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    return dedup_clusters(_lsh_buckets_guarded(spark, sf_dir))
+
+
 #: name -> callable(spark, sf_dir) -> DataFrame for the operator-stage
 #: probes; query names resolve through QUERIES.
 OPERATOR_SHAPES = {
     "minhash_signatures_op": _minhash_signatures,
     "lsh_buckets_guarded_op": _lsh_buckets_guarded,
     "winnowing_fingerprints_op": _winnowing_fingerprints,
+    "near_dup_closure_op": _closure_on_guarded_pairs,
 }
 
 DEFAULT_SHAPES = (
