@@ -130,6 +130,13 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "constants); the substring count aggregate is map-side "
         "combinable over one corpus pass."
     ),
+    ("ml.py", "unigram_viterbi_encode"): (
+        "collects ONE scalar (the HLL distinct-word estimate) to gate "
+        "the pieces-join broadcast hint below max_broadcast_vocab — the "
+        "round-9 advice fix for the previously unconditional broadcast "
+        "of an unbounded word-type relation; map-side-combined HLL, one "
+        "row, data-independent size."
+    ),
     ("ml.py", "ridge_fit"): (
         "collects the (p+1)^2 normal-equation sufficient statistic "
         "(p = feature count, a model constant) from ONE corpus pass; "
