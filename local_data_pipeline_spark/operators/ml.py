@@ -680,13 +680,16 @@ def unigram_viterbi_encode(
     Python work is O(len·max_piece_len); everything corpus-sized stays
     in Tungsten.
 
-    The pieces join is broadcast-hinted only while the estimated
-    distinct-word count (one cheap HLL pass over the token stream)
-    stays ≤ ``max_broadcast_vocab`` — the word-TYPE relation is
+    The pieces join is broadcast-hinted only while the EXACT word-type
+    count stays ≤ ``max_broadcast_vocab`` — the word-TYPE relation is
     Zipf-sublinear but UNBOUNDED on real corpora, and a forced
     broadcast of a 10⁸-type vocabulary would blow the driver/executor
     broadcast limits at the 100 TB framing; above the gate the planner
-    (AQE) picks the join strategy for a plain shuffle join."""
+    (AQE) picks the join strategy for a plain shuffle join. The count
+    is FREE in passes: word_pieces is locally checkpointed, so the
+    gate's count() materializes the segmentation exactly once and the
+    join reuses it (the first cut of this gate ran a separate HLL job
+    over the token stream — a measured +2 s re-tokenization at sf0.1)."""
     import pandas as pd
 
     from ..session import widen_to_parallelism
@@ -719,6 +722,10 @@ def unigram_viterbi_encode(
         toks.select("__w")
         .distinct()
         .mapInPandas(segment, "__w string, __ps array<string>")
+        # checkpoint: the broadcast-gate count below and the pieces
+        # join both read this one materialization of the Python
+        # segmentation pass
+        .localCheckpoint(eager=False)
     )
     # pin the per-doc aggregate's shuffle to the data size (~10k docs
     # of token/piece rows per partition): word_pieces broadcasts, so
@@ -728,14 +735,12 @@ def unigram_viterbi_encode(
     cores = docs.sparkSession.sparkContext.defaultParallelism
     n_docs = docs.count()
     n_parts = min(cores * 8, max(cores, n_docs // 10_000))
-    # broadcast gate: estimate the word-type count before forcing the
-    # hint (HLL partial-aggregates map-side — one cheap extra job)
-    n_vocab_est = toks.agg(
-        F.approx_count_distinct("__w").alias("n")
-    ).first()[0]
+    # broadcast gate: exact word-type count off the checkpointed
+    # segmentation (no extra corpus pass)
+    n_vocab = word_pieces.count()
     pieces_side = (
         F.broadcast(word_pieces)
-        if n_vocab_est <= max_broadcast_vocab
+        if n_vocab <= max_broadcast_vocab
         else word_pieces
     )
     per_doc = (

@@ -131,11 +131,11 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
         "combinable over one corpus pass."
     ),
     ("ml.py", "unigram_viterbi_encode"): (
-        "collects ONE scalar (the HLL distinct-word estimate) to gate "
-        "the pieces-join broadcast hint below max_broadcast_vocab — the "
-        "round-9 advice fix for the previously unconditional broadcast "
-        "of an unbounded word-type relation; map-side-combined HLL, one "
-        "row, data-independent size."
+        "counts the checkpointed word-type relation (ONE scalar, no "
+        "extra corpus pass) to gate the pieces-join broadcast hint "
+        "below max_broadcast_vocab — the round-9 advice fix for the "
+        "previously unconditional broadcast of an unbounded word-type "
+        "relation."
     ),
     ("ml.py", "ridge_fit"): (
         "collects the (p+1)^2 normal-equation sufficient statistic "
