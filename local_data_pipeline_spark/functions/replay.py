@@ -79,13 +79,21 @@ def rk_string(s: Column) -> Column:
     )
 
 
-def poly_fold(cols: "list[Column]") -> Column:
-    """Fold a fixed tuple of int64 values (each in [0, P)) into one band
-    key: acc = (acc·1000003 + v) mod p, seeded at 0."""
-    acc = F.lit(0).cast("long")
-    for c in cols:
-        acc = F.pmod(acc * FOLD_BASE + c, F.lit(POW_P))
-    return acc
+def poly_fold(arr: Column) -> Column:
+    """Fold an array<long> column into one band key:
+    acc = (acc·1000003 + (v mod p)) mod p, seeded at 0. The inner
+    ``pmod(v, p)`` is an IDENTITY for this module's hash outputs (all
+    in [0, p)) — the SQL twin (:func:`poly_fold_sql`) omits it — and
+    exists so a foreign full-range input (e.g. an xxhash64 signature
+    fed to the rk_pow5 banding by mistake) folds deterministically
+    instead of overflow-wrapping int64."""
+    return F.aggregate(
+        arr,
+        F.lit(0).cast("long"),
+        lambda acc, v: F.pmod(
+            acc * FOLD_BASE + F.pmod(v, F.lit(POW_P)), F.lit(POW_P)
+        ),
+    )
 
 
 def micro(x: Column) -> Column:

@@ -138,10 +138,13 @@ def lsh_candidate_pairs(
     ``hash_family``: how a band's signature slice collapses to a bucket
     key — ``"xxhash64"`` (default, production) hashes the slice's string
     form; ``"rk_pow5"`` folds the slice polynomially mod 2³¹−1
-    (functions/replay.poly_fold shape) — engine-replayable, and
-    collisions (which only ADD candidates, never drop true pairs)
-    happen identically on every engine."""
-    from ..functions.replay import FOLD_BASE, POW_P
+    (functions/replay.poly_fold) — engine-replayable, and collisions
+    (which only ADD candidates, never drop true pairs) happen
+    identically on every engine. The family must MATCH the signature's
+    family for the keys to be meaningful; poly_fold reduces foreign
+    full-range values mod p first, so even a mismatch stays
+    deterministic rather than overflow-wrapped."""
+    from ..functions.replay import poly_fold
 
     # both sides of the self-join would recompute the signature subtree;
     # checkpoint it once (at 100 TB: persist to a signatures table instead)
@@ -152,12 +155,7 @@ def lsh_candidate_pairs(
         def band_key(sl: Column) -> Column:
             return F.xxhash64(sl.cast("string"))
     elif hash_family == "rk_pow5":
-        def band_key(sl: Column) -> Column:
-            return F.aggregate(
-                sl,
-                F.lit(0).cast("long"),
-                lambda acc, s: F.pmod(acc * FOLD_BASE + s, F.lit(POW_P)),
-            )
+        band_key = poly_fold
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     banded = signatures.select(

@@ -285,8 +285,15 @@ def rademacher_bucket(vec_micro: Column, dim: int, n_planes: int) -> Column:
     bucket = F.lit(0).cast("long")
     for p in range(n_planes):
         coeffs = F.array(*[F.lit(c).cast("long") for c in planes[p]])
+        # coalesce: a vector shorter than dim must project its valid
+        # PREFIX (zip_with null-pads the shorter side; acc + NULL would
+        # otherwise null the whole projection → bit 0, while the SQL
+        # twin's list_sum SKIPS nulls → prefix dot — a cross-engine
+        # bucket divergence on mixed-dim corpora)
         proj = F.aggregate(
-            F.zip_with(vec_micro, coeffs, lambda x, r: x * r),
+            F.zip_with(
+                vec_micro, coeffs, lambda x, r: F.coalesce(x * r, F.lit(0))
+            ),
             F.lit(0).cast("long"),
             lambda acc, v: acc + v,
         )
@@ -537,37 +544,50 @@ def ivf_topk_replayable(
         F.col(vec_col).alias("cent_vec"),
         l2_norm(F.col(vec_col)).alias("cent_norm"),
     )
-    # assignment: one broadcast crossJoin (n_centroids rows) + window
-    base = corpus.select(
-        F.col(id_col),
-        F.col(vec_col),
-        l2_norm(F.col(vec_col)).alias("__nrm"),
-    )
-    assigned = base.crossJoin(F.broadcast(cent)).select(
-        id_col,
-        vec_col,
-        "__nrm",
-        "cell",
-        F.round(
-            dot(F.col(vec_col), F.col("cent_vec"))
-            / (F.col("__nrm") * F.col("cent_norm")),
-            6,
-        ).alias("__cos6"),
-    )
-    w = Window.partitionBy(id_col).orderBy(F.desc("__cos6"), F.asc("cell"))
-    ranked_cells = assigned.withColumn("__rn", F.row_number().over(w))
-    corpus_cells = ranked_cells.filter(F.col("__rn") == 1)
-    query_ids = queries.select(F.col(id_col).alias("__qid"))
-    query_cells = ranked_cells.filter(F.col("__rn") <= n_probe).join(
-        F.broadcast(query_ids), F.col(id_col) == F.col("__qid")
-    )
-    cq = query_cells.select(
+    # the centroid sample feeds both assignment sides; checkpoint it
+    # once (orderBy+limit is a TakeOrdered over the corpus). The
+    # trailing limit() is a no-op over the <= n_centroids checkpointed
+    # rows that keeps the crossJoin's bounded-side bound IN-PLAN (the
+    # checkpoint erases the original limit from the logical plan, which
+    # the S2 cross-join linter rule reads).
+    cent = cent.localCheckpoint(eager=False).limit(n_centroids)
+
+    def assign(df: DataFrame, keep_rn: int) -> DataFrame:
+        """Rank cells for each of df's vectors (broadcast crossJoin
+        against the n_centroids-row relation + one window) — queries
+        are assigned INDEPENDENTLY of the corpus (the ivf_topk
+        contract: external query vectors work, they just probe)."""
+        base = df.select(
+            F.col(id_col),
+            F.col(vec_col),
+            l2_norm(F.col(vec_col)).alias("__nrm"),
+        )
+        scored_cells = base.crossJoin(F.broadcast(cent)).select(
+            id_col,
+            vec_col,
+            "__nrm",
+            "cell",
+            F.round(
+                dot(F.col(vec_col), F.col("cent_vec"))
+                / (F.col("__nrm") * F.col("cent_norm")),
+                6,
+            ).alias("__cos6"),
+        )
+        w = Window.partitionBy(id_col).orderBy(
+            F.desc("__cos6"), F.asc("cell")
+        )
+        return (
+            scored_cells.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= keep_rn)
+        )
+
+    cq = assign(queries, n_probe).select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
         F.col("__nrm").alias("q_norm"),
         "cell",
     )
-    cc = corpus_cells.select(
+    cc = assign(corpus, 1).select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
         F.col("__nrm").alias("c_norm"),

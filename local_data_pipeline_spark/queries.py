@@ -1955,16 +1955,10 @@ def _minhash_oracle(
     4-entry signature slices, bucket-join candidates, and exact
     round-6 Jaccard verification over the distinct shingle sets
     (n_a + n_b − n_inter union, mirroring jaccard_pairs' join shape)."""
-    from .functions.replay import (
-        POW_P,
-        POW_SALT,
-        poly_fold_sql,
-        pow5_sql,
-        rk_string_sql,
-    )
+    from .functions.replay import poly_fold_sql, pow5_seeded_sql, rk_string_sql
 
     rpb = n_hashes // n_bands
-    perm = pow5_sql(f"(rk + seed * {POW_SALT}) % {POW_P}")
+    perm = pow5_seeded_sql("rk", "seed")
     bk = poly_fold_sql([f"sig[{rpb} * b + {j + 1}]" for j in range(rpb)])
     shingle = (
         "coalesce(t[i], '') "
@@ -13732,43 +13726,27 @@ def phash_near_dup_media(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     chunks = feats.mapInPandas(
         to_chunks, "media_id long, c0 long, c1 long, c2 long, c3 long"
-    ).localCheckpoint(eager=False)  # both self-join sides reuse the bits
-    banded = chunks.select(
-        "media_id",
-        "c0",
-        "c1",
-        "c2",
-        "c3",
-        F.explode(
-            F.array(*[
-                F.struct(
-                    F.lit(b).alias("band"), F.col(f"c{b}").alias("chunk")
-                )
-                for b in range(4)
-            ])
-        ).alias("bc"),
-    ).select("media_id", "c0", "c1", "c2", "c3", "bc.band", "bc.chunk")
-    a, b = banded.alias("a"), banded.alias("b")
-    hamming = sum(
-        F.bit_count(
-            F.col(f"a.c{c}").bitwiseXOR(F.col(f"b.c{c}"))
-        ).cast("long")
-        for c in range(4)
     )
+    # assemble the 64-bit hash (shiftleft wraps bit 63 into the sign
+    # bit — exactly the 2's-complement pattern banded_hamming_pairs'
+    # shiftrightunsigned/xor/bit_count handle) and reuse the SHARED
+    # banding operator instead of an inline band/join/verify copy
+    ph = chunks.select(
+        "media_id",
+        (
+            F.col("c0")
+            .bitwiseOR(F.shiftleft(F.col("c1"), 16))
+            .bitwiseOR(F.shiftleft(F.col("c2"), 32))
+            .bitwiseOR(F.shiftleft(F.col("c3"), 48))
+        ).alias("phash"),
+    ).localCheckpoint(eager=False)  # both self-join sides reuse the bits
+    from .operators.dedup import banded_hamming_pairs
+
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.chunk") == F.col("b.chunk"))
-            & (F.col("a.media_id") < F.col("b.media_id")),
+        banded_hamming_pairs(
+            ph, "phash", "media_id", n_bands=4, max_hamming=6
         )
-        .select(
-            F.col("a.media_id").alias("id_a"),
-            F.col("b.media_id").alias("id_b"),
-            hamming.alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= 6)
+        .withColumn("hamming", F.col("hamming").cast("bigint"))
         .orderBy("id_a", "id_b")
     )
 

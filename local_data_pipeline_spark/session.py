@@ -145,17 +145,25 @@ def widen_to_parallelism(df: DataFrame) -> DataFrame:
     inputs pass through untouched, costing nothing.
 
     The split probe (``df.rdd.getNumPartitions()`` — a physical-plan
-    derivation) runs once per (input-file set, parallelism) and is
-    cached; non-scan inputs (no input files) fall back to probing every
-    call. The probe sees the pre-AQE split count, which is the right
-    quantity here: we are sizing the MAP stage over the source, and
-    only ever widening — a cache hit can never narrow a wide input."""
+    derivation) runs once per (input-file set, parallelism, PLAN SHAPE)
+    and is cached; the plan-shape component (the logical plan string
+    with expression ids stripped) keeps a derived/post-shuffle relation
+    over the same files from sharing a raw scan's entry — without it, a
+    200-partition aggregate over documents could poison the scan's key
+    (skipping the widen, reinstating the serial straggler) or vice
+    versa (narrowing a wide input). Non-scan inputs (no input files)
+    fall back to probing every call. The probe sees the pre-AQE split
+    count, which is the right quantity here: we are sizing the MAP
+    stage over the source, and only ever widening."""
+    import re as _re
+
     cores = df.sparkSession.sparkContext.defaultParallelism
     try:
         files = tuple(sorted(df.inputFiles()))
+        shape = _re.sub(r"#\d+L?", "", df._jdf.queryExecution().logical().toString())
     except Exception:
-        files = ()
-    key = (files, cores) if files else None
+        files, shape = (), None
+    key = (files, cores, shape) if files else None
     n = _WIDEN_SPLITS_CACHE.get(key) if key else None
     if n is None:
         n = df.rdd.getNumPartitions()

@@ -142,6 +142,60 @@ def test_rademacher_bucket_sign_symmetry(spark):
     assert out[1] ^ out[3] == (1 << 6) - 1  # every sign flips
 
 
+def test_rademacher_bucket_short_vector_prefix(spark):
+    """A vector SHORTER than dim must project its valid prefix (the SQL
+    twin's list_sum skips the null tail) — not NULL out to bucket 0.
+    Pinned by comparing a 64-dim vector against its 32-dim prefix with
+    plane coefficients that make the prefix dot decisive."""
+    import duckdb
+
+    from local_data_pipeline_spark.operators.similarity import rademacher_bucket
+
+    full = [0.5] * 32 + [0.0] * 32  # tail contributes nothing
+    short = [0.5] * 32
+    df = spark.createDataFrame(
+        [(1, full), (2, short)], "vec_id long, embedding array<float>"
+    ).withColumn("vm", F.transform("embedding", lambda x: RP.micro(x)))
+    out = {
+        r.vec_id: r.b
+        for r in df.select(
+            "vec_id", rademacher_bucket(F.col("vm"), 64, 6).alias("b")
+        ).collect()
+    }
+    # zero-padded and truncated forms see the same signs
+    assert out[1] == out[2]
+    # and the SQL twin agrees on the short vector
+    planes = RP.rademacher_planes(6, 64)
+    rows = ", ".join(f"({p}, {planes[p]})" for p in range(6))
+    duck = duckdb.sql(
+        f"""WITH planes(p, r) AS (VALUES {rows}),
+        vm AS (SELECT list_transform({short}::DOUBLE[],
+                 x -> CAST(floor(x * 1000000 + 0.5) AS BIGINT)) AS vm),
+        proj AS (SELECT p, list_sum(list_transform(range(1, 65),
+                   i -> vm[i] * r[i])) AS proj FROM vm CROSS JOIN planes)
+        SELECT sum(CASE WHEN proj > 0 THEN (1::BIGINT << p) ELSE 0 END)
+        FROM proj"""
+    ).fetchone()[0]
+    assert duck == out[2]
+
+
+def test_ivf_replayable_external_queries_are_assigned(spark, sf_dir):
+    """Query vectors NOT present in the corpus must still probe and
+    return neighbors (the ivf_topk contract) — the first cut derived
+    query cells from the corpus assignment and silently dropped them."""
+    from local_data_pipeline_spark.operators.similarity import ivf_topk_replayable
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    external = emb.filter(F.col("vec_id") < 3).select(
+        (F.col("vec_id") + 10_000_000).alias("vec_id"), "embedding"
+    )
+    out = ivf_topk_replayable(
+        external, emb, k=3, n_centroids=8, n_probe=2
+    ).collect()
+    assert {r.query_id for r in out} == {10_000_000, 10_000_001, 10_000_002}
+    assert all(r.neighbor_id < 10_000_000 for r in out)
+
+
 def test_ivf_replayable_all_probes_equals_brute_force(spark, sf_dir):
     from local_data_pipeline_spark.operators.similarity import (
         brute_force_topk,

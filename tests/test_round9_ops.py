@@ -87,8 +87,8 @@ def test_phash_near_dup_media_query_finds_planted_twins(spark):
     from local_data_pipeline_spark.session import load_table
 
     d = load_table(spark, SF, "documents")
-    # twin offset is 10^12 since round 16 (the +10^7 offset collided
-    # with scaled-corpus replica doc_ids at sf1 — caught by the gate)
+    # twin offset is 10^12 since driver round 10 (the +10^7 offset
+    # collided with scaled-corpus replica doc_ids at sf1 — gate-caught)
     expected = {
         (r.doc_id, r.doc_id + 1_000_000_000_000)
         for r in d.filter(F.col("doc_id") % 50 == 0).collect()

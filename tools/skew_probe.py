@@ -16,7 +16,7 @@ Shapes probed (guard in parentheses):
   degree skew map-side)
 - sessionize_events              (per-user windows under a 10% hot user)
 
-Usage: python tools/skew_probe.py [--uniform DIR] [--skew DIR] [--md]
+Usage: python tools/skew_probe.py [--uniform DIR] [--skew DIR]
 Defaults: /tmp/sf1 vs /tmp/sf1skew. Quiet host required (bench rules).
 """
 
@@ -83,7 +83,6 @@ def tail_stats(spark, sf_dir: str) -> dict:
         minhash_signature,
         winnowing_fingerprints_arrow,
     )
-    from local_data_pipeline_spark.functions.replay import FOLD_BASE, POW_P
     from local_data_pipeline_spark.functions.text import tokens
 
     d = load_table(spark, sf_dir, "documents")
