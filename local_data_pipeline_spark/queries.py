@@ -18050,6 +18050,70 @@ def quarantine_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _epoch_shuffle_oracle(epoch: int = 3, batch_size: int = 64) -> str:
+    from .functions.replay import POW_P, POW_SALT, pow5_sql
+
+    key = pow5_sql(f"(doc_id + {epoch * POW_SALT}) % {POW_P}")
+    return f"""
+    WITH keyed AS (
+      SELECT doc_id, {key} AS shuffle_key FROM documents),
+    ranked AS (
+      SELECT doc_id, shuffle_key,
+             row_number() OVER (ORDER BY shuffle_key, doc_id) - 1 AS rk
+      FROM keyed)
+    SELECT doc_id, shuffle_key,
+           rk // {batch_size} AS batch_id,
+           rk % {batch_size} AS batch_pos
+    FROM ranked
+    """
+
+
+@q(
+    "training_order_epoch_shuffle",
+    _epoch_shuffle_oracle(),
+    tags=("sampling", "training", "order"),
+)
+def training_order_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seedable EPOCH SHUFFLE + micro-batch packing — the
+    reproducible-training-order primitive: instead of a true global
+    random shuffle (a full sort of the corpus by an RNG stream whose
+    order depends on partition layout), order by a seeded permutation
+    of the document id — shuffle_key = pow5((doc_id + epoch·1000003)
+    mod 2³¹−1), the engine-replayable bijection from
+    functions/replay.py — and pack the rank into fixed-size
+    micro-batches (64 here). Every epoch is a DIFFERENT but fully
+    reproducible order (the seed shift composes with the permutation),
+    any worker can recompute any batch's membership from the key alone,
+    and resuming mid-epoch needs no shuffle state — the properties a
+    100 TB training loader actually needs (hash-order shuffles are the
+    standard trick; a keyed ORDER BY range-partitions cleanly for
+    per-batch file writes).
+
+    Scale shape: the global rank comes from ``packing.
+    distributed_rank`` (per-shard counts + an offsets broadcast — no
+    single-task window stage); the key is four int64 multiplies per
+    row at scan speed. The oracle replays key, rank, and batch
+    arithmetic exactly (pure int64)."""
+    from .functions.replay import POW_P, POW_SALT, pow5
+    from .operators.packing import distributed_rank
+
+    epoch, batch_size = 3, 64
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    keyed = d.withColumn(
+        "shuffle_key",
+        pow5(F.pmod(F.col("doc_id") + F.lit(epoch * POW_SALT), F.lit(POW_P))),
+    )
+    ranked = distributed_rank(
+        keyed, ["shuffle_key", "doc_id"], out_col="__rank"
+    )
+    return ranked.select(
+        "doc_id",
+        "shuffle_key",
+        F.expr(f"(__rank - 1) div {batch_size}").alias("batch_id"),
+        F.expr(f"(__rank - 1) % {batch_size}").alias("batch_pos"),
+    )
+
+
 # =====================================================================
 # Driver-facing declaration order
 # =====================================================================
@@ -18129,7 +18193,8 @@ _PRIORITY: tuple[str, ...] = (
     "regression_value_trend_by_type",
     "rfm_segmentation_customers",
     "rollup_lineitem",
-    "running_total_orders",
+    # new this round — first attestation
+    "training_order_epoch_shuffle",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)

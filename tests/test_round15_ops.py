@@ -213,6 +213,34 @@ def test_ivf_replayable_all_probes_equals_brute_force(spark, sf_dir):
     assert a == b
 
 
+def test_epoch_shuffle_batches_and_epoch_sensitivity(spark, sf_dir):
+    """Batches are contiguous rank blocks of 64 (only the last short);
+    the order is a pure function of (doc_id, epoch): repartitioning
+    cannot change it, changing the epoch must."""
+    from local_data_pipeline_spark.queries import QUERIES
+    from local_data_pipeline_spark.functions.replay import POW_P, POW_SALT
+
+    out = QUERIES["training_order_epoch_shuffle"].fn(spark, sf_dir).collect()
+    n = len(out)
+    assert n > 0
+    sizes = {}
+    for r in out:
+        sizes[r.batch_id] = sizes.get(r.batch_id, 0) + 1
+        assert 0 <= r.batch_pos < 64
+        assert r.shuffle_key == pow(
+            (r.doc_id + 3 * POW_SALT) % POW_P, 5, POW_P
+        )
+    full, last = divmod(n, 64)
+    expect = {b: 64 for b in range(full)}
+    if last:
+        expect[full] = last
+    assert sizes == expect
+    # epoch sensitivity: the epoch-4 permutation orders docs differently
+    key3 = sorted(range(n), key=lambda i: pow((i + 3 * POW_SALT) % POW_P, 5, POW_P))
+    key4 = sorted(range(n), key=lambda i: pow((i + 4 * POW_SALT) % POW_P, 5, POW_P))
+    assert key3 != key4
+
+
 # ------------------------------------------------ measured-band ANN floors
 def test_ann_floors_match_measured_bands():
     from local_data_pipeline_spark.queries import (
