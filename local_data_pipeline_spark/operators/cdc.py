@@ -738,3 +738,57 @@ def distinct_counts(
         n_distinct.cast("bigint").alias("n_distinct"),
         F.sum(n_col).cast("bigint").alias("n_rows"),
     )
+
+
+def maintain_minhash_index(
+    index: DataFrame,
+    changes: DataFrame,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    hash_family: str = "rk_pow5",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Incrementally maintain a persisted MinHash-LSH INDEX
+    (the (doc, band, band_hash) relation from dedup.banded_signatures)
+    under a document changelog — the IVM × dedup composition: at 100 TB
+    the near-dup index lives as a cell/bucket-partitioned table and is
+    NEVER rebuilt from the corpus; each batch signs only the changed
+    documents.
+
+    ``changes`` schema: (key, op, after_text) with the changelog OPS
+    convention shared by every cdc consumer — ``U`` upserts (insert or
+    text replacement: after_text is the new content; the old index rows
+    for the key, if any, are retracted), ``D`` deletes (after_text
+    ignored). Delta cost: one anti-join of the index against the
+    (broadcastable) touched-key set plus shingle→signature→band work
+    proportional to the CHANGED text volume only — the base corpus is
+    never rescanned. The default ``rk_pow5`` family keeps the whole
+    maintained state engine-replayable, so the declared query's oracle
+    can rebuild the post-state index from scratch and value-hash it —
+    a lost retraction or stale signature anywhere fails the hash."""
+    from .dedup import banded_signatures, minhash_signature
+
+    op = F.col("op")
+    touched = changes.select(
+        _op_checked(F.col("key"), op, what="document changelog").alias(
+            "__touched_key"
+        )
+    )
+    kept = index.join(
+        F.broadcast(touched),
+        index[id_col] == F.col("__touched_key"),
+        "left_anti",
+    )
+    fresh_docs = changes.filter(op == "U").select(
+        F.col("key").alias(id_col), F.col("after_text").alias("text")
+    )
+    fresh = banded_signatures(
+        minhash_signature(
+            fresh_docs, "text", id_col, n_hashes, shingle_k, hash_family
+        ),
+        id_col,
+        n_bands,
+        hash_family,
+    )
+    return kept.unionByName(fresh)

@@ -115,6 +115,49 @@ def minhash_signature(
     )
 
 
+def banded_signatures(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    n_bands: int = 8,
+    hash_family: str = "xxhash64",
+) -> DataFrame:
+    """(id, band, band_hash) rows — the LSH INDEX relation: each
+    signature banded into ``n_bands`` chunks, each chunk collapsed to a
+    bucket key (family semantics documented on lsh_candidate_pairs).
+    This is the state a persisted/incrementally-maintained near-dup
+    index stores (see cdc.maintain_minhash_index); lsh_candidate_pairs
+    derives candidates from it on the fly."""
+    from ..functions.replay import poly_fold
+
+    n_hashes_col = F.size(F.col("signature"))
+    rows_per_band = (n_hashes_col / n_bands).cast("int")
+    if hash_family == "xxhash64":
+        def band_key(sl: Column) -> Column:
+            return F.xxhash64(sl.cast("string"))
+    elif hash_family == "rk_pow5":
+        band_key = poly_fold
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    return signatures.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    band_key(
+                        F.slice(
+                            F.col("signature"),
+                            b * rows_per_band + 1,
+                            rows_per_band,
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("bh"),
+    ).select(id_col, "bh.band", "bh.band_hash")
+
+
 def lsh_candidate_pairs(
     signatures: DataFrame,
     id_col: str = "doc_id",
@@ -144,38 +187,10 @@ def lsh_candidate_pairs(
     family for the keys to be meaningful; poly_fold reduces foreign
     full-range values mod p first, so even a mismatch stays
     deterministic rather than overflow-wrapped."""
-    from ..functions.replay import poly_fold
-
     # both sides of the self-join would recompute the signature subtree;
     # checkpoint it once (at 100 TB: persist to a signatures table instead)
     signatures = signatures.localCheckpoint(eager=False)
-    n_hashes_col = F.size(F.col("signature"))
-    rows_per_band = (n_hashes_col / n_bands).cast("int")
-    if hash_family == "xxhash64":
-        def band_key(sl: Column) -> Column:
-            return F.xxhash64(sl.cast("string"))
-    elif hash_family == "rk_pow5":
-        band_key = poly_fold
-    else:
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
-    banded = signatures.select(
-        F.col(id_col),
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    band_key(
-                        F.slice(
-                            F.col("signature"),
-                            b * rows_per_band + 1,
-                            rows_per_band,
-                        )
-                    ).alias("band_hash"),
-                ),
-            )
-        ).alias("bh"),
-    ).select(id_col, "bh.band", "bh.band_hash")
+    banded = banded_signatures(signatures, id_col, n_bands, hash_family)
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band", "band_hash")

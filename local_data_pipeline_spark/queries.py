@@ -1942,19 +1942,17 @@ def ppm_pixel_stats_media(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-def _minhash_oracle(
-    n_hashes: int = 32, n_bands: int = 8, threshold: float = 0.5
+def _minhash_bands_sql(
+    source: str, n_hashes: int = 32, n_bands: int = 8
 ) -> str:
-    """DuckDB twin of the rk_pow5 MinHash-LSH near-dup pipeline. Every
-    stage is pure int64 arithmetic (functions/replay.py): word-3-gram
-    shingles (the attested ngram_jaccard construction, with the
-    concat_ws null-skip replicated exactly), one Rabin-Karp codepoint
-    hash per shingle (base 257 mod 2³¹−1 — the winnowing arithmetic),
-    per-seed shifted power permutations pow5((rk + seed·1000003) mod p)
+    """Shared CTE chain from a (doc_id, text) relation named ``source``
+    to ``bands(doc_id, b, bk)`` — the rk_pow5 MinHash-LSH index replay
+    used by both the near-dup oracle and the incremental-index oracle:
+    word-3-gram shingles (the attested ngram_jaccard construction with
+    the concat_ws null-skip replicated exactly), one Rabin-Karp
+    codepoint hash per shingle, per-seed shifted power permutations
     with min per (doc, seed), band keys as polynomial folds of the
-    4-entry signature slices, bucket-join candidates, and exact
-    round-6 Jaccard verification over the distinct shingle sets
-    (n_a + n_b − n_inter union, mirroring jaccard_pairs' join shape)."""
+    signature slices."""
     from .functions.replay import poly_fold_sql, pow5_seeded_sql, rk_string_sql
 
     rpb = n_hashes // n_bands
@@ -1965,12 +1963,11 @@ def _minhash_oracle(
         "|| CASE WHEN t[i+1] IS NULL THEN '' ELSE ' ' || t[i+1] END "
         "|| CASE WHEN t[i+2] IS NULL THEN '' ELSE ' ' || t[i+2] END"
     )
-    return f"""
-    WITH toks AS (
+    return f"""toks AS (
       SELECT doc_id,
              CASE WHEN trim(lower(text)) = '' THEN []
                   ELSE string_split_regex(trim(lower(text)), '\\s+') END AS t
-      FROM documents),
+      FROM {source}),
     shs AS (
       SELECT doc_id,
              list_distinct(list_transform(
@@ -1987,7 +1984,19 @@ def _minhash_oracle(
       SELECT doc_id, list(mh ORDER BY seed) AS sig FROM perm GROUP BY doc_id),
     bands AS (
       SELECT doc_id, b, {bk} AS bk
-      FROM sigs CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b)),
+      FROM sigs CROSS JOIN (SELECT unnest(range(0, {n_bands})) AS b))"""
+
+
+def _minhash_oracle(
+    n_hashes: int = 32, n_bands: int = 8, threshold: float = 0.5
+) -> str:
+    """DuckDB twin of the rk_pow5 MinHash-LSH near-dup pipeline: the
+    shared ``_minhash_bands_sql`` index replay (pure int64 arithmetic,
+    functions/replay.py) + bucket-join candidates + exact round-6
+    Jaccard verification over the distinct shingle sets (n_a + n_b −
+    n_inter union, mirroring jaccard_pairs' join shape)."""
+    return f"""
+    WITH {_minhash_bands_sql('documents', n_hashes, n_bands)},
     cands AS (
       SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
       FROM bands a JOIN bands b
@@ -18050,6 +18059,117 @@ def quarantine_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _incr_minhash_index_oracle(n_hashes: int = 32, n_bands: int = 8) -> str:
+    """DuckDB twin of the incrementally-maintained MinHash index: apply
+    the changelog to the DOCUMENTS (post-state relation), rebuild the
+    whole rk_pow5 index from scratch via the shared
+    ``_minhash_bands_sql`` chain, and summarize per band — a lost
+    retraction, stale signature, or missed insert on the Spark side
+    (which maintains the index incrementally, signing only changed
+    docs) shifts n_entries / n_buckets / the pow5 checksum and fails
+    the value hash."""
+    from .functions.replay import POW_P, pow5_sql
+
+    chk = pow5_sql(f"(doc_id + bk) % {POW_P}")
+    return f"""
+    WITH post AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 >= 15
+      UNION ALL
+      SELECT doc_id, text || ' revised edition zz' FROM documents
+      WHERE doc_id % 100 >= 10 AND doc_id % 100 < 15
+      UNION ALL
+      SELECT doc_id + 1000000000000, text || ' appended continuation zz'
+      FROM documents WHERE doc_id % 100 = 16),
+    {_minhash_bands_sql('post', n_hashes, n_bands)}
+    SELECT cast(b AS bigint) AS band,
+           cast(count(*) AS bigint) AS n_entries,
+           cast(count(DISTINCT bk) AS bigint) AS n_buckets,
+           cast(sum({chk}) AS bigint) AS checksum
+    FROM bands GROUP BY b
+    """
+
+
+@q(
+    "incremental_minhash_index_documents",
+    _incr_minhash_index_oracle(),
+    tags=("dedup", "cdc", "ivm", "approx"),
+)
+def incremental_minhash_index_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental MinHash-LSH INDEX maintenance under a document
+    changelog — the IVM × dedup composition
+    (``cdc.maintain_minhash_index``): at 100 TB the near-dup index is a
+    persisted (doc, band, bucket) table that is NEVER rebuilt from the
+    corpus; each changelog batch retracts the touched keys' rows with
+    one broadcast anti-join and signs ONLY the changed text (delta-
+    sized shingle→signature→band work, map-side combinable). The
+    changelog here mixes deletes (10% of docs), text replacements (5% —
+    the case a naive append-only index gets wrong: the OLD signature
+    rows must go), and inserts under collision-free +10¹² keys.
+
+    The maintained state uses the engine-replayable ``rk_pow5`` family,
+    so the oracle applies the same changelog to the DOCUMENTS and
+    rebuilds the post-state index from scratch (the shared
+    ``_minhash_bands_sql`` replay) — incremental ≡ full-recompute is
+    the IVM correctness contract, checked per band on entry count,
+    distinct-bucket count, and an order-insensitive pow5 checksum of
+    the (doc, bucket) membership itself."""
+    from .functions.replay import POW_P, pow5
+    from .operators.cdc import maintain_minhash_index
+    from .operators.dedup import banded_signatures, minhash_signature
+
+    d = _t(spark, sf_dir, "documents")
+    base_index = banded_signatures(
+        minhash_signature(d, hash_family="rk_pow5"),
+        "doc_id",
+        8,
+        "rk_pow5",
+    )
+    m = F.col("doc_id") % 100
+    null_s = F.lit(None).cast("string")
+    changes = (
+        d.filter(m < 10)
+        .select(
+            F.col("doc_id").alias("key"),
+            F.lit("D").alias("op"),
+            null_s.alias("after_text"),
+        )
+        .unionByName(
+            d.filter((m >= 10) & (m < 15)).select(
+                F.col("doc_id").alias("key"),
+                F.lit("U").alias("op"),
+                F.concat(F.col("text"), F.lit(" revised edition zz")).alias(
+                    "after_text"
+                ),
+            )
+        )
+        .unionByName(
+            d.filter(m == 16).select(
+                (F.col("doc_id") + 1_000_000_000_000).alias("key"),
+                F.lit("U").alias("op"),
+                F.concat(
+                    F.col("text"), F.lit(" appended continuation zz")
+                ).alias("after_text"),
+            )
+        )
+    )
+    new_index = maintain_minhash_index(base_index, changes)
+    return (
+        new_index.groupBy(F.col("band").cast("bigint").alias("band"))
+        .agg(
+            F.count("*").cast("bigint").alias("n_entries"),
+            F.countDistinct("band_hash").cast("bigint").alias("n_buckets"),
+            F.sum(
+                pow5(F.pmod(F.col("doc_id") + F.col("band_hash"), F.lit(POW_P)))
+            )
+            .cast("bigint")
+            .alias("checksum"),
+        )
+        .orderBy("band")
+    )
+
+
 def _epoch_shuffle_oracle(epoch: int = 3, batch_size: int = 64) -> str:
     from .functions.replay import POW_P, POW_SALT, pow5_sql
 
@@ -18192,8 +18312,8 @@ _PRIORITY: tuple[str, ...] = (
     "range_join_purchases_in_sessions",
     "regression_value_trend_by_type",
     "rfm_segmentation_customers",
-    "rollup_lineitem",
     # new this round — first attestation
+    "incremental_minhash_index_documents",
     "training_order_epoch_shuffle",
 )
 

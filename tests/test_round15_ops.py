@@ -239,6 +239,76 @@ def test_ivf_replayable_all_probes_equals_brute_force(spark, sf_dir):
     assert a == b
 
 
+def test_maintain_minhash_index_retracts_and_resigns(spark):
+    """Incremental index maintenance ≡ full recompute on a planted
+    changelog: a deleted doc's rows vanish, an updated doc's OLD
+    signature rows are retracted (the naive append-only failure mode),
+    an inserted doc appears — and the maintained index equals the index
+    built from scratch on the post-state corpus."""
+    from local_data_pipeline_spark.operators.cdc import maintain_minhash_index
+    from local_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signature,
+    )
+
+    base_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "one two three four five six seven"),
+        (3, "to be deleted entirely from the corpus now"),
+    ]
+    post_rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "completely different replacement text for doc two"),
+        (9, "a brand new inserted document body here"),
+    ]
+
+    def index_of(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return banded_signatures(
+            minhash_signature(df, hash_family="rk_pow5"),
+            "doc_id", 8, "rk_pow5",
+        )
+
+    changes = spark.createDataFrame(
+        [
+            (3, "D", None),
+            (2, "U", "completely different replacement text for doc two"),
+            (9, "U", "a brand new inserted document body here"),
+        ],
+        "key long, op string, after_text string",
+    )
+    maintained = {
+        (r.doc_id, r.band, r.band_hash)
+        for r in maintain_minhash_index(index_of(base_rows), changes).collect()
+    }
+    scratch = {
+        (r.doc_id, r.band, r.band_hash) for r in index_of(post_rows).collect()
+    }
+    assert maintained == scratch
+    assert not any(d == 3 for d, _, _ in maintained)
+    assert any(d == 9 for d, _, _ in maintained)
+
+
+def test_maintain_minhash_index_rejects_bad_op(spark):
+    from local_data_pipeline_spark.operators.cdc import maintain_minhash_index
+    from local_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signature,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    idx = banded_signatures(
+        minhash_signature(base, hash_family="rk_pow5"), "doc_id", 8, "rk_pow5"
+    )
+    bad = spark.createDataFrame(
+        [(1, "X", "whatever")], "key long, op string, after_text string"
+    )
+    with pytest.raises(Exception, match="invalid document changelog op"):
+        maintain_minhash_index(idx, bad).collect()
+
+
 def test_epoch_shuffle_batches_and_epoch_sensitivity(spark, sf_dir):
     """Batches are contiguous rank blocks of 64 (only the last short);
     the order is a pure function of (doc_id, epoch): repartitioning
