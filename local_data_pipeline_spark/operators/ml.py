@@ -78,24 +78,58 @@ def train_bpe_merges(
     docs: DataFrame,
     n_merges: int = 10,
     text_col: str = "text",
-) -> list[tuple[str, str, int]]:
+    return_vocab: bool = False,
+    max_driver_vocab: int = 50_000,
+):
     """Learn the first ``n_merges`` BPE merges from a document corpus.
 
     Returns ``[(left, right, pair_count), ...]`` in merge order. Ties on
     pair count break lexicographically on (left, right) so the learned
     tokenizer is deterministic on any engine/partitioning.
 
-    Distribution shape: per merge iteration, one adjacent-pair count over
-    the *vocabulary* relation (words × symbols, weighted by word
-    frequency, map-side combinable) + a driver argmax of the tiny
-    aggregated pair table + one narrow map applying the merge. The corpus
-    itself is scanned exactly once (word_frequencies). The vocabulary is
-    cached between iterations and its lineage is cut by the rewrite each
-    round (arrays shrink monotonically).
+    With ``return_vocab=True``, returns ``(merges, encoded_vocab)``
+    where ``encoded_vocab`` is the fully-merged vocabulary as
+    ``(word string, freq bigint, n_subwords bigint)``. The encode half
+    of a train+apply pipeline should consume this instead of
+    re-scanning the corpus and re-applying the merge chain
+    (``bpe_encode_vocab(..., precomputed=...)``).
+
+    Size-gated hybrid (the unigram ``max_broadcast_vocab`` pattern):
+    the corpus is scanned exactly once into the (word, freq) vocabulary
+    relation and checkpointed; when the EXACT word-type count is ≤
+    ``max_driver_vocab``, the merge loop runs driver-side over the
+    collected vocabulary via :func:`train_bpe_merges_local` — 10
+    sequential Spark jobs over a vocabulary-sized relation are pure
+    job-floor overhead when the type count is small (bench corpora),
+    and the local trainer is the SAME greedy argmax with the SAME
+    (-count, (left, right)) tie-break (property-test-pinned parity).
+    Above the gate, the distributed loop below runs: per merge
+    iteration, one adjacent-pair count over the vocabulary relation
+    (map-side combinable) + a driver argmax of the tiny aggregated pair
+    table + one narrow rewrite applying the merge, vocabulary cached
+    between iterations — the 100 TB shape, since real-corpus type
+    counts are Zipf-unbounded and must never be collected. The gate is
+    sized by driver CPU (the local loop is O(n_merges · total symbols)
+    Python), not just driver memory.
     """
-    vocab = word_frequencies(docs, text_col).withColumn(
-        "syms", F.split(F.col("word"), "")
-    )
+    base = word_frequencies(docs, text_col).localCheckpoint(eager=True)
+    n_vocab = base.count()  # exact, off the checkpoint — no extra corpus pass
+    if n_vocab <= max_driver_vocab:
+        wf = sorted(
+            (r["word"], int(r["freq"])) for r in base.collect()
+        )
+        merges = train_bpe_merges_local(wf, n_merges)
+        if return_vocab:
+            encoded = docs.sparkSession.createDataFrame(
+                [
+                    (w, f, len(bpe_encode_local(w, merges)))
+                    for w, f in wf
+                ],
+                "word string, freq bigint, n_subwords bigint",
+            )
+            return merges, encoded
+        return merges
+    vocab = base.withColumn("syms", F.split(F.col("word"), ""))
     vocab = vocab.select("freq", "syms").cache()
     merges: list[tuple[str, str, int]] = []
     prev = None  # parent cache, dropped once the child is materialized
@@ -134,10 +168,23 @@ def train_bpe_merges(
             ).cache()
             prev = vocab
             vocab = new_vocab
+        encoded = None
+        if return_vocab:
+            # one narrow HOF pass off the final cached vocab (or its
+            # cached parent — the last .cache() is lazy); eager
+            # checkpoint pins the result so the caches in `finally`
+            # can be dropped safely
+            encoded = vocab.select(
+                F.array_join("syms", "").alias("word"),
+                "freq",
+                F.size("syms").cast("bigint").alias("n_subwords"),
+            ).localCheckpoint(eager=True)
     finally:
         if prev is not None:
             prev.unpersist()
         vocab.unpersist()
+    if return_vocab:
+        return merges, encoded
     return merges
 
 
@@ -509,6 +556,7 @@ def bpe_encode_vocab(
     docs: DataFrame,
     merges: list[tuple[str, str, int]],
     text_col: str = "text",
+    precomputed: "DataFrame | None" = None,
 ) -> DataFrame:
     """Apply a trained merge table to the corpus VOCABULARY: returns
     ``(word, freq, n_subwords)`` with every merge applied in training
@@ -517,7 +565,16 @@ def bpe_encode_vocab(
     This is the tokenizer-apply step done the way production tokenizers
     amortize it at corpus scale: encode each DISTINCT word once
     (vocabulary-sized work), then join token counts back onto the
-    corpus — never re-encode per occurrence."""
+    corpus — never re-encode per occurrence.
+
+    ``precomputed`` accepts the ``(word, freq, n_subwords)`` vocabulary
+    that ``train_bpe_merges(..., return_vocab=True)`` already
+    materialized, skipping the corpus re-scan and the 10-pass merge
+    replay entirely — train+apply pipelines should always pass it
+    (the r10→r11 warm-regression fix: the encode half used to re-derive
+    state the trainer's cache chain had just computed)."""
+    if precomputed is not None:
+        return precomputed.select("word", "freq", "n_subwords")
     vocab = word_frequencies(docs, text_col).withColumn(
         "syms", F.split(F.col("word"), "")
     )

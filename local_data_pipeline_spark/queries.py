@@ -10599,8 +10599,8 @@ def bpe_encode_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators import ml as ML
 
     d = _t(spark, sf_dir, "documents")
-    merges = ML.train_bpe_merges(d, n_merges=10)
-    encoded = ML.bpe_encode_vocab(d, merges)
+    merges, encoded = ML.train_bpe_merges(d, n_merges=10, return_vocab=True)
+    encoded = ML.bpe_encode_vocab(d, merges, precomputed=encoded)
     words = d.select(
         "source", F.explode(TX.tokens(F.col("text"))).alias("word")
     ).filter(F.col("word").rlike("^[a-z]+$"))

@@ -20,16 +20,34 @@ from conftest import SF_DIR
 # ---------------------------------------------------------------- BPE
 
 def test_bpe_matches_pure_python_reference(spark):
-    """The distributed trainer must learn EXACTLY the merges the
-    sequential reference implementation learns (same ties, same order)."""
+    """The DISTRIBUTED trainer (gate forced off with
+    ``max_driver_vocab=0``) must learn EXACTLY the merges the
+    sequential reference implementation learns (same ties, same
+    order) — the parity that makes the size-gated hybrid sound."""
     docs = load_table(spark, SF_DIR, "documents")
-    got = ML.train_bpe_merges(docs, n_merges=8)
+    got = ML.train_bpe_merges(docs, n_merges=8, max_driver_vocab=0)
     wf = [
         (r["word"], r["freq"])
         for r in ML.word_frequencies(docs).collect()
     ]
     want = ML.train_bpe_merges_local(wf, n_merges=8)
     assert got == want
+
+
+def test_bpe_hybrid_gate_paths_agree(spark):
+    """Driver path (default gate) ≡ distributed path (gate=0) for both
+    the merge table and the ``return_vocab`` encoded vocabulary —
+    (word, freq, n_subwords) sets must be identical."""
+    docs = load_table(spark, SF_DIR, "documents")
+    m_drv, v_drv = ML.train_bpe_merges(docs, n_merges=6, return_vocab=True)
+    m_dst, v_dst = ML.train_bpe_merges(
+        docs, n_merges=6, return_vocab=True, max_driver_vocab=0
+    )
+    assert m_drv == m_dst
+    rows_drv = {tuple(r) for r in v_drv.collect()}
+    rows_dst = {tuple(r) for r in v_dst.collect()}
+    assert rows_drv == rows_dst
+    assert rows_drv  # non-vacuous
 
 
 def test_bpe_merge_apply_is_greedy_left_to_right(spark):

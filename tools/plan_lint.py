@@ -123,7 +123,10 @@ S4_ALLOWLIST: dict[tuple[str, str], str] = {
     ("ml.py", "train_bpe_merges"): (
         "per-merge argmax collect is ONE row per merge step (limit(1) "
         "in-plan); merges = vocab size, a config constant independent of "
-        "corpus size."
+        "corpus size. The small-corpus fast path's vocabulary collect "
+        "is gated on an EXACT count <= max_driver_vocab (50k default) "
+        "measured off the checkpointed word-type relation first — above "
+        "the gate nothing is collected and the distributed loop runs."
     ),
     ("ml.py", "unigram_vocab"): (
         "collects the vocab-sized top-K substrings + alphabet (config "
