@@ -748,6 +748,7 @@ def maintain_minhash_index(
     shingle_k: int = 3,
     hash_family: str = "rk_pow5",
     id_col: str = "doc_id",
+    max_broadcast_changes: int = 5_000_000,
 ) -> DataFrame:
     """Incrementally maintain a persisted MinHash-LSH INDEX
     (the (doc, band, band_hash) relation from dedup.banded_signatures)
@@ -758,12 +759,20 @@ def maintain_minhash_index(
 
     ``changes`` schema: (key, op, after_text) with the changelog OPS
     convention shared by every cdc consumer — ``U`` upserts (insert or
-    text replacement: after_text is the new content; the old index rows
-    for the key, if any, are retracted), ``D`` deletes (after_text
-    ignored). Delta cost: one anti-join of the index against the
-    (broadcastable) touched-key set plus shingle→signature→band work
-    proportional to the CHANGED text volume only — the base corpus is
-    never rescanned. The default ``rk_pow5`` family keeps the whole
+    text replacement: after_text is the new content, and it must be
+    NON-NULL — a NULL-text upsert would silently retract the key's
+    rows and emit nothing, turning an upsert into a delete, so it
+    fails loudly instead), ``D`` deletes (after_text ignored). Delta
+    cost: one anti-join of the index against the touched-key set plus
+    shingle→signature→band work proportional to the CHANGED text
+    volume only — the base corpus is never rescanned. The touched-key
+    side is checkpointed (delta-sized) and broadcast only while its
+    EXACT row count stays ≤ ``max_broadcast_changes`` (the ml.py
+    ``max_broadcast_vocab`` gate pattern): a changelog batch is
+    normally the small side of the anti-join, but nothing bounds it —
+    a backfill-sized batch at the 100 TB framing must not be forced
+    through the broadcast limit; above the gate AQE picks the join
+    strategy. The default ``rk_pow5`` family keeps the whole
     maintained state engine-replayable, so the declared query's oracle
     can rebuild the post-state index from scratch and value-hash it —
     a lost retraction or stale signature anywhere fails the hash."""
@@ -774,14 +783,37 @@ def maintain_minhash_index(
         _op_checked(F.col("key"), op, what="document changelog").alias(
             "__touched_key"
         )
+    ).localCheckpoint(eager=True)
+    # exact count off the checkpoint — one delta-sized pass, reused by
+    # the anti-join below
+    n_changes = touched.count()
+    touched_side = (
+        F.broadcast(touched)
+        if n_changes <= max_broadcast_changes
+        else touched
     )
     kept = index.join(
-        F.broadcast(touched),
+        touched_side,
         index[id_col] == F.col("__touched_key"),
         "left_anti",
     )
     fresh_docs = changes.filter(op == "U").select(
-        F.col("key").alias(id_col), F.col("after_text").alias("text")
+        F.col("key").alias(id_col),
+        # assert rides the projection (the _op_checked pattern): every
+        # 'U' row reaching the signature path must carry text
+        F.when(
+            F.assert_true(
+                F.col("after_text").isNotNull(),
+                F.concat(
+                    F.lit(
+                        "NULL after_text for op='U' in document "
+                        "changelog at key: "
+                    ),
+                    F.coalesce(F.col("key").cast("string"), F.lit("NULL")),
+                ),
+            ).isNull(),
+            F.col("after_text"),
+        ).alias("text"),
     )
     fresh = banded_signatures(
         minhash_signature(

@@ -133,6 +133,19 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
 _WIDEN_SPLITS_CACHE: "dict[tuple, int]" = {}
 
 
+def _file_key(uri: str):
+    """Cache-key component for one scan input file: (path, size,
+    mtime_ns) when the file is locally statable, else the bare path."""
+    path = uri[7:] if uri.startswith("file://") else uri
+    if path.startswith("/"):
+        try:
+            st = os.stat(path)
+            return (uri, st.st_size, st.st_mtime_ns)
+        except OSError:
+            pass
+    return (uri,)
+
+
 def widen_to_parallelism(df: DataFrame) -> DataFrame:
     """Round-robin-repartition a NARROW relation up to the cluster's
     default parallelism before expensive per-row map work (tokenize /
@@ -152,14 +165,22 @@ def widen_to_parallelism(df: DataFrame) -> DataFrame:
     200-partition aggregate over documents could poison the scan's key
     (skipping the widen, reinstating the serial straggler) or vice
     versa (narrowing a wide input). Non-scan inputs (no input files)
-    fall back to probing every call. The probe sees the pre-AQE split
-    count, which is the right quantity here: we are sizing the MAP
-    stage over the source, and only ever widening."""
+    fall back to probing every call. Each locally-statable file
+    contributes its (size, mtime) to the key, so overwriting the
+    same-named parquet with different content (fixture regeneration —
+    same file set, same plan shape, different split count) invalidates
+    the entry instead of serving a stale split count (round-10
+    advice); non-local URIs (hdfs://, s3://) key by path alone — the
+    fixture-overwrite scenario is a local-filesystem workflow, and a
+    per-call remote stat would cost more than the probe it saves. The
+    probe sees the pre-AQE split count, which is the right quantity
+    here: we are sizing the MAP stage over the source, and only ever
+    widening."""
     import re as _re
 
     cores = df.sparkSession.sparkContext.defaultParallelism
     try:
-        files = tuple(sorted(df.inputFiles()))
+        files = tuple(sorted(_file_key(p) for p in df.inputFiles()))
         shape = _re.sub(r"#\d+L?", "", df._jdf.queryExecution().logical().toString())
     except Exception:
         files, shape = (), None

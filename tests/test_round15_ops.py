@@ -309,6 +309,63 @@ def test_maintain_minhash_index_rejects_bad_op(spark):
         maintain_minhash_index(idx, bad).collect()
 
 
+def test_maintain_minhash_index_rejects_null_upsert_text(spark):
+    """A 'U' row with NULL after_text would silently retract the key and
+    emit nothing (upsert becomes delete) — it must fail loudly instead
+    (round-10 advice)."""
+    from local_data_pipeline_spark.operators.cdc import maintain_minhash_index
+    from local_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signature,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "some text here")], "doc_id long, text string"
+    )
+    idx = banded_signatures(
+        minhash_signature(base, hash_family="rk_pow5"), "doc_id", 8, "rk_pow5"
+    )
+    bad = spark.createDataFrame(
+        [(1, "U", None)], "key long, op string, after_text string"
+    )
+    with pytest.raises(Exception, match="NULL after_text"):
+        maintain_minhash_index(idx, bad).collect()
+
+
+def test_maintain_minhash_index_gate_paths_agree(spark):
+    """Broadcast-gated path (default) ≡ above-gate path
+    (max_broadcast_changes=0, AQE-planned anti-join): identical
+    maintained index."""
+    from local_data_pipeline_spark.operators.cdc import maintain_minhash_index
+    from local_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signature,
+    )
+
+    base = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"), (2, "one two three four five")],
+        "doc_id long, text string",
+    )
+    idx = banded_signatures(
+        minhash_signature(base, hash_family="rk_pow5"), "doc_id", 8, "rk_pow5"
+    )
+    changes = spark.createDataFrame(
+        [(1, "D", None), (5, "U", "a new document appears here")],
+        "key long, op string, after_text string",
+    )
+    a = {
+        tuple(r)
+        for r in maintain_minhash_index(idx, changes).collect()
+    }
+    b = {
+        tuple(r)
+        for r in maintain_minhash_index(
+            idx, changes, max_broadcast_changes=0
+        ).collect()
+    }
+    assert a == b and a
+
+
 def test_epoch_shuffle_batches_and_epoch_sensitivity(spark, sf_dir):
     """Batches are contiguous rank blocks of 64 (only the last short);
     the order is a pure function of (doc_id, epoch): repartitioning
@@ -424,3 +481,33 @@ def test_broken_index_fails_measured_band_floors(spark):
         {"lsh": recall, "lsh_multiprobe": recall, "ivf": recall}, n
     )
     assert not any(flags.values()), (recall, flags)
+
+
+def test_widen_splits_cache_invalidates_on_file_overwrite(spark, tmp_path):
+    """Overwriting the same-named parquet with different-sized content
+    (fixture regeneration) must produce a DIFFERENT cache key — a stale
+    split count would silently skip the widen (round-10 advice). The
+    key folds each local file's (size, mtime) in via _file_key."""
+    import shutil
+    import time as _time
+
+    from local_data_pipeline_spark.session import (
+        _WIDEN_SPLITS_CACHE,
+        widen_to_parallelism,
+    )
+
+    p = str(tmp_path / "t.parquet")
+    spark.range(0, 100).toDF("x").coalesce(1).write.mode("overwrite").parquet(p)
+    before = dict(_WIDEN_SPLITS_CACHE)
+    widen_to_parallelism(spark.read.parquet(p))
+    keys_a = set(_WIDEN_SPLITS_CACHE) - set(before)
+    assert keys_a, "first widen should populate the cache"
+
+    _time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
+    shutil.rmtree(p)
+    spark.range(0, 200_000).toDF("x").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(p)
+    widen_to_parallelism(spark.read.parquet(p))
+    keys_b = set(_WIDEN_SPLITS_CACHE) - set(before) - keys_a
+    assert keys_b, "overwritten file must not reuse the stale cache entry"
