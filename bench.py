@@ -71,6 +71,40 @@ def _warmup(spark) -> None:
     df.select(F.row_number().over(w).alias("rn")).write.format("noop").mode(
         "overwrite"
     ).save()
+    # 4. Python-worker eval types the r10 graduations lean on: the
+    #    pandas_udf path (#2 above) spins up a DIFFERENT worker pool
+    #    than mapInPandas/applyInPandas (per-eval-type reuse); first use
+    #    otherwise bills ~1-2 s of fork + pandas import to whichever
+    #    query (unigram viterbi, multimodal decode) runs first.
+    small = spark.range(0, 1000).select(
+        F.col("id"), F.pmod(F.col("id"), F.lit(7)).alias("k")
+    )
+    small.mapInPandas(lambda it: it, "id long, k long").write.format(
+        "noop"
+    ).mode("overwrite").save()
+    small.groupBy("k").applyInPandas(
+        lambda pdf: pdf, "id long, k long"
+    ).write.format("noop").mode("overwrite").save()
+    # 5. HOF evaluator + codegen classes for the replayable-hash shapes
+    #    (aggregate/transform/zip_with over arrays, conv/md5/substr):
+    #    the JVM-side evaluator classes and JIT tiers are session-global
+    #    even though each query's concrete expression still compiles
+    #    per-plan.
+    small.select(
+        F.aggregate(
+            F.sequence(F.lit(1), F.lit(8)),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: (acc * 31 + x) % 1000003,
+        ).alias("a"),
+        F.zip_with(
+            F.sequence(F.lit(1), F.lit(4)),
+            F.sequence(F.lit(2), F.lit(5)),
+            lambda x, y: x * y,
+        ).alias("z"),
+        F.conv(F.substring(F.md5(F.col("id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        .alias("h"),
+    ).write.format("noop").mode("overwrite").save()
     spark.catalog.clearCache()
     try:
         for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():

@@ -18248,73 +18248,66 @@ def training_order_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order after the prefix and stay fully declared (bench runs
 # everything; tests/tools check every oracle).
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-10 ROTATION. First block: the five queries whose code
-    # changed AFTER the driver's round-9 attestation run (the r9
-    # verdict's stale-at-HEAD item — commits 0d624aa/59e64b0/a17d8d0
-    # touched cdc.py/ml.py/queries.py post-bench; all five pass the
-    # judge's sf0.01 rerun at that HEAD, so this is re-attestation,
-    # not a fix). unigram also gained the vocab-broadcast gate this
-    # round.
-    "incremental_agg_maintenance_orders",
-    "incremental_minmax_maintenance_orders",
-    "incremental_distinct_maintenance_events",
-    "content_defined_chunks_documents",
-    "unigram_tokenize_documents",
-    # -- round-10 changes: the SIX queries graduated from rows-only to
-    #    full value-hash oracles (engine-replayable rk_pow5/rademacher/
-    #    integer-pHash families — functions/replay.py; the LAST
-    #    rows-only queries in the catalog: oracle coverage is now
-    #    269/269), the de-vacuated measured-band ANN recall flags, and
-    #    the three twins whose embedding-dim bound now derives from the
-    #    fixture --
-    "minhash_near_dups",
-    "simhash_near_dups",
-    "lsh_topk_embeddings",
-    "ivf_topk_embeddings",
-    "embedding_near_dups",
-    "phash_near_dup_media",
-    "ann_recall_eval",
-    "pca_embedding_variance",
-    "standardize_embedding_dims",
-    "quantize_embeddings_int8",
-    # -- stalest attestations: last driver-green in r03; refreshed here
-    #    so no query's newest attestation falls further behind --
-    "cube_orders",
-    "curation_funnel_documents",
-    "customer_yearly_churn",
-    "decontaminate_documents",
-    "ewma_value_by_user",
-    "exact_dedup_documents",
-    "expectation_audit_lineitem",
-    "funnel_conversion_events",
-    "gini_spend_concentration",
-    "grouping_sets_lineitem",
-    "hypertable_rollup_events",
-    "interpolate_hourly_gaps",
-    "json_props_extract",
-    "knn_label_consistency",
-    "lateral_top2_customers_per_nation",
-    "mad_robust_anomalies_events",
-    "markov_event_transitions",
-    "max_concurrent_sessions_daily",
-    "ngram_jaccard_within_source",
-    "order_chain_walk",
-    "outer_join_customer_order_counts",
-    "percentiles_lineitem",
-    "pivot_linestatus_by_flag",
-    "profile_lineitem_columns",
-    "q1_pricing_summary",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority_checking",
-    "q5_region_revenue",
-    "range_join_purchases_in_sessions",
-    "regression_value_trend_by_type",
-    "rfm_segmentation_customers",
-    # new this round — first attestation
+    # ROUND-11 ROTATION. First block: the three queries whose code
+    # changed this round AFTER the r10 attestation — the BPE
+    # size-gated hybrid trainer + precomputed-vocab encode (commit
+    # 8e38320) and the IVM minhash maintainer's gated broadcast +
+    # NULL-upsert guard (round-10 advice). All three re-validated
+    # at sf0.001/0.01/0.1 + shuffle=200 + sf1 gate this round.
+    "bpe_encode_documents",
+    "bpe_merge_table_documents",
     "incremental_minhash_index_documents",
-    "training_order_epoch_shuffle",
+    # -- stalest attestations: the nine queries whose newest driver
+    # green is still r03, then the r04 block in catalog order (the
+    # r10 rotation refreshed the previous r03 backlog; this one
+    # starts on the 49-query r04 cohort).
+    "rollup_lineitem",
+    "running_total_orders",
+    "unpivot_lineitem_measures",
+    "sessionize_events",
+    "string_agg_nations_per_region",
+    "window_rank_family_orders",
+    "variant_props_stats",
+    "weighted_sample_documents",
+    "token_rle_udtf_documents",
+    "embedding_norm_stats",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q13_order_count_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_part_supplier_counts",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customers",
+    "q19_disjunctive_predicate_revenue",
+    "tfidf_top_terms",
+    "stratified_sample_documents",
+    "bigram_counts_documents",
+    "zscore_anomalies_events",
+    "q11_important_part_stock",
+    "pack_training_sequences",
+    "repetition_signals_documents",
+    "q21_suppliers_kept_waiting",
+    "q20_potential_part_promotion",
+    "lm_score_documents",
+    "source_mixing_weights",
+    "densify_hourly_event_grid",
+    "segment_dedup_documents",
+    "ntile_customer_value_deciles",
+    "vocab_coverage_curve",
+    "value_change_intervals_events",
+    "rebuild_deduped_documents",
+    "rolling_median_daily_value",
+    "bm25_search_documents",
+    "token_entropy_documents",
+    "scd2_customer_priority_history",
+    "hard_negative_mining",
+    "incremental_dedup_new_docs",
+    "cumulative_distinct_users_daily",
+    "native_session_window_events",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)

@@ -70,6 +70,90 @@ SHAPES = {
 }
 
 
+def _ivm_minhash_hot_changelog(spark, sf_dir):
+    """IVM minhash maintenance under a hot changelog: on the skew twin
+    the mod-5-residue-1 upsert batch IS the 10^4-doc byte-identical
+    clique (every fresh signature bands into the same buckets) and the
+    mod-10-residue-3 deletes are the hot-token docs — ~30% of keys
+    touched in one batch. The maintainer never bucket-joins (anti-join
+    on unique keys + per-doc signing), so identical texts must cost the
+    same wall as distinct ones."""
+    from local_data_pipeline_spark.operators.cdc import maintain_minhash_index
+    from local_data_pipeline_spark.operators.dedup import (
+        banded_signatures,
+        minhash_signature,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    base_index = banded_signatures(
+        minhash_signature(d, hash_family="rk_pow5"), "doc_id", 8, "rk_pow5"
+    )
+    changes = (
+        d.filter(F.col("doc_id") % 5 == 1)
+        .select(
+            F.col("doc_id").alias("key"),
+            F.lit("U").alias("op"),
+            F.concat(F.col("text"), F.lit(" rev2")).alias("after_text"),
+        )
+        .unionByName(
+            d.filter(F.col("doc_id") % 10 == 3).select(
+                F.col("doc_id").alias("key"),
+                F.lit("D").alias("op"),
+                F.lit(None).cast("string").alias("after_text"),
+            )
+        )
+    )
+    return maintain_minhash_index(base_index, changes)
+
+
+def _epoch_shuffle_ids(spark, sf_dir):
+    """Epoch shuffle / distributed_rank under a pathological doc_id
+    VALUE distribution: on the skew leg the ids are remapped
+    (injectively: div/mod decomposition) into blocks of 100 consecutive
+    values separated by 10^9 gaps — the clustered-id layout a
+    hash-range sharder would straggle on. The design's claim: the pow5
+    bijection scrambles value-space clustering before the rank's
+    repartitionByRange ever samples it, and the range sampler adapts to
+    whatever distribution survives — wall parity expected."""
+    from local_data_pipeline_spark.functions.replay import (
+        POW_P,
+        POW_SALT,
+        pow5,
+    )
+    from local_data_pipeline_spark.operators.packing import distributed_rank
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id")
+    if "skew" in os.path.basename(sf_dir.rstrip("/")):
+        d = d.select(
+            (
+                (F.col("doc_id") / 100).cast("bigint") * F.lit(10**9)
+                + F.col("doc_id") % 100
+            ).alias("doc_id")
+        )
+    keyed = d.withColumn(
+        "shuffle_key",
+        pow5(F.pmod(F.col("doc_id") + F.lit(3 * POW_SALT), F.lit(POW_P))),
+    )
+    ranked = distributed_rank(keyed, ["shuffle_key", "doc_id"], out_col="__rank")
+    return ranked.select(
+        "doc_id",
+        F.expr("(__rank - 1) div 64").alias("batch_id"),
+        F.expr("(__rank - 1) % 64").alias("batch_pos"),
+    )
+
+
+#: Batch 2 (VERDICT r10 #4): the graph family on the 10%-degree hot
+#: node (only LPA was probed in batch 1), the IVM minhash maintainer
+#: under a hot changelog, and distributed_rank under clustered ids.
+SHAPES_BATCH2 = {
+    "pagerank": lambda s, d: QUERIES["pagerank_copurchase_parts"].fn(s, d),
+    "hits": lambda s, d: QUERIES["hits_customer_parts"].fn(s, d),
+    "kcore": lambda s, d: QUERIES["kcore_copurchase_parts"].fn(s, d),
+    "ivm_minhash_hot_changelog": _ivm_minhash_hot_changelog,
+    "epoch_shuffle_clustered_ids": _epoch_shuffle_ids,
+}
+
+
 def run_once(spark, fn, sf_dir: str) -> float:
     t0 = time.time()
     fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
