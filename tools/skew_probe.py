@@ -218,12 +218,17 @@ def main() -> int:
 
     uniform = opt("--uniform", "/tmp/sf1")
     skew = opt("--skew", "/tmp/sf1skew")
+    batch2 = "--batch2" in args
+    if batch2:
+        args.remove("--batch2")
+    shapes = SHAPES_BATCH2 if batch2 else SHAPES
     spark = get_spark()
-    print(f"# skew probe: uniform={uniform} skew={skew}")
-    for name, corpus in (("uniform", uniform), ("skew", skew)):
-        print(f"# tail stats [{name}]: {tail_stats(spark, corpus)}")
+    print(f"# skew probe: uniform={uniform} skew={skew} batch2={batch2}")
+    if not batch2:
+        for name, corpus in (("uniform", uniform), ("skew", skew)):
+            print(f"# tail stats [{name}]: {tail_stats(spark, corpus)}")
     rows = []
-    for name, fn in SHAPES.items():
+    for name, fn in shapes.items():
         run_once(spark, fn, WARM_DIR)  # untimed warm-up
         t_u = run_once(spark, fn, uniform)
         t_s = run_once(spark, fn, skew)
