@@ -824,3 +824,140 @@ def maintain_minhash_index(
         hash_family,
     )
     return kept.unionByName(fresh)
+
+
+def maintain_dup_clusters(
+    index_pre: DataFrame,
+    clusters_pre: DataFrame,
+    changes: DataFrame,
+    n_hashes: int = 32,
+    n_bands: int = 8,
+    shingle_k: int = 3,
+    hash_family: str = "rk_pow5",
+    id_col: str = "doc_id",
+    max_bucket_size: "int | None" = 50,
+    max_iterations: int = 20,
+    max_broadcast_changes: int = 5_000_000,
+) -> DataFrame:
+    """Incrementally maintain the near-dup CLUSTER labeling (the
+    ``dedup_clusters`` connected components over guarded LSH candidate
+    pairs) under a document changelog — the IVM × dedup × closure
+    composition on top of :func:`maintain_minhash_index`: at 100 TB
+    both the (doc, band, bucket) index AND the (doc, cluster) labeling
+    live as persisted tables, and a changelog batch must not trigger a
+    corpus-wide pair join + closure.
+
+    Inputs: ``index_pre`` — the persisted banded index
+    (doc, band, band_hash); ``clusters_pre`` — the persisted
+    (doc_id, cluster_id) labeling that ``dedup_clusters`` produced over
+    the SAME index parameters (family, bands, bucket cap);
+    ``changes`` — (key, op, after_text) with the shared changelog
+    convention.
+
+    Delta algorithm (provably ≡ full recompute on the post corpus,
+    including bucket-guard dynamics — see the test and the declared
+    query's full-rebuild oracle):
+
+    1. maintain the index (delta-sized signing, key retraction);
+    2. AFFECTED BUCKETS = buckets holding any touched key in the PRE
+       index (keys leaving: deletes, re-signs) ∪ buckets holding any
+       touched key in the POST index (keys arriving) — these are the
+       only buckets whose membership, and therefore whose emitted
+       pair set (a bucket crossing ``max_bucket_size`` in either
+       direction changes pairs between UNTOUCHED docs too), can
+       differ from the pre state;
+    3. AFFECTED DOCS = post members of affected buckets, + touched
+       keys; AFFECTED CLUSTERS = their pre-state labels; REBUILD SET
+       M = all members of affected clusters ∪ affected docs. M is
+       closed under post-state candidate edges: an allowed bucket
+       linking m∈M to x∉M is either untouched (so the m–x pair
+       existed pre ⇒ same pre cluster ⇒ x∈M) or affected (⇒ x∈M);
+    4. pairs WITHIN M from allowed buckets — bucket sizes measured on
+       the FULL post index (a bucket's cap verdict must not depend on
+       the restriction) — then min-label propagation on that subgraph
+       only;
+    5. output = untouched clusters passed through verbatim ∪ the
+       rebuilt labels. Docs left pair-less drop out, matching
+       ``dedup_clusters``' members-only contract.
+
+    Cost: everything after the index delta is proportional to the
+    affected buckets/clusters, not the corpus — the labeling, like the
+    index, is never rebuilt from scratch."""
+    from .dedup import dedup_clusters
+
+    index_post = maintain_minhash_index(
+        index_pre,
+        changes,
+        n_hashes,
+        n_bands,
+        shingle_k,
+        hash_family,
+        id_col,
+        max_broadcast_changes,
+    ).localCheckpoint(eager=False)
+    touched = changes.select(
+        _op_checked(F.col("key"), F.col("op"), what="document changelog")
+        .alias(id_col)
+    ).distinct().localCheckpoint(eager=True)
+    n_changes = touched.count()
+    touched_b = (
+        F.broadcast(touched) if n_changes <= max_broadcast_changes else touched
+    )
+    aff_buckets = (
+        index_pre.join(touched_b, id_col, "left_semi")
+        .select("band", "band_hash")
+        .unionByName(
+            index_post.join(touched_b, id_col, "left_semi").select(
+                "band", "band_hash"
+            )
+        )
+        .distinct()
+    )
+    aff_docs = (
+        index_post.join(aff_buckets, ["band", "band_hash"], "left_semi")
+        .select(id_col)
+        .unionByName(touched.select(F.col(id_col)))
+        .distinct()
+    )
+    aff_clusters = (
+        clusters_pre.join(aff_docs, id_col, "left_semi")
+        .select("cluster_id")
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    members = (
+        clusters_pre.join(aff_clusters, "cluster_id", "left_semi")
+        .select(id_col)
+        .unionByName(aff_docs)
+        .distinct()
+    )
+    allowed = index_post.groupBy("band", "band_hash").agg(
+        F.count("*").alias("__n")
+    )
+    if max_bucket_size is not None:
+        allowed = allowed.filter(F.col("__n") <= max_bucket_size)
+    sub_banded = (
+        index_post.join(allowed.select("band", "band_hash"), ["band", "band_hash"])
+        .join(members, id_col, "left_semi")
+    )
+    a, b = sub_banded.alias("a"), sub_banded.alias("b")
+    sub_pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    rebuilt = dedup_clusters(sub_pairs, max_iterations).select(
+        F.col("doc_id").alias(id_col), F.col("cluster_id")
+    )
+    kept = clusters_pre.join(aff_clusters, "cluster_id", "left_anti").select(
+        id_col, "cluster_id"
+    )
+    return kept.unionByName(rebuilt)

@@ -18170,6 +18170,147 @@ def incremental_minhash_index_documents(
     )
 
 
+def _incr_dup_clusters_oracle(
+    n_hashes: int = 32, n_bands: int = 8, cap: int = 50
+) -> str:
+    """DuckDB twin of the incrementally-maintained near-dup CLUSTERS:
+    apply the changelog to the documents (post-state relation), rebuild
+    index → guarded buckets → candidate pairs → recursive-CTE closure
+    FROM SCRATCH, and hash the cluster-size histogram with a per-member
+    pow5 checksum — incremental ≡ full-recompute is the IVM contract,
+    and a wrong split/merge/retraction anywhere (including a bucket
+    crossing the cap because of an untouched doc's bucket-mate
+    changing) shifts a checksum and fails the hash."""
+    from .functions.replay import POW_P, pow5_sql
+
+    chk = pow5_sql(f"(doc_id + cluster_id) % {POW_P}")
+    return f"""
+    WITH RECURSIVE post AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 100 >= 15
+      UNION ALL
+      SELECT doc_id, text || ' revised edition zz' FROM documents
+      WHERE doc_id % 100 >= 10 AND doc_id % 100 < 15
+      UNION ALL
+      SELECT doc_id + 1000000000000, text || ' appended continuation zz'
+      FROM documents WHERE doc_id % 100 = 16),
+    {_minhash_bands_sql('post', n_hashes, n_bands)},
+    allowed AS (
+      SELECT b, bk FROM bands GROUP BY b, bk HAVING count(*) <= {cap}),
+    ab AS (
+      SELECT bands.doc_id, bands.b, bands.bk
+      FROM bands JOIN allowed USING (b, bk)),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS id_a, b2.doc_id AS id_b
+      FROM ab a JOIN ab b2
+        ON a.b = b2.b AND a.bk = b2.bk AND a.doc_id < b2.doc_id),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src, reach.r FROM edges e JOIN reach ON reach.id = e.dst),
+    labels AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY id),
+    per AS (
+      SELECT cluster_id, count(*) AS cluster_size, sum({chk}) AS chk
+      FROM labels GROUP BY cluster_id)
+    SELECT cast(cluster_size AS bigint) AS cluster_size,
+           cast(count(*) AS bigint) AS n_clusters,
+           cast(sum(chk) AS bigint) AS checksum
+    FROM per GROUP BY cluster_size
+    """
+
+
+@q(
+    "incremental_dup_clusters_documents",
+    _incr_dup_clusters_oracle(),
+    tags=("dedup", "cdc", "ivm", "graph", "iterative"),
+)
+def incremental_dup_clusters_documents(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental near-dup CLUSTER maintenance under a document
+    changelog — the IVM × dedup × closure composition
+    (``cdc.maintain_dup_clusters``), one level above
+    `incremental_minhash_index_documents`: at 100 TB both the banded
+    LSH index AND the (doc, cluster) labeling are persisted tables, and
+    a changelog batch must not re-run the corpus-wide bucket join or
+    the global min-label propagation. The maintainer signs only changed
+    docs, finds the AFFECTED BUCKETS (any bucket a touched key occupies
+    in the pre or post index — the only buckets whose pair emission can
+    change, including via ``max_bucket_size`` crossings that alter
+    pairs between UNTOUCHED docs), rebuilds the closure on the affected
+    clusters' subgraph only, and passes every untouched cluster through
+    verbatim.
+
+    The changelog is the shared mix: deletes (10% of docs), text
+    replacements (5%), inserts under collision-free +10¹² keys. The
+    oracle rebuilds the post-state clusters FROM SCRATCH (index replay
+    → guarded buckets → pairs → recursive-CTE closure) and compares the
+    cluster-size histogram with per-member pow5 checksums — incremental
+    ≡ full-recompute, attested at the value level."""
+    from .functions.replay import POW_P, pow5
+    from .operators.cdc import maintain_dup_clusters
+    from .operators.dedup import (
+        banded_signatures,
+        dedup_clusters,
+        lsh_candidate_pairs,
+        minhash_signature,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    sigs = minhash_signature(d, hash_family="rk_pow5")
+    index_pre = banded_signatures(sigs, "doc_id", 8, "rk_pow5")
+    clusters_pre = dedup_clusters(
+        lsh_candidate_pairs(
+            sigs, n_bands=8, max_bucket_size=50, hash_family="rk_pow5"
+        )
+    )
+    m = F.col("doc_id") % 100
+    null_s = F.lit(None).cast("string")
+    changes = (
+        d.filter(m < 10)
+        .select(
+            F.col("doc_id").alias("key"),
+            F.lit("D").alias("op"),
+            null_s.alias("after_text"),
+        )
+        .unionByName(
+            d.filter((m >= 10) & (m < 15)).select(
+                F.col("doc_id").alias("key"),
+                F.lit("U").alias("op"),
+                F.concat(F.col("text"), F.lit(" revised edition zz")).alias(
+                    "after_text"
+                ),
+            )
+        )
+        .unionByName(
+            d.filter(m == 16).select(
+                (F.col("doc_id") + 1_000_000_000_000).alias("key"),
+                F.lit("U").alias("op"),
+                F.concat(
+                    F.col("text"), F.lit(" appended continuation zz")
+                ).alias("after_text"),
+            )
+        )
+    )
+    post = maintain_dup_clusters(
+        index_pre, clusters_pre, changes, max_bucket_size=50
+    )
+    per = post.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"),
+        F.sum(
+            pow5(F.pmod(F.col("doc_id") + F.col("cluster_id"), F.lit(POW_P)))
+        ).alias("chk"),
+    )
+    return per.groupBy(
+        F.col("cluster_size").cast("bigint").alias("cluster_size")
+    ).agg(
+        F.count("*").cast("bigint").alias("n_clusters"),
+        F.sum("chk").cast("bigint").alias("checksum"),
+    )
+
+
 def _epoch_shuffle_oracle(epoch: int = 3, batch_size: int = 64) -> str:
     from .functions.replay import POW_P, POW_SALT, pow5_sql
 
@@ -18257,6 +18398,8 @@ _PRIORITY: tuple[str, ...] = (
     "bpe_encode_documents",
     "bpe_merge_table_documents",
     "incremental_minhash_index_documents",
+    # new this round — first attestation
+    "incremental_dup_clusters_documents",
     # -- stalest attestations: the nine queries whose newest driver
     # green is still r03, then the r04 block in catalog order (the
     # r10 rotation refreshed the previous r03 backlog; this one
@@ -18307,7 +18450,6 @@ _PRIORITY: tuple[str, ...] = (
     "hard_negative_mining",
     "incremental_dedup_new_docs",
     "cumulative_distinct_users_daily",
-    "native_session_window_events",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)
