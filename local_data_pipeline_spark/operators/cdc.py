@@ -749,6 +749,7 @@ def maintain_minhash_index(
     hash_family: str = "rk_pow5",
     id_col: str = "doc_id",
     max_broadcast_changes: int = 5_000_000,
+    _touched: "tuple[DataFrame, int] | None" = None,
 ) -> DataFrame:
     """Incrementally maintain a persisted MinHash-LSH INDEX
     (the (doc, band, band_hash) relation from dedup.banded_signatures)
@@ -779,14 +780,22 @@ def maintain_minhash_index(
     from .dedup import banded_signatures, minhash_signature
 
     op = F.col("op")
-    touched = changes.select(
-        _op_checked(F.col("key"), op, what="document changelog").alias(
-            "__touched_key"
+    if _touched is not None:
+        # caller (maintain_dup_clusters) already checkpointed + counted
+        # the touched-key set — don't pay the delta pass twice
+        touched_keys, n_changes = _touched
+        touched = touched_keys.select(
+            F.col(touched_keys.columns[0]).alias("__touched_key")
         )
-    ).localCheckpoint(eager=True)
-    # exact count off the checkpoint — one delta-sized pass, reused by
-    # the anti-join below
-    n_changes = touched.count()
+    else:
+        touched = changes.select(
+            _op_checked(F.col("key"), op, what="document changelog").alias(
+                "__touched_key"
+            )
+        ).localCheckpoint(eager=True)
+        # exact count off the checkpoint — one delta-sized pass, reused
+        # by the anti-join below
+        n_changes = touched.count()
     touched_side = (
         F.broadcast(touched)
         if n_changes <= max_broadcast_changes
@@ -883,8 +892,13 @@ def maintain_dup_clusters(
     Cost: everything after the index delta is proportional to the
     affected buckets/clusters, not the corpus — the labeling, like the
     index, is never rebuilt from scratch."""
-    from .dedup import dedup_clusters
+    from .dedup import banded_candidate_pairs, dedup_clusters
 
+    touched = changes.select(
+        _op_checked(F.col("key"), F.col("op"), what="document changelog")
+        .alias(id_col)
+    ).distinct().localCheckpoint(eager=True)
+    n_changes = touched.count()
     index_post = maintain_minhash_index(
         index_pre,
         changes,
@@ -894,12 +908,8 @@ def maintain_dup_clusters(
         hash_family,
         id_col,
         max_broadcast_changes,
+        _touched=(touched, n_changes),
     ).localCheckpoint(eager=False)
-    touched = changes.select(
-        _op_checked(F.col("key"), F.col("op"), what="document changelog")
-        .alias(id_col)
-    ).distinct().localCheckpoint(eager=True)
-    n_changes = touched.count()
     touched_b = (
         F.broadcast(touched) if n_changes <= max_broadcast_changes else touched
     )
@@ -940,20 +950,10 @@ def maintain_dup_clusters(
         index_post.join(allowed.select("band", "band_hash"), ["band", "band_hash"])
         .join(members, id_col, "left_semi")
     )
-    a, b = sub_banded.alias("a"), sub_banded.alias("b")
-    sub_pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    # cap=None: the verdict was already taken on the FULL index above —
+    # re-counting on the restriction would wrongly re-admit buckets
+    # whose out-of-M members were filtered away
+    sub_pairs = banded_candidate_pairs(sub_banded, None, id_col)
     rebuilt = dedup_clusters(sub_pairs, max_iterations).select(
         F.col("doc_id").alias(id_col), F.col("cluster_id")
     )

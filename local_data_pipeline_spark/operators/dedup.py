@@ -191,6 +191,22 @@ def lsh_candidate_pairs(
     # checkpoint it once (at 100 TB: persist to a signatures table instead)
     signatures = signatures.localCheckpoint(eager=False)
     banded = banded_signatures(signatures, id_col, n_bands, hash_family)
+    return banded_candidate_pairs(banded, max_bucket_size, id_col)
+
+
+def banded_candidate_pairs(
+    banded: DataFrame,
+    max_bucket_size: int | None = None,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Candidate pairs straight off a persisted/maintained banded index
+    relation (id, band, band_hash) — the pair-generation half of
+    :func:`lsh_candidate_pairs`, shared with the incrementally-
+    maintained index consumers (cdc.maintain_dup_clusters), which hold
+    the banded relation as state and must not re-derive it from
+    signatures. Bucket-cap semantics identical: bucket sizes are
+    counted on the relation AS GIVEN, buckets above the cap are
+    skipped."""
     if max_bucket_size is not None:
         small = (
             banded.groupBy("band", "band_hash")
@@ -204,7 +220,7 @@ def lsh_candidate_pairs(
     return (
         a.join(
             b,
-            (F.col(f"a.band") == F.col("b.band"))
+            (F.col("a.band") == F.col("b.band"))
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

@@ -18252,19 +18252,23 @@ def incremental_dup_clusters_documents(
     from .functions.replay import POW_P, pow5
     from .operators.cdc import maintain_dup_clusters
     from .operators.dedup import (
+        banded_candidate_pairs,
         banded_signatures,
         dedup_clusters,
-        lsh_candidate_pairs,
         minhash_signature,
     )
 
     d = _t(spark, sf_dir, "documents")
-    sigs = minhash_signature(d, hash_family="rk_pow5")
-    index_pre = banded_signatures(sigs, "doc_id", 8, "rk_pow5")
+    # ONE corpus-wide signature+banding pass, checkpointed: it IS the
+    # persisted index state, and the pre-pairs derive from it directly
+    # (banded_candidate_pairs) instead of re-deriving signatures — the
+    # exact relation-reuse a production deployment gets by reading the
+    # persisted index table
+    index_pre = banded_signatures(
+        minhash_signature(d, hash_family="rk_pow5"), "doc_id", 8, "rk_pow5"
+    ).localCheckpoint(eager=False)
     clusters_pre = dedup_clusters(
-        lsh_candidate_pairs(
-            sigs, n_bands=8, max_bucket_size=50, hash_family="rk_pow5"
-        )
+        banded_candidate_pairs(index_pre, max_bucket_size=50)
     )
     m = F.col("doc_id") % 100
     null_s = F.lit(None).cast("string")
