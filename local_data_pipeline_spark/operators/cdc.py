@@ -941,13 +941,26 @@ def maintain_dup_clusters(
         .unionByName(aff_docs)
         .distinct()
     )
-    allowed = index_post.groupBy("band", "band_hash").agg(
+    # Delta-sized cap evaluation: first restrict the index to the
+    # buckets M's rows occupy (bucket-key semi-join — the semi join
+    # keeps every FULL-index member of those buckets, so cap verdicts
+    # below are still taken on full-index bucket membership), then
+    # count only those buckets. Counting the whole post index instead
+    # would make every batch pay a corpus-wide aggregate, contradicting
+    # the delta-cost contract above (round-11 self-review finding).
+    m_bucket_keys = index_post.join(members, id_col, "left_semi").select(
+        "band", "band_hash"
+    )  # no distinct: a semi join's build side dedups for free
+    cand = index_post.join(
+        m_bucket_keys, ["band", "band_hash"], "left_semi"
+    ).localCheckpoint(eager=False)
+    allowed = cand.groupBy("band", "band_hash").agg(
         F.count("*").alias("__n")
     )
     if max_bucket_size is not None:
         allowed = allowed.filter(F.col("__n") <= max_bucket_size)
     sub_banded = (
-        index_post.join(allowed.select("band", "band_hash"), ["band", "band_hash"])
+        cand.join(allowed.select("band", "band_hash"), ["band", "band_hash"])
         .join(members, id_col, "left_semi")
     )
     # cap=None: the verdict was already taken on the FULL index above —

@@ -135,8 +135,15 @@ _WIDEN_SPLITS_CACHE: "dict[tuple, int]" = {}
 
 def _file_key(uri: str):
     """Cache-key component for one scan input file: (path, size,
-    mtime_ns) when the file is locally statable, else the bare path."""
-    path = uri[7:] if uri.startswith("file://") else uri
+    mtime_ns) when the file is locally statable, else the bare path.
+    Handles both ``file:///p`` and the null-authority ``file:/p`` form
+    some Hadoop Path renderings produce (urlparse normalizes both) —
+    a missed form would silently revert to stale-able path-only keys."""
+    path = uri
+    if uri.startswith("file:"):
+        from urllib.parse import unquote, urlparse
+
+        path = unquote(urlparse(uri).path)
     if path.startswith("/"):
         try:
             st = os.stat(path)

@@ -484,12 +484,18 @@ def test_broken_index_fails_measured_band_floors(spark):
 
 
 def test_widen_splits_cache_invalidates_on_file_overwrite(spark, tmp_path):
-    """Overwriting the same-named parquet with different-sized content
-    (fixture regeneration) must produce a DIFFERENT cache key — a stale
-    split count would silently skip the widen (round-10 advice). The
-    key folds each local file's (size, mtime) in via _file_key."""
-    import shutil
+    """Replacing the SAME-NAMED parquet file with different content
+    (fixture regeneration — the round-10 advice scenario) must produce
+    a DIFFERENT cache key via _file_key's (size, mtime) component. The
+    file is os.replace()'d under one fixed name, so the key's PATH part
+    is identical both times — a regression to path-only keys fails the
+    second assertion (a spark.write overwrite would generate a fresh
+    UUID part filename and make this test vacuous)."""
+    import os as _os
     import time as _time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
 
     from local_data_pipeline_spark.session import (
         _WIDEN_SPLITS_CACHE,
@@ -497,17 +503,16 @@ def test_widen_splits_cache_invalidates_on_file_overwrite(spark, tmp_path):
     )
 
     p = str(tmp_path / "t.parquet")
-    spark.range(0, 100).toDF("x").coalesce(1).write.mode("overwrite").parquet(p)
+    pq.write_table(pa.table({"x": list(range(100))}), p)
     before = dict(_WIDEN_SPLITS_CACHE)
     widen_to_parallelism(spark.read.parquet(p))
     keys_a = set(_WIDEN_SPLITS_CACHE) - set(before)
     assert keys_a, "first widen should populate the cache"
 
     _time.sleep(0.01)  # ensure mtime_ns moves even on coarse clocks
-    shutil.rmtree(p)
-    spark.range(0, 200_000).toDF("x").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(p)
+    tmp = p + ".new"
+    pq.write_table(pa.table({"x": list(range(200_000))}), tmp)
+    _os.replace(tmp, p)  # same filename, new content
     widen_to_parallelism(spark.read.parquet(p))
     keys_b = set(_WIDEN_SPLITS_CACHE) - set(before) - keys_a
     assert keys_b, "overwritten file must not reuse the stale cache entry"
