@@ -781,21 +781,27 @@ def maintain_minhash_index(
 
     op = F.col("op")
     if _touched is not None:
-        # caller (maintain_dup_clusters) already checkpointed + counted
-        # the touched-key set — don't pay the delta pass twice
+        # caller (maintain_dup_clusters) already checkpointed the
+        # changelog and counted it — don't pay the delta pass twice
         touched_keys, n_changes = _touched
         touched = touched_keys.select(
             F.col(touched_keys.columns[0]).alias("__touched_key")
         )
     else:
+        # ONE eager materialization of the delta-sized batch: the
+        # touched projection, the gate count, and the fresh-doc signing
+        # below all read this checkpoint — a changelog DERIVED from a
+        # corpus scan (the fixture shape) would otherwise re-scan its
+        # source once per consumer (the r11 bench caught exactly that:
+        # an eager TOUCHED checkpoint + a separate fresh_docs lineage
+        # doubled the query's wall)
+        changes = changes.localCheckpoint(eager=True)
+        n_changes = changes.count()
         touched = changes.select(
             _op_checked(F.col("key"), op, what="document changelog").alias(
                 "__touched_key"
             )
-        ).localCheckpoint(eager=True)
-        # exact count off the checkpoint — one delta-sized pass, reused
-        # by the anti-join below
-        n_changes = touched.count()
+        )
     touched_side = (
         F.broadcast(touched)
         if n_changes <= max_broadcast_changes
@@ -894,11 +900,19 @@ def maintain_dup_clusters(
     index, is never rebuilt from scratch."""
     from .dedup import banded_candidate_pairs, dedup_clusters
 
-    touched = changes.select(
-        _op_checked(F.col("key"), F.col("op"), what="document changelog")
-        .alias(id_col)
-    ).distinct().localCheckpoint(eager=True)
-    n_changes = touched.count()
+    # one eager materialization of the delta-sized changelog; touched is
+    # a lazy checkpoint on top (materialized by its first consumer, then
+    # reused by every semi join / broadcast)
+    changes = changes.localCheckpoint(eager=True)
+    n_changes = changes.count()
+    touched = (
+        changes.select(
+            _op_checked(F.col("key"), F.col("op"), what="document changelog")
+            .alias(id_col)
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
     index_post = maintain_minhash_index(
         index_pre,
         changes,
