@@ -795,7 +795,10 @@ def maintain_minhash_index(
         # source once per consumer (the r11 bench caught exactly that:
         # an eager TOUCHED checkpoint + a separate fresh_docs lineage
         # doubled the query's wall)
-        changes = changes.localCheckpoint(eager=True)
+        changes = changes.localCheckpoint(eager=False)
+        # the gate count IS the materializing action (the unigram
+        # vocab-gate pattern): one job pays the changelog derivation +
+        # checkpoint write, every consumer below reads the blocks
         n_changes = changes.count()
         touched = changes.select(
             _op_checked(F.col("key"), op, what="document changelog").alias(
@@ -903,8 +906,8 @@ def maintain_dup_clusters(
     # one eager materialization of the delta-sized changelog; touched is
     # a lazy checkpoint on top (materialized by its first consumer, then
     # reused by every semi join / broadcast)
-    changes = changes.localCheckpoint(eager=True)
-    n_changes = changes.count()
+    changes = changes.localCheckpoint(eager=False)
+    n_changes = changes.count()  # materializes the checkpoint (1 job)
     touched = (
         changes.select(
             _op_checked(F.col("key"), F.col("op"), what="document changelog")
