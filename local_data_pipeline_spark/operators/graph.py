@@ -99,11 +99,16 @@ def pagerank(
                 + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
             ).alias("rank"),
         )
-        # cut lineage every other iteration: each checkpoint is a job
-        # boundary, and two iterations of join+agg lineage re-plan fine —
-        # halves the per-iteration job count.
-        if _ % 2 == 1:
-            ranks = ranks.localCheckpoint(eager=False)
+        # cut lineage EVERY iteration (round-11 measurement): each rank
+        # level is referenced twice downstream — by the next iteration's
+        # contribution join AND by its dangling-mass 1-row aggregate —
+        # so an un-checkpointed level is RE-EXECUTED once per reference
+        # (lazy checkpoints only cache at the cut). Every-other-iteration
+        # cuts measured 10.2-11.2 s vs every-iteration 8.5-9.2 s at
+        # sf0.1 (identical results); at scale an uncached level is a
+        # corpus-sized recompute, so one block-manager write per
+        # iteration is the cheap side of the trade.
+        ranks = ranks.localCheckpoint(eager=False)
     return ranks
 
 
@@ -126,7 +131,7 @@ def hits(
 
     Scale: per iteration, two join+agg passes (edges x scores shuffled
     on the join key) and two 1-row total aggregates broadcast IN-PLAN as
-    cross joins (no driver collect anywhere); lineage is cut every other
+    cross joins (no driver collect anywhere); lineage is cut every
     iteration, exactly like pagerank."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
@@ -160,9 +165,13 @@ def hits(
         h = h_raw.crossJoin(F.broadcast(h_tot)).select(
             F.col("src").alias("node"), (F.col("s") / F.col("t")).alias("score")
         )
-        if i % 2 == 1:
-            h = h.localCheckpoint(eager=False)
-            a = a.localCheckpoint(eager=False)
+        # cut lineage EVERY iteration (round-11): each score level feeds
+        # both the next join AND its own sum-normalizer 1-row aggregate;
+        # un-checkpointed levels re-execute once per reference. Measured
+        # at sf0.1: every-other cuts 10.9-17.5 s vs every-iteration
+        # 7.5-8.7 s, identical top-20 output.
+        h = h.localCheckpoint(eager=False)
+        a = a.localCheckpoint(eager=False)
     return h, a
 
 
@@ -190,6 +199,16 @@ def label_propagation(
     Returns (node, label) after ``iterations`` rounds."""
     from pyspark.sql.window import Window
 
+    # checkpoint the edge relation ONCE (round-11): every iteration's
+    # message join reads ``edges``, and an un-checkpointed edge plan —
+    # for the co-purchase callers a per-basket-quadratic self-join —
+    # re-executes inside EVERY iteration's checkpoint segment (the
+    # round-11 LPA fix; see OPTIMIZATION_r11.md for the measured
+    # before/after). pagerank/kcore already did this; LPA was the one
+    # iterative operator that didn't.
+    edges = edges.select(
+        F.col(src).alias(src), F.col(dst).alias(dst)
+    ).localCheckpoint(eager=True)
     nodes = (
         edges.select(F.col(src).alias("node"))
         .union(edges.select(F.col(dst).alias("node")))
@@ -234,7 +253,7 @@ def kcore(
 
     Scale: each round is one join+agg shuffled on the node key; the
     alive set shrinks monotonically, so later rounds cost less;
-    lineage is cut every other round (iterative-operator contract)."""
+    lineage is cut every round (iterative-operator contract)."""
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
@@ -251,8 +270,10 @@ def kcore(
         alive = deg.filter(F.col("degree") >= k).select(
             F.col("src").alias("node")
         )
-        if r % 2 == 1:
-            alive = alive.localCheckpoint(eager=False)
+        # cut EVERY round (round-11): the alive set is referenced twice
+        # per round (src and dst semi-joins), so an uncached round
+        # re-executes — measured 2.7-3.1 s vs 2.4-2.7 s at sf0.1.
+        alive = alive.localCheckpoint(eager=False)
     return (
         e.join(alive.withColumnRenamed("node", "src"), "src")
         .join(alive.withColumnRenamed("node", "dst"), "dst")

@@ -77,6 +77,30 @@ def _extract(field: str):
     return lambda x: x[field]
 
 
+def _overlap(*thunks):
+    """Run independent Spark actions from a small driver thread pool so
+    the scheduler back-fills executors freed by one job's straggler tail
+    with the next job's tasks (optimization-guide §2.6 — actions are
+    only sequential because driver code calls them sequentially).
+    Returns the thunks' results in argument order; results are
+    deterministic driver values (counts), so overlap cannot change
+    them. CONTRACT: every shared upstream relation the thunks read must
+    already be materialized (persisted + counted, or checkpointed) —
+    concurrently materializing one cached parent from several jobs
+    would duplicate its work instead of sharing it. Uses
+    ``inheritable_thread_target`` so job descriptions/groups inherit
+    per the documented PySpark pattern."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from pyspark import inheritable_thread_target
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as pool:
+        futures = [pool.submit(inheritable_thread_target(t)) for t in thunks]
+        return [f.result() for f in futures]
+
+
 def _literal_grid(spark: SparkSession, name: str, values) -> DataFrame:
     """Literal in-plan grid: Range(1) + explode of a literal array — the
     bounded build-side shape the plan linter recognizes (a
@@ -9165,22 +9189,36 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
+        # materialize the shared relations BEFORE overlapping: qs via its
+        # count (needed anyway), truth via a count — otherwise the three
+        # concurrent method joins would each compute the quadratic
+        # brute-force pipeline instead of sharing the cache
         nq = qs.count()
-        recalls: dict[str, float] = {}
-        for method, df in (
-            ("lsh", SIM.lsh_topk(qs, emb, k=10, n_planes=6)),
-            (
-                "lsh_multiprobe",
-                SIM.lsh_topk(qs, emb, k=10, n_planes=6, probe_hamming=1),
+        truth.count()
+        # the three index pipelines are independent of each other — run
+        # their hit-count jobs from a thread pool (guide §2.6) so each
+        # job's tail back-fills with the next one's tasks; counts are
+        # exact, so concurrency cannot change any value
+        method_dfs = {
+            "lsh": SIM.lsh_topk(qs, emb, k=10, n_planes=6),
+            "lsh_multiprobe": SIM.lsh_topk(
+                qs, emb, k=10, n_planes=6, probe_hamming=1
             ),
-            ("ivf", SIM.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=4)),
-        ):
-            n_hits = (
+            "ivf": SIM.ivf_topk(qs, emb, k=10, n_centroids=16, n_probe=4),
+        }
+
+        def _hits_for(df):
+            return lambda: (
                 df.select("query_id", "neighbor_id")
                 .join(truth, ["query_id", "neighbor_id"])
                 .count()
             )
-            recalls[method] = n_hits / (10 * nq) if nq else 0.0
+
+        hit_counts = _overlap(*[_hits_for(df) for df in method_dfs.values()])
+        recalls = {
+            m: (n / (10 * nq) if nq else 0.0)
+            for m, n in zip(method_dfs, hit_counts)
+        }
         flags = _ann_recall_flags(recalls, n_corpus)
         # exact side stays in-plan: 1-row truth aggregate broadcast onto
         # the 3 method rows (no construction-time collect)
@@ -10373,10 +10411,18 @@ def minhash_precision_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame
         .persist()
     )
     try:
-        n_cand = cands.count()
-        n_tp = DD.jaccard_pairs(d, cands, shingle_k=3, threshold=0.7).count()
-        n_truth = truth.count()
-        found = truth.join(cands, ["id_a", "id_b"], "left_semi").count()
+        # phase 1 (guide §2.6): the candidate-index build and the blocked
+        # all-pairs truth are INDEPENDENT pipelines over the same scope —
+        # materialize both caches concurrently (their counts are needed
+        # anyway); phase 2: the true-positive jaccard verify and the
+        # recall semi-join only read the now-cached relations, so they
+        # overlap without duplicating upstream work. Counts are exact;
+        # concurrency cannot change any value.
+        n_cand, n_truth = _overlap(cands.count, truth.count)
+        n_tp, found = _overlap(
+            DD.jaccard_pairs(d, cands, shingle_k=3, threshold=0.7).count,
+            truth.join(cands, ["id_a", "id_b"], "left_semi").count,
+        )
         precision_ok = n_cand == 0 or (n_tp / n_cand) >= 0.95
         recall_ok = n_truth == 0 or (found / n_truth) >= 0.95
         # exact side in-plan: 1-row truth aggregate IS the output row

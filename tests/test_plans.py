@@ -381,13 +381,26 @@ def test_incident_overlap_uses_broadcast_nested_loop_not_smj(spark):
     assert "CartesianProduct" not in plan
 
 
+def _assert_no_unbounded_single_partition(df):
+    """Refined round-11 pin: the only SinglePartition exchanges allowed
+    in the plan are the ones plan-lint S1 proves BOUNDED — the K-row
+    __shard-keyed offsets aggregate of the in-plan distributed_cumsum /
+    distributed_lead (K = shard count, never data-sized). Any other
+    single-partition window/sort is still a failure."""
+    from tools.plan_lint import lint_plan
+
+    plan = physical_plan(df)
+    s1 = [m for rule, m in lint_plan(plan) if rule == "S1"]
+    assert not s1, s1
+
+
 def test_pack_training_sequences_no_single_partition_window(spark):
-    """Round-4 fix pin: the packing cumsum is the distributed primitive
-    (range shards + offset broadcast) — no single-task stage anywhere in
-    the final plan (the pre-checkpoint shard window is partitionBy-shard,
-    pinned by the operator equivalence tests)."""
-    df = _df(spark, "pack_training_sequences")
-    assert "SinglePartition" not in physical_plan(df)
+    """Round-4 fix pin (refined in round 11): the packing cumsum is the
+    distributed primitive (range shards + offset broadcast) — the only
+    single-partition window is the in-plan K-row shard-offsets prefix
+    (bounded by cluster width); the data path never funnels through one
+    task."""
+    _assert_no_unbounded_single_partition(_df(spark, "pack_training_sequences"))
 
 
 def test_rfm_no_single_partition_window(spark):
@@ -399,10 +412,10 @@ def test_rfm_no_single_partition_window(spark):
 
 
 def test_event_id_gaps_no_single_partition_window(spark):
-    """Round-4 fix pin: gap detection uses distributed_lead (sharded
-    lead + boundary patch), not a global one-task window."""
-    df = _df(spark, "event_id_gap_ranges")
-    assert "SinglePartition" not in physical_plan(df)
+    """Round-4 fix pin (refined in round 11): gap detection uses
+    distributed_lead (sharded lead + in-plan K-row boundary patch), not
+    a global one-task window over the data."""
+    _assert_no_unbounded_single_partition(_df(spark, "event_id_gap_ranges"))
 
 
 def test_bigram_counts_limits_before_rank(spark):
@@ -507,12 +520,20 @@ def test_s4_tracer_catches_planted_collect(spark, tmp_path):
 
 
 def test_auc_has_no_ranking_window(spark):
-    """Session-11 design pin: the Mann-Whitney AUC is computed entirely
-    from tie-group aggregates + distributed_cumsum — NO Window operator
-    (a per-class ranking window would put each class's full row set in
-    one task)."""
+    """Session-11 design pin (refined in round 11): the Mann-Whitney AUC
+    is computed entirely from tie-group aggregates + distributed_cumsum —
+    no per-class ranking window (which would put each class's full row
+    set in one task). The cumsum's internal windows are allowed: the
+    per-shard one is partitioned by __shard, and the offsets one is over
+    the K-row shard aggregate; both are pinned bounded by the S1 check."""
     df = _df(spark, "auc_one_vs_rest_embeddings")
-    assert "Window" not in physical_plan(df)
+    plan = physical_plan(df)
+    _assert_no_unbounded_single_partition(df)
+    # every Window in the plan is one of the cumsum's __shard forms
+    import re
+
+    for m in re.finditer(r"windowspecdefinition\((.*?)\)", plan):
+        assert "__shard" in m.group(1), m.group(0)
 
 
 def test_phrase_search_top1_stays_in_plan(spark):

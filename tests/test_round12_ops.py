@@ -570,24 +570,26 @@ def test_kcore_converges_within_round_budget_on_query_graph(spark):
 def test_hybrid_rrf_builds_exactly_one_rank_job(spark):
     """Round-5 drift regression root cause: TWO distributed_rank passes
     (one per retrieval leg), each paying its own range exchange +
-    shard-totals collect. The fused form must construct exactly ONE —
-    pinned by spying the shared cumsum primitive's call count."""
+    shard-offsets pass. The fused form must construct exactly ONE —
+    pinned by spying the shared cumsum primitive's call count
+    (distributed_cumsum since round 11's in-plan offsets; the _with_total
+    variant is now ntile-only)."""
     from local_data_pipeline_spark.queries import QUERIES
 
     import local_data_pipeline_spark.operators.packing as PK
 
     calls = {"n": 0}
-    orig = PK._distributed_cumsum_with_total
+    orig = PK.distributed_cumsum
 
     def spy(*a, **k):
         calls["n"] += 1
         return orig(*a, **k)
 
-    PK._distributed_cumsum_with_total = spy
+    PK.distributed_cumsum = spy
     try:
         QUERIES["hybrid_rrf_search_documents"].fn(spark, SF)
     finally:
-        PK._distributed_cumsum_with_total = orig
+        PK.distributed_cumsum = orig
     assert calls["n"] == 1
 
 

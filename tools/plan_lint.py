@@ -310,13 +310,26 @@ def _is_global_agg(node: Node) -> bool:
     return m is not None and m.group(1).strip() == ""
 
 
+#: An aggregate keyed EXACTLY by packing.py's ``__shard`` column (:=
+#: spark_partition_id() after a repartitionByRange) emits at most one
+#: row per shard — bounded by cluster width, never by data. This is the
+#: in-plan shard-offsets shape of distributed_cumsum/rank/lead (round
+#: 11): the single-partition window it feeds sees K rows, not the
+#: corpus, so it is exactly as scale-safe as the driver-side prefix sum
+#: it replaced.
+_SHARD_AGG_RE = re.compile(r"^Keys(?: \[\d+\])?:\s*\[__shard#\d+\]", re.M)
+
+
 def _subtree_bounded(node: Node) -> bool:
     """True if every row stream entering `node` is provably small:
-    a limit/top-k, or a global (keyless) aggregate."""
+    a limit/top-k, a global (keyless) aggregate, or a per-shard
+    (spark_partition_id-keyed) aggregate."""
     for n in _walk(node):
         if any(op in n.name for op in _BOUNDED_OPS):
             return True
         if _is_global_agg(n):
+            return True
+        if "Aggregate" in n.name and _SHARD_AGG_RE.search(n.details):
             return True
     return False
 
