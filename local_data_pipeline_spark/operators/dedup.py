@@ -367,16 +367,26 @@ def dedup_clusters(
         .agg(F.least(F.min("dst"), F.first("src")).alias("label"))
         .select(F.col("src").alias("id"), F.least("label", "src").alias("label"))
     )
+    from pyspark.sql import Observation
+
     for _ in range(max_iterations):
         # propagate: my new label = min(my label, labels of my neighbors).
         # The old label rides through the same aggregate (each id has
         # exactly one self row), so convergence needs no extra join/job —
-        # the changed-probe reads the already-checkpointed result.
+        # the changed-probe is an OBSERVED METRIC collected by the very
+        # job that materializes the eager checkpoint (round 11: the
+        # previous per-iteration `filter(..).limit(1).count()` was a
+        # second job per round; observe folds it into the first —
+        # metrics ride task completion, so no extra pass). A speculative
+        # duplicate can only OVERCOUNT the nonnegative changed-sum,
+        # which at worst runs one harmless extra round — it can never
+        # fake convergence.
         neighbor_labels = (
             edges.join(labels, edges.dst == labels.id)
             .select(F.col("src").alias("id"), F.col("label"))
             .withColumn("is_self", F.lit(0))
         )
+        obs = Observation()
         merged = (
             labels.withColumn("is_self", F.lit(1))
             .unionByName(neighbor_labels)
@@ -387,11 +397,19 @@ def dedup_clusters(
                     "old_label"
                 ),
             )
+            .observe(
+                obs,
+                # coalesce: sum over an EMPTY relation observes NULL,
+                # which must read as converged (0), not loop forever
+                F.coalesce(
+                    F.sum((F.col("label") < F.col("old_label")).cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("changed"),
+            )
             .localCheckpoint()  # eager: cut the iterative lineage
         )
-        changed = merged.filter(F.col("label") < F.col("old_label")).limit(1).count()
         labels = merged.select("id", "label")
-        if changed == 0:
+        if obs.get["changed"] == 0:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 

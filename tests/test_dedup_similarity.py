@@ -278,6 +278,34 @@ def test_dedup_clusters_long_chain_converges(spark):
     assert set(got.values()) == {1} and len(got) == 30
 
 
+def test_dedup_clusters_empty_pairs_terminates_immediately(spark):
+    """Round-11 observe-probe edge case: the convergence metric is a SUM
+    collected by the checkpoint-materializing job, and a sum over an
+    EMPTY relation observes NULL — the coalesce must read that as
+    converged (0) on the FIRST round, or an empty pair set (a clean
+    corpus, or an incremental-maintenance batch with no affected
+    subgraph) would spin through all max_iterations for nothing."""
+    from local_data_pipeline_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame([], "id_a long, id_b long")
+    rounds = {"n": 0}
+    from pyspark.sql import DataFrame as _DF
+
+    orig = _DF.localCheckpoint
+
+    def counting(self, *a, **k):
+        rounds["n"] += 1
+        return orig(self, *a, **k)
+
+    _DF.localCheckpoint = counting
+    try:
+        assert dedup_clusters(pairs).count() == 0
+    finally:
+        _DF.localCheckpoint = orig
+    # edges ckpt + exactly ONE iteration's merged ckpt, not 20
+    assert rounds["n"] <= 2, rounds["n"]
+
+
 def test_winnowing_stop_fingerprint_cap_bounds_pairs(spark):
     """max_df (MOSS stop-fingerprint rule) must cut the df^2 pair
     explosion from corpus-wide boilerplate while keeping the genuine
