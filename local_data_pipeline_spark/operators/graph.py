@@ -14,10 +14,19 @@ double with identical expression shape every iteration.
 
 Scale: each iteration is one join (ranks x edges, shuffled on the
 edge source) plus one aggregate on the destination — the standard
-Pregel-as-joins shape. Ranks are localCheckpoint'd (lazy) each
-iteration to stop lineage growth; the dangling-mass term is a 1-row
-aggregate broadcast-cross-joined IN-PLAN each iteration (no driver
-collect — see the `F.broadcast(dangling)` crossJoin below)."""
+Pregel-as-joins shape. Ranks are localCheckpoint'd (eager) each
+iteration to stop lineage growth; the dangling-mass / normalizer
+1-row totals ride that SAME job as ``Observation`` metrics (round
+12 — the dedup_clusters convergence-probe pattern): previously each
+was a separate in-plan broadcast cross join whose build was its own
+job, doubling jobs per iteration. Exactness: the metrics are decimal
+sums (order-insensitive), and the observe node executes inside the
+checkpoint job's RESULT stage, where the scheduler ignores duplicate
+completions of an already-finished result partition (speculative or
+retried result tasks update accumulators at most once per partition
+— unlike shuffle-map stages, the known SQL-metrics double-count
+caveat does not apply) — so the literal fed into the next iteration
+is bit-equal to the old in-plan broadcast column."""
 
 from __future__ import annotations
 
@@ -43,16 +52,38 @@ def pagerank(
     of sources and destinations; dangling nodes (no out-edges)
     redistribute their mass uniformly, so total mass is conserved
     exactly (up to the documented decimal scale)."""
-    spark = edges.sparkSession
-    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).distinct()
+    from pyspark.sql import Observation
+
+    # checkpoint the edge relation ONCE (round 12): `nodes` and `shares`
+    # below each eager-checkpoint a derivation of it, and an un-cut edge
+    # plan — for the co-purchase callers a per-basket-quadratic
+    # self-join + aggregate — re-executed inside BOTH jobs (measured at
+    # sf0.1: 2.6-4.8 s + 2.8-3.3 s for the two checkpoints, vs ~0.45 s
+    # per actual iteration). hits/kcore/label_propagation already cut
+    # here; pagerank was the one that didn't.
+    e = (
+        edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # nodes carry a loop-invariant IS-DANGLING flag (no out-edges), so
+    # each iteration's dangling mass is observable on the rank rows
+    # themselves instead of through a per-iteration semi join + 1-row
+    # broadcast aggregate (round 12 — see module docstring).
     nodes = (
         e.select(F.col("src").alias("node"))
         .unionAll(e.select(F.col("dst").alias("node")))
         .distinct()
+        .join(
+            out_deg.select(F.col("src").alias("node"), F.lit(False).alias("__d")),
+            "node",
+            "left",
+        )
+        .select("node", F.coalesce(F.col("__d"), F.lit(True)).alias("__dang"))
         .localCheckpoint(eager=True)
     )
     n = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
     # edges annotated with the 1/out_deg share; checkpointed once — the
     # loop re-reads this relation every iteration.
     shares = (
@@ -60,26 +91,16 @@ def pagerank(
         .select("src", "dst", (F.lit(1.0) / F.col("out_deg")).alias("share"))
         .localCheckpoint(eager=True)
     )
-    ranks = nodes.select("node", F.lit(1.0 / n).alias("rank"))
-    # the DANGLING NODE SET is loop-invariant (only its mass changes):
-    # compute it once, broadcast it into each iteration's semi join.
-    dangling_nodes = F.broadcast(
-        nodes.join(
-            out_deg.select(F.col("src").alias("node")), "node", "left_anti"
-        ).localCheckpoint(eager=True)
-    )
-    for _ in range(iterations):
-        # mass parked on dangling nodes: a 1-row aggregate that rides
-        # into the iteration's job as a broadcast cross join — no
-        # per-iteration driver collect.
-        dang = (
-            ranks.join(dangling_nodes, "node", "left_semi")
-            .agg(
-                F.coalesce(
-                    F.sum(F.col("rank").cast(_RANK_DEC)).cast("double"), F.lit(0.0)
-                ).alias("dmass")
-            )
+    ranks = nodes.select("node", "__dang", F.lit(1.0 / n).alias("rank"))
+    # initial dangling mass — same exact-decimal expression the loop
+    # observes, over the (tiny, checkpointed) flag relation: one
+    # O(|nodes|) job before the loop instead of a per-iteration subtree.
+    dmass = nodes.filter(F.col("__dang")).agg(
+        F.coalesce(
+            F.sum(F.lit(1.0 / n).cast(_RANK_DEC)).cast("double"), F.lit(0.0)
         )
+    ).first()[0]
+    for _ in range(iterations):
         contribs = (
             ranks.join(shares, ranks["node"] == shares["src"])
             .select(
@@ -89,27 +110,43 @@ def pagerank(
             .groupBy("node")
             .agg(F.sum("c").cast("double").alias("inflow"))
         )
-        ranks = nodes.join(contribs, "node", "left").crossJoin(
-            F.broadcast(dang)
-        ).select(
-            "node",
-            (
-                F.lit((1.0 - damping) / n)
-                + F.lit(damping) * F.col("dmass") / F.lit(float(n))
-                + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
-            ).alias("rank"),
+        obs = Observation()
+        ranks = (
+            nodes.join(contribs, "node", "left")
+            .select(
+                "node",
+                "__dang",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping) * F.lit(dmass) / F.lit(float(n))
+                    + F.lit(damping) * F.coalesce(F.col("inflow"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            # next iteration's dangling mass rides the checkpoint job as
+            # an observed metric: exact decimal sum over the flagged rows
+            # — the same value set the old semi-join aggregate summed
+            # (sum skips the NULLs the `when` leaves on non-dangling
+            # rows), and decimal addition is order-insensitive.
+            .observe(
+                obs,
+                F.coalesce(
+                    F.sum(
+                        F.when(F.col("__dang"), F.col("rank").cast(_RANK_DEC))
+                    ).cast("double"),
+                    F.lit(0.0),
+                ).alias("dmass"),
+            )
+            # cut lineage EVERY iteration (round-11 measurement; round 12
+            # made the cut EAGER — the observed metric must be collected
+            # before the next iteration's plan is built, and the lazy
+            # variant was materialized by the next iteration's first job
+            # anyway). At scale an uncached level is a corpus-sized
+            # recompute, so one block-manager write per iteration is the
+            # cheap side of the trade.
+            .localCheckpoint(eager=True)
         )
-        # cut lineage EVERY iteration (round-11 measurement): each rank
-        # level is referenced twice downstream — by the next iteration's
-        # contribution join AND by its dangling-mass 1-row aggregate —
-        # so an un-checkpointed level is RE-EXECUTED once per reference
-        # (lazy checkpoints only cache at the cut). Every-other-iteration
-        # cuts measured 10.2-11.2 s vs every-iteration 8.5-9.2 s at
-        # sf0.1 (identical results); at scale an uncached level is a
-        # corpus-sized recompute, so one block-manager write per
-        # iteration is the cheap side of the trade.
-        ranks = ranks.localCheckpoint(eager=False)
-    return ranks
+        dmass = obs.get["dmass"]
+    return ranks.select("node", "rank")
 
 
 def hits(
@@ -130,48 +167,55 @@ def hits(
     first) is unchanged. Fixed ``iterations`` → known job count.
 
     Scale: per iteration, two join+agg passes (edges x scores shuffled
-    on the join key) and two 1-row total aggregates broadcast IN-PLAN as
-    cross joins (no driver collect anywhere); lineage is cut every
-    iteration, exactly like pagerank."""
+    on the join key); each side's sum-normalizer total rides the side's
+    eager checkpoint job as an ``Observation`` metric (round 12 — see
+    module docstring; previously a 1-row aggregate broadcast in-plan as
+    a cross join, whose build was an extra job per side). Lineage is
+    cut every iteration, exactly like pagerank; the normalizing
+    division is applied as a projection OVER the checkpointed raw sums
+    with the observed total as a literal — bit-equal to the old
+    broadcast column (same decimal sum, same double division)."""
+    from pyspark.sql import Observation
+
     e = (
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)
     )
     hub_nodes = e.select(F.col("src").alias("node")).distinct()
-    n_hubs = hub_nodes.agg(F.count("*").alias("__n"))
-    h = hub_nodes.crossJoin(F.broadcast(n_hubs)).select(
-        "node", (F.lit(1.0) / F.col("__n")).alias("score")
-    )
+    # driver-side count over the checkpointed edge relation (tiny job)
+    # replaces the 1-row count broadcast: 1.0 / n is the identical IEEE
+    # division either way.
+    n_hubs = hub_nodes.count()
+    h = hub_nodes.select("node", F.lit(1.0 / n_hubs).alias("score"))
     a = None
     from ..functions.numeric import dsum
 
-    for i in range(iterations):
-        a_raw = (
+    def _normalized(raw: DataFrame, key: str) -> DataFrame:
+        """Checkpoint the raw per-node sums, observing their total on
+        the same job; normalize as a projection over the checkpoint."""
+        obs = Observation()
+        raw = raw.observe(obs, dsum("s", 18).alias("t")).localCheckpoint(
+            eager=True
+        )
+        return raw.select(
+            F.col(key).alias("node"),
+            (F.col("s") / F.lit(obs.get["t"])).alias("score"),
+        )
+
+    for _ in range(iterations):
+        a = _normalized(
             e.join(h.withColumnRenamed("node", "src"), "src")
             .groupBy("dst")
-            .agg(dsum("score", 18).alias("s"))
+            .agg(dsum("score", 18).alias("s")),
+            "dst",
         )
-        a_tot = a_raw.agg(dsum("s", 18).alias("t"))
-        a = a_raw.crossJoin(F.broadcast(a_tot)).select(
-            F.col("dst").alias("node"), (F.col("s") / F.col("t")).alias("score")
-        )
-        h_raw = (
+        h = _normalized(
             e.join(a.withColumnRenamed("node", "dst"), "dst")
             .groupBy("src")
-            .agg(dsum("score", 18).alias("s"))
+            .agg(dsum("score", 18).alias("s")),
+            "src",
         )
-        h_tot = h_raw.agg(dsum("s", 18).alias("t"))
-        h = h_raw.crossJoin(F.broadcast(h_tot)).select(
-            F.col("src").alias("node"), (F.col("s") / F.col("t")).alias("score")
-        )
-        # cut lineage EVERY iteration (round-11): each score level feeds
-        # both the next join AND its own sum-normalizer 1-row aggregate;
-        # un-checkpointed levels re-execute once per reference. Measured
-        # at sf0.1: every-other cuts 10.9-17.5 s vs every-iteration
-        # 7.5-8.7 s, identical top-20 output.
-        h = h.localCheckpoint(eager=False)
-        a = a.localCheckpoint(eager=False)
     return h, a
 
 

@@ -1,7 +1,7 @@
-"""Round-11 profiling harness: run named queries with the EXACT bench
+"""Profiling harness: run named queries with the EXACT bench
 session config, timing each of ``--reps`` warm repetitions via the noop
 sink (guide §1.4), and optionally dump .explain("formatted") to
-plans/r11/<query>_<tag>.txt (guide §1 / §7.2).
+plans/<round>/<query>_<tag>.txt (guide §1 / §7.2).
 
 Usage:
     python tools/profile_query.py [--reps N] [--explain TAG] query [query ...]
@@ -34,7 +34,10 @@ def main() -> int:
     ap.add_argument(
         "--explain",
         default=None,
-        help="dump .explain('formatted') to plans/r11/<query>_<TAG>.txt",
+        help="dump .explain('formatted') to plans/<round>/<query>_<TAG>.txt",
+    )
+    ap.add_argument(
+        "--plans-dir", default="r12", help="subdirectory of plans/ for --explain"
     )
     args = ap.parse_args()
     for name in args.queries:
@@ -66,7 +69,9 @@ def main() -> int:
     bench._warmup(spark)
 
     plans_dir = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r11"
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "plans",
+        args.plans_dir,
     )
     results: dict[str, list[float]] = {}
     for name in args.queries:
