@@ -57,6 +57,46 @@ def exact_dedup(
 
 
 # --------------------------------------------------------------- minhash
+#: Memoized Column TREES for the signature pipeline, keyed by the
+#: constants that parameterize them. Columns are unresolved expression
+#: trees (resolved per-plan), not data or results — reusing them across
+#: DataFrames is standard Spark practice. Building the 32-permutation
+#: hash family + its 32 min-aggregates costs ~0.6 s of driver-side py4j
+#: chatter PER CALL (round-12 measurement: plan construction, not
+#: execution, dominated the incremental IVM queries), and every rk/
+#: minhash query pays it 1-2x; the trees depend only on
+#: (n_hashes, hash_family), so build each once per process.
+_SIG_EXPR_CACHE: "dict[tuple, tuple[list, list, Column]]" = {}
+
+
+def _signature_exprs(
+    n_hashes: int, hash_family: str
+) -> "tuple[list, list, Column]":
+    """(per-shingle seed-hash columns over `sh`/`__rk`, the matching
+    min-aggregate list, the packed signature array) — memoized."""
+    from ..functions.replay import pow5_seeded
+
+    key = (n_hashes, hash_family)
+    hit = _SIG_EXPR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    if hash_family == "xxhash64":
+        seed_hashes = [F.xxhash64("sh", F.lit(i)) for i in range(n_hashes)]
+    else:  # rk_pow5 (validated by the caller)
+        seed_hashes = [
+            pow5_seeded(F.col("__rk"), i) for i in range(n_hashes)
+        ]
+    aggs = [
+        h.cast("long").alias(f"h{i}")
+        for i, h in enumerate(map(F.min, seed_hashes))
+    ]
+    packed = F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias(
+        "signature"
+    )
+    _SIG_EXPR_CACHE[key] = (seed_hashes, aggs, packed)
+    return seed_hashes, aggs, packed
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -86,8 +126,10 @@ def minhash_signature(
     tempting all-in-one expression — 32 ``transform``s over the shingle
     array in a single projection — re-inlines shingle construction per
     seed after projection collapse: ~30× slower measured.)"""
-    from ..functions.replay import pow5_seeded, rk_string
+    from ..functions.replay import rk_string
 
+    if hash_family not in ("xxhash64", "rk_pow5"):
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
     # widen a narrow source so the tokenize/shingle/hash map stage
     # parallelizes (see _widen_to_parallelism)
     df = _widen_to_parallelism(df.select(id_col, text_col))
@@ -96,23 +138,12 @@ def minhash_signature(
         F.col(id_col),
         F.explode(shingles_from_tokens(F.col("__t"), shingle_k)).alias("sh"),
     )
-    if hash_family == "xxhash64":
-        seed_hashes = [F.xxhash64("sh", F.lit(i)) for i in range(n_hashes)]
-    elif hash_family == "rk_pow5":
+    if hash_family == "rk_pow5":
         # bind the per-shingle RK hash once; the 32 permutations reuse it
         exploded = exploded.withColumn("__rk", rk_string(F.col("sh")))
-        seed_hashes = [
-            pow5_seeded(F.col("__rk"), i) for i in range(n_hashes)
-        ]
-    else:
-        raise ValueError(f"unknown hash_family: {hash_family!r}")
-    mins = exploded.groupBy(id_col).agg(
-        *[h.cast("long").alias(f"h{i}") for i, h in enumerate(map(F.min, seed_hashes))]
-    )
-    return mins.select(
-        F.col(id_col),
-        F.array(*[F.col(f"h{i}") for i in range(n_hashes)]).alias("signature"),
-    )
+    _, aggs, packed = _signature_exprs(n_hashes, hash_family)
+    mins = exploded.groupBy(id_col).agg(*aggs)
+    return mins.select(F.col(id_col), packed)
 
 
 def banded_signatures(

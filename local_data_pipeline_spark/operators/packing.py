@@ -90,13 +90,18 @@ def distributed_cumsum(
         .orderBy(*sort_exprs)
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    # ONE materialization of the sampled range partitioning (lazy: the
-    # offsets broadcast build is the first consumer and materializes it;
-    # the main join then reads the cached blocks) — two independent
-    # executions could sample different range boundaries.
+    # ONE materialization of the sampled range partitioning — two
+    # independent executions could sample different range boundaries.
+    # EAGER (round-12 advice fix): with a lazy checkpoint the offsets
+    # BroadcastExchange was the first consumer, so the entire
+    # corpus-scale range shuffle + per-shard window ran inside the
+    # broadcast build future and counted against
+    # spark.sql.broadcastTimeout (300 s default — a scale hazard, not a
+    # local one). Materializing first costs one extra job dispatch
+    # locally; the broadcast build then aggregates K cached rows.
     local = (
         ranged.withColumn("__local", F.sum(value_col).over(w_in))
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     # exclusive prefix of the K shard totals, in-plan: the single-
     # partition window is over the __shard-keyed aggregate — at most one
@@ -280,6 +285,10 @@ def distributed_lead(
     w = Window.partitionBy("__shard").orderBy(order_col)
     # Materialize once (range boundaries come from sampling): the firsts
     # collect and the final join must see the same shard assignment.
+    # EAGER for the same round-12 advice reason as distributed_cumsum:
+    # lazily, the boundary BroadcastExchange was the materializing
+    # consumer, putting the corpus-scale shuffle+window under
+    # spark.sql.broadcastTimeout.
     # __is_last flags each shard's TRUE last row (unique: order_col is a
     # total order) — only that row gets boundary-patched, so a mid-shard
     # row whose successor's value is genuinely NULL keeps its NULL lead,
@@ -291,7 +300,7 @@ def distributed_lead(
             F.col(order_col)
             == F.max(order_col).over(Window.partitionBy("__shard")),
         )
-        .localCheckpoint(eager=False)
+        .localCheckpoint(eager=True)
     )
     firsts = led.groupBy("__shard").agg(
         F.min_by(value_col, F.col(order_col)).alias("__first")

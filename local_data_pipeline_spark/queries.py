@@ -18105,6 +18105,34 @@ def quarantine_split_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _doc_changelog(d: DataFrame) -> DataFrame:
+    """The shared (key, op, after_text) document changelog both
+    incremental-IVM queries maintain under: deletes (doc_id%100 < 10),
+    text replacements (10 <= m < 15), inserts under collision-free
+    +10^12 keys (m == 16). ONE scan of documents (round 12): the three
+    residue-class branches are DISJOINT, so the previous 3-way
+    unionByName — three scans of the same table inside the changelog
+    checkpoint job — collapses to a single filter + CASE projection
+    emitting the identical row set."""
+    m = F.col("doc_id") % 100
+    return d.filter((m < 15) | (m == 16)).select(
+        F.when(m == 16, F.col("doc_id") + 1_000_000_000_000)
+        .otherwise(F.col("doc_id"))
+        .alias("key"),
+        F.when(m < 10, F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.when(
+            (m >= 10) & (m < 15),
+            F.concat(F.col("text"), F.lit(" revised edition zz")),
+        )
+        .when(
+            m == 16,
+            F.concat(F.col("text"), F.lit(" appended continuation zz")),
+        )
+        .otherwise(F.lit(None).cast("string"))
+        .alias("after_text"),
+    )
+
+
 def _incr_minhash_index_oracle(n_hashes: int = 32, n_bands: int = 8) -> str:
     """DuckDB twin of the incrementally-maintained MinHash index: apply
     the changelog to the DOCUMENTS (post-state relation), rebuild the
@@ -18172,34 +18200,7 @@ def incremental_minhash_index_documents(
         8,
         "rk_pow5",
     )
-    m = F.col("doc_id") % 100
-    null_s = F.lit(None).cast("string")
-    changes = (
-        d.filter(m < 10)
-        .select(
-            F.col("doc_id").alias("key"),
-            F.lit("D").alias("op"),
-            null_s.alias("after_text"),
-        )
-        .unionByName(
-            d.filter((m >= 10) & (m < 15)).select(
-                F.col("doc_id").alias("key"),
-                F.lit("U").alias("op"),
-                F.concat(F.col("text"), F.lit(" revised edition zz")).alias(
-                    "after_text"
-                ),
-            )
-        )
-        .unionByName(
-            d.filter(m == 16).select(
-                (F.col("doc_id") + 1_000_000_000_000).alias("key"),
-                F.lit("U").alias("op"),
-                F.concat(
-                    F.col("text"), F.lit(" appended continuation zz")
-                ).alias("after_text"),
-            )
-        )
-    )
+    changes = _doc_changelog(d)
     new_index = maintain_minhash_index(base_index, changes)
     return (
         new_index.groupBy(F.col("band").cast("bigint").alias("band"))
@@ -18316,34 +18317,7 @@ def incremental_dup_clusters_documents(
     clusters_pre = dedup_clusters(
         banded_candidate_pairs(index_pre, max_bucket_size=50)
     )
-    m = F.col("doc_id") % 100
-    null_s = F.lit(None).cast("string")
-    changes = (
-        d.filter(m < 10)
-        .select(
-            F.col("doc_id").alias("key"),
-            F.lit("D").alias("op"),
-            null_s.alias("after_text"),
-        )
-        .unionByName(
-            d.filter((m >= 10) & (m < 15)).select(
-                F.col("doc_id").alias("key"),
-                F.lit("U").alias("op"),
-                F.concat(F.col("text"), F.lit(" revised edition zz")).alias(
-                    "after_text"
-                ),
-            )
-        )
-        .unionByName(
-            d.filter(m == 16).select(
-                (F.col("doc_id") + 1_000_000_000_000).alias("key"),
-                F.lit("U").alias("op"),
-                F.concat(
-                    F.col("text"), F.lit(" appended continuation zz")
-                ).alias("after_text"),
-            )
-        )
-    )
+    changes = _doc_changelog(d)
     post = maintain_dup_clusters(
         index_pre, clusters_pre, changes, max_bucket_size=50
     )

@@ -88,6 +88,21 @@ ALLOWLIST: dict[tuple[str, str], str] = {
         "side, corpus streams once per space; an unbounded query set "
         "would use the prefix-space IVF/LSH index this eval justifies."
     ),
+    ("shingle_novelty_curve", "S1"): (
+        "window input is the 10-row decile histogram (bucket = "
+        "least(fd*10 DIV m, 9) — a closed 0..9 domain by construction). "
+        "Surfaced by the round-12 strict _subtree_bounded: the "
+        "bucket-keyed aggregate's bound lives in the expression, not "
+        "the plan shape."
+    ),
+    ("eval_set_allocation_embeddings", "S1"): (
+        "window input is one row per LABEL stratum (a closed label "
+        "enum, dozens at most) crossed with two 1-row totals — "
+        "domain-bounded, not data-proportional. Surfaced by the "
+        "round-12 strict _subtree_bounded (the label-keyed aggregate "
+        "is not provably bounded in-plan; the old any-descendant walk "
+        "passed it via the sibling keyless totals)."
+    ),
     ("source_mixing_weights", "S1"): (
         "window input is one row per SOURCE (a closed census of corpora "
         "in the blend, dozens at most) — domain-bounded, not "
@@ -110,15 +125,19 @@ ALLOWLIST: dict[tuple[str, str], str] = {
 #: construction-time collect is scale-safe. Every entry must name a
 #: BOUND on the collected row count that is independent of data volume.
 S4_ALLOWLIST: dict[tuple[str, str], str] = {
+    ("graph.py", "pagerank"): (
+        "collects the 1-ROW initial dangling-mass aggregate (an exact "
+        "decimal sum over the checkpointed node-flag relation) before "
+        "the loop; every subsequent iteration's mass rides the "
+        "checkpoint job as an Observation metric (round 12) — no "
+        "per-iteration or data-proportional collect."
+    ),
     ("packing.py", "_distributed_cumsum_with_total"): (
         "collects K per-shard partial sums (K = shard count, config-"
-        "bounded, a few bytes each) to build the offset broadcast — the "
-        "shared primitive behind distributed_cumsum / distributed_rank / "
-        "distributed_ntile that REPLACES the single-partition window."
-    ),
-    ("packing.py", "distributed_lead"): (
-        "collects K per-shard first values (K = shard count) for the "
-        "boundary patch; same contract as _distributed_cumsum_with_total."
+        "bounded, a few bytes each) to build the offset broadcast. "
+        "NTILE-ONLY since round 11: distributed_cumsum/rank/lead compute "
+        "offsets in-plan; only distributed_ntile still collects because "
+        "its bucket formula genuinely needs n on the driver."
     ),
     ("ml.py", "train_bpe_merges"): (
         "per-merge argmax collect is ONE row per merge step (limit(1) "
@@ -323,15 +342,24 @@ _SHARD_AGG_RE = re.compile(r"^Keys(?: \[\d+\])?:\s*\[__shard#\d+\]", re.M)
 def _subtree_bounded(node: Node) -> bool:
     """True if every row stream entering `node` is provably small:
     a limit/top-k, a global (keyless) aggregate, or a per-shard
-    (spark_partition_id-keyed) aggregate."""
-    for n in _walk(node):
-        if any(op in n.name for op in _BOUNDED_OPS):
-            return True
-        if _is_global_agg(n):
-            return True
-        if "Aggregate" in n.name and _SHARD_AGG_RE.search(n.details):
-            return True
-    return False
+    (spark_partition_id-keyed) aggregate.
+
+    Recursive on the DIRECT input chain (round-12 advice fix): a node
+    is bounded iff it is itself a bounding op, or ALL of its children
+    are bounded — so a data-sized branch joined/unioned in above a deep
+    bounded aggregate no longer passes just because the bounded
+    aggregate exists SOMEWHERE below (the previous any-descendant walk
+    would have silently exempted, e.g., a corpus-sized single-partition
+    window placed above the cumsum's broadcast join)."""
+    if any(op in node.name for op in _BOUNDED_OPS):
+        return True
+    if _is_global_agg(node):
+        return True
+    if "Aggregate" in node.name and _SHARD_AGG_RE.search(node.details):
+        return True
+    return bool(node.children) and all(
+        _subtree_bounded(c) for c in node.children
+    )
 
 
 def _is_single_partition_exchange(node: Node) -> bool:
