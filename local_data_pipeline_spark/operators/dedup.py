@@ -629,6 +629,38 @@ def winnowing_overlap_pairs(
 
 
 # --------------------------------------------------------------- simhash
+#: Memoized simhash vote-aggregate / bit-assembly Column trees, keyed by
+#: n_bits — same plan-metadata rationale as _SIG_EXPR_CACHE (building
+#: the 62-64 when/sum aggregates plus the 62-64-term assembly is pure
+#: driver-side py4j chatter repeated per call).
+_SIMHASH_EXPR_CACHE: "dict[int, tuple[list, Column]]" = {}
+
+
+def _simhash_exprs(n_bits: int) -> "tuple[list, Column]":
+    hit = _SIMHASH_EXPR_CACHE.get(n_bits)
+    if hit is not None:
+        return hit
+
+    def bitmask(i: int) -> int:
+        return 1 << i if i < 63 else -(2**63)
+
+    vote_aggs = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(bitmask(i))) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(n_bits)
+    ]
+    sim = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(bitmask(i)).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        sim = bit if sim is None else sim + bit
+    out = (vote_aggs, sim.alias("simhash"))
+    _SIMHASH_EXPR_CACHE[n_bits] = out
+    return out
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
@@ -671,24 +703,9 @@ def simhash(
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
 
-    def bitmask(i: int) -> int:
-        return 1 << i if i < 63 else -(2**63)
-
-    votes = exploded.groupBy(id_col).agg(
-        *[
-            F.sum(
-                F.when(F.col("h").bitwiseAND(F.lit(bitmask(i))) != 0, 1).otherwise(-1)
-            ).alias(f"v{i}")
-            for i in range(n_bits)
-        ]
-    )
-    sim = None
-    for i in range(n_bits):
-        bit = F.when(F.col(f"v{i}") > 0, F.lit(bitmask(i)).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        sim = bit if sim is None else sim + bit
-    return votes.select(F.col(id_col), sim.alias("simhash"))
+    vote_aggs, sim = _simhash_exprs(n_bits)
+    votes = exploded.groupBy(id_col).agg(*vote_aggs)
+    return votes.select(F.col(id_col), sim)
 
 
 def hamming64(a: Column, b: Column) -> Column:

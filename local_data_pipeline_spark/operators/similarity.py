@@ -301,21 +301,39 @@ def rademacher_bucket(vec_micro: Column, dim: int, n_planes: int) -> Column:
     return bucket
 
 
+#: Memoized bucket-expression trees, keyed by every constant that
+#: parameterizes them (including the input COLUMN NAME — the tree embeds
+#: it). Columns are unresolved expression trees resolved per-plan, not
+#: data (the dedup._SIG_EXPR_CACHE rationale): building a 6-plane
+#: hyperplane/rademacher bucket costs ~0.5 s of driver-side py4j chatter
+#: per call (round-12 measurement — lsh_topk construction was ~1.2 s,
+#: called twice per declared ANN query), and ann_recall_eval builds four
+#: such operators per run.
+_BUCKET_EXPR_CACHE: "dict[tuple, Column]" = {}
+
+
 def _bucket_col(
     vec_col: str, dim: int, n_planes: int, seed: int, hash_family: str
 ) -> Column:
     """Bucket expression for either hash family (near-dup operators).
     The rademacher path inlines the micro-quantization (re-evaluated
     once per plane — acceptable: n_planes ≤ 8 cheap int ops; the hot
-    lsh_topk path binds it instead)."""
+    lsh_topk path binds it instead). Memoized per parameter tuple."""
+    key = (vec_col, dim, n_planes, seed, hash_family)
+    hit = _BUCKET_EXPR_CACHE.get(key)
+    if hit is not None:
+        return hit
     if hash_family == "xx_float":
-        return hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
-    if hash_family == "rademacher":
+        out = hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+    elif hash_family == "rademacher":
         from ..functions.replay import micro
 
         vm = F.transform(F.col(vec_col), lambda x: micro(x))
-        return rademacher_bucket(vm, dim, n_planes)
-    raise ValueError(f"unknown hash_family: {hash_family!r}")
+        out = rademacher_bucket(vm, dim, n_planes)
+    else:
+        raise ValueError(f"unknown hash_family: {hash_family!r}")
+    _BUCKET_EXPR_CACHE[key] = out
+    return out
 
 
 def lsh_topk(
@@ -358,17 +376,23 @@ def lsh_topk(
     if hash_family == "xx_float":
         def with_bucket(df: DataFrame) -> DataFrame:
             return df.withColumn(
-                "__bucket", hyperplane_bucket(F.col(vec_col), dim, n_planes, seed)
+                "__bucket", _bucket_col(vec_col, dim, n_planes, seed, hash_family)
             )
     elif hash_family == "rademacher":
+        # memoized like _bucket_col (same rationale): the tree is a pure
+        # function of (dim, n_planes) over the bound "__vm" column
+        key = ("__vm", dim, n_planes, "rademacher_bound")
+        bucket_expr = _BUCKET_EXPR_CACHE.get(key)
+        if bucket_expr is None:
+            bucket_expr = rademacher_bucket(F.col("__vm"), dim, n_planes)
+            _BUCKET_EXPR_CACHE[key] = bucket_expr
+
         def with_bucket(df: DataFrame) -> DataFrame:
             # bind the micro-quantized vector once (HOF-inlining note)
             vm = df.withColumn(
                 "__vm", F.transform(F.col(vec_col), lambda x: micro(x))
             )
-            return vm.withColumn(
-                "__bucket", rademacher_bucket(F.col("__vm"), dim, n_planes)
-            ).drop("__vm")
+            return vm.withColumn("__bucket", bucket_expr).drop("__vm")
     else:
         raise ValueError(f"unknown hash_family: {hash_family!r}")
     bq = with_bucket(queries).select(
