@@ -1784,13 +1784,23 @@ def approx_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = _t(spark, sf_dir, "lineitem").select(
         "l_returnflag", "l_partkey", "l_extendedprice"
     )
-    agg = li.groupBy("l_returnflag").agg(
+    # the exact-distinct count runs as its OWN aggregation joined back on
+    # the 3-row flag key (round 12): combining count_distinct with the
+    # percentile aggregates in one agg forces an Expand whose first-level
+    # aggregate keys by (flag, partkey, gid) — giving every partkey group
+    # its own percentile collection buffer (measured: 2.9-3.3 s combined
+    # vs 0.15+0.4+1.1+0.4 s for the pieces separately). Values identical:
+    # the aggregates themselves are unchanged, only un-co-planned.
+    agg_nd = li.groupBy("l_returnflag").agg(
         F.count("*").cast("bigint").alias("n"),
-        F.count_distinct("l_partkey").cast("bigint").alias("n_parts_exact"),
         F.expr("percentile(l_extendedprice, 0.5)").alias("ex50"),
         F.approx_count_distinct("l_partkey").alias("ap_parts"),
         F.expr("approx_percentile(l_extendedprice, 0.5, 1000)").alias("ap50"),
     )
+    agg_d = li.groupBy("l_returnflag").agg(
+        F.count_distinct("l_partkey").cast("bigint").alias("n_parts_exact")
+    )
+    agg = agg_nd.join(agg_d, "l_returnflag")
     j = li.join(F.broadcast(agg), "l_returnflag")
     # tie-immune realized-rank check (l_extendedprice REPEATS — qty x
     # retailprice collides): the answer's rank interval [frac_lt,
@@ -2598,10 +2608,18 @@ def pq_adc_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     try:
-        nq = qs.count()
-        n_hits_total = approx.select("query_id", "neighbor_id").join(
-            exact, ["query_id", "neighbor_id"]
-        ).count()
+        # the panel-size count and the ADC-hits count are independent
+        # actions (hits materializes the persisted exact side itself;
+        # nq scans the corpus filter) — overlap them (guide §2.6, the
+        # ann_recall_eval pattern) so the hits job's tail back-fills
+        # with the count's tasks. Exact counts: overlap can't change
+        # either value.
+        nq, n_hits_total = _overlap(
+            lambda: qs.count(),
+            lambda: approx.select("query_id", "neighbor_id")
+            .join(exact, ["query_id", "neighbor_id"])
+            .count(),
+        )
         mean_recall = n_hits_total / (10.0 * nq) if nq else 0.0
         per_q = exact.groupBy("query_id").agg(
             F.count("*").cast("bigint").alias("n_truth"),
