@@ -43,17 +43,74 @@ def _warmup(spark) -> None:
     to the front of the bench (r6→r7: pagerank 6.9→12.4 s in-bench,
     back to 6.9 s standalone): they were absorbing session first-touch
     cost that belongs to no query. This prefix eats that cost instead."""
+    # FROZEN (round 12): the warm-up must not grow or change again
+    # without a drift adjudication committed alongside (DRIFT_*.md) —
+    # and it must NEVER execute a declared query over the real bench
+    # tables: blocks #1/#2 previously ran q1_pricing_summary /
+    # pca_embedding_variance untimed, pre-warming lineitem/embeddings
+    # parquet footers + OS page cache for every timed query (round-11
+    # verdict). They now exercise the same machinery on SYNTHETIC data:
+    # no file under the bench data directory is opened here.
+    import shutil
+    import tempfile
+
     from pyspark.sql import Window
     from pyspark.sql import functions as F
 
-    # 1. parquet scan + codegen + hash aggregate over the real tables
-    QUERIES["q1_pricing_summary"].fn(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    # 2. Arrow batch transfer + executor-side pandas/numpy import
-    QUERIES["pca_embedding_variance"].fn(spark, SF_DIR).write.format("noop").mode(
-        "overwrite"
-    ).save()
+    # 1. parquet write/scan + codegen + hash aggregate incl. the decimal
+    #    dsum shape, over a written-then-read TEMP parquet (synthetic)
+    wdir = tempfile.mkdtemp(prefix="bench_warmup_")
+    try:
+        (
+            spark.range(0, 50_000)
+            .select(
+                F.col("id"),
+                F.pmod(F.col("id"), F.lit(7)).cast("string").alias("flag"),
+                (F.pmod(F.col("id"), F.lit(997)).cast("double") / 7.0).alias(
+                    "val"
+                ),
+            )
+            .write.mode("overwrite")
+            .parquet(os.path.join(wdir, "t"))
+        )
+        (
+            spark.read.parquet(os.path.join(wdir, "t"))
+            .filter(F.col("val") >= 0.0)
+            .groupBy("flag")
+            .agg(
+                F.sum(F.col("val").cast("decimal(25,6)")).cast("double"),
+                F.avg("val"),
+                F.count("*"),
+            )
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
+        )
+    finally:
+        shutil.rmtree(wdir, ignore_errors=True)
+    # 2. Arrow eval types #4 below does NOT cover: scalar pandas_udf
+    #    (ArrowEvalPython worker pool + executor-side numpy import) and
+    #    mapInArrow (SQL_MAP_ARROW_ITER pool), both over spark.range
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _wu_np(x):
+        import numpy as np
+        import pandas as pd
+
+        return pd.Series(np.sqrt(x.to_numpy(dtype="float64")))
+
+    spark.range(0, 1000).select(_wu_np(F.col("id"))).write.format(
+        "noop"
+    ).mode("overwrite").save()
+
+    def _wu_arrow(batches):
+        for b in batches:
+            yield b
+
+    spark.range(0, 1000).mapInArrow(_wu_arrow, "id long").write.format(
+        "noop"
+    ).mode("overwrite").save()
     # 3. iterative-operator machinery on synthetic data: shuffle join,
     #    broadcast join, window exec, and two localCheckpoint rounds
     #    (lineage cut + block manager), the paths the graph queries hit

@@ -138,3 +138,18 @@ def test_bench_drift_between_last_driver_rounds_nonblocking():
             stacklevel=1,
         )
     assert rc in (0, 1, 2)
+
+
+def test_bench_warmup_runs_no_declared_query_on_real_tables():
+    """Round-12 honesty pin: the untimed warm-up prefix must never
+    execute a declared query or open a file under the bench SF dir —
+    otherwise real-table parquet footers / OS page cache are pre-warmed
+    for whichever queries read those tables, flattering their timed
+    numbers. Frozen: warm-up changes require a DRIFT_*.md adjudication."""
+    import inspect
+
+    import bench
+
+    src = inspect.getsource(bench._warmup)
+    assert "QUERIES[" not in src, "warm-up executes a declared query"
+    assert "SF_DIR" not in src, "warm-up references the bench data dir"
