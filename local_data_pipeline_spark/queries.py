@@ -18431,67 +18431,65 @@ def training_order_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order after the prefix and stay fully declared (bench runs
 # everything; tests/tools check every oracle).
 _PRIORITY: tuple[str, ...] = (
-    # ROUND-11 ROTATION. First block: the three queries whose code
-    # changed this round AFTER the r10 attestation — the BPE
-    # size-gated hybrid trainer + precomputed-vocab encode (commit
-    # 8e38320) and the IVM minhash maintainer's gated broadcast +
-    # NULL-upsert guard (round-10 advice). All three re-validated
-    # at sf0.001/0.01/0.1 + shuffle=200 + sf1 gate this round.
-    "bpe_encode_documents",
-    "bpe_merge_table_documents",
+    # ROUND-12 ROTATION. First block: the queries whose execution this
+    # optimization round changed AFTER the r11 attestation — graph
+    # Observation-normalizers + pagerank edge checkpoint, the
+    # incremental-IVM single-scan changelog + memoized signature trees,
+    # the approx_sketch_stats de-Expanded aggregate, pq_adc/_overlap,
+    # and the memoized ANN bucket / simhash trees. All re-validated at
+    # sf0.001/0.01/0.1 + the sf1 gate this round.
+    "pagerank_copurchase_parts",
+    "hits_customer_parts",
     "incremental_minhash_index_documents",
-    # new this round — first attestation
     "incremental_dup_clusters_documents",
-    # -- stalest attestations: the nine queries whose newest driver
-    # green is still r03, then the r04 block in catalog order (the
-    # r10 rotation refreshed the previous r03 backlog; this one
-    # starts on the 49-query r04 cohort).
-    "rollup_lineitem",
-    "running_total_orders",
-    "unpivot_lineitem_measures",
-    "sessionize_events",
-    "string_agg_nations_per_region",
-    "window_rank_family_orders",
-    "variant_props_stats",
-    "weighted_sample_documents",
-    "token_rle_udtf_documents",
-    "embedding_norm_stats",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q13_order_count_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_part_supplier_counts",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customers",
-    "q19_disjunctive_predicate_revenue",
-    "tfidf_top_terms",
-    "stratified_sample_documents",
-    "bigram_counts_documents",
-    "zscore_anomalies_events",
-    "q11_important_part_stock",
-    "pack_training_sequences",
-    "repetition_signals_documents",
-    "q21_suppliers_kept_waiting",
-    "q20_potential_part_promotion",
-    "lm_score_documents",
-    "source_mixing_weights",
-    "densify_hourly_event_grid",
-    "segment_dedup_documents",
-    "ntile_customer_value_deciles",
-    "vocab_coverage_curve",
-    "value_change_intervals_events",
-    "rebuild_deduped_documents",
-    "rolling_median_daily_value",
-    "bm25_search_documents",
-    "token_entropy_documents",
-    "scd2_customer_priority_history",
-    "hard_negative_mining",
-    "incremental_dedup_new_docs",
-    "cumulative_distinct_users_daily",
+    "approx_sketch_stats",
+    "pq_adc_recall_eval",
+    "ann_recall_eval",
+    "lsh_topk_embeddings",
+    "embedding_near_dups",
+    "simhash_near_dups",
+    "minhash_near_dups",
+    "near_dup_clusters_documents",
+    # -- stalest attestations: the full r04 cohort (newest driver green
+    # still r04), then the r05 cohort in name order up to the 50 cap.
+    "attribution_time_decay_events",
+    "benford_audit_orders",
+    "boilerplate_removal_documents",
+    "changepoint_mean_shift_events",
+    "chi2_terms_by_source",
+    "event_id_gap_ranges",
+    "fk_integrity_audit",
+    "k_anonymity_audit_customers",
+    "native_session_window_events",
+    "pareto_frontier_parts",
+    "seasonal_decompose_daily_value",
+    "temporal_join_orders_scd2",
+    "ab_test_conversion_events",
+    "autocorr_daily_value",
+    "bloom_prune_urgent_revenue",
+    "budget_fill_documents",
+    "cdc_apply_orders",
+    "chunk_documents_sliding",
+    "co_purchase_lift_parts",
+    "compaction_plan_orders",
+    "content_hash_manifest_documents",
+    "corpus_dataset_card",
+    "cross_source_overlap_matrix",
+    "degree_distribution_copurchase",
+    "distributed_exact_median_value",
+    "dow_seasonality_events",
+    "entropy_source_lang_mix",
+    "event_type_user_overlap",
+    "frame_sample_plan_events",
+    "fulfillment_latency_orders",
+    "holt_winters_backtest_by_type",
+    "holt_winters_by_type",
+    "holt_winters_daily_forecast",
+    "hourly_activity_bitmap",
+    "incident_session_overlap_events",
+    "key_skew_profile_events",
+    "kl_divergence_source_tokens",
+    "map_roundtrip_user_counts",
 )
 
 assert len(_PRIORITY) == 50, len(_PRIORITY)
