@@ -118,12 +118,20 @@ def test_bench_drift_between_last_driver_rounds_nonblocking():
     (and in the captured report) instead of waiting for a human to
     cross-read three JSON files."""
     import glob
+    import re
     import warnings
 
     from tools.compare_bench import drift
 
     root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    benches = sorted(glob.glob(os.path.join(root, "BENCH_r*.json")))
+    # core-count variants (BENCH_r11_c8.json — the driver's 8-core
+    # scaling run) are not comparable to the 32-core series: comparing
+    # r11 vs r11_c8 warned unconditionally (round-12 fix)
+    benches = sorted(
+        b
+        for b in glob.glob(os.path.join(root, "BENCH_r*.json"))
+        if not re.search(r"_c\d+\.json$", b)
+    )
     if len(benches) < 2:
         import pytest
 

@@ -34,6 +34,7 @@ files.
 from __future__ import annotations
 
 import json
+import re
 import os
 import sys
 import time
@@ -168,12 +169,33 @@ def drift(
         return 2
     ratios = {n: new[n] / max(old[n], 1e-9) for n in carry}
     med = statistics.median(ratios.values())
-    flagged, known_variance = {}, {}
+    # committed adjudications: DRIFT_<old>_<new>.md written by a past
+    # round's human triage. A flagged query NAMED in that file has been
+    # ruled on (noise / accepted trade / superseded fix) — report it as
+    # adjudicated instead of re-warning every round (round-12 fix; the
+    # r09->r10 warning kept firing for two rounds after its file landed).
+    adjudicated_names: set[str] = set()
+    _rounds = [
+        re.search(r"(r\d+)", os.path.basename(p)) for p in (old_path, new_path)
+    ]
+    if all(_rounds):
+        drift_md = os.path.join(
+            os.path.dirname(os.path.abspath(new_path)),
+            f"DRIFT_{_rounds[0].group(1)}_{_rounds[1].group(1)}.md",
+        )
+        if os.path.exists(drift_md):
+            with open(drift_md) as f:
+                body = f.read()
+            adjudicated_names = {n for n in carry if f"`{n}`" in body}
+    flagged, known_variance, adjudicated = {}, {}, {}
     for n, r in ratios.items():
         norm = r / med
         cap = VARIANCE_ALLOWLIST.get(n, (1.5,))[0]
         if norm > cap:
-            flagged[n] = norm
+            if n in adjudicated_names:
+                adjudicated[n] = norm
+            else:
+                flagged[n] = norm
         elif norm > 1.5 and n in VARIANCE_ALLOWLIST:
             known_variance[n] = norm
     improved = {n: r / med for n, r in ratios.items() if r / med < 1 / 1.5}
@@ -195,6 +217,17 @@ def drift(
                 f"| {n} | {old[n]:.2f} | {new[n]:.2f} | {ratios[n]:.2f}x "
                 f"| {flagged[n]:.2f}x |"
             )
+        lines.append("")
+    if adjudicated:
+        lines.append(
+            "Adjudicated in "
+            + os.path.basename(drift_md)
+            + " (ruled noise / accepted / superseded — informational): "
+            + ", ".join(
+                f"{n} ({adjudicated[n]:.2f}x)"
+                for n in sorted(adjudicated, key=adjudicated.get, reverse=True)
+            )
+        )
         lines.append("")
     if known_variance:
         lines.append(
