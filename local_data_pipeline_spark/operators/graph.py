@@ -236,13 +236,18 @@ def label_propagation(
     at least one in-edge (true for symmetrized edge sets).
 
     Scale: one shuffle join (labels x edges on the source) + one
-    map-side-combinable (node, label) count + one per-node
-    WindowGroupLimit argmax per iteration — Pregel-as-joins, same as
-    pagerank/hits above. No driver collect anywhere; labels are
-    localCheckpoint'd (lazy) each iteration to stop lineage growth.
-    Returns (node, label) after ``iterations`` rounds."""
-    from pyspark.sql.window import Window
-
+    map-side-combinable (node, label) count + one per-node MAX-STRUCT
+    argmax per iteration — Pregel-as-joins, same as pagerank/hits
+    above. The argmax is ``max(struct(c, -label))`` (round 12): struct
+    ordering compares c first, then -label, so ties break to the
+    SMALLEST label — exactly the previous ``row_number() OVER (ORDER BY
+    c DESC, label ASC) = 1`` window, but as a partially-aggregable
+    hash aggregate instead of a sort-based window (no per-partition
+    sort, and the second exchange carries one pre-merged row per
+    (node, map task) instead of every (node, label) pair). No driver
+    collect anywhere; labels are localCheckpoint'd (lazy) each
+    iteration to stop lineage growth. Returns (node, label) after
+    ``iterations`` rounds."""
     # checkpoint the edge relation ONCE (round-11): every iteration's
     # message join reads ``edges``, and an un-checkpointed edge plan —
     # for the co-purchase callers a per-basket-quadratic self-join —
@@ -259,16 +264,19 @@ def label_propagation(
         .distinct()
     )
     labels = nodes.select("node", F.col("node").alias("label"))
-    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
     for _ in range(iterations):
         msgs = edges.join(
             labels.withColumnRenamed("node", src), src
         ).select(F.col(dst).alias("node"), "label")
         counts = msgs.groupBy("node", "label").agg(F.count("*").alias("c"))
         labels = (
-            counts.withColumn("__rn", F.row_number().over(w))
-            .filter(F.col("__rn") == 1)
-            .select("node", "label")
+            counts.groupBy("node")
+            .agg(
+                F.max(
+                    F.struct(F.col("c"), (-F.col("label")).alias("nl"))
+                ).alias("__best")
+            )
+            .select("node", (-F.col("__best.nl")).alias("label"))
             .localCheckpoint(eager=False)
         )
     return labels
